@@ -1,0 +1,62 @@
+"""Geometry constructors — build geometry columns from plain columns.
+
+The reference constructs geometry arrays from python/shapely objects at ingest
+(ref ``geometry/base.py:799-871``); in Spark the equivalent is building the
+nested-array encoding from existing columns with ``F.array``/``F.struct`` —
+pure projection, no UDF, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(c) -> Column:
+    c = F.lit(c) if not isinstance(c, Column) else c
+    return c.cast("double")
+
+
+def st_point(x, y) -> Column:
+    """point struct<x,y> from two numeric columns."""
+    return F.struct(_d(x).alias("x"), _d(y).alias("y"))
+
+
+def point_bounds(pt: Column) -> Column:
+    """Degenerate bbox of a point (x,y,x,y)."""
+    return F.struct(
+        pt["x"].alias("x0"),
+        pt["y"].alias("y0"),
+        pt["x"].alias("x1"),
+        pt["y"].alias("y1"),
+    )
+
+
+def st_make_box(x0, y0, x1, y1) -> Column:
+    """Axis-aligned rectangle as a polygon (single closed CCW ring)."""
+    x0, y0, x1, y1 = _d(x0), _d(y0), _d(x1), _d(y1)
+    ring = F.array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+    return F.array(ring)
+
+
+def st_make_diamond(cx, cy, r) -> Column:
+    """Diamond (square rotated 45°) centered at (cx, cy) with circumradius r,
+    as a polygon (closed CCW ring). Useful because containment has the closed
+    form |x-cx| + |y-cy| <= r, giving SQL-expressible oracles while still
+    exercising non-axis-aligned edges in the kernels."""
+    cx, cy, r = _d(cx), _d(cy), _d(r)
+    ring = F.array(
+        cx + r, cy,
+        cx, cy + r,
+        cx - r, cy,
+        cx, cy - r,
+        cx + r, cy,
+    )
+    return F.array(ring)
+
+
+def st_multipoint(points: Column) -> Column:
+    """Interleave an array<struct<x,y>> into a multipoint array<double>."""
+    return F.flatten(
+        F.transform(points, lambda p: F.array(p["x"], p["y"]))
+    )

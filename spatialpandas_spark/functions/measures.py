@@ -1,0 +1,190 @@
+"""Geometry measures as pure JVM column expressions (higher-order functions).
+
+Reference semantics (holoviz/spatialpandas):
+- ``st_length``: sum of euclidean segment lengths over all nested parts,
+  skipping segments with any non-finite endpoint; 0.0 for point/multipoint
+  (ref ``geometry/_algorithms/measures.py:9-28``, ``geometry/point.py:67-69``).
+- ``st_area``: signed shoelace area summed over rings — exterior shells are
+  CCW (positive), holes CW (negative, hence subtracted); a ring with < 3
+  points contributes 0 (ref ``geometry/_algorithms/measures.py:31-58``).
+- ``st_bounds``: per-row (x0, y0, x1, y1) skipping non-finite coordinates; a
+  missing/empty geometry yields NaN, matching the reference's NaN rows
+  (ref ``geometry/_algorithms/bounds.py:7-66``).
+
+Unlike the reference (numba JIT kernels over Arrow buffers), these are Spark
+SQL higher-order functions: they execute inside the JVM on Tungsten array
+data with no Python/Arrow boundary, so they scale with executors and keep the
+whole stage codegen-friendly. All expressions are ANSI-mode safe (no
+data-dependent division, no out-of-range casts).
+
+Geometry encodings (SURVEY.md §1.2):
+- point:        struct<x: double, y: double>
+- multipoint:   array<double>             (interleaved x,y)
+- line / ring:  array<double>             (interleaved)
+- multiline:    array<array<double>>
+- polygon:      array<array<double>>      (ring 0 = CCW shell, 1.. = CW holes)
+- multipolygon: array<array<array<double>>>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def NAN() -> Column:
+    # built lazily: F.lit requires an active SparkContext at call time
+    return F.lit(float("nan"))
+
+
+def INF() -> Column:
+    return F.lit(float("inf"))
+
+
+#: geometry type name -> nesting level of the array encoding
+NESTING = {
+    "point": 0,
+    "multipoint": 1,
+    "line": 1,
+    "ring": 1,
+    "multiline": 2,
+    "polygon": 2,
+    "multipolygon": 3,
+}
+
+
+def _finite(c: Column) -> Column:
+    return ~F.isnan(c) & (F.abs(c) != INF())
+
+
+def _seq0(n: Column) -> Column:
+    """[0, 1, ..., n-1] as array<int>; empty when n <= 0 (sequence() would
+    otherwise count *down* for negative spans)."""
+    return F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _ring_length(ring: Column) -> Column:
+    """Sum of segment lengths of one interleaved coord array, skipping
+    segments with non-finite endpoints."""
+    npts = (F.size(ring) / 2).cast("int")
+
+    def seg(acc: Column, i: Column) -> Column:
+        x0 = F.get(ring, 2 * i)
+        y0 = F.get(ring, 2 * i + 1)
+        x1 = F.get(ring, 2 * i + 2)
+        y1 = F.get(ring, 2 * i + 3)
+        ok = _finite(x0) & _finite(y0) & _finite(x1) & _finite(y1)
+        d = F.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+        return acc + F.when(ok, d).otherwise(F.lit(0.0))
+
+    return F.aggregate(_seq0(npts - 1), F.lit(0.0), seg)
+
+
+def _ring_area(ring: Column) -> Column:
+    """Signed shoelace area of one ring (closed or not — includes the
+    wrap-around term, which is 0 for closed rings). < 3 points -> 0.0."""
+    npts = (F.size(ring) / 2).cast("int")
+
+    def shoe(acc: Column, i: Column) -> Column:
+        x0 = F.get(ring, 2 * i)
+        y0 = F.get(ring, 2 * i + 1)
+        x1 = F.get(ring, 2 * i + 2)
+        y1 = F.get(ring, 2 * i + 3)
+        return acc + (x0 * y1 - x1 * y0)
+
+    last = npts - 1
+    wrap = F.get(ring, 2 * last) * F.get(ring, F.lit(1)) - F.get(
+        ring, F.lit(0)
+    ) * F.get(ring, 2 * last + 1)
+    total = F.aggregate(_seq0(npts - 1), F.lit(0.0), shoe) + wrap
+    return F.when(npts >= 3, total / 2).otherwise(F.lit(0.0))
+
+
+def _sum_parts(parts: Column, fn) -> Column:
+    return F.aggregate(parts, F.lit(0.0), lambda acc, p: acc + fn(p))
+
+
+def st_length(geom: Column, geom_type: str = "line") -> Column:
+    """Total length (perimeter for polygons, incl. hole rings — ref
+    ``geometry/polygon.py:98-99``). 0.0 for point/multipoint."""
+    lvl = NESTING[geom_type]
+    if geom_type in ("point", "multipoint"):
+        return F.when(geom.isNotNull(), F.lit(0.0)).otherwise(NAN())
+    if lvl == 1:
+        out = _ring_length(geom)
+    elif lvl == 2:
+        out = _sum_parts(geom, _ring_length)
+    else:
+        out = _sum_parts(geom, lambda poly: _sum_parts(poly, _ring_length))
+    return F.coalesce(out, NAN())
+
+
+def st_area(geom: Column, geom_type: str = "polygon") -> Column:
+    """Signed shoelace area; CW hole rings subtract. 0.0 for points/lines
+    (ref ``geometry/line.py:66-68``)."""
+    if geom_type in ("point", "multipoint", "line", "ring", "multiline"):
+        return F.when(geom.isNotNull(), F.lit(0.0)).otherwise(NAN())
+    if geom_type == "polygon":
+        out = _sum_parts(geom, _ring_area)
+    elif geom_type == "multipolygon":
+        out = _sum_parts(geom, lambda poly: _sum_parts(poly, _ring_area))
+    else:
+        raise ValueError(f"unknown geom_type: {geom_type}")
+    return F.coalesce(out, NAN())
+
+
+def _flat_coords(geom: Column, geom_type: str) -> Column:
+    lvl = NESTING[geom_type]
+    if lvl == 1:
+        return geom
+    if lvl == 2:
+        return F.flatten(geom)
+    if lvl == 3:
+        return F.flatten(F.flatten(geom))
+    raise ValueError(f"no flat coords for geom_type {geom_type}")
+
+
+def st_bounds(geom: Column, geom_type: str) -> Column:
+    """Per-row bounding box struct<x0,y0,x1,y1>, skipping non-finite coords;
+    all-NaN for missing/empty geometry (ref ``_algorithms/bounds.py:56-66``)."""
+    if geom_type == "point":
+        x, y = geom["x"], geom["y"]
+        gx = F.when(_finite(x), x).otherwise(NAN())
+        gy = F.when(_finite(y), y).otherwise(NAN())
+        b = F.struct(
+            gx.alias("x0"), gy.alias("y0"), gx.alias("x1"), gy.alias("y1")
+        )
+        nanb = F.struct(
+            NAN().alias("x0"), NAN().alias("y0"), NAN().alias("x1"), NAN().alias("y1")
+        )
+        return F.when(geom.isNotNull(), b).otherwise(nanb)
+    flat = _flat_coords(geom, geom_type)
+    xs = F.filter(flat, lambda v, i: (i % 2 == 0) & _finite(v))
+    ys = F.filter(flat, lambda v, i: (i % 2 == 1) & _finite(v))
+    return F.struct(
+        F.coalesce(F.array_min(xs), NAN()).alias("x0"),
+        F.coalesce(F.array_min(ys), NAN()).alias("y0"),
+        F.coalesce(F.array_max(xs), NAN()).alias("x1"),
+        F.coalesce(F.array_max(ys), NAN()).alias("y1"),
+    )
+
+
+def total_bounds_aggs(bounds_col: str = "bounds") -> list[Column]:
+    """NaN-skipping global bbox aggregate expressions (ref ``dask.py:43-51``
+    partial+final is automatic in Spark's hash aggregate).
+
+    Usage: ``df.agg(*total_bounds_aggs("bounds"))`` ->
+    one row (x0, y0, x1, y1).
+    """
+
+    def skipnan(c: Column) -> Column:
+        return F.when(~F.isnan(c), c)
+
+    b = F.col(bounds_col)
+    return [
+        F.min(skipnan(b["x0"])).alias("x0"),
+        F.min(skipnan(b["y0"])).alias("y0"),
+        F.max(skipnan(b["x1"])).alias("x1"),
+        F.max(skipnan(b["y1"])).alias("y1"),
+    ]

@@ -1,0 +1,51 @@
+"""Hilbert spatial packing (ref ``dask.py:177-205`` ``pack_partitions``).
+
+The reference hand-rolls a quantile shuffle (RepartitionQuantiles +
+np.digitize + per-partition concat/sort/write with retries,
+``dask.py:207-532``, 326 LoC). Spark's range partitioner *is* that machinery:
+``repartitionByRange`` reservoir-samples the key for balanced split points,
+the shuffle handles spill/retry, and ``sortWithinPartitions`` gives each
+output file a tight, monotone hilbert range → tight parquet row-group stats
+on the bounds columns → file/row-group pruning at read time.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.functions.hilbert import hilbert_col
+from spatialpandas_spark.functions.measures import total_bounds_aggs
+
+#: reference targets ~2^23 rows per packed partition, min 8 (``dask.py:534-540``)
+ROWS_PER_PARTITION = 2**23
+MIN_PARTITIONS = 8
+
+
+def pack_partitions(
+    df: DataFrame,
+    bounds_col: str = "bounds",
+    npartitions: int | None = None,
+    p: int = 15,
+    total_bounds: tuple[float, float, float, float] | None = None,
+    distance_col: str = "hilbert_distance",
+) -> DataFrame:
+    """Add a hilbert-distance column and range-partition + sort by it.
+
+    ``total_bounds`` and ``npartitions`` each cost one extra job if not
+    supplied; at scale pass known values (e.g. from a previous manifest).
+    """
+    if total_bounds is None:
+        row = df.agg(*total_bounds_aggs(bounds_col)).first()
+        total_bounds = (row["x0"], row["y0"], row["x1"], row["y1"])
+    if npartitions is None:
+        n = df.count()
+        npartitions = max(MIN_PARTITIONS, math.ceil(n / ROWS_PER_PARTITION))
+    out = df.withColumn(
+        distance_col, hilbert_col(F.col(bounds_col), total_bounds, p)
+    )
+    return out.repartitionByRange(npartitions, distance_col).sortWithinPartitions(
+        distance_col
+    )

@@ -1,0 +1,193 @@
+"""Spatial join (ref ``tools/sjoin.py:26-272``).
+
+The reference builds an R-tree on the left side, probes it with each right
+row's bbox, refines candidates with the exact ``intersects`` kernel, then
+re-attaches payload via pandas merges. On Spark the same filter-refine
+discipline is expressed as a join whose condition is
+
+    bbox_overlap(left.bounds, right.bounds)  AND  exact_predicate
+
+with two physical strategies:
+
+- ``broadcast`` (small side fits in memory — the common case; the analog of
+  the per-row R-tree probe): BroadcastNestedLoopJoin where the bbox
+  conjunct runs codegen-native before the exact test. Never shuffles the big
+  side.
+- ``grid`` (large × large): both sides explode their bbox onto a fixed grid,
+  shuffle equi-join on the cell key (hash join, AQE-skew-aware), then
+  post-filter bbox + exact. Duplicate pairs from multi-cell bboxes are
+  eliminated *without* a dropDuplicates shuffle via the report-once trick:
+  a pair is only emitted in the cell containing the top-left corner of the
+  bbox intersection. This is the standard distributed spatial join of the
+  GeoSpark/Sedona literature (SURVEY.md §2.3 J1).
+
+Only ``op='intersects'`` exists, like the reference (``sjoin.py:64-70``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.functions.measures import st_bounds
+from spatialpandas_spark.functions.predicates import (
+    bbox_overlap,
+    st_point_in_polygon,
+    st_point_in_multipolygon,
+)
+
+_SUPPORTED_HOW = ("inner", "left", "right")
+
+
+def _exact_predicate(
+    lgeom: Column, ltype: str, rgeom: Column, rtype: str
+) -> Column | None:
+    """Exact `intersects` refinement for a (left, right) type pair. Returns
+    None when the bbox test is already exact (point vs point handled via
+    equality of bbox). Mirrors the reference's point-family support
+    (``geometry/point.py:212-255``); other pairs raise like the reference's
+    NotImplemented (``geometry/base.py:634-651``)."""
+    pair = (ltype, rtype)
+    if pair == ("point", "polygon"):
+        return st_point_in_polygon(lgeom["x"], lgeom["y"], rgeom)
+    if pair == ("polygon", "point"):
+        return st_point_in_polygon(rgeom["x"], rgeom["y"], lgeom)
+    if pair == ("point", "multipolygon"):
+        return st_point_in_multipolygon(lgeom["x"], lgeom["y"], rgeom)
+    if pair == ("multipolygon", "point"):
+        return st_point_in_multipolygon(rgeom["x"], rgeom["y"], lgeom)
+    if pair == ("point", "point"):
+        return (lgeom["x"] == rgeom["x"]) & (lgeom["y"] == rgeom["y"])
+    if "point" in pair:
+        # point vs line/multipoint/...: bbox overlap of a point against the
+        # candidate's bbox is the v1 refinement
+        return None
+    raise NotImplementedError(
+        f"sjoin exact predicate for {ltype} × {rtype} not implemented "
+        "(reference supports the point family only, base.py:634-651)"
+    )
+
+
+def _prepare(
+    df: DataFrame, geom: str, gtype: str, side: str, other_cols: set[str], suffix: str
+):
+    """Ensure a bounds column; suffix payload columns colliding with the other
+    side (ref ``sjoin.py:215`` lsuffix/rsuffix)."""
+    bcol = f"__bounds_{side}"
+    df = df.withColumn(bcol, st_bounds(F.col(geom), gtype))
+    renames = {}
+    for c in df.columns:
+        if c in other_cols and c != geom and not c.startswith("__bounds"):
+            renames[c] = f"{c}_{suffix}"
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df, bcol
+
+
+def sjoin(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    left_type: str = "point",
+    right_type: str = "polygon",
+    how: str = "inner",
+    op: str = "intersects",
+    lsuffix: str = "left",
+    rsuffix: str = "right",
+    strategy: str = "broadcast",
+    cell_size: float | None = None,
+) -> DataFrame:
+    if op != "intersects":
+        raise ValueError(f"Only op='intersects' is supported, got {op!r}")
+    if how not in _SUPPORTED_HOW:
+        raise ValueError(f"how must be one of {_SUPPORTED_HOW}, got {how!r}")
+
+    lcols, rcols = set(left.columns), set(right.columns)
+    left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix)
+    right, rb = _prepare(right, right_geom, right_type, "r", lcols, rsuffix)
+
+    lgeom = left[left_geom] if left_geom == right_geom else F.col(left_geom)
+    # geometry columns may share a name across sides; qualify via DataFrame
+    lgeom = left[left_geom]
+    rgeom = right[right_geom]
+    exact = _exact_predicate(lgeom, left_type, rgeom, right_type)
+
+    cond = bbox_overlap(left[lb], right[rb])
+    if exact is not None:
+        cond = cond & exact
+
+    if strategy == "broadcast":
+        # broadcast the side that is NOT preserved by an outer join
+        if how == "right":
+            joined = F.broadcast(left).join(right, cond, how)
+        elif how == "left":
+            joined = left.join(F.broadcast(right), cond, how)
+        else:
+            joined = left.join(F.broadcast(right), cond, how)
+    elif strategy == "grid":
+        if cell_size is None:
+            raise ValueError("grid strategy requires cell_size")
+        joined = _grid_join(
+            left, right, lb, rb, cond, how, cell_size
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    drop = [lb, rb]
+    if left_geom == right_geom:
+        # keep both geometry columns by suffixing, like payload collisions
+        joined = joined.withColumnRenamed(left_geom, f"{left_geom}_{lsuffix}")
+    return joined.drop(*drop)
+
+
+def _cells(b: Column, cell_size: float) -> Column:
+    """Array of struct<ix,iy> grid cells covered by a bounds struct."""
+    cs = F.lit(float(cell_size))
+    ix0 = F.floor(b["x0"] / cs).cast("long")
+    ix1 = F.floor(b["x1"] / cs).cast("long")
+    iy0 = F.floor(b["y0"] / cs).cast("long")
+    iy1 = F.floor(b["y1"] / cs).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(
+                F.sequence(iy0, iy1),
+                lambda iy: F.struct(ix.alias("ix"), iy.alias("iy")),
+            ),
+        )
+    )
+
+
+def _grid_join(
+    left: DataFrame,
+    right: DataFrame,
+    lb: str,
+    rb: str,
+    cond: Column,
+    how: str,
+    cell_size: float,
+) -> DataFrame:
+    if how != "inner":
+        raise NotImplementedError(
+            "grid strategy supports how='inner' (use broadcast for outer)"
+        )
+    cs = float(cell_size)
+    lx = left.withColumn("__cell", F.explode(_cells(F.col(lb), cs)))
+    rx = right.withColumn("__cell", F.explode(_cells(F.col(rb), cs)))
+    # report-once: emit the pair only from the cell holding the top-left
+    # corner of the bbox intersection -> no global dedup shuffle needed
+    ref_ix = F.floor(
+        F.greatest(lx[lb]["x0"], rx[rb]["x0"]) / F.lit(cs)
+    ).cast("long")
+    ref_iy = F.floor(
+        F.greatest(lx[lb]["y0"], rx[rb]["y0"]) / F.lit(cs)
+    ).cast("long")
+    once = (lx["__cell"]["ix"] == ref_ix) & (lx["__cell"]["iy"] == ref_iy)
+    joined = lx.join(
+        rx, (lx["__cell"] == rx["__cell"]) & cond & once, "inner"
+    )
+    return joined.drop("__cell")

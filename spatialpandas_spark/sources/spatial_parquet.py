@@ -1,0 +1,111 @@
+"""Spatial parquet IO with a partition-bounds manifest.
+
+Reference behavior being re-expressed (ref ``io/parquet.py``):
+- ``to_parquet_dask`` embeds per-partition bounding boxes as JSON custom
+  metadata in ``_common_metadata`` (``io/parquet.py:143-182``).
+- ``read_parquet_dask(bounds=...)`` drops partitions whose bbox doesn't
+  intersect the query bounds before any data is read (``:411-447``).
+
+Spark-first design: data is written Hilbert-packed with materialized
+``bounds`` struct columns, so parquet row-group min/max stats already give
+fine-grained skipping to any engine. The manifest (one tiny JSON sidecar,
+built from file *footers* only) adds exact file-level pruning — the analog of
+the reference's partition-bounds metadata — letting a read at 100 TB open
+only the files whose bbox overlaps the query before Spark even lists row
+groups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spatialpandas_spark.operators.pack import pack_partitions
+
+MANIFEST_NAME = "_spatial_manifest.json"
+
+
+def write_spatial_parquet(
+    df: DataFrame,
+    path: str,
+    bounds_col: str = "bounds",
+    pack: bool = True,
+    npartitions: int | None = None,
+    p: int = 15,
+    compression: str = "snappy",
+) -> dict:
+    """Hilbert-pack (optional) + write parquet + write bounds manifest.
+
+    Returns the manifest dict {file_name: [x0, y0, x1, y1]}.
+    """
+    if pack:
+        df = pack_partitions(df, bounds_col=bounds_col, npartitions=npartitions, p=p)
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+    manifest = build_manifest(path, bounds_col)
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump({"bounds_col": bounds_col, "files": manifest}, f)
+    return manifest
+
+
+def build_manifest(path: str, bounds_col: str = "bounds") -> dict:
+    """Per-file bbox from parquet footer statistics only (no data IO) —
+    row-group min/max of the four bounds fields."""
+    import pyarrow.parquet as pq
+
+    manifest: dict[str, list[float]] = {}
+    for fp in sorted(glob(os.path.join(path, "*.parquet"))):
+        md = pq.read_metadata(fp)
+        want = {f"{bounds_col}.{k}": k for k in ("x0", "y0", "x1", "y1")}
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                chunk = row_group.column(ci)
+                key = want.get(chunk.path_in_schema)
+                if key is None:
+                    continue
+                st = chunk.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins[key] = min(mins.get(key, float("inf")), st.min)
+                maxs[key] = max(maxs.get(key, float("-inf")), st.max)
+        if all(k in mins for k in ("x0", "y0")) and all(
+            k in maxs for k in ("x1", "y1")
+        ):
+            manifest[os.path.basename(fp)] = [
+                mins["x0"], mins["y0"], maxs["x1"], maxs["y1"]
+            ]
+    return manifest
+
+
+def read_spatial_parquet(
+    spark: SparkSession,
+    path: str,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Read a spatial parquet dataset; with ``bounds`` given, prune
+    non-intersecting files via the manifest (partition pruning parity with
+    ``read_parquet_dask(bounds=...)``). Row-level refinement is the caller's
+    choice, as in the reference (bounds= prunes partitions only)."""
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if bounds is None or not os.path.exists(mpath):
+        return spark.read.parquet(path)
+    with open(mpath) as f:
+        meta = json.load(f)
+    qx0, qy0, qx1, qy1 = bounds
+    if qx1 < qx0:
+        qx0, qx1 = qx1, qx0
+    if qy1 < qy0:
+        qy0, qy1 = qy1, qy0
+    keep = [
+        os.path.join(path, name)
+        for name, (x0, y0, x1, y1) in meta["files"].items()
+        if x0 <= qx1 and x1 >= qx0 and y0 <= qy1 and y1 >= qy0
+    ]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*keep)
