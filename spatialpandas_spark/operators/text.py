@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM column expressions (regex + higher-order functions) so they run
+at scan speed at 100 TB — no Python UDFs. Each has a closed-form definition
+that an external SQL engine can mirror exactly (the DuckDB oracles in
+``__spark_entry__.py`` do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.dedup import tokens, word_shingles
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_word_length(text: Column) -> Column:
+    n = token_count(text)
+    total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+#: tiny built-in stopword lists per language — enough for a deterministic
+#: n-gram/stopword language-ID heuristic on latin-script text
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "no", "un", "una", "por", "para"],
+}
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS[lang]))
+    )
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language with the most stopword hits
+    ('und' — undetermined — when no list scores a hit). Deterministic
+    tie-break by language code order en < de < fr < es (first max wins)."""
+    toks = tokens(text)
+
+    def hits(code: str) -> Column:
+        words = list(_STOPWORDS[code])
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(code, hits(code)) for code in _STOPWORDS]
+    top = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for code, score in reversed(scores):
+        out = F.when(score == top, F.lit(code)).otherwise(out)
+    return F.when(top == 0, F.lit("und")).otherwise(out)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4 * length_score (saturating at 200 tokens)
+    + 0.3 * stopword presence (en-list ratio, saturating at 0.4)
+    + 0.3 * alpha ratio (alphabetic+space chars / all chars)."""
+    n = token_count(text)
+    length_score = F.least(n.cast("double") / F.lit(200.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(text, "en") / F.lit(0.4), F.lit(1.0))
+    total_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z\s]", ""))
+    alpha_ratio = F.when(
+        total_chars > 0, alpha_chars.cast("double") / total_chars
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * length_score + F.lit(0.3) * sw + F.lit(0.3) * alpha_ratio
+    )
+
+
+def doc_fingerprint(text: Column, shingle_n: int = 3, k: int = 8) -> Column:
+    """Bottom-k sketch fingerprint: the k smallest xxhash64 values over the
+    document's word n-gram shingles, re-hashed into one 64-bit value. Two
+    documents sharing most shingles collide with high probability — a cheap
+    near-dup blocking key (winnowing-style selection, Schleimer et al.)."""
+    hashes = F.array_sort(
+        F.transform(word_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    )
+    bottom = F.slice(hashes, 1, k)
+    return F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string"))))
