@@ -1,0 +1,223 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Maps to BASELINE.md's query set B1-B7 (reference spatialpandas operations)
+plus the beyond-reference pipeline operators. Protocol per BASELINE.md:
+1 warm-up + 3 timed runs per query, median reported. Prints ONE JSON line.
+
+Geometry is derived from the lineitem table (~600k rows at sf0.1) so the
+spatial kernels are exercised at the full row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def make_points(spark):
+    """~600k points with integer-grid coords derived from lineitem."""
+    from spatialpandas_spark import st_point
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        st_point(
+            (F.col("l_partkey") % 500).cast("double"),
+            (F.col("l_suppkey") % 500).cast("double"),
+        ).alias("geom"),
+    )
+
+
+def make_polys(spark):
+    """~600k diamond polygons with a hole ring each."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cx = (F.col("l_partkey") % 500).cast("double")
+    cy = (F.col("l_suppkey") % 500).cast("double")
+    r = (F.col("l_linenumber") % 5 + 1).cast("double")
+    h = r / 2
+    shell = F.array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
+    hole = F.array(cx + h, cy, cx, cy - h, cx - h, cy, cx, cy + h, cx + h, cy)
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.array(shell, hole).alias("geom"),
+    )
+
+
+def b1_cx(spark):
+    from spatialpandas_spark import cx_filter, with_bounds
+
+    pts = with_bounds(make_points(spark), "geom", "point")
+    # viewport covering ~1% of the 500x500 extent
+    return cx_filter(pts, "geom", "point", (100.0, 100.0, 150.0, 150.0)).count()
+
+
+def b2_area_sum(spark):
+    from spatialpandas_spark import st_area
+
+    return (
+        make_polys(spark)
+        .select(st_area(F.col("geom")).alias("a"))
+        .agg(F.sum("a"))
+        .first()[0]
+    )
+
+
+def b3_length(spark):
+    from spatialpandas_spark import st_length
+
+    return (
+        make_polys(spark)
+        .select(st_length(F.col("geom"), "polygon").alias("l"))
+        .agg(F.sum("l"))
+        .first()[0]
+    )
+
+
+def b4_bounds(spark):
+    from spatialpandas_spark import st_bounds
+
+    b = st_bounds(F.col("geom"), "polygon")
+    return (
+        make_polys(spark)
+        .select(b.alias("b"))
+        .agg(F.sum(F.col("b.x0") + F.col("b.y1")))
+        .first()[0]
+    )
+
+
+def b5_sjoin(spark):
+    from spatialpandas_spark import sjoin, st_make_diamond
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    dia = nation.select(
+        F.col("n_nationkey").alias("did"),
+        st_make_diamond(
+            (F.col("n_nationkey") * 17 + 30).cast("double"),
+            (F.col("n_nationkey") * 13 + 40).cast("double"),
+            F.lit(25.5),
+        ).alias("poly"),
+    )
+    j = sjoin(
+        make_points(spark),
+        dia,
+        left_geom="geom",
+        right_geom="poly",
+        left_type="point",
+        right_type="polygon",
+        how="inner",
+    )
+    return j.count()
+
+
+def b6_pack_io(spark):
+    from spatialpandas_spark import with_bounds
+    from spatialpandas_spark.sources import read_spatial_parquet, write_spatial_parquet
+
+    pts = with_bounds(make_points(spark), "geom", "point")
+    td = tempfile.mkdtemp(prefix="bench_pack_")
+    try:
+        path = os.path.join(td, "pts")
+        write_spatial_parquet(pts, path, npartitions=16, p=10)
+        pruned = read_spatial_parquet(spark, path, bounds=(0.0, 0.0, 50.0, 50.0))
+        return pruned.count()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+def b7_total_bounds(spark):
+    from spatialpandas_spark import total_bounds_aggs, with_bounds
+
+    pts = with_bounds(make_points(spark), "geom", "point")
+    return pts.agg(*total_bounds_aggs("bounds")).first()[0]
+
+
+def b8_minhash(spark):
+    from spatialpandas_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.5).count()
+
+
+def b9_ann_topk(spark):
+    from spatialpandas_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(qs, emb, k=10).count()
+
+
+def b10_tpch_q1(spark):
+    import __spark_entry__ as entrymod
+
+    return entrymod.q_tpch_q1(spark, SF_DIR).count()
+
+
+BENCHES = {
+    "b1_cx": b1_cx,
+    "b2_area_sum": b2_area_sum,
+    "b3_length": b3_length,
+    "b4_bounds": b4_bounds,
+    "b5_sjoin": b5_sjoin,
+    "b6_pack_io": b6_pack_io,
+    "b7_total_bounds": b7_total_bounds,
+    "b8_minhash": b8_minhash,
+    "b9_ann_topk": b9_ann_topk,
+    "b10_tpch_q1": b10_tpch_q1,
+}
+
+
+def main() -> None:
+    from spatialpandas_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for name, fn in BENCHES.items():
+        fn(spark)  # warm-up (JIT, code cache, file listing)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark)
+            times.append(time.time() - t0)
+        results[name] = round(statistics.median(times), 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": _sf(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
