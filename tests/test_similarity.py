@@ -1,0 +1,90 @@
+"""Similarity search vs numpy brute-force oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+from spatialpandas_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+
+RNG = np.random.default_rng(13)
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = RNG.standard_normal((N, DIM)).astype(np.float32)
+    # plant near-duplicates: rows 0..9 get a barely-perturbed copy at 100..109
+    vecs[100:110] = vecs[0:10] + RNG.standard_normal((10, DIM)).astype(np.float32) * 0.01
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(N)], schema
+    )
+    return df, vecs
+
+
+def _cos_matrix(q, c):
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return qn @ cn.T
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    qs = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = brute_force_topk(qs, df, k=10).collect()
+    sims = _cos_matrix(vecs[:5].astype(np.float64), vecs.astype(np.float64))
+    for qid in range(5):
+        order = np.lexsort((np.arange(N), -sims[qid]))[:10]
+        got_q = sorted((r for r in got if r["qid"] == qid), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got_q] == order.tolist()
+        for r, oi in zip(got_q, order):
+            assert r["sim"] == pytest.approx(sims[qid][oi], rel=1e-6)
+
+
+def test_lsh_topk_high_recall_on_near_dups(spark, emb):
+    df, vecs = emb
+    qs = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = lsh_bucket_topk(qs, df, k=3, dim=DIM, bits=16, bands=8).collect()
+    # the planted near-duplicate (qid+100) must appear in the LSH top-3
+    for qid in range(10):
+        ids = {r["vec_id"] for r in got if r["qid"] == qid}
+        assert qid + 100 in ids, qid
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark, emb):
+    df, vecs = emb
+    pairs = embedding_near_dup_pairs(df, threshold=0.98, dim=DIM, bits=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, i + 100) in got, i
+    # and nothing reported below threshold
+    for r in pairs.collect():
+        assert r["sim"] >= 0.98
+
+
+def test_multimodal_features_deterministic(spark):
+    from spatialpandas_spark.operators.multimodal import attach_media_meta, extract_features
+
+    media = spark.range(10).select(
+        F.col("id").alias("media_id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+    )
+    f1 = {r["media_id"]: r["feature"] for r in extract_features(attach_media_meta(media)).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in extract_features(attach_media_meta(media)).collect()}
+    assert f1 == f2
+    assert all(len(v) == 32 for v in f1.values())
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="pillow")

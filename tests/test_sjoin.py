@@ -1,0 +1,102 @@
+"""sjoin vs brute-force oracle: both physical strategies, all join types,
+suffix handling (reference compares against geopandas.sjoin for all hows,
+SURVEY.md §5.1 / ref tests/tools/test_sjoin.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark import sjoin, st_point
+from tests import geomgen, oracles
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(RNG.uniform(-60, 60, (250, 2)))]
+    polys = geomgen.gen_polygons(RNG, 30)
+    left = spark.createDataFrame(pts, "pid long, x double, y double").select(
+        "pid", "x", "y", st_point(F.col("x"), F.col("y")).alias("geom")
+    )
+    right = spark.createDataFrame(polys, "gid long, geom array<array<double>>")
+    expect = set()
+    for pid, x, y in pts:
+        for gid, poly in polys:
+            if oracles.point_in_polygon(x, y, poly):
+                expect.add((pid, gid))
+    return left, right, pts, polys, expect
+
+
+def test_inner_broadcast(spark, fixtures):
+    left, right, pts, polys, expect = fixtures
+    j = sjoin(left, right, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="polygon")
+    got = {(r["pid"], r["gid"]) for r in j.collect()}
+    assert got == expect
+
+
+def test_inner_grid(spark, fixtures):
+    left, right, pts, polys, expect = fixtures
+    j = sjoin(left, right, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="polygon",
+              strategy="grid", cell_size=20.0)
+    got = {(r["pid"], r["gid"]) for r in j.collect()}
+    assert got == expect
+
+
+def test_left_join_keeps_unmatched(spark, fixtures):
+    left, right, pts, polys, expect = fixtures
+    j = sjoin(left, right, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="polygon", how="left")
+    rows = j.collect()
+    matched_pids = {p for p, _ in expect}
+    got_pairs = {(r["pid"], r["gid"]) for r in rows if r["gid"] is not None}
+    got_null_pids = {r["pid"] for r in rows if r["gid"] is None}
+    assert got_pairs == expect
+    assert got_null_pids == {p for p, _, _ in pts} - matched_pids
+
+
+def test_right_join_keeps_unmatched_polys(spark, fixtures):
+    left, right, pts, polys, expect = fixtures
+    j = sjoin(left, right, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="polygon", how="right")
+    rows = j.collect()
+    matched_gids = {g for _, g in expect}
+    got_pairs = {(r["pid"], r["gid"]) for r in rows if r["pid"] is not None}
+    got_null_gids = {r["gid"] for r in rows if r["pid"] is None}
+    assert got_pairs == expect
+    assert got_null_gids == {g for g, _ in polys} - matched_gids
+
+
+def test_colliding_payload_columns_suffixed(spark):
+    left = spark.createDataFrame(
+        [(1, 0.5, 0.5, 100)], "id long, x double, y double, v long"
+    ).select("id", "v", st_point(F.col("x"), F.col("y")).alias("geom"))
+    right = spark.createDataFrame(
+        [(7, [[0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0]], 200)],
+        "id long, poly array<array<double>>, v long",
+    )
+    j = sjoin(left, right, left_geom="geom", right_geom="poly",
+              left_type="point", right_type="polygon")
+    row = j.first()
+    assert row["v_left"] == 100 and row["v_right"] == 200
+    assert row["id_left"] == 1 and row["id_right"] == 7
+
+
+def test_unsupported_pair_raises(spark, fixtures):
+    left, right, *_ = fixtures
+    with pytest.raises(NotImplementedError):
+        sjoin(right, right, left_geom="geom", right_geom="geom",
+              left_type="polygon", right_type="polygon")
+
+
+def test_point_point_equality_join(spark):
+    a = spark.createDataFrame([(1, 1.0, 2.0), (2, 3.0, 4.0)], "aid long, x double, y double")
+    a = a.select("aid", st_point(F.col("x"), F.col("y")).alias("geom"))
+    b = spark.createDataFrame([(9, 1.0, 2.0)], "bid long, x double, y double")
+    b = b.select("bid", st_point(F.col("x"), F.col("y")).alias("geom"))
+    j = sjoin(a, b, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="point")
+    rows = j.collect()
+    assert [(r["aid"], r["bid"]) for r in rows] == [(1, 9)]
