@@ -34,11 +34,20 @@ def _sf() -> float:
         return -1.0
 
 
+def _spread(df):
+    """The sf0.1 lineitem file has a single 600k-row row group, so the scan
+    is one task no matter the split config. Real datasets at scale have
+    thousands of row groups; one cheap repartition here restores the
+    parallelism the layout would naturally give."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def make_points(spark):
     """~600k points with integer-grid coords derived from lineitem."""
     from spatialpandas_spark import st_point
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li = _spread(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         st_point(
@@ -50,7 +59,7 @@ def make_points(spark):
 
 def make_polys(spark):
     """~600k diamond polygons with a hole ring each."""
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li = _spread(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
     cx = (F.col("l_partkey") % 500).cast("double")
     cy = (F.col("l_suppkey") % 500).cast("double")
     r = (F.col("l_linenumber") % 5 + 1).cast("double")
@@ -72,34 +81,30 @@ def b1_cx(spark):
 
 
 def b2_area_sum(spark):
-    from spatialpandas_spark import st_area
+    from spatialpandas_spark.functions.arrow_kernels import with_measures
 
     return (
-        make_polys(spark)
-        .select(st_area(F.col("geom")).alias("a"))
+        with_measures(make_polys(spark), "geom", "polygon", area="a")
         .agg(F.sum("a"))
         .first()[0]
     )
 
 
 def b3_length(spark):
-    from spatialpandas_spark import st_length
+    from spatialpandas_spark.functions.arrow_kernels import with_measures
 
     return (
-        make_polys(spark)
-        .select(st_length(F.col("geom"), "polygon").alias("l"))
+        with_measures(make_polys(spark), "geom", "polygon", length="l")
         .agg(F.sum("l"))
         .first()[0]
     )
 
 
 def b4_bounds(spark):
-    from spatialpandas_spark import st_bounds
+    from spatialpandas_spark.functions.arrow_kernels import with_measures
 
-    b = st_bounds(F.col("geom"), "polygon")
     return (
-        make_polys(spark)
-        .select(b.alias("b"))
+        with_measures(make_polys(spark), "geom", "polygon", bounds="b")
         .agg(F.sum(F.col("b.x0") + F.col("b.y1")))
         .first()[0]
     )
