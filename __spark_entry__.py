@@ -234,6 +234,119 @@ def q_hilbert_pack(spark, sf_dir):
     return packed.select("id", "hilbert_distance")
 
 
+def q_cx_lines(spark, sf_dir):
+    """P5 exact segment-vs-rect: cx over 2-point lines from orders. Oracle:
+    bbox overlap AND the segment's line straddles the rect corners."""
+    from spatialpandas_spark import cx_filter, with_bounds
+
+    o = _t(spark, sf_dir, "orders")
+    line = F.array(
+        (F.col("o_orderkey") % 101).cast("double"),
+        (F.col("o_orderkey") % 97).cast("double"),
+        (F.col("o_custkey") % 89).cast("double"),
+        (F.col("o_custkey") % 83).cast("double"),
+    )
+    df = with_bounds(
+        o.select(F.col("o_orderkey").alias("id"), line.alias("geom")), "geom", "line"
+    )
+    return cx_filter(df, "geom", "line", (20.0, 20.0, 40.0, 35.0)).select("id")
+
+
+def q_cx_diamonds(spark, sf_dir):
+    """P5 exact polygon-vs-rect: diamonds from part vs a viewport. Oracle:
+    L1 distance from rect to diamond center <= r (closed form)."""
+    from spatialpandas_spark import cx_filter, st_make_diamond, with_bounds
+
+    part = _t(spark, sf_dir, "part")
+    df = part.select(
+        F.col("p_partkey").alias("id"),
+        st_make_diamond(
+            (F.col("p_partkey") % 120).cast("double"),
+            (F.col("p_size") * 2).cast("double"),
+            F.lit(7.5),
+        ).alias("geom"),
+    )
+    df = with_bounds(df, "geom", "polygon")
+    return cx_filter(df, "geom", "polygon", (30.0, 20.0, 60.0, 44.0)).select("id")
+
+
+def q_oriented_area(spark, sf_dir):
+    """F6 st_oriented: half the shells deliberately CW; orientation
+    normalization must make every area positive 2r²."""
+    from spatialpandas_spark import st_area
+    from spatialpandas_spark.functions.transforms import st_oriented
+
+    part = _t(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") % 50).cast("double")
+    cy = (F.col("p_size") * 2).cast("double")
+    r = (F.col("p_partkey") % 5 + 1).cast("double")
+    ccw = F.array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
+    cw = F.array(cx + r, cy, cx, cy - r, cx - r, cy, cx, cy + r, cx + r, cy)
+    shell = F.when(F.col("p_partkey") % 2 == 0, ccw).otherwise(cw)
+    df = part.select(
+        F.col("p_partkey").alias("id"), F.array(shell).alias("geom")
+    )
+    fixed = df.select("id", st_oriented(F.col("geom")).alias("geom"))
+    return fixed.select("id", st_area(F.col("geom")).alias("area"))
+
+
+def q_boundary_length(spark, sf_dir):
+    """F8 st_boundary reinterpretation: boundary-as-multiline length equals
+    the polygon perimeter (closed form 4*sqrt(2)*r)."""
+    from spatialpandas_spark import st_length
+    from spatialpandas_spark.functions.transforms import st_boundary
+
+    d = _diamonds(spark, sf_dir)
+    b = st_boundary(F.col("poly"), "polygon")
+    return d.select(
+        "did", F.round(st_length(b, "multiline"), 6).alias("blen")
+    )
+
+
+def q_fillna_points(spark, sf_dir):
+    """P8 fillna: NULL geometries (every 10th customer) filled with the
+    origin point."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.functions.transforms import st_fill_missing
+
+    c = _t(spark, sf_dir, "customer")
+    geom = F.when(
+        F.col("c_custkey") % 10 != 0,
+        st_point(
+            (F.col("c_custkey") % 97).cast("double"),
+            (F.col("c_nationkey") * 4).cast("double"),
+        ),
+    )
+    df = c.select(F.col("c_custkey").alias("id"), geom.alias("geom"))
+    filled = df.select(
+        "id", st_fill_missing(F.col("geom"), (0.0, 0.0), "point").alias("geom")
+    )
+    return filled.select(
+        "id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y")
+    )
+
+
+def q_geom_groupby(spark, sf_dir):
+    """A5/P10: group directly on a nested geometry column (native array
+    grouping replaces the reference's factorize machinery)."""
+    from spatialpandas_spark import st_make_diamond
+
+    part = _t(spark, sf_dir, "part")
+    df = part.select(
+        st_make_diamond(
+            (F.col("p_partkey") % 7).cast("double"),
+            (F.col("p_size") % 5).cast("double"),
+            F.lit(1.5),
+        ).alias("geom")
+    )
+    groups = df.groupBy("geom").agg(F.count("*").cast("long").alias("cnt"))
+    return groups.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+
+
 # ---------------------------------------------------------------- relational
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary (relational shell: scan→filter→agg)."""
@@ -424,6 +537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_by_group": q_length_by_group,
         "bounds_multipoint": q_bounds_multipoint,
         "total_bounds": q_total_bounds,
+        "cx_lines": q_cx_lines,
+        "cx_diamonds": q_cx_diamonds,
+        "oriented_area": q_oriented_area,
+        "boundary_length": q_boundary_length,
+        "fillna_points": q_fillna_points,
+        "geom_groupby": q_geom_groupby,
         "sjoin_inner": q_sjoin_inner,
         "sjoin_left": q_sjoin_left,
         "sjoin_counts": q_sjoin_counts,
@@ -497,6 +616,56 @@ def oracle_sql() -> dict[str, str]:
         "total_bounds": f"""
             SELECT MIN(x) AS x0, MIN(y) AS y0, MAX(x) AS x1, MAX(y) AS y1
             FROM ({points})
+        """,
+        "cx_lines": """
+            SELECT id FROM (
+                SELECT o_orderkey AS id,
+                       CAST(o_orderkey % 101 AS DOUBLE) AS ax,
+                       CAST(o_orderkey % 97 AS DOUBLE) AS ay,
+                       CAST(o_custkey % 89 AS DOUBLE) AS bx,
+                       CAST(o_custkey % 83 AS DOUBLE) AS by
+                FROM orders)
+            WHERE LEAST(ax, bx) <= 40.0 AND GREATEST(ax, bx) >= 20.0
+              AND LEAST(ay, by) <= 35.0 AND GREATEST(ay, by) >= 20.0
+              AND LEAST((bx-ax)*(20.0-ay) - (by-ay)*(20.0-ax),
+                        (bx-ax)*(20.0-ay) - (by-ay)*(40.0-ax),
+                        (bx-ax)*(35.0-ay) - (by-ay)*(20.0-ax),
+                        (bx-ax)*(35.0-ay) - (by-ay)*(40.0-ax)) <= 0
+              AND GREATEST((bx-ax)*(20.0-ay) - (by-ay)*(20.0-ax),
+                           (bx-ax)*(20.0-ay) - (by-ay)*(40.0-ax),
+                           (bx-ax)*(35.0-ay) - (by-ay)*(20.0-ax),
+                           (bx-ax)*(35.0-ay) - (by-ay)*(40.0-ax)) >= 0
+        """,
+        "cx_diamonds": """
+            SELECT p_partkey AS id FROM (
+                SELECT p_partkey,
+                       CAST(p_partkey % 120 AS DOUBLE) AS cx,
+                       CAST(p_size * 2 AS DOUBLE) AS cy
+                FROM part)
+            WHERE GREATEST(0.0, 30.0 - cx, cx - 60.0)
+                + GREATEST(0.0, 20.0 - cy, cy - 44.0) <= 7.5
+        """,
+        "oriented_area": """
+            SELECT p_partkey AS id,
+                   2.0 * r * r AS area
+            FROM (SELECT p_partkey, CAST(p_partkey % 5 + 1 AS DOUBLE) AS r FROM part)
+        """,
+        "boundary_length": """
+            SELECT did, ROUND(4 * SQRT(2 * 12.5 * 12.5), 6) AS blen
+            FROM (SELECT n_nationkey AS did FROM nation)
+        """,
+        "fillna_points": """
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey % 10 = 0 THEN 0.0
+                        ELSE CAST(c_custkey % 97 AS DOUBLE) END AS x,
+                   CASE WHEN c_custkey % 10 = 0 THEN 0.0
+                        ELSE CAST(c_nationkey * 4 AS DOUBLE) END AS y
+            FROM customer
+        """,
+        "geom_groupby": """
+            SELECT COUNT(*) AS n_groups, MAX(cnt) AS max_cnt, SUM(cnt) AS total
+            FROM (SELECT COUNT(*) AS cnt FROM part
+                  GROUP BY p_partkey % 7, p_size % 5)
         """,
         "sjoin_inner": f"""
             SELECT p.id, d.did

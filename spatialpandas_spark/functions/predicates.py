@@ -56,27 +56,134 @@ def _point_in_rect(x: Column, y: Column, rect: Bounds) -> Column:
     )
 
 
-def st_intersects_bounds(geom: Column, geom_type: str, rect: Bounds) -> Column:
-    """Exact geometry-vs-rectangle intersection.
+def _sign(v: Column) -> Column:
+    return F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
 
-    Implemented exactly for point (ref ``geometry/point.py:196-210``) and
-    multipoint (ref ``_algorithms/intersection.py:189-235``: any vertex in
-    rect). For line/polygon families this v1 falls back to the bbox test,
-    which over-approximates on the rare concave-around-corner cases; exact
-    segment/corner refinement lands with the full intersection kernel port.
+
+def _tri_orient(ax, ay, bx, by, cx, cy) -> Column:
+    """Orientation of triangle ABC: 1 CCW, -1 CW, 0 collinear (ref
+    ``_algorithms/orientation.py:8-35``)."""
+    return _sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def _segments_intersect(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> Column:
+    """Segment-segment intersection incl. endpoint touches; collinear
+    segments intersect iff their bboxes overlap (strictly tighter than the
+    reference's collinear shortcut at ``intersection.py:102-104``)."""
+    d1 = _tri_orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = _tri_orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = _tri_orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = _tri_orient(bx0, by0, bx1, by1, ax1, ay1)
+    proper = (d1 != d2) & (d3 != d4)
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    boxes = (
+        (F.least(ax0, ax1) <= F.greatest(bx0, bx1))
+        & (F.greatest(ax0, ax1) >= F.least(bx0, bx1))
+        & (F.least(ay0, ay1) <= F.greatest(by0, by1))
+        & (F.greatest(ay0, ay1) >= F.least(by0, by1))
+    )
+    touch = (
+        ((d1 == 0) & _between(bx0, by0, ax0, ay0, ax1, ay1))
+        | ((d2 == 0) & _between(bx1, by1, ax0, ay0, ax1, ay1))
+        | ((d3 == 0) & _between(ax0, ay0, bx0, by0, bx1, by1))
+        | ((d4 == 0) & _between(ax1, ay1, bx0, by0, bx1, by1))
+    )
+    return proper | (collinear & boxes) | touch
+
+
+def _between(px, py, ax, ay, bx, by) -> Column:
+    """Point P (already known collinear) lies within segment AB's bbox."""
+    return (
+        (px >= F.least(ax, bx))
+        & (px <= F.greatest(ax, bx))
+        & (py >= F.least(ay, by))
+        & (py <= F.greatest(ay, by))
+    )
+
+
+def _any_vertex_in_rect(flat: Column, rect: Bounds) -> Column:
+    n = (F.size(flat) / 2).cast("int")
+    return F.exists(
+        _seq0(n),
+        lambda i: _point_in_rect(F.get(flat, 2 * i), F.get(flat, 2 * i + 1), rect),
+    )
+
+
+def _any_segment_crosses_rect_edge(ring: Column, rect: Bounds) -> Column:
+    x0, y0, x1, y1 = _orient(rect)
+    edges = [
+        (x0, y0, x1, y0),
+        (x1, y0, x1, y1),
+        (x1, y1, x0, y1),
+        (x0, y1, x0, y0),
+    ]
+    npts = (F.size(ring) / 2).cast("int")
+
+    def seg_hits(i: Column) -> Column:
+        sx0 = F.get(ring, 2 * i)
+        sy0 = F.get(ring, 2 * i + 1)
+        sx1 = F.get(ring, 2 * i + 2)
+        sy1 = F.get(ring, 2 * i + 3)
+        hit = F.lit(False)
+        for ex0, ey0, ex1, ey1 in edges:
+            hit = hit | _segments_intersect(
+                sx0, sy0, sx1, sy1,
+                F.lit(ex0), F.lit(ey0), F.lit(ex1), F.lit(ey1),
+            )
+        return hit
+
+    return F.exists(_seq0(npts - 1), seg_hits)
+
+
+def _rect_degenerate(rect: Bounds) -> bool:
+    x0, y0, x1, y1 = _orient(rect)
+    return x0 == x1 or y0 == y1
+
+
+def st_intersects_bounds(geom: Column, geom_type: str, rect: Bounds) -> Column:
+    """Exact geometry-vs-rectangle intersection, per type (ref
+    ``_algorithms/intersection.py:189-569``):
+
+    - point/multipoint: any vertex in rect;
+    - line/multiline: vertex in rect, else any segment crosses a rect edge;
+      zero-area rects never intersect (ref ``:332-334``);
+    - polygon/multipolygon: adds rect-corner-inside-polygon (ray cast) for
+      the rect-fully-inside case (ref ``:398-518``).
     """
     if geom_type == "point":
         return _point_in_rect(geom["x"], geom["y"], rect)
     if geom_type == "multipoint":
-        n = (F.size(geom) / 2).cast("int")
-        return F.exists(
-            _seq0(n),
-            lambda i: _point_in_rect(F.get(geom, 2 * i), F.get(geom, 2 * i + 1), rect),
-        )
-    # line / multiline / polygon / multipolygon: bbox approximation for now
-    from spatialpandas_spark.functions.measures import st_bounds
+        return _any_vertex_in_rect(geom, rect)
 
-    return bbox_intersects_bounds(st_bounds(geom, geom_type), rect)
+    if geom_type in ("line", "ring"):
+        if _rect_degenerate(rect):
+            return F.lit(False) & geom.isNotNull()
+        return _any_vertex_in_rect(geom, rect) | _any_segment_crosses_rect_edge(
+            geom, rect
+        )
+    if geom_type == "multiline":
+        if _rect_degenerate(rect):
+            return F.lit(False) & geom.isNotNull()
+        return _any_vertex_in_rect(F.flatten(geom), rect) | F.exists(
+            geom, lambda ring: _any_segment_crosses_rect_edge(ring, rect)
+        )
+    if geom_type == "polygon":
+        if _rect_degenerate(rect):
+            return F.lit(False) & geom.isNotNull()
+        x0, y0, x1, y1 = _orient(rect)
+        corner_inside = st_point_in_polygon(F.lit(x0), F.lit(y0), geom)
+        return (
+            _any_vertex_in_rect(F.flatten(geom), rect)
+            | F.exists(geom, lambda ring: _any_segment_crosses_rect_edge(ring, rect))
+            | corner_inside
+        )
+    if geom_type == "multipolygon":
+        if _rect_degenerate(rect):
+            return F.lit(False) & geom.isNotNull()
+        return F.exists(
+            geom, lambda poly: st_intersects_bounds(poly, "polygon", rect)
+        )
+    raise ValueError(f"unknown geom_type: {geom_type}")
 
 
 def _ring_crossings(ring: Column, px: Column, py: Column) -> Column:

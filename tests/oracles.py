@@ -68,6 +68,65 @@ def point_in_polygon(x: float, y: float, poly: list[list[float]]) -> bool:
     return sum(point_in_ring_winding(x, y, r) for r in poly) != 0
 
 
+def _seg_seg(a, b, c, d) -> bool:
+    """Segment intersection via parametric clipping (independent of the
+    engine's orientation-sign method)."""
+    (ax, ay), (bx, by), (cx, cy), (dx, dy) = a, b, c, d
+    r = (bx - ax, by - ay)
+    s = (dx - cx, dy - cy)
+    denom = r[0] * s[1] - r[1] * s[0]
+    qp = (cx - ax, cy - ay)
+    if denom == 0:
+        if qp[0] * r[1] - qp[1] * r[0] != 0:
+            return False  # parallel non-collinear
+        # collinear: overlap iff 1-D projections overlap
+        if abs(r[0]) >= abs(r[1]):
+            lo, hi = sorted((ax, bx))
+            clo, chi = sorted((cx, dx))
+        else:
+            lo, hi = sorted((ay, by))
+            clo, chi = sorted((cy, dy))
+        return max(lo, clo) <= min(hi, chi)
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+    return 0 <= t <= 1 and 0 <= u <= 1
+
+
+def line_intersects_rect(ring, rect) -> bool:
+    x0, y0, x1, y1 = rect
+    if x1 < x0:
+        x0, x1 = x1, x0
+    if y1 < y0:
+        y0, y1 = y1, y0
+    if x0 == x1 or y0 == y1:
+        return False
+    n = len(ring) // 2
+    pts = [(ring[2 * i], ring[2 * i + 1]) for i in range(n)]
+    for px, py in pts:
+        if x0 <= px <= x1 and y0 <= py <= y1:
+            return True
+    corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    for i in range(n - 1):
+        for j in range(4):
+            if _seg_seg(pts[i], pts[i + 1], corners[j], corners[j + 1]):
+                return True
+    return False
+
+
+def polygon_intersects_rect(poly, rect) -> bool:
+    x0, y0, x1, y1 = rect
+    if x1 < x0:
+        x0, x1 = x1, x0
+    if y1 < y0:
+        y0, y1 = y1, y0
+    if x0 == x1 or y0 == y1:
+        return False
+    for ring in poly:
+        if line_intersects_rect(ring, (x0, y0, x1, y1)):
+            return True
+    return point_in_polygon(x0, y0, poly)
+
+
 def bbox_intersects(b1, b2) -> bool:
     return (
         b1[0] <= b2[2] and b1[2] >= b2[0] and b1[1] <= b2[3] and b1[3] >= b2[1]

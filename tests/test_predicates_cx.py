@@ -98,24 +98,46 @@ def test_cx_matches_bruteforce_incl_inverted_degenerate(spark):
         assert got == expect, rect
 
 
-def test_cx_polygons_matches_bruteforce_bbox(spark):
-    # polygons: engine over-approximates to bbox for non-point types in v1;
-    # convex polygons vs rects: verify bbox-hit set is a superset of exact
-    # and exact-on-covered rows are all present
+def test_cx_polygons_exact(spark):
     polys = geomgen.gen_polygons(RNG, 60)
     df = spark.createDataFrame(polys, "id long, geom array<array<double>>")
     df = with_bounds(df, "geom", "polygon")
-    for _, rect in geomgen.gen_rects(RNG, 10):
+    for _, rect in geomgen.gen_rects(RNG, 15):
         got = {r["id"] for r in cx_filter(df, "geom", "polygon", rect).collect()}
-        x0, y0, x1, y1 = rect
-        if x1 < x0:
-            x0, x1 = x1, x0
-        if y1 < y0:
-            y0, y1 = y1, y0
-        bbox_hits = set()
-        for i, poly in polys:
-            flat = [v for ring in poly for v in ring]
-            b = oracles.coords_bounds(flat)
-            if oracles.bbox_intersects(b, (x0, y0, x1, y1)):
-                bbox_hits.add(i)
-        assert got == bbox_hits, rect
+        expect = {
+            i for i, poly in polys if oracles.polygon_intersects_rect(poly, rect)
+        }
+        assert got == expect, rect
+
+
+def test_cx_lines_exact(spark):
+    lines = geomgen.gen_lines(RNG, 80)
+    df = spark.createDataFrame(lines, "id long, geom array<double>")
+    df = with_bounds(df, "geom", "line")
+    for _, rect in geomgen.gen_rects(RNG, 15):
+        got = {r["id"] for r in cx_filter(df, "geom", "line", rect).collect()}
+        expect = {
+            i for i, line in lines if oracles.line_intersects_rect(line, rect)
+        }
+        assert got == expect, rect
+
+
+def test_intersects_bounds_rect_inside_polygon(spark):
+    from spatialpandas_spark.functions.predicates import st_intersects_bounds
+
+    # big square polygon; small rect fully inside touches no edges/vertices
+    shell = [0.0, 0.0, 100.0, 0.0, 100.0, 100.0, 0.0, 100.0, 0.0, 0.0]
+    hole = [40.0, 40.0, 40.0, 60.0, 60.0, 60.0, 60.0, 40.0, 40.0, 40.0]
+    df = spark.createDataFrame([(1, [shell, hole])], "id long, geom array<array<double>>")
+    checks = [
+        ((10.0, 10.0, 20.0, 20.0), True),   # inside shell
+        ((45.0, 45.0, 55.0, 55.0), False),  # inside hole
+        ((-20.0, -20.0, -5.0, -5.0), False),
+        ((30.0, 30.0, 70.0, 70.0), True),   # straddles hole boundary
+        ((10.0, 10.0, 10.0, 50.0), False),  # degenerate rect
+    ]
+    for rect, expect in checks:
+        got = df.select(
+            st_intersects_bounds(F.col("geom"), "polygon", rect)
+        ).first()[0]
+        assert got == expect, rect
