@@ -347,6 +347,19 @@ def q_geom_groupby(spark, sf_dir):
     )
 
 
+def q_wkb_roundtrip(spark, sf_dir):
+    """F10/S7 WKB bridge: encode -> decode is the identity; oracle compares
+    the round-tripped coordinates against the direct derivation."""
+    from spatialpandas_spark.functions.wkb import st_as_wkb, st_from_wkb
+
+    pts = _points(spark, sf_dir)
+    rt = pts.select(
+        "id",
+        st_from_wkb(st_as_wkb(F.col("geom"), "point"), "point").alias("geom"),
+    )
+    return rt.select("id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y"))
+
+
 # ---------------------------------------------------------------- relational
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary (relational shell: scan→filter→agg)."""
@@ -543,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_length": q_boundary_length,
         "fillna_points": q_fillna_points,
         "geom_groupby": q_geom_groupby,
+        "wkb_roundtrip": q_wkb_roundtrip,
         "sjoin_inner": q_sjoin_inner,
         "sjoin_left": q_sjoin_left,
         "sjoin_counts": q_sjoin_counts,
@@ -666,6 +680,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_groups, MAX(cnt) AS max_cnt, SUM(cnt) AS total
             FROM (SELECT COUNT(*) AS cnt FROM part
                   GROUP BY p_partkey % 7, p_size % 5)
+        """,
+        "wkb_roundtrip": f"""
+            SELECT id, x, y FROM ({points})
         """,
         "sjoin_inner": f"""
             SELECT p.id, d.did

@@ -1,0 +1,80 @@
+"""Structured Streaming rollup: the streaming result (append mode, after
+all files processed) must match the batch groupBy on the same data for all
+watermark-finalized windows."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.streaming.events import (
+    hourly_rollup,
+    run_rollup_to_memory,
+)
+
+
+def _write_event_files(spark, path: str):
+    """Split the sf0.001 events into 3 files to get 3 micro-batches,
+    converting the nanos timestamps Spark can't read natively."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    e = e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    # time-ordered 3-way split (arrival order must roughly follow event
+    # time, else the watermark finalizes windows early and drops the rest
+    # as late — exactly the semantics streaming guarantees)
+    et = e.withColumn("tsl", F.col("ts").cast("long"))
+    q1, q2 = et.approxQuantile("tsl", [0.33, 0.66], 0.0)
+    splits = [
+        et.filter(F.col("tsl") < q1).drop("tsl"),
+        et.filter((F.col("tsl") >= q1) & (F.col("tsl") < q2)).drop("tsl"),
+        et.filter(F.col("tsl") >= q2).drop("tsl"),
+    ]
+    import time as _time
+
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    return e
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_stream")
+    batch_events = _write_event_files(spark, src)
+
+    q = run_rollup_to_memory(spark, src, query_name="t_rollup")
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_rollup").collect()
+    }
+
+    expect_df = (
+        batch_events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    )
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in expect_df
+    }
+
+    # append mode withholds windows the watermark hasn't passed; everything
+    # emitted must match batch exactly, and most windows must have emitted
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert k in expect, k
+        assert v[0] == expect[k][0]
+        assert abs(v[1] - expect[k][1]) < 1e-6
+    assert len(got) >= len(expect) - 10  # only trailing windows may be held
+
+
+def test_rollup_is_incremental_plan(spark, tmp_path):
+    src = str(tmp_path / "events_stream2")
+    _write_event_files(spark, src)
+    from spatialpandas_spark.streaming.events import read_event_stream
+
+    stream = hourly_rollup(read_event_stream(spark, src))
+    assert stream.isStreaming
