@@ -96,6 +96,79 @@ def minhash_signature(
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via an Arrow-batched numpy kernel (the fast bulk
+    path): blake2b-64 base hash per distinct shingle, then ``num_hashes``
+    multiply-shift universal hashes minimized per document with
+    ``minimum.reduceat``. ~10x the throughput of the pure-JVM HOF
+    formulation; docs with no shingles are dropped.
+
+    Output: (__id, __sig array<long>).
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rng = np.random.default_rng(seed)
+    MASK = np.int64((1 << 62) - 1)
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+
+    id_field = df.select(F.col(id_col)).schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField("__id", id_field.dataType),
+            StructField("__sig", ArrayType(LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, base_hashes, offsets = [], [], [0]
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                base_hashes.extend(
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    >> 2
+                    for s in sh
+                )
+                offsets.append(len(base_hashes))
+            if not ids:
+                yield pd.DataFrame({"__id": [], "__sig": []})
+                continue
+            h = np.array(base_hashes, dtype=np.int64)
+            starts = np.array(offsets[:-1], dtype=np.int64)
+            sigs = np.empty((len(ids), num_hashes), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(num_hashes):
+                    v = (A[j] * h + B[j]) & MASK
+                    sigs[:, j] = np.minimum.reduceat(v, starts)
+            yield pd.DataFrame({"__id": ids, "__sig": list(sigs)})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -109,19 +182,11 @@ def minhash_lsh_pairs(
     Jaccard >= threshold. rows = num_hashes // bands per band."""
     rows = num_hashes // bands
     df = _ensure_parallelism(df)
-    sigd = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-        .select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-        # materialize signatures at an exchange: without this, the banding
-        # explode's lambda inlines the whole signature expression and
-        # recomputes it once PER BAND (16x); the shuffle is tiny (id + 64
-        # longs per doc) and also spreads the self-join across executors
-        .repartition(F.col("__id"))
-    )
+    sigd = minhash_signatures_arrow(
+        df, id_col, text_col, shingle_n, num_hashes
+    ).repartition(F.col("__id"))
+    # the repartition materializes signatures at an exchange so the banding
+    # explode below references stored values instead of recomputing per band
 
     banded = sigd.select(
         "__id",

@@ -1,0 +1,73 @@
+"""Physical-plan property tests: the scale-critical plan shapes must hold
+(pushdown, pruning, broadcast) — a regression here is a cluster-scale bug
+even when results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark import cx_filter, sjoin, st_point, with_bounds
+from spatialpandas_spark.plans import (
+    assert_broadcast_join,
+    assert_filter_pushdown,
+    scan_info,
+)
+from spatialpandas_spark.sources import write_spatial_parquet
+
+
+@pytest.fixture(scope="module")
+def stored_points(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pts")
+    df = spark.range(5000).select(
+        F.col("id"),
+        st_point((F.col("id") % 100).cast("double"), (F.col("id") % 37).cast("double")).alias("geom"),
+        (F.col("id") % 7).alias("tag"),
+    )
+    df = with_bounds(df, "geom", "point")
+    write_spatial_parquet(df, path, npartitions=4)
+    return path
+
+
+def test_bbox_filter_pushes_to_scan(spark, stored_points):
+    df = spark.read.parquet(stored_points)
+    sel = cx_filter(df, "geom", "point", (10.0, 10.0, 20.0, 20.0))
+    # the bounds comparisons are plain doubles on a stored column -> pushed
+    assert_filter_pushdown(sel, "bounds")
+
+
+def test_column_pruning_reaches_scan(spark, stored_points):
+    df = spark.read.parquet(stored_points).select("id", "tag")
+    info = scan_info(df)
+    assert info, "no parquet scan found"
+    assert "geom" not in info[0]["read_schema"]
+    assert "bounds" not in info[0]["read_schema"]
+
+
+def test_sjoin_broadcasts_small_side(spark, stored_points):
+    from spatialpandas_spark import st_make_diamond
+
+    pts = spark.read.parquet(stored_points)
+    dia = spark.range(10).select(
+        F.col("id").alias("did"),
+        st_make_diamond(F.col("id").cast("double") * 10, F.lit(15.0), F.lit(8.5)).alias("poly"),
+    )
+    j = sjoin(pts, dia, left_geom="geom", right_geom="poly",
+              left_type="point", right_type="polygon")
+    assert_broadcast_join(j)
+
+
+def test_bbox_conjunct_precedes_exact_predicate(spark, stored_points):
+    from spatialpandas_spark import st_make_diamond
+    from spatialpandas_spark.plans import physical_plan
+
+    pts = spark.read.parquet(stored_points)
+    dia = spark.range(10).select(
+        F.col("id").alias("did"),
+        st_make_diamond(F.col("id").cast("double") * 10, F.lit(15.0), F.lit(8.5)).alias("poly"),
+    )
+    j = sjoin(pts, dia, left_geom="geom", right_geom="poly",
+              left_type="point", right_type="polygon")
+    plan = physical_plan(j)
+    join_cond = plan[plan.index("Join"):]
+    # the cheap bbox comparisons appear before the aggregate() ray-cast in
+    # the AND chain, so per-row evaluation short-circuits
+    assert join_cond.index("x0") < join_cond.index("aggregate(")
