@@ -479,6 +479,26 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """Composite training-data pipeline: exact-dedup the corpus, keep
+    quality >= 0.4, report per-language document counts and mean quality —
+    the end-to-end shape of a pretraining data-prep job."""
+    from spatialpandas_spark.operators.dedup import dedup_exact
+    from spatialpandas_spark.operators.text import lang_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    deduped = dedup_exact(d, ["text"], "doc_id")
+    scored = deduped.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("q"),
+    ).filter(F.col("q") >= 0.4)
+    return scored.groupBy("lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (hash-based — rows-only check;
     pytest verifies against a brute-force Jaccard oracle)."""
@@ -569,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -771,6 +792,32 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
                          {_hits(_EN)} AS en_hits
                   FROM documents)
+        """,
+        "corpus_pipeline": f"""
+            WITH deduped AS (
+                SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+                            WHEN de = GREATEST(en, de, fr, es) THEN 'de'
+                            WHEN fr = GREATEST(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred,
+                       0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+                     + 0.3 * LEAST(CASE WHEN n_tokens > 0
+                                        THEN CAST(en AS DOUBLE) / n_tokens ELSE 0.0 END / 0.4, 1.0)
+                     + 0.3 * CASE WHEN length(text) > 0
+                                  THEN CAST(length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g')) AS DOUBLE)
+                                       / length(text) ELSE 0.0 END AS q
+                FROM (SELECT doc_id, text,
+                             CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                             {_hits(_EN)} AS en, {_hits(_DE)} AS de,
+                             {_hits(_FR)} AS fr, {_hits(_ES)} AS es
+                      FROM deduped)
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality
+            FROM scored WHERE q >= 0.4 GROUP BY lang_pred
         """,
         "ann_topk": """
             SELECT qid, vec_id, ROUND(sim, 6) AS sim, rk AS rank FROM (

@@ -60,3 +60,25 @@ def st_multipoint(points: Column) -> Column:
     return F.flatten(
         F.transform(points, lambda p: F.array(p["x"], p["y"]))
     )
+
+
+#: legal single-step promotions (ref construction-time promotion,
+#: ``geometry/base.py:799-871``: Line+MultiLine -> MultiLine,
+#: Polygon+MultiPolygon -> MultiPolygon)
+_PROMOTIONS = {
+    ("point", "multipoint"),
+    ("line", "multiline"),
+    ("ring", "multiline"),
+    ("polygon", "multipolygon"),
+}
+
+
+def st_promote(geom: Column, from_type: str, to_type: str) -> Column:
+    """Wrap a geometry one nesting level up (Line -> MultiLine with one
+    part, Polygon -> MultiPolygon with one polygon, Point -> MultiPoint),
+    so mixed-type columns can be unioned at the promoted type."""
+    if (from_type, to_type) not in _PROMOTIONS:
+        raise ValueError(f"cannot promote {from_type} -> {to_type}")
+    if from_type == "point":
+        return F.array(geom["x"], geom["y"])
+    return F.array(geom)

@@ -220,3 +220,45 @@ def st_point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
 
 def st_point_in_multipolygon(px: Column, py: Column, mpoly: Column) -> Column:
     return F.exists(mpoly, lambda poly: st_point_in_polygon(px, py, poly))
+
+
+def _point_on_segment(px, py, ax, ay, bx, by) -> Column:
+    """Exact point-on-segment: collinear and within the segment bbox (ref
+    ``_algorithms/intersection.py:9-40`` segment_intersects_point)."""
+    return (_tri_orient(ax, ay, bx, by, px, py) == 0) & _between(
+        px, py, ax, ay, bx, by
+    )
+
+
+def st_point_intersects(px: Column, py: Column, geom: Column, geom_type: str) -> Column:
+    """Point-vs-geometry `intersects`, the reference's point family (ref
+    ``geometry/point.py:87-149,212-321``): equality for points, vertex
+    membership for multipoints, on-segment for line families, interior
+    test for polygon families."""
+    if geom_type == "point":
+        return (px == geom["x"]) & (py == geom["y"])
+    if geom_type == "multipoint":
+        n = (F.size(geom) / 2).cast("int")
+        return F.exists(
+            _seq0(n),
+            lambda i: (F.get(geom, 2 * i) == px) & (F.get(geom, 2 * i + 1) == py),
+        )
+    if geom_type in ("line", "ring"):
+        npts = (F.size(geom) / 2).cast("int")
+        return F.exists(
+            _seq0(npts - 1),
+            lambda i: _point_on_segment(
+                px, py,
+                F.get(geom, 2 * i), F.get(geom, 2 * i + 1),
+                F.get(geom, 2 * i + 2), F.get(geom, 2 * i + 3),
+            ),
+        )
+    if geom_type == "multiline":
+        return F.exists(
+            geom, lambda part: st_point_intersects(px, py, part, "line")
+        )
+    if geom_type == "polygon":
+        return st_point_in_polygon(px, py, geom)
+    if geom_type == "multipolygon":
+        return st_point_in_multipolygon(px, py, geom)
+    raise ValueError(f"unknown geom_type: {geom_type}")

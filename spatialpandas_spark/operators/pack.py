@@ -24,6 +24,28 @@ ROWS_PER_PARTITION = 2**23
 MIN_PARTITIONS = 8
 
 
+def partition_bounds(df: DataFrame, bounds_col: str = "bounds") -> DataFrame:
+    """Per-partition bbox table (ref ``dask.py:53-62``): one row per Spark
+    partition with its NaN-skipping bounds. After ``pack_partitions`` these
+    ranges are spatially tight — the in-memory analog of the manifest."""
+
+    def skipnan(c):
+        return F.when(~F.isnan(c), c)
+
+    b = F.col(bounds_col)
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"), bounds_col)
+        .groupBy("partition_id")
+        .agg(
+            F.min(skipnan(b["x0"])).alias("x0"),
+            F.min(skipnan(b["y0"])).alias("y0"),
+            F.max(skipnan(b["x1"])).alias("x1"),
+            F.max(skipnan(b["y1"])).alias("y1"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def pack_partitions(
     df: DataFrame,
     bounds_col: str = "bounds",
