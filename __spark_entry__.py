@@ -532,6 +532,22 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (bucketed ANN scale path) — approximate by
+    design, so no SQL oracle; pytest asserts recall on planted near-dups."""
+    from spatialpandas_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_label_centroid_sim(spark, sf_dir):
     """Embedding analytics: avg pairwise-to-centroid cosine per label —
     exercises vector aggregation (array avg) + HOF cosine."""
@@ -593,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "label_centroid_sim": q_label_centroid_sim,
     }
 

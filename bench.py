@@ -173,6 +173,35 @@ def b9_ann_topk(spark):
     return brute_force_topk(qs, emb, k=10).count()
 
 
+def b11_grid_sjoin(spark):
+    """Large x large spatial join (600k points x 150k diamonds) through the
+    grid-cell shuffle plan — the strategy that scales when neither side
+    broadcasts."""
+    from spatialpandas_spark import sjoin, st_point
+
+    li = _spread(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        st_point(
+            (F.col("l_partkey") * 7919 % 5000).cast("double"),
+            (F.col("l_suppkey") * 104729 % 5000).cast("double"),
+        ).alias("geom"),
+    )
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    cx = (F.col("o_orderkey") * 6007 % 5000).cast("double")
+    cy = (F.col("o_custkey") * 9973 % 5000).cast("double")
+    r = (F.col("o_orderkey") % 3 + 1).cast("double")
+    poly = F.array(F.array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy))
+    dias = o.select(F.col("o_orderkey").alias("did"), poly.alias("poly"))
+    j = sjoin(
+        pts, dias,
+        left_geom="geom", right_geom="poly",
+        left_type="point", right_type="polygon",
+        strategy="grid", cell_size=50.0,
+    )
+    return j.count()
+
+
 def b10_tpch_q1(spark):
     import __spark_entry__ as entrymod
 
@@ -190,6 +219,7 @@ BENCHES = {
     "b8_minhash": b8_minhash,
     "b9_ann_topk": b9_ann_topk,
     "b10_tpch_q1": b10_tpch_q1,
+    "b11_grid_sjoin": b11_grid_sjoin,
 }
 
 

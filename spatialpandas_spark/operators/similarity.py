@@ -140,6 +140,86 @@ def lsh_bucket_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, n: int):
+    """Deterministic centroid sample: the n corpus vectors with smallest
+    xxhash64(id) — a seedless reproducible reservoir. At 100 TB this is one
+    tiny TakeOrdered job; a k-means refinement can replace it without
+    changing the query path."""
+    rows = (
+        corpus.select(F.col(corpus_id).alias("i"), F.col(corpus_vec).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col("i").cast("string")))
+        .limit(n)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _cosine_to_lit(vec: Column, cent: list[float]) -> Column:
+    import math
+
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    nc = math.sqrt(sum(x * x for x in cent))
+    nv = norm(vec)
+    return F.when(
+        (nv > 0) & (F.lit(nc) > 0), dot(vec, lit) / (nv * nc)
+    ).otherwise(F.lit(0.0))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are bucketed
+    by nearest centroid; each query probes its ``n_probe`` closest
+    centroids and exact-reranks only those buckets. Probe cost scales with
+    n_probe/n_centroids of the corpus — the ANN scale path alongside
+    ``lsh_bucket_topk``. Columns out: (qid, vec_id, sim, rank)."""
+    cents = _centroids(corpus, corpus_id, corpus_vec, n_centroids)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    dots_c = F.array(*[_cosine_to_lit(F.col("__cv"), cent) for cent in cents])
+    c = c.withColumn(
+        "__bucket",
+        (F.array_position(dots_c, F.array_max(dots_c)) - 1).cast("int"),
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    dots_q = F.array(*[_cosine_to_lit(F.col("__qv"), cent) for cent in cents])
+    # top n_probe centroid indices: sort (sim, idx) structs descending
+    ranked = F.sort_array(
+        F.zip_with(
+            dots_q,
+            F.array(*[F.lit(i) for i in range(len(cents))]),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        asc=False,
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+    q = q.withColumn("__bucket", F.explode(probes))
+
+    cand = (
+        F.broadcast(q)
+        .join(c, "__bucket", "inner")
+        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -110,7 +110,6 @@ def sjoin(
     left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix)
     right, rb = _prepare(right, right_geom, right_type, "r", lcols, rsuffix)
 
-    lgeom = left[left_geom] if left_geom == right_geom else F.col(left_geom)
     # geometry columns may share a name across sides; qualify via DataFrame
     lgeom = left[left_geom]
     rgeom = right[right_geom]
@@ -137,11 +136,14 @@ def sjoin(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    drop = [lb, rb]
     if left_geom == right_geom:
-        # keep both geometry columns by suffixing, like payload collisions
-        joined = joined.withColumnRenamed(left_geom, f"{left_geom}_{lsuffix}")
-    return joined.drop(*drop)
+        # keep both geometry columns by suffixing, like payload collisions;
+        # positional rename (toDF) because both sides share the name
+        names = [
+            f"{c}_{lsuffix}" if c == left_geom else c for c in left.columns
+        ] + [f"{c}_{rsuffix}" if c == right_geom else c for c in right.columns]
+        joined = joined.toDF(*names)
+    return joined.drop(lb, rb)
 
 
 def _cells(b: Column, cell_size: float) -> Column:

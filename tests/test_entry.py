@@ -25,5 +25,10 @@ def test_oracle_coverage():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs
-    # hash-based ops are the only ones allowed to skip the SQL oracle
-    assert qs - oracles == {"hilbert_pack", "minhash_pairs", "simhash_pairs"}
+    # hash-based / approximate ops are the only ones without a SQL oracle
+    assert qs - oracles == {
+        "hilbert_pack",
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_ivf_topk",
+    }

@@ -63,6 +63,30 @@ def test_lsh_topk_high_recall_on_near_dups(spark, emb):
         assert qid + 100 in ids, qid
 
 
+def test_ivf_topk_high_recall_on_near_dups(spark, emb):
+    from spatialpandas_spark.operators.similarity import ivf_topk
+
+    df, vecs = emb
+    qs = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_topk(qs, df, k=3, n_centroids=8, n_probe=3).collect()
+    # the planted near-duplicate lands in the same (or a probed) bucket
+    found = 0
+    for qid in range(10):
+        ids = {r["vec_id"] for r in got if r["qid"] == qid}
+        assert ids, qid
+        if qid + 100 in ids:
+            found += 1
+    assert found >= 8  # high recall; probing 3/8 buckets may miss rarely
+
+    # rank-1 must be the query itself when present (cosine 1.0)
+    for qid in range(10):
+        top = [r for r in got if r["qid"] == qid and r["rank"] == 1]
+        if top and top[0]["vec_id"] == qid:
+            assert top[0]["sim"] == pytest.approx(1.0)
+
+
 def test_embedding_near_dup_pairs_finds_planted(spark, emb):
     df, vecs = emb
     pairs = embedding_near_dup_pairs(df, threshold=0.98, dim=DIM, bits=16, bands=8)

@@ -32,6 +32,9 @@ def test_inner_broadcast(spark, fixtures):
     left, right, pts, polys, expect = fixtures
     j = sjoin(left, right, left_geom="geom", right_geom="geom",
               left_type="point", right_type="polygon")
+    # same-name geometry columns must be suffixed independently
+    assert j.columns.count("geom_left") == 1
+    assert j.columns.count("geom_right") == 1
     got = {(r["pid"], r["gid"]) for r in j.collect()}
     assert got == expect
 
