@@ -170,6 +170,23 @@ def st_bounds(geom: Column, geom_type: str) -> Column:
     )
 
 
+def total_bounds_x_aggs(bounds_col: str = "bounds") -> list[Column]:
+    """1-D variant (ref ``_algorithms/bounds.py:36-53``): (x0, x1) only."""
+    b = F.col(bounds_col)
+    return [
+        F.min(F.when(~F.isnan(b["x0"]), b["x0"])).alias("x0"),
+        F.max(F.when(~F.isnan(b["x1"]), b["x1"])).alias("x1"),
+    ]
+
+
+def total_bounds_y_aggs(bounds_col: str = "bounds") -> list[Column]:
+    b = F.col(bounds_col)
+    return [
+        F.min(F.when(~F.isnan(b["y0"]), b["y0"])).alias("y0"),
+        F.max(F.when(~F.isnan(b["y1"]), b["y1"])).alias("y1"),
+    ]
+
+
 def total_bounds_aggs(bounds_col: str = "bounds") -> list[Column]:
     """NaN-skipping global bbox aggregate expressions (ref ``dask.py:43-51``
     partial+final is automatic in Spark's hash aggregate).
