@@ -224,6 +224,35 @@ def q_sjoin_counts(spark, sf_dir):
     return j.groupBy("did").agg(F.count("*").cast("long").alias("n_points"))
 
 
+def q_sjoin_poly_poly(spark, sf_dir):
+    """J1 parity-plus: polygon × polygon sjoin (reference raises for
+    non-point pairs). Diamonds intersect iff the L1 distance of centers
+    <= r1 + r2 (Minkowski sum of L1 balls) — exact SQL oracle."""
+    from spatialpandas_spark import sjoin, st_make_diamond
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("did"),
+        st_make_diamond(
+            (F.col("n_nationkey") * 5).cast("double"),
+            (F.col("n_regionkey") * 25).cast("double"),
+            F.lit(10.5),
+        ).alias("geom"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        st_make_diamond(
+            (F.col("s_suppkey") % 130).cast("double"),
+            (F.col("s_nationkey") * 4).cast("double"),
+            (F.col("s_suppkey") % 5 + 2.5).cast("double"),
+        ).alias("geom"),
+    )
+    j = sjoin(
+        n, s, left_geom="geom", right_geom="geom",
+        left_type="polygon", right_type="polygon", how="inner",
+    )
+    return j.select("did", "sid")
+
+
 def q_hilbert_pack(spark, sf_dir):
     """O1/O2 hilbert_distance + pack_partitions (no SQL equivalent —
     rows-only check; pytest verifies the codec against a Python oracle)."""
@@ -596,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_inner": q_sjoin_inner,
         "sjoin_left": q_sjoin_left,
         "sjoin_counts": q_sjoin_counts,
+        "sjoin_poly_poly": q_sjoin_poly_poly,
         "hilbert_pack": q_hilbert_pack,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -737,6 +767,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ({points}) p JOIN ({diamonds}) d
             ON abs(p.x - d.cx) + abs(p.y - d.cy) <= d.r
             GROUP BY d.did
+        """,
+        "sjoin_poly_poly": """
+            SELECT n.did, s.sid
+            FROM (SELECT n_nationkey AS did,
+                         CAST(n_nationkey * 5 AS DOUBLE) AS cx,
+                         CAST(n_regionkey * 25 AS DOUBLE) AS cy,
+                         10.5 AS r
+                  FROM nation) n
+            JOIN (SELECT s_suppkey AS sid,
+                         CAST(s_suppkey % 130 AS DOUBLE) AS cx,
+                         CAST(s_nationkey * 4 AS DOUBLE) AS cy,
+                         CAST(s_suppkey % 5 + 2.5 AS DOUBLE) AS r
+                  FROM supplier) s
+            ON abs(n.cx - s.cx) + abs(n.cy - s.cy) <= n.r + s.r
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -222,6 +222,98 @@ def st_point_in_multipolygon(px: Column, py: Column, mpoly: Column) -> Column:
     return F.exists(mpoly, lambda poly: st_point_in_polygon(px, py, poly))
 
 
+def _line_parts(geom: Column, geom_type: str) -> Column:
+    """Normalize any line/polygon-family geometry to array<array<double>>
+    of coordinate sequences (parts/rings)."""
+    if geom_type in ("line", "ring"):
+        return F.array(geom)
+    if geom_type in ("multiline", "polygon"):
+        return geom
+    if geom_type == "multipolygon":
+        return F.flatten(geom)
+    raise ValueError(f"no line parts for {geom_type}")
+
+
+def _ring_pair_cross(a: Column, b: Column) -> Column:
+    """Any segment of ring a intersects any segment of ring b."""
+    na = (F.size(a) / 2).cast("int")
+    nb = (F.size(b) / 2).cast("int")
+
+    def seg_a(i: Column) -> Column:
+        ax0, ay0 = F.get(a, 2 * i), F.get(a, 2 * i + 1)
+        ax1, ay1 = F.get(a, 2 * i + 2), F.get(a, 2 * i + 3)
+        return F.exists(
+            _seq0(nb - 1),
+            lambda j: _segments_intersect(
+                ax0, ay0, ax1, ay1,
+                F.get(b, 2 * j), F.get(b, 2 * j + 1),
+                F.get(b, 2 * j + 2), F.get(b, 2 * j + 3),
+            ),
+        )
+
+    return F.exists(_seq0(na - 1), seg_a)
+
+
+def _any_segments_cross(parts_a: Column, parts_b: Column) -> Column:
+    return F.exists(
+        parts_a, lambda a: F.exists(parts_b, lambda b: _ring_pair_cross(a, b))
+    )
+
+
+def _first_vertex_in_polygon(parts: Column, poly: Column) -> Column:
+    """Any vertex of `parts` strictly inside `poly` (even-odd)."""
+    flat = F.flatten(parts)
+    n = (F.size(flat) / 2).cast("int")
+    return F.exists(
+        _seq0(n),
+        lambda i: st_point_in_polygon(
+            F.get(flat, 2 * i), F.get(flat, 2 * i + 1), poly
+        ),
+    )
+
+
+def st_intersects(
+    lgeom: Column, ltype: str, rgeom: Column, rtype: str
+) -> Column:
+    """General geometry × geometry `intersects` for all 7×7 type pairs —
+    parity-plus: the reference only implements the point family
+    (``base.py:634-651`` raises NotImplementedError otherwise).
+
+    Line/polygon families reduce to: segments cross, or (for polygon
+    operands) one side's vertex lies in the other's interior."""
+    if ltype == "point":
+        return st_point_intersects(lgeom["x"], lgeom["y"], rgeom, rtype)
+    if rtype == "point":
+        return st_point_intersects(rgeom["x"], rgeom["y"], lgeom, ltype)
+    if ltype == "multipoint":
+        n = (F.size(lgeom) / 2).cast("int")
+        return F.exists(
+            _seq0(n),
+            lambda i: st_point_intersects(
+                F.get(lgeom, 2 * i), F.get(lgeom, 2 * i + 1), rgeom, rtype
+            ),
+        )
+    if rtype == "multipoint":
+        return st_intersects(rgeom, rtype, lgeom, ltype)
+
+    lpoly = ltype in ("polygon", "multipolygon")
+    rpoly = rtype in ("polygon", "multipolygon")
+    lparts = _line_parts(lgeom, ltype)
+    rparts = _line_parts(rgeom, rtype)
+    out = _any_segments_cross(lparts, rparts)
+
+    def in_polys(parts: Column, geom: Column, gtype: str) -> Column:
+        if gtype == "polygon":
+            return _first_vertex_in_polygon(parts, geom)
+        return F.exists(geom, lambda p: _first_vertex_in_polygon(parts, p))
+
+    if rpoly:
+        out = out | in_polys(lparts, rgeom, rtype)
+    if lpoly:
+        out = out | in_polys(rparts, lgeom, ltype)
+    return out
+
+
 def _point_on_segment(px, py, ax, ay, bx, by) -> Column:
     """Exact point-on-segment: collinear and within the segment bbox (ref
     ``_algorithms/intersection.py:9-40`` segment_intersects_point)."""

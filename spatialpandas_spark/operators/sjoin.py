@@ -43,31 +43,14 @@ _SUPPORTED_HOW = ("inner", "left", "right")
 
 def _exact_predicate(
     lgeom: Column, ltype: str, rgeom: Column, rtype: str
-) -> Column | None:
-    """Exact `intersects` refinement for a (left, right) type pair. Returns
-    None when the bbox test is already exact (point vs point handled via
-    equality of bbox). Mirrors the reference's point-family support
-    (``geometry/point.py:212-255``); other pairs raise like the reference's
-    NotImplemented (``geometry/base.py:634-651``)."""
-    pair = (ltype, rtype)
-    if pair == ("point", "polygon"):
-        return st_point_in_polygon(lgeom["x"], lgeom["y"], rgeom)
-    if pair == ("polygon", "point"):
-        return st_point_in_polygon(rgeom["x"], rgeom["y"], lgeom)
-    if pair == ("point", "multipolygon"):
-        return st_point_in_multipolygon(lgeom["x"], lgeom["y"], rgeom)
-    if pair == ("multipolygon", "point"):
-        return st_point_in_multipolygon(rgeom["x"], rgeom["y"], lgeom)
-    if pair == ("point", "point"):
-        return (lgeom["x"] == rgeom["x"]) & (lgeom["y"] == rgeom["y"])
-    if "point" in pair:
-        # point vs line/multipoint/...: bbox overlap of a point against the
-        # candidate's bbox is the v1 refinement
-        return None
-    raise NotImplementedError(
-        f"sjoin exact predicate for {ltype} × {rtype} not implemented "
-        "(reference supports the point family only, base.py:634-651)"
-    )
+) -> Column:
+    """Exact `intersects` refinement for any (left, right) type pair —
+    parity-plus: the reference supports the point family only
+    (``geometry/point.py:212-255``; ``base.py:634-651`` raises for the
+    rest). Delegates to the general ``st_intersects`` dispatch."""
+    from spatialpandas_spark.functions.predicates import st_intersects
+
+    return st_intersects(lgeom, ltype, rgeom, rtype)
 
 
 def _prepare(
@@ -115,9 +98,7 @@ def sjoin(
     rgeom = right[right_geom]
     exact = _exact_predicate(lgeom, left_type, rgeom, right_type)
 
-    cond = bbox_overlap(left[lb], right[rb])
-    if exact is not None:
-        cond = cond & exact
+    cond = bbox_overlap(left[lb], right[rb]) & exact
 
     if strategy == "broadcast":
         # broadcast the side that is NOT preserved by an outer join

@@ -87,11 +87,14 @@ def test_colliding_payload_columns_suffixed(spark):
     assert row["id_left"] == 1 and row["id_right"] == 7
 
 
-def test_unsupported_pair_raises(spark, fixtures):
+def test_invalid_args_raise(spark, fixtures):
     left, right, *_ = fixtures
-    with pytest.raises(NotImplementedError):
-        sjoin(right, right, left_geom="geom", right_geom="geom",
-              left_type="polygon", right_type="polygon")
+    with pytest.raises(ValueError):
+        sjoin(left, right, how="full")
+    with pytest.raises(ValueError):
+        sjoin(left, right, op="within")
+    with pytest.raises(ValueError):
+        sjoin(left, right, strategy="grid")  # missing cell_size
 
 
 def test_point_point_equality_join(spark):
