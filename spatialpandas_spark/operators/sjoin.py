@@ -54,12 +54,23 @@ def _exact_predicate(
 
 
 def _prepare(
-    df: DataFrame, geom: str, gtype: str, side: str, other_cols: set[str], suffix: str
+    df: DataFrame,
+    geom: str,
+    gtype: str,
+    side: str,
+    other_cols: set[str],
+    suffix: str,
+    bounds_col: str | None = None,
 ):
     """Ensure a bounds column; suffix payload columns colliding with the other
-    side (ref ``sjoin.py:215`` lsuffix/rsuffix)."""
+    side (ref ``sjoin.py:215`` lsuffix/rsuffix). A precomputed bounds
+    column (``with_bounds``) is reused instead of re-deriving per row —
+    on stored tables it is also what parquet stats prune on."""
     bcol = f"__bounds_{side}"
-    df = df.withColumn(bcol, st_bounds(F.col(geom), gtype))
+    if bounds_col is not None and bounds_col in df.columns:
+        df = df.withColumn(bcol, F.col(bounds_col))
+    else:
+        df = df.withColumn(bcol, st_bounds(F.col(geom), gtype))
     renames = {}
     for c in df.columns:
         if c in other_cols and c != geom and not c.startswith("__bounds"):
@@ -83,6 +94,8 @@ def sjoin(
     rsuffix: str = "right",
     strategy: str = "broadcast",
     cell_size: float | None = None,
+    left_bounds: str | None = "bounds",
+    right_bounds: str | None = "bounds",
 ) -> DataFrame:
     if op != "intersects":
         raise ValueError(f"Only op='intersects' is supported, got {op!r}")
@@ -90,8 +103,8 @@ def sjoin(
         raise ValueError(f"how must be one of {_SUPPORTED_HOW}, got {how!r}")
 
     lcols, rcols = set(left.columns), set(right.columns)
-    left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix)
-    right, rb = _prepare(right, right_geom, right_type, "r", lcols, rsuffix)
+    left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix, left_bounds)
+    right, rb = _prepare(right, right_geom, right_type, "r", lcols, rsuffix, right_bounds)
 
     # geometry columns may share a name across sides; qualify via DataFrame
     lgeom = left[left_geom]
