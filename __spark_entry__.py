@@ -355,6 +355,68 @@ def q_fillna_points(spark, sf_dir):
     )
 
 
+def q_fillna_pad(spark, sf_dir):
+    """P8 pad-fill: forward-fill missing geometries in id order (window
+    last(ignorenulls)); oracle reproduces the propagation arithmetic."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.functions.transforms import st_fill_missing_pad
+
+    c = _t(spark, sf_dir, "customer")
+    geom = F.when(
+        F.col("c_custkey") % 5 != 0,
+        st_point(
+            (F.col("c_custkey") % 97).cast("double"),
+            (F.col("c_nationkey") * 4).cast("double"),
+        ),
+    )
+    df = c.select(F.col("c_custkey").alias("id"), geom.alias("geom"))
+    filled = st_fill_missing_pad(df, "geom", "id")
+    return filled.select(
+        "id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y")
+    )
+
+
+def q_geom_sort(spark, sf_dir):
+    """O5 lexicographic geometry ordering: rank diamonds by the raw nested
+    array (native array comparison replaces the reference's flattened-coord
+    comparator, ``baselist.py:249-290``); oracle ranks by the coordinate
+    tuple, which is the same order for equal-length diamond rings."""
+    from pyspark.sql.window import Window
+
+    from spatialpandas_spark import st_make_diamond
+
+    part = _t(spark, sf_dir, "part")
+    df = part.select(
+        F.col("p_partkey").alias("id"),
+        st_make_diamond(
+            (F.col("p_partkey") % 40).cast("double"),
+            (F.col("p_size") % 9).cast("double"),
+            (F.col("p_partkey") % 3 + 1).cast("double"),
+        ).alias("geom"),
+    )
+    w = Window.orderBy(F.col("geom"), F.col("id"))
+    return df.select("id", F.row_number().over(w).cast("long").alias("rk"))
+
+
+def q_user_sessions(spark, sf_dir):
+    """Window-function sessionization: a session break is a >30 min gap in
+    a user's event stream; count sessions and events per user."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sessions = e.withColumn("new_s", is_new)
+    return sessions.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 def q_geom_groupby(spark, sf_dir):
     """A5/P10: group directly on a nested geometry column (native array
     grouping replaces the reference's factorize machinery)."""
@@ -620,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oriented_area": q_oriented_area,
         "boundary_length": q_boundary_length,
         "fillna_points": q_fillna_points,
+        "fillna_pad": q_fillna_pad,
+        "geom_sort": q_geom_sort,
+        "user_sessions": q_user_sessions,
         "geom_groupby": q_geom_groupby,
         "wkb_roundtrip": q_wkb_roundtrip,
         "sjoin_inner": q_sjoin_inner,
@@ -743,6 +808,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 10 = 0 THEN 0.0
                         ELSE CAST(c_nationkey * 4 AS DOUBLE) END AS y
             FROM customer
+        """,
+        "fillna_pad": """
+            SELECT id,
+                   last_value(x IGNORE NULLS) OVER
+                       (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x,
+                   last_value(y IGNORE NULLS) OVER
+                       (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+            FROM (SELECT c_custkey AS id,
+                         CASE WHEN c_custkey % 5 = 0 THEN NULL
+                              ELSE CAST(c_custkey % 97 AS DOUBLE) END AS x,
+                         CASE WHEN c_custkey % 5 = 0 THEN NULL
+                              ELSE CAST(c_nationkey * 4 AS DOUBLE) END AS y
+                  FROM customer)
+        """,
+        "geom_sort": """
+            SELECT id, ROW_NUMBER() OVER (ORDER BY cx + r, cy, cx, id) AS rk
+            FROM (SELECT p_partkey AS id,
+                         CAST(p_partkey % 40 AS DOUBLE) AS cx,
+                         CAST(p_size % 9 AS DOUBLE) AS cy,
+                         CAST(p_partkey % 3 + 1 AS DOUBLE) AS r
+                  FROM part)
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   SUM(new_s) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id,
+                         CASE WHEN LAG(epoch_us(ts)) OVER
+                                   (PARTITION BY user_id ORDER BY ts, event_id)
+                                   IS NULL THEN 1
+                              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                   (PARTITION BY user_id ORDER BY ts, event_id)
+                                   > 1800 * 1000000 THEN 1
+                              ELSE 0 END AS new_s
+                  FROM events)
+            GROUP BY user_id
         """,
         "geom_groupby": """
             SELECT COUNT(*) AS n_groups, MAX(cnt) AS max_cnt, SUM(cnt) AS total

@@ -78,6 +78,28 @@ def st_fill_missing(geom: Column, fill_value, geom_type: str) -> Column:
     return F.coalesce(geom, lit)
 
 
+def st_fill_missing_pad(
+    df, geom: str, order_col: str, backfill: bool = False
+):
+    """Pad (forward) or backfill missing geometries in `order_col` order —
+    the reference's method-based fillna (ref ``base.py:510-558``), expressed
+    as a ``last(ignorenulls)`` running window. Requires an explicit order
+    column because Spark rows have no positional index (SURVEY §2.2 P8)."""
+    from pyspark.sql.window import Window
+
+    if backfill:
+        w = (
+            Window.orderBy(F.col(order_col).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    filled = F.last(F.col(geom), ignorenulls=True).over(w)
+    return df.withColumn(geom, filled)
+
+
 def st_astype(geom: Column, geom_type: str, subtype: str) -> Column:
     """Cast coordinate subtype (ref ``base.py:289-303``), e.g. to
     'float'/'int' — nested cast via Spark's native array cast."""

@@ -115,6 +115,34 @@ def test_fill_missing_and_is_missing(spark):
     assert got == {1: (1.0, 2.0), 2: (0.0, 0.0)}
 
 
+def test_fill_missing_pad_and_backfill(spark):
+    from spatialpandas_spark.functions.transforms import st_fill_missing_pad
+
+    rows = [
+        (0, None),
+        (1, [[1.0, 1.0, 2.0, 2.0]]),
+        (2, None),
+        (3, None),
+        (4, [[4.0, 4.0, 5.0, 5.0]]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom array<array<double>>")
+    pad = {
+        r["id"]: r["geom"]
+        for r in st_fill_missing_pad(df, "geom", "id").collect()
+    }
+    assert pad[0] is None  # nothing before the first value
+    assert pad[2] == pad[3] == [[1.0, 1.0, 2.0, 2.0]]
+    assert pad[5] == [[4.0, 4.0, 5.0, 5.0]]
+    back = {
+        r["id"]: r["geom"]
+        for r in st_fill_missing_pad(df, "geom", "id", backfill=True).collect()
+    }
+    assert back[0] == [[1.0, 1.0, 2.0, 2.0]]
+    assert back[2] == back[3] == [[4.0, 4.0, 5.0, 5.0]]
+    assert back[5] is None  # nothing after the last value
+
+
 def test_astype_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, [[0.25, 0.75, 1.5, 2.5]])], "id long, geom array<array<double>>"
