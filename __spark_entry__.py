@@ -405,7 +405,7 @@ def q_user_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
@@ -511,7 +511,7 @@ def q_events_hourly(spark, sf_dir):
     # rejects by default; read nanos as long and convert to micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     return (
         e.groupBy(
@@ -832,8 +832,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_sessions": """
             SELECT user_id,
-                   SUM(new_s) AS n_sessions,
-                   COUNT(*) AS n_events
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
             FROM (SELECT user_id,
                          CASE WHEN LAG(epoch_us(ts)) OVER
                                    (PARTITION BY user_id ORDER BY ts, event_id)
@@ -846,7 +846,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "geom_groupby": """
-            SELECT COUNT(*) AS n_groups, MAX(cnt) AS max_cnt, SUM(cnt) AS total
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                   CAST(SUM(cnt) AS BIGINT) AS total
             FROM (SELECT COUNT(*) AS cnt FROM part
                   GROUP BY p_partkey % 7, p_size % 5)
         """,

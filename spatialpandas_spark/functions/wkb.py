@@ -132,10 +132,23 @@ class _Reader:
         bo = self.buf[self.pos]
         self.pos += 1
         fmt = "<I" if bo == 1 else ">I"
-        (kind,) = struct.unpack_from(fmt, self.buf, self.pos)
+        (raw,) = struct.unpack_from(fmt, self.buf, self.pos)
         self.pos += 4
         self.order = "<" if bo == 1 else ">"
-        return kind & 0xFF  # mask off SRID/Z flags of EWKB variants
+        # EWKB flag bits (PostGIS): Z=0x80000000, M=0x40000000, SRID=0x20000000
+        if raw & 0x80000000 or raw & 0x40000000:
+            raise ValueError(
+                "WKB with Z/M coordinates is not supported (2-D engine)"
+            )
+        if raw & 0x20000000:
+            self.pos += 4  # skip the 4-byte SRID payload
+        kind = raw & 0x1FFFFFFF
+        # ISO WKB encodes Z/M/ZM as type + 1000/2000/3000
+        if kind >= 1000:
+            raise ValueError(
+                f"ISO WKB Z/M geometry type {kind} is not supported (2-D engine)"
+            )
+        return kind
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(f"{self.order}I", self.buf, self.pos)

@@ -23,9 +23,19 @@ from spatialpandas_spark.functions.measures import _seq0
 
 
 def content_hash(*cols: Column) -> Column:
-    """128-bit content hash for exact dedup (md5 of concatenated columns —
-    md5 chosen for cross-engine oracle parity)."""
-    return F.md5(F.concat_ws("\x1f", *cols))
+    """128-bit content hash for exact dedup. Each column is hashed
+    separately with a null/value marker, then the fixed-width per-column
+    digests are hashed together — no separator-injection collisions (a
+    field containing the separator can't merge distinct rows) and NULL is
+    distinct from the empty string."""
+    parts = [
+        F.concat(
+            F.when(c.isNull(), F.lit("n")).otherwise(F.lit("v")),
+            F.md5(F.coalesce(c.cast("string"), F.lit(""))),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat(*parts))
 
 
 def dedup_exact(

@@ -140,3 +140,25 @@ def test_quality_score_bounded(spark, docs_df):
     df, _ = docs_df
     rows = df.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_content_hash_null_vs_empty_and_separator_injection(spark):
+    from spatialpandas_spark.operators.dedup import content_hash
+
+    df = spark.createDataFrame(
+        [
+            (1, None, ""),        # NULL vs empty string must differ
+            (2, "", ""),
+            (3, "a\x1fb", ""),    # separator inside a field must not merge
+            (4, "a", "b"),
+            (5, "a", "b"),        # true duplicate of 4
+        ],
+        "id long, a string, b string",
+    )
+    h = df.select(
+        "id", content_hash(F.col("a"), F.col("b")).alias("h")
+    ).collect()
+    hashes = {r["id"]: r["h"] for r in h}
+    assert hashes[1] != hashes[2]
+    assert hashes[3] != hashes[4]
+    assert hashes[4] == hashes[5]

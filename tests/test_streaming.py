@@ -17,7 +17,7 @@ def _write_event_files(spark, path: str):
     converting the nanos timestamps Spark can't read natively."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     e = e.select("event_id", "ts", "user_id", "event_type", "value", "props")
     # time-ordered 3-way split (arrival order must roughly follow event

@@ -94,3 +94,34 @@ def test_big_endian_decode(spark):
     df = spark.createDataFrame([(1, bytearray(buf))], "id long, w binary")
     got = df.select(st_from_wkb(F.col("w"), "point").alias("g")).first()["g"]
     assert got["x"] == 7.0 and got["y"] == 8.0
+
+
+def test_ewkb_srid_skipped(spark):
+    # PostGIS EWKB point with SRID flag 0x20000000 + 4-byte SRID payload:
+    # the SRID must be skipped, not decoded as coordinate bytes
+    buf = (
+        struct.pack("<BI", 1, 0x20000001)
+        + struct.pack("<I", 4326)
+        + struct.pack("<2d", 11.5, -3.25)
+    )
+    df = spark.createDataFrame([(1, bytearray(buf))], "id long, w binary")
+    got = df.select(st_from_wkb(F.col("w"), "point").alias("g")).first()["g"]
+    assert got["x"] == 11.5 and got["y"] == -3.25
+
+
+def test_ewkb_z_flag_rejected(spark):
+    import pytest
+
+    buf = struct.pack("<BI", 1, 0x80000001) + struct.pack("<3d", 1.0, 2.0, 3.0)
+    df = spark.createDataFrame([(1, bytearray(buf))], "id long, w binary")
+    with pytest.raises(Exception, match="Z/M"):
+        df.select(st_from_wkb(F.col("w"), "point").alias("g")).first()
+
+
+def test_iso_wkb_z_type_rejected(spark):
+    import pytest
+
+    buf = struct.pack("<BI", 1, 1001) + struct.pack("<3d", 1.0, 2.0, 3.0)
+    df = spark.createDataFrame([(1, bytearray(buf))], "id long, w binary")
+    with pytest.raises(Exception, match="Z/M"):
+        df.select(st_from_wkb(F.col("w"), "point").alias("g")).first()
