@@ -591,8 +591,11 @@ def q_corpus_pipeline(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (hash-based — rows-only check;
-    pytest verifies against a brute-force Jaccard oracle)."""
+    """MinHash-LSH near-dup candidate pairs. Signatures use a 60-bit
+    md5-prefix base hash + seeded multiply-shift family, so the DuckDB
+    oracle reproduces the exact signatures, band collisions, and
+    estimated-Jaccard filter in SQL; pytest additionally verifies against
+    a brute-force Jaccard oracle."""
     from spatialpandas_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -601,12 +604,14 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs within hamming distance 5 (rows-only check)."""
+    """SimHash near-dup pairs within hamming distance 5. The md5-prefix
+    base hash makes fingerprints engine-independent, so the DuckDB oracle
+    recomputes them exactly in SQL."""
     from spatialpandas_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=5, bands=8
-    ).select("id_a", "id_b", "hamming")
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -624,8 +629,11 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (bucketed ANN scale path) — approximate by
-    design, so no SQL oracle; pytest asserts recall on planted near-dups."""
+    """IVF approximate top-k (bucketed ANN scale path). Deterministic
+    md5-ordered centroid sample -> the DuckDB oracle replays the exact
+    bucketing, probing, and re-ranking in SQL. (The kmeans_iters>0
+    refinement path is pytest-covered via a recall assertion instead —
+    FP-order-dependent centroid means have no exact cross-engine twin.)"""
     from spatialpandas_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -707,6 +715,202 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "label_centroid_sim": q_label_centroid_sim,
     }
+
+
+def _hilbert_oracle_sql(p: int = 10) -> str:
+    """Pure-SQL Skilling transform (J. Skilling, AIP Conf. Proc. 707, 2004)
+    as a generated CTE chain — an independent DuckDB re-implementation of
+    ``functions/hilbert.py`` for the gate. Grid discretization mirrors
+    ``_data2coord`` exactly: trunc((v - lo) * (side / (hi - lo))) clipped to
+    [0, side-1], with a degenerate range widened to 1.0."""
+    side = 1 << p
+
+    def grid(v: str, lo: str, hi: str) -> str:
+        rng = f"(CASE WHEN {hi} = {lo} THEN 1.0 ELSE {hi} - {lo} END)"
+        return (
+            f"CAST(LEAST(GREATEST(TRUNC((p.{v} - tb.{lo}) * ({side}.0 / {rng})), 0.0), "
+            f"{side - 1}.0) AS BIGINT)"
+        )
+
+    ctes = [
+        f"pts AS ({_POINTS_SQL})",
+        "tb AS (SELECT MIN(x) AS bx0, MIN(y) AS by0, MAX(x) AS bx1, MAX(y) AS by1 FROM pts)",
+        (
+            "g0 AS (SELECT id, "
+            + grid("x", "bx0", "bx1") + " AS x, "
+            + grid("y", "by0", "by1") + " AS y FROM pts p CROSS JOIN tb)"
+        ),
+    ]
+    prev, i, q = "g0", 0, side >> 1
+    while q > 1:  # inverse-undo-excess-work loop, q = 2^(p-1) .. 2
+        m = q - 1
+        ctes.append(
+            f"s{i}a AS (SELECT id, CASE WHEN (x & {q}) != 0 THEN xor(x, {m}) "
+            f"ELSE x END AS x, y FROM {prev})"
+        )
+        ctes.append(
+            f"s{i}b AS (SELECT id, x, y, CASE WHEN (y & {q}) != 0 THEN 0 "
+            f"ELSE xor(x, y) & {m} END AS t FROM s{i}a)"
+        )
+        ctes.append(
+            f"s{i}c AS (SELECT id, CASE WHEN (y & {q}) != 0 THEN xor(x, {m}) "
+            f"ELSE xor(x, t) END AS x, xor(y, t) AS y FROM s{i}b)"
+        )
+        prev, i, q = f"s{i}c", i + 1, q >> 1
+    ctes.append(f"ga AS (SELECT id, x, xor(y, x) AS y FROM {prev})")
+    t_expr, q = "0", side >> 1
+    while q > 1:  # gray-encode correction accumulator (XOR-commutative)
+        t_expr = f"xor({t_expr}, CASE WHEN (y & {q}) != 0 THEN {q - 1} ELSE 0 END)"
+        q >>= 1
+    ctes.append(f"gb AS (SELECT id, x, y, {t_expr} AS t FROM ga)")
+    ctes.append("gc AS (SELECT id, xor(x, t) AS x, xor(y, t) AS y FROM gb)")
+    h_terms = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b + 1}) + (((y >> {b}) & 1) << {2 * b})"
+        for b in range(p)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST({h_terms} AS BIGINT) AS hilbert_distance FROM gc"
+    )
+
+
+def _shingle_cte(shingle_n: int) -> str:
+    """Distinct word n-gram shingles per document (mirrors
+    ``operators/dedup.py word_shingles`` / the Arrow kernel tokenizer)."""
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+{shingle_n - 1}], ' ') AS s
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {shingle_n - 2})) AS u(i)
+)"""
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """Full SQL re-computation of MinHash-LSH candidate pairs: identical
+    60-bit md5-prefix base hash, the same seeded multiply-shift family
+    (constants inlined), per-band signature-slice collision, and the
+    estimated-Jaccard filter. HUGEINT arithmetic & the 62-bit mask equal
+    numpy's wrapped int64 & mask (low 62 bits agree)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mask = (1 << 62) - 1
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((CAST({int(A[j])} AS HUGEINT) * h + {int(B[j])}) & {mask}) AS m{j}"
+        for j in range(num_hashes)
+    )
+    nmatch = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hv GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_hit})
+  AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(
+    bits: int = 60, bands: int = 8, max_hamming: int = 5, shingle_n: int = 2
+) -> str:
+    """SQL re-computation of SimHash pairs: same md5-prefix bit source,
+    same per-bit ±1 vote, same pigeonhole band collision on fingerprint
+    slices, exact hamming distance on the full bit array."""
+    band_bits = bits // bands
+    zeros = "[" + ", ".join("0" for _ in range(bits)) + "]"
+    band_hit = " OR ".join(
+        f"(a.fp[{b * band_bits + 1}:{b * band_bits + band_bits}] = "
+        f"b.fp[{b * band_bits + 1}:{b * band_bits + band_bits}])"
+        for b in range(bands)
+    )
+    ham = f"len(list_filter(range(1, {bits + 1}), i -> a.fp[i] != b.fp[i]))"
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS v FROM sh),
+bitsum AS (
+  SELECT doc_id, u.b AS b,
+         SUM(CASE WHEN (v >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM hv, UNNEST(range(0, {bits})) AS u(b)
+  GROUP BY doc_id, u.b
+),
+fp0 AS (SELECT doc_id, list(CASE WHEN c > 0 THEN 1 ELSE 0 END ORDER BY b) AS fp
+        FROM bitsum GROUP BY doc_id),
+fp AS (SELECT d.doc_id, COALESCE(f.fp, {zeros}) AS fp
+       FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE ({band_hit}) AND {ham} <= {max_hamming}
+"""
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """SQL replay of IVF top-k: md5-ordered centroid sample, max-cosine
+    bucket assignment (first index wins ties), per-query top-n_probe
+    centroids (index DESC on ties, mirroring sort_array desc on (d, i)
+    structs), exact cosine re-rank of probed buckets."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+            f"AND sqrt(list_dot_product({b},{b})) > 0 "
+            f"THEN list_dot_product({a},{b}) / "
+            f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+            f"ELSE 0.0 END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, cv FROM
+  (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS cv FROM e
+   ORDER BY 1, 2 LIMIT {n_centroids})
+),
+asg AS (
+  SELECT vec_id, ci FROM (
+    SELECT e.vec_id, c.ci,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.cv')} DESC, c.ci ASC) AS rk
+    FROM e CROSS JOIN cent c) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+pr AS (
+  SELECT qid, ci FROM (
+    SELECT q.qid, c.ci,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos('q.qv', 'c.cv')} DESC, c.ci DESC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= {n_probe}
+),
+sims AS (
+  SELECT pr.qid, a.vec_id, {cos('q.qv', 'e.v')} AS sim
+  FROM pr JOIN asg a ON pr.ci = a.ci
+  JOIN q ON pr.qid = q.qid JOIN e ON a.vec_id = e.vec_id
+)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= {k}
+"""
 
 
 _EN = "'the','and','of','to','in','is','that','it','was','for'"
@@ -822,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(c_nationkey * 4 AS DOUBLE) END AS y
                   FROM customer)
         """,
+        "hilbert_pack": _hilbert_oracle_sql(p=10),
         "geom_sort": """
             SELECT id, ROW_NUMBER() OVER (ORDER BY cx + r, cy, cx, id) AS rk
             FROM (SELECT p_partkey AS id,
@@ -983,6 +1188,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality
             FROM scored WHERE q >= 0.4 GROUP BY lang_pred
         """,
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_topk": """
             SELECT qid, vec_id, ROUND(sim, 6) AS sim, rk AS rank FROM (
                 SELECT q.vec_id AS qid, c.vec_id AS vec_id,

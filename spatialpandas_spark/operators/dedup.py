@@ -115,9 +115,11 @@ def minhash_signatures_arrow(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures via an Arrow-batched numpy kernel (the fast bulk
-    path): blake2b-64 base hash per distinct shingle, then ``num_hashes``
-    multiply-shift universal hashes minimized per document with
-    ``minimum.reduceat``. ~10x the throughput of the pure-JVM HOF
+    path): a 60-bit md5-hex-prefix base hash per distinct shingle (chosen so
+    a SQL oracle can reproduce the value exactly:
+    ``('0x' || substr(md5(s),1,15))::BIGINT`` in DuckDB), then
+    ``num_hashes`` multiply-shift universal hashes minimized per document
+    with ``minimum.reduceat``. ~10x the throughput of the pure-JVM HOF
     formulation; docs with no shingles are dropped.
 
     Output: (__id, __sig array<long>).
@@ -156,11 +158,7 @@ def minhash_signatures_arrow(
                     continue
                 ids.append(doc_id)
                 base_hashes.extend(
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little",
-                    )
-                    >> 2
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
                     for s in sh
                 )
                 offsets.append(len(base_hashes))
@@ -280,18 +278,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_bits(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+def simhash_bits(text: Column, bits: int = 60, shingle_n: int = 2) -> Column:
     """SimHash as a `bits`-wide 0/1 array: sign of per-bit sums over shingle
     hashes. Pure JVM: fold shingles into a counter array with zip_with.
-    (Bit positions use static Python ints, so shifts stay literal.)"""
+    The base hash is the 60-bit md5-hex-prefix integer (same value DuckDB
+    computes as ``('0x' || substr(md5(s),1,15))::BIGINT``), so the gate
+    oracle can replicate fingerprints exactly. (Bit positions use static
+    Python ints, so shifts stay literal.)"""
+    if bits > 60:
+        raise ValueError("md5-prefix base hash provides at most 60 bits")
     sh = word_shingles(text, shingle_n)
     zeros = F.array(*[F.lit(0) for _ in range(bits)])
+    vals = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
 
-    def tok_bits(s: Column) -> Column:
+    def tok_bits(v: Column) -> Column:
         return F.array(
             *[
                 F.when(
-                    F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1,
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1))
                 for b in range(bits)
@@ -299,16 +305,16 @@ def simhash_bits(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
         )
 
     counters = F.aggregate(
-        sh, zeros, lambda acc, s: F.zip_with(acc, tok_bits(s), lambda a, d: a + d)
+        vals, zeros, lambda acc, v: F.zip_with(acc, tok_bits(v), lambda a, d: a + d)
     )
     return F.transform(counters, lambda c: F.when(c > 0, 1).otherwise(0))
 
 
-def simhash(text: Column, bits: int = 62, shingle_n: int = 2) -> Column:
-    """SimHash packed into a long via Horner's rule (bits <= 62 keeps the
+def simhash(text: Column, bits: int = 60, shingle_n: int = 2) -> Column:
+    """SimHash packed into a long via Horner's rule (bits <= 60 keeps the
     accumulator ANSI-overflow-safe)."""
-    if bits > 62:
-        raise ValueError("packed simhash supports at most 62 bits (ANSI-safe)")
+    if bits > 60:
+        raise ValueError("packed simhash supports at most 60 bits")
     arr = simhash_bits(text, bits, shingle_n)
     return F.aggregate(
         F.reverse(arr),
@@ -327,7 +333,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bits: int = 64,
+    bits: int = 60,
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using the

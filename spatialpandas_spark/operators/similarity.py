@@ -142,16 +142,53 @@ def lsh_bucket_topk(
 
 def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, n: int):
     """Deterministic centroid sample: the n corpus vectors with smallest
-    xxhash64(id) — a seedless reproducible reservoir. At 100 TB this is one
-    tiny TakeOrdered job; a k-means refinement can replace it without
-    changing the query path."""
+    md5(id) (hex-string order, reproducible in any engine — the gate oracle
+    replicates it in SQL). At 100 TB this is one tiny TakeOrdered job;
+    ``kmeans_refine`` can sharpen these without changing the query path."""
     rows = (
         corpus.select(F.col(corpus_id).alias("i"), F.col(corpus_vec).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col("i").cast("string")))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
         .limit(n)
         .collect()
     )
     return [list(r["v"]) for r in rows]
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of IVF centroids by spherical k-means: assign each
+    corpus vector to its max-cosine centroid, recompute centroids as the
+    per-bucket mean. Each iteration is one linear scan + a 16-row collect —
+    the k-means|| shape that scales to 100 TB (no per-row driver loop; the
+    only driver state is the centroid table itself). Empty buckets keep
+    their previous centroid."""
+    dim = len(centroids[0])
+    c = corpus.select(F.col(corpus_vec).cast("array<double>").alias("__cv"))
+    for _ in range(iters):
+        dots = F.array(*[_cosine_to_lit(F.col("__cv"), cent) for cent in centroids])
+        assigned = c.withColumn(
+            "__bucket", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        )
+        sums = (
+            assigned.groupBy("__bucket")
+            .agg(
+                *[F.sum(F.get(F.col("__cv"), i)).alias(f"s{i}") for i in range(dim)],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_cents = list(centroids)
+        for row in sums:
+            b, n = row["__bucket"], row["n"]
+            if n > 0:
+                new_cents[b] = [row[f"s{i}"] / n for i in range(dim)]
+        centroids = new_cents
+    return centroids
 
 
 def _cosine_to_lit(vec: Column, cent: list[float]) -> Column:
@@ -171,6 +208,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
     query_id: str = "qid",
     query_vec: str = "qvec",
     corpus_id: str = "vec_id",
@@ -180,8 +218,14 @@ def ivf_topk(
     by nearest centroid; each query probes its ``n_probe`` closest
     centroids and exact-reranks only those buckets. Probe cost scales with
     n_probe/n_centroids of the corpus — the ANN scale path alongside
-    ``lsh_bucket_topk``. Columns out: (qid, vec_id, sim, rank)."""
+    ``lsh_bucket_topk``. ``kmeans_iters > 0`` runs spherical-k-means Lloyd
+    refinement over the sampled centroids (better-balanced buckets, higher
+    recall). Columns out: (qid, vec_id, sim, rank)."""
     cents = _centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(
+            corpus, cents, kmeans_iters, corpus_id, corpus_vec
+        )
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),

@@ -112,3 +112,33 @@ def test_multimodal_features_deterministic(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="pillow")
+
+
+def test_ivf_kmeans_refine_recall_vs_brute_force(spark, emb):
+    """k-means-refined IVF must reach >= 80% recall@3 against the exact
+    brute-force top-3 (VERDICT round-1 item 9)."""
+    from spatialpandas_spark.operators.similarity import ivf_topk
+
+    df, vecs = emb
+    qs = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = _cos_matrix(vecs[:10], vecs)
+    truth = {q: set(np.argsort(-exact[q])[:3]) for q in range(10)}
+    got = ivf_topk(qs, df, k=3, n_centroids=8, n_probe=3, kmeans_iters=2).collect()
+    hits = total = 0
+    for qid in range(10):
+        ids = {r["vec_id"] for r in got if r["qid"] == qid}
+        hits += len(ids & truth[qid])
+        total += 3
+    assert hits / total >= 0.8
+
+
+def test_kmeans_refine_returns_unit_dim_centroids(spark, emb):
+    from spatialpandas_spark.operators.similarity import _centroids, kmeans_refine
+
+    df, _ = emb
+    c0 = _centroids(df, "vec_id", "embedding", 8)
+    c1 = kmeans_refine(df, c0, iters=1)
+    assert len(c1) == 8 and all(len(c) == DIM for c in c1)
+    assert c1 != c0  # refinement actually moved the centroids
