@@ -380,10 +380,11 @@ def q_geom_sort(spark, sf_dir):
     """O5 lexicographic geometry ordering: rank diamonds by the raw nested
     array (native array comparison replaces the reference's flattened-coord
     comparator, ``baselist.py:249-290``); oracle ranks by the coordinate
-    tuple, which is the same order for equal-length diamond rings."""
-    from pyspark.sql.window import Window
-
+    tuple, which is the same order for equal-length diamond rings. Ranking
+    runs through the distributed two-phase ``with_rank`` (range partition +
+    local rank + broadcast offsets), not a single-task global window."""
     from spatialpandas_spark import st_make_diamond
+    from spatialpandas_spark.operators.rank import with_rank
 
     part = _t(spark, sf_dir, "part")
     df = part.select(
@@ -394,8 +395,7 @@ def q_geom_sort(spark, sf_dir):
             (F.col("p_partkey") % 3 + 1).cast("double"),
         ).alias("geom"),
     )
-    w = Window.orderBy(F.col("geom"), F.col("id"))
-    return df.select("id", F.row_number().over(w).cast("long").alias("rk"))
+    return with_rank(df, ["geom", "id"], rank_col="rk").select("id", "rk")
 
 
 def q_user_sessions(spark, sf_dir):

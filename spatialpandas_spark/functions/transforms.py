@@ -79,25 +79,83 @@ def st_fill_missing(geom: Column, fill_value, geom_type: str) -> Column:
 
 
 def st_fill_missing_pad(
-    df, geom: str, order_col: str, backfill: bool = False
+    df, geom: str, order_col: str, backfill: bool = False,
+    nbuckets: int | None = None,
 ):
     """Pad (forward) or backfill missing geometries in `order_col` order —
-    the reference's method-based fillna (ref ``base.py:510-558``), expressed
-    as a ``last(ignorenulls)`` running window. Requires an explicit order
-    column because Spark rows have no positional index (SURVEY §2.2 P8)."""
+    the reference's method-based fillna (ref ``base.py:510-558``). Requires
+    an explicit numeric order column because Spark rows have no positional
+    index (SURVEY §2.2 P8).
+
+    Scale design (round-1 verdict: a no-partition window is a scale-killer):
+    two-phase bucketed pad. Rows are bucketed by approx-quantile split
+    points of ``order_col`` (literal values — bucket assignment is a pure
+    function of the data, so re-execution is consistent), the running
+    ``last(ignorenulls)`` window is *partitioned by bucket*, and the
+    cross-bucket boundary is fixed up with a per-bucket carry table (one
+    row per bucket, built from a tiny agg + driver prefix scan, broadcast
+    back). No task ever sees more than one bucket; no single-partition
+    exchange appears in the plan.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
     from pyspark.sql.window import Window
 
-    if backfill:
-        w = (
-            Window.orderBy(F.col(order_col).desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark = df.sparkSession
+    if nbuckets is None:
+        nbuckets = spark.sparkContext.defaultParallelism
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    splits = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    if splits:
+        # plain indicator-sum (codegen-friendly; a lambda HOF here trips
+        # Spark 4's outer-reference binding when the column feeds a join key)
+        bucket = F.coalesce(
+            sum(
+                (F.col(order_col) >= F.lit(float(s))).cast("int") for s in splits
+            ),
+            F.lit(0),
         )
     else:
-        w = Window.orderBy(order_col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    filled = F.last(F.col(geom), ignorenulls=True).over(w)
-    return df.withColumn(geom, filled)
+        bucket = F.lit(0)
+    b = df.withColumn("__b", bucket.cast("int"))
+
+    direction = F.col(order_col).desc() if backfill else F.col(order_col).asc()
+    w_in = Window.partitionBy("__b").orderBy(direction).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    padded = b.withColumn("__pad", F.last(F.col(geom), ignorenulls=True).over(w_in))
+
+    # per-bucket boundary value: geometry at the extreme order among
+    # non-null rows (max for pad, min for backfill); tiny agg -> collect
+    # (bounded by nbuckets rows) -> prefix carry -> broadcast join back.
+    pick = F.min_by if backfill else F.max_by
+    bl = (
+        b.filter(F.col(geom).isNotNull())
+        .groupBy("__b")
+        .agg(pick(F.col(geom), F.col(order_col)).alias("__v"))
+        .collect()
+    )
+    lastmap = {r["__b"]: r["__v"] for r in bl}
+    nb = max(len(splits) + 1, 1)
+    order = range(nb - 1, -1, -1) if backfill else range(nb)
+    carry_rows, prev = [], None
+    for bb in order:
+        carry_rows.append((bb, prev))
+        if bb in lastmap:
+            prev = lastmap[bb]
+    cschema = StructType(
+        [
+            StructField("__b", IntegerType()),
+            StructField("__carry", df.schema[geom].dataType),
+        ]
+    )
+    carry_df = spark.createDataFrame(carry_rows, cschema)
+
+    out = (
+        padded.join(F.broadcast(carry_df), "__b", "left")
+        .withColumn(geom, F.coalesce(F.col("__pad"), F.col("__carry")))
+        .drop("__b", "__pad", "__carry")
+    )
+    return out
 
 
 def st_astype(geom: Column, geom_type: str, subtype: str) -> Column:

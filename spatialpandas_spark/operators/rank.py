@@ -1,0 +1,69 @@
+"""Distributed global ranking without a single-task window.
+
+The naive global ``row_number() OVER (ORDER BY key)`` moves the entire
+dataset through one task (flagged as a scale-killer in round 1). The
+scalable shape — the same one the reference gets from its sorted-partition
+layout (ref ``dask.py:177-205``) — is:
+
+1. ``repartitionByRange`` on the sort key (one shuffle, balanced by
+   reservoir-sampled split points),
+2. a *partition-local* ``row_number`` (window partitioned by
+   ``spark_partition_id``, so every task ranks only its own slice),
+3. per-partition row counts (tiny: one row per partition) turned into
+   prefix offsets with a triangular self-join — never a single-partition
+   exchange — and broadcast back.
+
+Everything happens in ONE query plan, so Catalyst reuses the range
+exchange between the rank branch and the count branch and the partition
+ids are consistent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rk",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Add a global 1-based rank by ``order_cols`` (ties broken by the full
+    column list — pass a unique tiebreaker last for determinism).
+
+    Scales: the only data-sized movement is the range shuffle; offsets are
+    computed on an ``npartitions``-row table and broadcast.
+    """
+    spark = df.sparkSession
+    n = npartitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrk", F.row_number().over(w_local))
+
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # prefix-sum via triangular join on the tiny counts table: offset(p) =
+    # sum of counts of partitions before p. No global window, no
+    # single-partition exchange anywhere in the plan.
+    offs = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum(F.col("b.__cnt")), F.lit(0)).alias("__off"))
+    )
+
+    out = local.join(F.broadcast(offs), "__pid")
+    return (
+        out.withColumn(rank_col, (F.col("__off") + F.col("__lrk")).cast("long"))
+        .drop("__pid", "__lrk", "__off")
+    )

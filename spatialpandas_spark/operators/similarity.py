@@ -49,10 +49,24 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the (small) query set against the
-    corpus scan; rank per query. Excludes self-matches when ids collide.
+    """Exact top-k by cosine, two-phase (round-1 verdict: ranking the whole
+    corpus per query through ``Window.partitionBy(qid)`` ships every
+    corpus row to one task — dead at 100 TB):
+
+    1. the query set is broadcast and cosines are computed JVM-side in the
+       scan stage (exact, sequential fold — bit-identical to the SQL
+       oracle);
+    2. an Arrow ``mapInPandas`` pass reduces each *partition* to its local
+       top-k per query (float values pass through untouched), emitting at
+       most ``n_partitions * n_queries * k`` rows;
+    3. the final ranking window runs over that tiny survivor set only.
 
     Columns out: (qid, vec_id, sim, rank)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")))
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
     sims = q.crossJoin(c).select(
@@ -62,9 +76,34 @@ def brute_force_topk(
             F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>")
         ).alias("sim"),
     )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in batches:
+            for qid, g in pdf.groupby("qid", sort=False):
+                v = g["vec_id"].to_numpy()
+                s = g["sim"].to_numpy()
+                if qid in best:
+                    pv, ps = best[qid]
+                    v = np.concatenate([pv, v])
+                    s = np.concatenate([ps, s])
+                if len(s) > k:
+                    idx = np.lexsort((v, -s))[:k]  # sim desc, id asc
+                    v, s = v[idx], s[idx]
+                best[qid] = (v, s)
+        if best:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate([np.full(len(v), qid) for qid, (v, _) in best.items()]),
+                    "vec_id": np.concatenate([v for (v, _) in best.values()]),
+                    "sim": np.concatenate([s for (_, s) in best.values()]),
+                }
+            )
+
+    survivors = sims.mapInPandas(partial_topk, sims.schema)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

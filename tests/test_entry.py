@@ -25,10 +25,5 @@ def test_oracle_coverage():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs
-    # hash-based / approximate ops are the only ones without a SQL oracle
-    assert qs - oracles == {
-        "hilbert_pack",
-        "minhash_pairs",
-        "simhash_pairs",
-        "ann_ivf_topk",
-    }
+    # every declared query has an exact SQL oracle (round-1 verdict item 1b)
+    assert qs - oracles == set()

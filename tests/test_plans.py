@@ -71,3 +71,64 @@ def test_bbox_conjunct_precedes_exact_predicate(spark, stored_points):
     # the cheap bbox comparisons appear before the aggregate() ray-cast in
     # the AND chain, so per-row evaluation short-circuits
     assert join_cond.index("x0") < join_cond.index("aggregate(")
+
+
+def test_pad_plan_has_no_single_partition_exchange(spark):
+    """Round-1 verdict item 4: the bucketed pad must never funnel the data
+    through one task."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.functions.transforms import st_fill_missing_pad
+    from spatialpandas_spark.plans import physical_plan
+
+    df = spark.range(10000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 != 0,
+               st_point(F.col("id").cast("double"), F.lit(1.0))).alias("geom"),
+    )
+    filled = st_fill_missing_pad(df, "geom", "id", nbuckets=8)
+    assert "Exchange SinglePartition" not in physical_plan(filled)
+
+
+def test_with_rank_plan_has_no_single_partition_exchange(spark):
+    from spatialpandas_spark.operators.rank import with_rank
+    from spatialpandas_spark.plans import physical_plan
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") * 7 % 999).alias("key")
+    )
+    ranked = with_rank(df, ["key", "id"], npartitions=8)
+    plan = physical_plan(ranked)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # correctness: matches a driver-side sort
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    rows = df.collect()
+    expect = {
+        r["id"]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (r["key"], r["id"])))
+    }
+    assert got == expect
+
+
+def test_brute_force_topk_reduces_before_ranking(spark):
+    """The ranking window must consume the mapInPandas survivor set, not a
+    corpus-wide shuffle (round-1 verdict item 5)."""
+    from spatialpandas_spark.operators.similarity import brute_force_topk
+    from spatialpandas_spark.plans import physical_plan
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 3) % 97).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(qs, emb, k=5)
+    plan = physical_plan(out)
+    # the partial top-k reduction runs inside the scan stage...
+    assert "MapInPandas" in plan
+    # ...below the exchange that feeds the final window
+    assert plan.index("Window") < plan.index("MapInPandas")  # plan prints top-down
+    assert out.count() == 15
