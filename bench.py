@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# the bench inputs are MB-scale single files; split small so the scan
+# parallelizes (the library default is the production 128m)
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
+
 
 def _sf() -> float:
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -43,11 +47,13 @@ def _spread(df):
     return df.repartition(n)
 
 
-def make_points(spark):
+def make_points(spark, spread=True):
     """~600k points with integer-grid coords derived from lineitem."""
     from spatialpandas_spark import st_point
 
-    li = _spread(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    if spread:
+        li = _spread(li)
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         st_point(
@@ -138,11 +144,16 @@ def b6_pack_io(spark):
     from spatialpandas_spark import with_bounds
     from spatialpandas_spark.sources import read_spatial_parquet, write_spatial_parquet
 
-    pts = with_bounds(make_points(spark), "geom", "point")
+    # no pre-repartition: the pack's repartitionByRange is the ONLY shuffle
+    # (round-1 verdict — callers at scale must never pre-spread), and the
+    # known extent skips the total-bounds scan job.
+    pts = with_bounds(make_points(spark, spread=False), "geom", "point")
     td = tempfile.mkdtemp(prefix="bench_pack_")
     try:
         path = os.path.join(td, "pts")
-        write_spatial_parquet(pts, path, npartitions=16, p=10)
+        write_spatial_parquet(
+            pts, path, npartitions=16, p=10, total_bounds=(0.0, 0.0, 499.0, 499.0)
+        )
         pruned = read_spatial_parquet(spark, path, bounds=(0.0, 0.0, 50.0, 50.0))
         return pruned.count()
     finally:

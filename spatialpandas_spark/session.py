@@ -31,12 +31,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # test data is MB-scale single files; small splits keep all local
-        # cores busy. At cluster scale (GB-size files) deployments should
-        # override back to the 128m default — the env knob exists for that.
+        # production default (Spark's own 128m). The local test/bench
+        # harnesses override DOWN via SPARK_GRAFT_MAX_PARTITION_BYTES=4m so
+        # MB-scale fixture files still split across cores — never the
+        # reverse (a 4m default at 100 TB would mean ~25M splits).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -35,14 +35,25 @@ def write_spatial_parquet(
     pack: bool = True,
     npartitions: int | None = None,
     p: int = 15,
+    total_bounds: tuple[float, float, float, float] | None = None,
     compression: str = "snappy",
 ) -> dict:
     """Hilbert-pack (optional) + write parquet + write bounds manifest.
 
+    Pass ``total_bounds`` (and ``npartitions``) when known to skip the
+    extra scan jobs ``pack_partitions`` would otherwise run — the write
+    then costs exactly one shuffle (the range partition).
+
     Returns the manifest dict {file_name: [x0, y0, x1, y1]}.
     """
     if pack:
-        df = pack_partitions(df, bounds_col=bounds_col, npartitions=npartitions, p=p)
+        df = pack_partitions(
+            df,
+            bounds_col=bounds_col,
+            npartitions=npartitions,
+            p=p,
+            total_bounds=total_bounds,
+        )
     df.write.mode("overwrite").option("compression", compression).parquet(path)
     manifest = build_manifest(path, bounds_col)
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:

@@ -1,4 +1,10 @@
+import os
+
 import pytest
+
+# test fixtures are MB-scale single files: split small so local cores share
+# the scan (the library default is the production 128m)
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
 
 
 @pytest.fixture(scope="session")
