@@ -21,6 +21,7 @@ records a rows-only check; pytest covers them against Python oracles.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -261,6 +262,40 @@ def q_hilbert_pack(spark, sf_dir):
     pts = with_bounds(_points(spark, sf_dir), "geom", "point")
     packed = pack_partitions(pts, npartitions=8, p=10)
     return packed.select("id", "hilbert_distance")
+
+
+def q_ref_interop(spark, sf_dir):
+    """S6/interop: round-trip through the reference's on-disk dask format
+    (ref ``io/parquet.py:143-182`` write, ``:488-519`` read) —
+    ``write_reference_parquet`` emits part.{i}.parquet + the
+    ``b'spatialpandas'`` partition-bounds ``_common_metadata``;
+    ``read_reference_parquet(bounds=)`` prunes files from that metadata
+    alone. A row-level cx refinement after the pruned read makes the
+    result independent of file layout, so the oracle is exact."""
+    import tempfile
+
+    from spatialpandas_spark import cx_filter, with_bounds
+    from spatialpandas_spark.sources.reference_parquet import (
+        read_reference_parquet,
+        st_point_to_flat,
+        write_reference_parquet,
+    )
+
+    pts = with_bounds(_points(spark, sf_dir), "geom", "point")
+    flat = pts.withColumn("geom", st_point_to_flat("geom"))
+    packed = flat.repartitionByRange(4, F.col("bounds.x0")).sortWithinPartitions(
+        F.col("bounds.x0")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ref_interop_"), "pts")
+    write_reference_parquet(packed, path, geom_cols={"geom": "point"})
+    back = read_reference_parquet(
+        spark, path, bounds=(10.0, 8.0, 40.0, 72.0), point_columns=("geom",)
+    )
+    back = with_bounds(back.drop("bounds"), "geom", "point")
+    sel = cx_filter(back, "geom", "point", (10.0, 8.0, 40.0, 72.0))
+    return sel.select(
+        "id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y")
+    )
 
 
 def q_cx_lines(spark, sf_dir):
@@ -700,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_counts": q_sjoin_counts,
         "sjoin_poly_poly": q_sjoin_poly_poly,
         "hilbert_pack": q_hilbert_pack,
+        "ref_interop": q_ref_interop,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "top_orders_per_priority": q_top_orders_per_priority,
@@ -941,6 +977,10 @@ def oracle_sql() -> dict[str, str]:
         "cx_bbox_inverted": f"""
             SELECT id, x, y FROM ({points})
             WHERE x >= 10.0 AND x <= 50.0 AND y >= 8.0 AND y <= 72.0
+        """,
+        "ref_interop": f"""
+            SELECT id, x, y FROM ({points})
+            WHERE x >= 10.0 AND x <= 40.0 AND y >= 8.0 AND y <= 72.0
         """,
         "area_by_group": f"""
             SELECT brand, SUM(a) AS sum_area, COUNT(*) AS n
