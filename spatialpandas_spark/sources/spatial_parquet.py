@@ -120,3 +120,66 @@ def read_spatial_parquet(
     if not keep:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*keep)
+
+
+def read_spatial_parquet_cx(
+    spark: SparkSession,
+    path: str,
+    geom: str,
+    geom_type: str,
+    rect: tuple[float, float, float, float],
+    bounds_col: str = "bounds",
+) -> DataFrame:
+    """Manifest-pruned ``.cx`` read with covered-file passthrough (the
+    reference's covered-partition shortcut, ref ``dask.py:616-638``):
+
+    - files disjoint from ``rect`` are never opened;
+    - files whose bbox lies fully INSIDE ``rect`` are read with NO row
+      filter (every row must intersect — the filter would be pure waste);
+    - only boundary-straddling files evaluate the row-level cx filter.
+
+    On Hilbert-packed data the covered set is most files of an interior
+    viewport, so the exact predicate runs on a thin shell. Falls back to
+    a plain filtered read when no manifest exists."""
+    from spatialpandas_spark.operators.cx import cx_filter
+
+    qx0, qy0, qx1, qy1 = rect
+    if qx1 < qx0:
+        qx0, qx1 = qx1, qx0
+    if qy1 < qy0:
+        qy0, qy1 = qy1, qy0
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return cx_filter(
+            spark.read.parquet(path), geom, geom_type, rect, bounds_col
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    covered, straddle = [], []
+    for name, (x0, y0, x1, y1) in meta["files"].items():
+        if x0 > qx1 or x1 < qx0 or y0 > qy1 or y1 < qy0:
+            continue
+        fp = os.path.join(path, name)
+        if x0 >= qx0 and x1 <= qx1 and y0 >= qy0 and y1 <= qy1:
+            covered.append(fp)
+        else:
+            straddle.append(fp)
+    parts = []
+    if covered:
+        parts.append(spark.read.parquet(*covered))
+    if straddle:
+        parts.append(
+            cx_filter(
+                spark.read.parquet(*straddle),
+                geom,
+                geom_type,
+                (qx0, qy0, qx1, qy1),
+                bounds_col,
+            )
+        )
+    if not parts:
+        return spark.read.parquet(path).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -70,3 +70,60 @@ def test_unpacked_write(spark, points, tmp_path):
     back = read_spatial_parquet(spark, path)
     assert back.count() == points.count()
     assert "hilbert_distance" not in back.columns
+
+
+def test_cx_read_covered_passthrough(spark, points, tmp_path):
+    """Covered-file passthrough (ref dask.py:616-638): the result matches a
+    full-scan cx filter, covered files are read with no Filter node, and
+    disjoint files are never opened."""
+    from spatialpandas_spark.plans import physical_plan
+    from spatialpandas_spark.sources import read_spatial_parquet_cx
+
+    path = str(tmp_path / "pts")
+    manifest = write_spatial_parquet(points, path, npartitions=8)
+    # viewport that fully covers at least one file and straddles another
+    import json
+
+    boxes = sorted(manifest.values(), key=lambda b: (b[0], b[1]))
+    cov = boxes[2]
+    rect = (cov[0] - 0.5, cov[1] - 0.5, cov[2] + 0.5, cov[3] + 0.5)
+
+    out = read_spatial_parquet_cx(spark, path, "geom", "point", rect)
+    full = read_spatial_parquet(spark, path)
+    expect = {r["id"] for r in cx_filter(full, "geom", "point", rect).collect()}
+    assert {r["id"] for r in out.collect()} == expect and expect
+
+    n_cov = sum(
+        1
+        for b in manifest.values()
+        if b[0] >= rect[0] and b[2] <= rect[2] and b[1] >= rect[1] and b[3] <= rect[3]
+    )
+    n_overlap = sum(
+        1
+        for b in manifest.values()
+        if not (b[0] > rect[2] or b[2] < rect[0] or b[1] > rect[3] or b[3] < rect[1])
+    )
+    assert n_cov >= 1
+    opened = {os.path.basename(f) for f in out.inputFiles()}
+    assert len(opened) == n_overlap < len(manifest)
+
+    plan = physical_plan(out)
+    # two scan branches; only the straddling branch filters rows
+    n_scans = plan.count("FileScan parquet") or plan.count("Scan parquet")
+    assert n_scans == 2
+    assert plan.count("Filter ") <= 1
+
+
+def test_cx_read_all_covered_has_no_filter(spark, points, tmp_path):
+    from spatialpandas_spark.plans import physical_plan
+    from spatialpandas_spark.sources import read_spatial_parquet_cx
+
+    path = str(tmp_path / "pts")
+    write_spatial_parquet(points, path, npartitions=4)
+    out = read_spatial_parquet_cx(
+        spark, path, "geom", "point", (-1.0, -1.0, 101.0, 101.0)
+    )
+    assert out.count() == points.count()
+    # no row-level Filter node anywhere (scan attributes like
+    # "DataFilters: []" don't count)
+    assert "Filter (" not in physical_plan(out)
