@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -57,6 +58,138 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),  # epoch micros
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user sessionization, the streaming
+    twin of the batch ``user_sessions`` gate query (>gap_seconds of
+    silence closes a session).
+
+    Semantics: a session is a maximal merge of intervals
+    ``[ts, ts + gap]`` — identical to the batch consecutive-gap
+    definition — so events arriving OUT OF ORDER (within the watermark)
+    merge into the right session regardless of arrival batch. State per
+    user is only the open session intervals (start, last, count), not
+    the events; a session is emitted exactly once, when the watermark
+    passes ``last + gap`` (no non-late event can extend it), which is
+    what bounds state at 100 TB/day rates: O(open sessions per user),
+    not O(events).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+
+        if state.exists:
+            starts, lasts, counts = state.get
+            ivs = list(zip(starts, lasts, counts))
+        else:
+            ivs = []
+        for pdf in pdfs:
+            us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            ivs.extend((int(t), int(t), 1) for t in us)
+        ivs.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, c in ivs:
+            if merged and s - merged[-1][1] <= gap_us:
+                ms, me, mc = merged[-1]
+                merged[-1] = (ms, max(me, e), mc + c)
+            else:
+                merged.append((s, e, c))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        open_ = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if open_:
+            state.update(
+                (
+                    [iv[0] for iv in open_],
+                    [iv[1] for iv in open_],
+                    [iv[2] for iv in open_],
+                )
+            )
+            # wake again when the earliest open session becomes closable
+            timeout_ms = max(
+                min(iv[1] for iv in open_) // 1000 + gap_seconds * 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [iv[0] for iv in closed],
+                    "session_end": [iv[1] for iv in closed],
+                    "n_events": [iv[2] for iv in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Batch twin of ``sessionize_stream`` (same output schema): session =
+    consecutive events with gaps <= gap_seconds, per user."""
+    from pyspark.sql.window import Window
+
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sid = F.sum("new_s").over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        events.withColumn("new_s", new_s)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(us).alias("session_start"),
+            F.max(us).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("sid")
     )
 
 

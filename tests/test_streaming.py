@@ -78,3 +78,85 @@ def test_rollup_is_incremental_plan(spark, tmp_path):
 
     stream = hourly_rollup(read_event_stream(spark, src))
     assert stream.isStreaming
+
+
+def test_sessionize_stream_matches_batch_with_late_events(spark, tmp_path):
+    """Stateful sessionization (applyInPandasWithState): out-of-order and
+    late-but-within-watermark events land in the right session; every
+    session is emitted exactly once and matches the batch twin."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spatialpandas_spark.streaming.events import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    GAP = 60  # seconds
+    base = 1_700_000_000  # epoch seconds
+    sch = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def rows(spec):
+        from datetime import datetime, timezone
+
+        return [
+            (u, datetime.fromtimestamp(base + s, tz=timezone.utc))
+            for u, s in spec
+        ]
+
+    # user 1: session A = {0, 20, 50}; session B = {200, 230}
+    # user 2: session C = {10, 40}   (40 arrives LATE, in file 3)
+    # file-by-file arrival, out of order inside each file:
+    f1 = rows([(1, 20), (1, 0), (2, 10)])
+    f2 = rows([(1, 230), (1, 200)])           # jumps ahead in time
+    f3 = rows([(2, 40), (1, 50)])             # late, within 300 s watermark
+    # watermark push: closes everything (user 999 ignored in the check)
+    f4 = rows([(999, 100_000)])
+
+    src = str(tmp_path / "sess_src")
+    for chunk in (f1, f2, f3, f4):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=GAP, watermark="300 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r["user_id"] != 999
+    }
+
+    batch = spark.createDataFrame(rows([  # same logical event set
+        (1, 0), (1, 20), (1, 50), (1, 200), (1, 230), (2, 10), (2, 40),
+    ]), sch)
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(batch, gap_seconds=GAP).collect()
+    }
+    assert got == expect
+    assert len(expect) == 3  # sessions A, B, C
