@@ -42,6 +42,11 @@ from spatialpandas_spark.functions.predicates import (
     st_point_in_polygon,
 )
 from spatialpandas_spark.functions.hilbert import hilbert_distance_udf
+from spatialpandas_spark.functions.geopandas_bridge import (
+    from_geopandas,
+    from_wkb_pandas,
+    to_geopandas,
+)
 from spatialpandas_spark.operators.cx import cx_filter, with_bounds
 from spatialpandas_spark.operators.sjoin import sjoin
 from spatialpandas_spark.operators.pack import pack_partitions
@@ -59,6 +64,9 @@ __all__ = [
     "st_intersects_bounds",
     "st_point_in_polygon",
     "hilbert_distance_udf",
+    "from_geopandas",
+    "from_wkb_pandas",
+    "to_geopandas",
     "cx_filter",
     "with_bounds",
     "sjoin",
