@@ -77,28 +77,30 @@ def brute_force_topk(
         ).alias("sim"),
     )
 
+    def _reduce(q, v, s):
+        # keep the k best (sim desc, id asc) per qid, fully vectorized
+        idx = np.lexsort((v, -s, q))
+        q, v, s = q[idx], v[idx], s[idx]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return q[keep], v[keep], s[keep]
+
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict = {}
+        acc: list = []
         for pdf in batches:
-            for qid, g in pdf.groupby("qid", sort=False):
-                v = g["vec_id"].to_numpy()
-                s = g["sim"].to_numpy()
-                if qid in best:
-                    pv, ps = best[qid]
-                    v = np.concatenate([pv, v])
-                    s = np.concatenate([ps, s])
-                if len(s) > k:
-                    idx = np.lexsort((v, -s))[:k]  # sim desc, id asc
-                    v, s = v[idx], s[idx]
-                best[qid] = (v, s)
-        if best:
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate([np.full(len(v), qid) for qid, (v, _) in best.items()]),
-                    "vec_id": np.concatenate([v for (v, _) in best.values()]),
-                    "sim": np.concatenate([s for (_, s) in best.values()]),
-                }
+            acc.append(
+                _reduce(
+                    pdf["qid"].to_numpy(),
+                    pdf["vec_id"].to_numpy(),
+                    pdf["sim"].to_numpy(),
+                )
             )
+        if acc:
+            q, v, s = (np.concatenate([a[i] for a in acc]) for i in range(3))
+            q, v, s = _reduce(q, v, s)
+            yield pd.DataFrame({"qid": q, "vec_id": v, "sim": s})
 
     survivors = sims.mapInPandas(partial_topk, sims.schema)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
