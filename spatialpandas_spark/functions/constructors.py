@@ -62,6 +62,42 @@ def st_multipoint(points: Column) -> Column:
     )
 
 
+def _ring_from_pairs(pairs: Column, close: bool) -> Column:
+    """[x, y] vertex pairs -> flat interleaved ring, optionally closed."""
+    flat = F.flatten(pairs)
+    if not close:
+        return flat
+    n = F.size(flat)
+    is_closed = (F.element_at(flat, -2) == flat[0]) & (
+        F.element_at(flat, -1) == flat[1]
+    )
+    return F.when(
+        (n >= 4) & ~is_closed, F.concat(flat, F.slice(flat, 1, 2))
+    ).otherwise(flat)
+
+
+def st_polygon_from_exterior(coords: Column, close: bool = True) -> Column:
+    """Polygon (single exterior ring, no holes) from an
+    ``array<array<double>>`` of [x, y] vertex pairs — the reference's
+    ``PolygonArray.from_exterior_coords`` (ref ``geometry/polygon.py:
+    152-175``: each row's exterior ravels into one ring).
+
+    ``close=True`` (default) appends the first vertex when the ring isn't
+    closed — this engine's measure kernels iterate consecutive pairs
+    without wraparound, same as the reference's, which assumes closed
+    input. Pass ``close=False`` for exact reference parity on
+    already-closed data."""
+    return F.array(_ring_from_pairs(coords, close))
+
+
+def st_multipolygon_from_exterior(coords: Column, close: bool = True) -> Column:
+    """MultiPolygon from an ``array<array<array<double>>>`` of per-polygon
+    exterior vertex-pair lists (ref ``geometry/multipolygon.py:164-197``)."""
+    return F.transform(
+        coords, lambda poly: F.array(_ring_from_pairs(poly, close))
+    )
+
+
 #: legal single-step promotions (ref construction-time promotion,
 #: ``geometry/base.py:799-871``: Line+MultiLine -> MultiLine,
 #: Polygon+MultiPolygon -> MultiPolygon)
