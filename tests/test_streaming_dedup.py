@@ -1,0 +1,108 @@
+"""Streaming dedup: watermarked exact dedup and MinHash-LSH near-dup
+suspects, checked against their batch twins."""
+
+import time as _time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("content", StringType()),
+    ]
+)
+
+BASE = 1_700_000_000
+
+
+def _ts(s):
+    return datetime.fromtimestamp(BASE + s, tz=timezone.utc)
+
+
+def _write_chunks(spark, path, chunks):
+    for chunk in chunks:
+        spark.createDataFrame(chunk, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)
+
+
+def test_dedup_stream_exact_drops_in_watermark_dupes(spark, tmp_path):
+    from spatialpandas_spark.streaming.dedup import dedup_stream_exact
+
+    txt_a = "the quick brown fox jumps over the lazy dog"
+    txt_b = "an entirely different document about spark engines"
+    chunks = [
+        [(1, _ts(0), txt_a), (2, _ts(5), txt_b)],
+        [(3, _ts(40), txt_a)],          # exact dupe of 1, within watermark
+        [(4, _ts(80), txt_b), (5, _ts(90), "a third unique text")],
+    ]
+    src = str(tmp_path / "docs")
+    _write_chunks(spark, src, chunks)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream_exact(stream, ["content"], watermark="300 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["content"])
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    # first-seen doc per distinct content survives
+    assert {d for d, _ in got} == {1, 2, 5}
+
+
+def test_near_dup_suspects_stream_flags_banded_collisions(spark, tmp_path):
+    from spatialpandas_spark.streaming.dedup import near_dup_suspects_stream
+
+    base_text = (
+        "large scale data pipelines need deduplication because crawled "
+        "corpora repeat the same boilerplate documents many many times"
+    )
+    near_dup = base_text.replace("many many", "so many")  # high overlap
+    distinct = "completely unrelated short text about pelicans and tides"
+    chunks = [
+        [(1, _ts(0), base_text), (2, _ts(10), distinct)],
+        [(3, _ts(50), near_dup)],
+    ]
+    src = str(tmp_path / "docs2")
+    _write_chunks(spark, src, chunks)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = near_dup_suspects_stream(
+        stream, watermark="600 seconds", n_hashes=16, bands=4
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM neardup_out").collect()
+    suspects = {(r["doc_id"], r["winner_id"]) for r in rows}
+    # doc 3 collides with doc 1 in at least one band; doc 2 never flagged
+    assert (3, 1) in suspects
+    assert all(d != 2 for d, _ in suspects)
