@@ -123,3 +123,108 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def _require_fake(decoder: str) -> None:
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires codec libraries not present in "
+            "this runtime image; only the deterministic 'fake' decoder is "
+            "available (real Arrow/batch plumbing, stubbed kernel)"
+        )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize image payloads via Arrow-batched ``mapInPandas``; output is
+    (id, payload binary, width, height). The fake kernel emits a
+    deterministic payload derived from (input digest, target dims) — same
+    bytes for same input, different for different targets — so downstream
+    schema/partitioning/dedup logic is fully exercisable without codecs.
+    """
+    _require_fake(decoder)
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(payload_col, BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    out.append(None)
+                    continue
+                digest = hashlib.sha256(
+                    bytes(p) + f"|{width}x{height}".encode()
+                ).digest()
+                out.append(digest)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    payload_col: out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame (up to ``max_frames``) from video
+    payloads — one OUTPUT ROW PER FRAME (the explode-shaped mapInPandas
+    batch: output length differs from input length), which is the shape a
+    real ffmpeg kernel plugs into. Frame count comes from the metadata
+    column (decoders that know better can override); the fake kernel
+    derives deterministic per-frame bytes from (payload digest, index)."""
+    _require_fake(decoder)
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p, nf in zip(
+                pdf[id_col], pdf[payload_col], pdf[n_frames_col]
+            ):
+                if p is None or nf is None:
+                    continue
+                digest = hashlib.sha256(bytes(p)).digest()
+                picked = range(0, int(nf), every_n)
+                for j, fi in zip(range(max_frames), picked):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(
+                        hashlib.sha256(digest + fi.to_bytes(4, "little")).digest()
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col, n_frames_col).mapInPandas(
+        run, out_schema
+    )

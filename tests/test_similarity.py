@@ -142,3 +142,48 @@ def test_kmeans_refine_returns_unit_dim_centroids(spark, emb):
     c1 = kmeans_refine(df, c0, iters=1)
     assert len(c1) == 8 and all(len(c) == DIM for c in c1)
     assert c1 != c0  # refinement actually moved the centroids
+
+
+def test_resize_images_deterministic_plumbing(spark):
+    from spatialpandas_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-a"), (2, b"imagebytes-b"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = resize_images(df, 64, 64).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert rows[1]["width"] == rows[1]["height"] == 64
+    assert rows[3]["payload"] is None
+    # deterministic and target-dependent
+    again = {r["media_id"]: r for r in resize_images(df, 64, 64).collect()}
+    assert bytes(rows[1]["payload"]) == bytes(again[1]["payload"])
+    other = {r["media_id"]: r for r in resize_images(df, 32, 32).collect()}
+    assert bytes(rows[1]["payload"]) != bytes(other[1]["payload"])
+    with pytest.raises(NotImplementedError):
+        resize_images(df, 8, 8, decoder="pillow")
+
+
+def test_sample_frames_explode_shape(spark):
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"video-a", 35), (2, b"video-b", 5), (3, None, 99)],
+        "media_id long, payload binary, n_frames int",
+    )
+    out = sample_frames(df, every_n=10, max_frames=8).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 10, 20, 30]
+    assert by_id[2] == [0]
+    assert 3 not in by_id  # null payload skipped
+    # frames deterministic per (payload, idx)
+    f1 = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    f2 = {
+        (r["media_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in sample_frames(df, every_n=10, max_frames=8).collect()
+    }
+    assert f1 == f2
