@@ -298,6 +298,30 @@ def q_ref_interop(spark, sf_dir):
     )
 
 
+def q_cx_read_covered(spark, sf_dir):
+    """P3/P4 manifest read with covered-file passthrough
+    (ref ``dask.py:616-638``): hilbert-pack points to parquet, then
+    ``read_spatial_parquet_cx`` — disjoint files unopened, fully-covered
+    files unfiltered, straddling files cx-refined. Result is exactly the
+    viewport rows, so the oracle is the plain bbox predicate."""
+    import tempfile
+
+    from spatialpandas_spark import with_bounds
+    from spatialpandas_spark.sources import (
+        read_spatial_parquet_cx,
+        write_spatial_parquet,
+    )
+
+    pts = with_bounds(_points(spark, sf_dir), "geom", "point")
+    path = os.path.join(tempfile.mkdtemp(prefix="cx_read_"), "pts")
+    write_spatial_parquet(pts, path, npartitions=8, p=10)
+    rect = (10.0, 8.0, 70.0, 80.0)
+    out = read_spatial_parquet_cx(spark, path, "geom", "point", rect)
+    return out.select(
+        "id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y")
+    )
+
+
 def q_cx_lines(spark, sf_dir):
     """P5 exact segment-vs-rect: cx over 2-point lines from orders. Oracle:
     bbox overlap AND the segment's line straddles the rect corners."""
@@ -736,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_poly_poly": q_sjoin_poly_poly,
         "hilbert_pack": q_hilbert_pack,
         "ref_interop": q_ref_interop,
+        "cx_read_covered": q_cx_read_covered,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "top_orders_per_priority": q_top_orders_per_priority,
@@ -981,6 +1006,10 @@ def oracle_sql() -> dict[str, str]:
         "ref_interop": f"""
             SELECT id, x, y FROM ({points})
             WHERE x >= 10.0 AND x <= 40.0 AND y >= 8.0 AND y <= 72.0
+        """,
+        "cx_read_covered": f"""
+            SELECT id, x, y FROM ({points})
+            WHERE x >= 10.0 AND x <= 70.0 AND y >= 8.0 AND y <= 80.0
         """,
         "area_by_group": f"""
             SELECT brand, SUM(a) AS sum_area, COUNT(*) AS n
