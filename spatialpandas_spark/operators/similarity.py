@@ -211,8 +211,8 @@ def kmeans_refine(
     dim = len(centroids[0])
     c = corpus.select(F.col(corpus_vec).cast("array<double>").alias("__cv"))
     for _ in range(iters):
-        dots = F.array(*[_cosine_to_lit(F.col("__cv"), cent) for cent in centroids])
-        assigned = c.withColumn(
+        dots = _centroid_sims(F.col("__cv"))
+        assigned = _with_centroids(c, centroids).withColumn(
             "__bucket", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
         )
         sums = (
@@ -232,15 +232,22 @@ def kmeans_refine(
     return centroids
 
 
-def _cosine_to_lit(vec: Column, cent: list[float]) -> Column:
-    import math
+def _with_centroids(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Attach the centroid table as ONE broadcast array column (a 1-row
+    crossJoin), so per-row centroid math runs via ``F.transform`` over the
+    array instead of per-centroid literal expressions — the expression
+    tree stays O(1) in n_centroids, lifting the assignment path to
+    thousands of centroids."""
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cents,)], "__cents array<array<double>>"
+    )
+    return df.crossJoin(F.broadcast(cents_df))
 
-    lit = F.array(*[F.lit(float(x)) for x in cent])
-    nc = math.sqrt(sum(x * x for x in cent))
-    nv = norm(vec)
-    return F.when(
-        (nv > 0) & (F.lit(nc) > 0), dot(vec, lit) / (nv * nc)
-    ).otherwise(F.lit(0.0))
+
+def _centroid_sims(vec: Column) -> Column:
+    """array of cosine(vec, centroid) per centroid in ``__cents``."""
+    return F.transform(F.col("__cents"), lambda cent: cosine(vec, cent))
 
 
 def ivf_topk(
@@ -268,32 +275,38 @@ def ivf_topk(
             corpus, cents, kmeans_iters, corpus_id, corpus_vec
         )
 
-    c = corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    c = _with_centroids(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        ),
+        cents,
     )
-    dots_c = F.array(*[_cosine_to_lit(F.col("__cv"), cent) for cent in cents])
+    dots_c = _centroid_sims(F.col("__cv"))
     c = c.withColumn(
         "__bucket",
         (F.array_position(dots_c, F.array_max(dots_c)) - 1).cast("int"),
-    )
+    ).drop("__cents")
 
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).cast("array<double>").alias("__qv"),
+    q = _with_centroids(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).cast("array<double>").alias("__qv"),
+        ),
+        cents,
     )
-    dots_q = F.array(*[_cosine_to_lit(F.col("__qv"), cent) for cent in cents])
+    dots_q = _centroid_sims(F.col("__qv"))
     # top n_probe centroid indices: sort (sim, idx) structs descending
     ranked = F.sort_array(
         F.zip_with(
             dots_q,
-            F.array(*[F.lit(i) for i in range(len(cents))]),
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
         ),
         asc=False,
     )
     probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
-    q = q.withColumn("__bucket", F.explode(probes))
+    q = q.withColumn("__bucket", F.explode(probes)).drop("__cents")
 
     cand = (
         F.broadcast(q)
