@@ -50,6 +50,7 @@ from spatialpandas_spark.functions.geopandas_bridge import (
 from spatialpandas_spark.operators.cx import cx_filter, with_bounds
 from spatialpandas_spark.operators.sjoin import sjoin
 from spatialpandas_spark.operators.pack import pack_partitions
+from spatialpandas_spark.frame import SpatialFrame
 
 __all__ = [
     "st_point",
@@ -71,6 +72,7 @@ __all__ = [
     "with_bounds",
     "sjoin",
     "pack_partitions",
+    "SpatialFrame",
 ]
 
 __version__ = "0.1.0"
