@@ -611,6 +611,20 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword token counting (GPT-2-style pretokenizer regex,
+    lookahead-free so the RE2-based oracle tokenizes identically) — the
+    token-budget estimate an LLM-data pipeline filters on."""
+    from spatialpandas_spark.operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword language-ID over documents."""
     from spatialpandas_spark.operators.text import lang_id
@@ -767,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
+        "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_pipeline": q_corpus_pipeline,
@@ -980,6 +995,12 @@ _FR = "'le','la','les','et','est','pas','un','une','pour','dans'"
 _ES = "'el','la','los','las','es','no','un','una','por','para'"
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# BPE pretokenizer pattern with SQL-escaped quotes (same regex the engine
+# uses; lookahead-free so RE2 and Java agree)
+from spatialpandas_spark.operators.text import BPE_TOKEN_PATTERN as _BPE_PAT
+
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 
 def _hits(words: str) -> str:
@@ -1195,6 +1216,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text
+        """,
+        "bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKS}) END AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{_BPE_PAT_SQL}')) AS BIGINT) AS bpe_tokens
+            FROM documents
         """,
         "doc_stats": f"""
             SELECT doc_id,

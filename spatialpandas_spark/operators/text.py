@@ -23,6 +23,23 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+#: GPT-2-style pretokenizer pattern (public BPE convention: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace), restricted to lookahead-free ASCII classes so Java regex
+#: (Spark) and RE2 (DuckDB oracle) tokenize identically.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|'|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count under the BPE pretokenizer regex — the
+    budget estimator an LLM-data pipeline filters on (whitespace counts
+    undercount punctuation-heavy text). Null-safe: null text -> 0."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)),
+        F.lit(0),
+    )
+
+
 def avg_word_length(text: Column) -> Column:
     n = token_count(text)
     total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))

@@ -162,3 +162,30 @@ def test_content_hash_null_vs_empty_and_separator_injection(spark):
     assert hashes[1] != hashes[2]
     assert hashes[3] != hashes[4]
     assert hashes[4] == hashes[5]
+
+
+def test_bpe_token_count_edges(spark):
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world, it's 2026!"),
+            (2, ""),
+            (3, None),
+            (4, "a1b2!?c"),
+        ],
+        "id long, txt string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe_token_count(F.col("txt")).alias("n")
+        ).collect()
+    }
+    # Hello | ' world' | ',' | ' it' | 's | ' 2026' | '!' -> 7
+    assert got[1] == 7
+    assert got[2] == 0
+    assert got[3] == 0
+    assert got[4] == 6  # a|1|b|2|!?|c
