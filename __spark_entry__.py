@@ -687,6 +687,24 @@ def q_simhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane banding. The
+    hyperplanes are seeded numpy constants embedded as literal arrays in
+    the oracle SQL, so DuckDB recomputes the exact signatures, band
+    collisions, and cosine filter."""
+    from spatialpandas_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, threshold=0.3, dim=64, bits=16, bands=4, seed=42
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 5 query vectors over embeddings."""
     from spatialpandas_spark.operators.similarity import brute_force_topk
@@ -787,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "label_centroid_sim": q_label_centroid_sim,
@@ -993,6 +1012,53 @@ _EN = "'the','and','of','to','in','is','that','it','was','for'"
 _DE = "'der','die','das','und','ist','nicht','ein','mit','für','von'"
 _FR = "'le','la','les','et','est','pas','un','une','pour','dans'"
 _ES = "'el','la','los','las','es','no','un','una','por','para'"
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.3, bits: int = 16, bands: int = 4
+) -> str:
+    """DuckDB twin of ``embedding_near_dup_pairs``: the seeded hyperplanes
+    are embedded as literal DOUBLE[] values (full repr precision), the
+    sign signature is the same bit-packing, and band keys use the same
+    shift/mask arithmetic."""
+    from spatialpandas_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, bits, seed=42)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    plits = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[])"
+        for b, plane in enumerate(planes)
+    )
+    bandvals = ", ".join(f"({b})" for b in range(bands))
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 "
+        "AND sqrt(list_dot_product(b.v, b.v)) > 0 "
+        "THEN list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+            SELECT e.vec_id, e.v,
+                   CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                            THEN (1::BIGINT << p.b) ELSE 0 END) AS BIGINT) AS sig
+            FROM e CROSS JOIN (VALUES {plits}) p(b, plane)
+            GROUP BY e.vec_id, e.v
+        ),
+        banded AS (
+            SELECT vec_id, v, band,
+                   (sig >> (band * {band_bits})) & {mask} AS key
+            FROM sig CROSS JOIN (VALUES {bandvals}) bb(band)
+        )
+        SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        ) WHERE sim >= {threshold}
+    """
+
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
@@ -1289,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "ann_topk": """
             SELECT qid, vec_id, ROUND(sim, 6) AS sim, rk AS rank FROM (
                 SELECT q.vec_id AS qid, c.vec_id AS vec_id,
