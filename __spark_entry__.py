@@ -676,6 +676,20 @@ def q_minhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_jaccard_verify(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH-pruned candidates (the batch verify
+    stage after MinHash blocking). Oracle recomputes candidates from the
+    same signature math and the exact |A∩B|/|A∪B| by set joins."""
+    from spatialpandas_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within hamming distance 5. The md5-prefix
     base hash makes fingerprints engine-independent, so the DuckDB oracle
@@ -804,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_verify": q_jaccard_verify,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -923,6 +938,58 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE ({band_hit})
   AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
+def _jaccard_oracle_sql(
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """LSH candidates (same signature math as ``_minhash_oracle_sql`` with
+    a trivially-true estimate filter) + exact Jaccard by shingle-set
+    joins: |A∩B| from an equi-join on shingles, |A∪B| = nA + nB - |A∩B|."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mask = (1 << 62) - 1
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((CAST({int(A[j])} AS HUGEINT) * h + {int(B[j])}) & {mask}) AS m{j}"
+        for j in range(num_hashes)
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hv GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE ({band_hit})),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (ca.n + cb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+    FROM cand c
+    JOIN counts ca ON ca.doc_id = c.id_a
+    JOIN counts cb ON cb.doc_id = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+) WHERE jaccard >= {threshold}
 """
 
 
@@ -1353,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE q >= 0.4 GROUP BY lang_pred
         """,
         "minhash_pairs": _minhash_oracle_sql(),
+        "jaccard_verify": _jaccard_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
