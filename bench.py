@@ -219,6 +219,36 @@ def b10_tpch_q1(spark):
     return entrymod.q_tpch_q1(spark, SF_DIR).count()
 
 
+def b12_text_pipeline(spark):
+    """Scan-speed text analysis over documents: token stats (whitespace +
+    BPE regex), language-ID, quality score, fingerprint — one pass, all
+    JVM expressions."""
+    from spatialpandas_spark.operators.text import (
+        avg_word_length,
+        bpe_token_count,
+        char_count,
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    out = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+        avg_word_length(F.col("text")).alias("awl"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    return out.agg(
+        F.sum("bpe_tokens"), F.count_distinct("lang"), F.sum(F.crc32(F.col("fp").cast("string")))
+    ).first()[0]
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -231,6 +261,7 @@ BENCHES = {
     "b9_ann_topk": b9_ann_topk,
     "b10_tpch_q1": b10_tpch_q1,
     "b11_grid_sjoin": b11_grid_sjoin,
+    "b12_text_pipeline": b12_text_pipeline,
 }
 
 

@@ -329,7 +329,12 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold) via the same random-hyperplane banding self-join."""
+    threshold) via the same random-hyperplane banding self-join.
+
+    Scale note: expected candidate pairs per band is ~n^2 / 2^(bits/bands),
+    so band width must grow with log2(n) — bits=16/bands=4 (4-bit keys)
+    suits ~10^4 rows; at 10^8+ use bits>=48 with 8-16 bit bands, which
+    keeps the banded join linear-ish while AQE splits residual skew."""
     planes = _hyperplanes(dim, bits, seed)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
