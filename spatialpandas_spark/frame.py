@@ -151,6 +151,39 @@ class SpatialFrame:
             )
         )
 
+    def intersects_bounds(
+        self,
+        rect: tuple[float, float, float, float],
+        col: str = "intersects",
+    ) -> DataFrame:
+        """Boolean per row: geometry intersects the rect (ref
+        ``geoseries.py:105-108``)."""
+        from spatialpandas_spark.functions.predicates import (
+            st_intersects_bounds,
+        )
+
+        return self.df.withColumn(
+            col, st_intersects_bounds(self._g(), self.geom_type, rect)
+        )
+
+    def intersects(self, shape, shape_type: str, col: str = "intersects") -> DataFrame:
+        """Boolean per row: geometry intersects ``shape`` (a python
+        nested-list / (x, y) literal in this engine's encoding) — ref
+        ``geoseries.py:110-113``, extended to all type pairs."""
+        from spatialpandas_spark.functions.predicates import st_intersects
+
+        if shape_type == "point":
+            x, y = shape
+            other = F.struct(
+                F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")
+            )
+        else:
+            other = F.lit(shape)
+        return self.df.withColumn(
+            col,
+            st_intersects(self._g(), self.geom_type, other, shape_type),
+        )
+
     def pack_partitions(
         self, npartitions: int | None = None, p: int = 15
     ) -> SpatialFrame:

@@ -96,3 +96,22 @@ def test_pack_partitions_roundtrip(spark, pts, tmp_path):
     assert packed.df.rdd.getNumPartitions() == 4
     manifest = pts.to_parquet(str(tmp_path / "sf_pts"), npartitions=4)
     assert len(manifest) == 4
+
+
+def test_intersects_methods(spark, pts):
+    flags = pts.intersects_bounds((0.0, 0.0, 50.0, 50.0))
+    n_in = flags.filter(F.col("intersects")).count()
+    exp = pts.df.filter(
+        (F.col("geom.x") <= 50) & (F.col("geom.y") <= 50)
+    ).count()
+    assert n_in == exp
+
+    # diamond |x-50|+|y-50| <= 20 as a closed polygon literal
+    dia = [[70.0, 50.0, 50.0, 70.0, 30.0, 50.0, 50.0, 30.0, 70.0, 50.0]]
+    hit = pts.intersects(dia, "polygon").filter(F.col("intersects")).count()
+    exp2 = sum(
+        1
+        for r in pts.df.select("geom.x", "geom.y").collect()
+        if abs(r["x"] - 50) + abs(r["y"] - 50) <= 20
+    )
+    assert hit == exp2 and hit > 0
