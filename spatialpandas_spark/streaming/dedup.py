@@ -89,9 +89,12 @@ def near_dup_suspects_stream(
     corpus-sized.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(
-        word_shingles(F.col(text_col), shingle_n), num_hashes=n_hashes
-    )
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    sig = minhash_signature(shingles, num_hashes=n_hashes)
+    # docs too short to shingle have the degenerate all-MAX signature and
+    # would all collide in one bucket — exclude them, as the batch
+    # ``minhash_lsh_pairs`` does
+    docs = docs.filter(F.size(shingles) > 0)
     banded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("__ts"),

@@ -106,3 +106,31 @@ def test_near_dup_suspects_stream_flags_banded_collisions(spark, tmp_path):
     # doc 3 collides with doc 1 in at least one band; doc 2 never flagged
     assert (3, 1) in suspects
     assert all(d != 2 for d, _ in suspects)
+
+
+def test_near_dup_stream_ignores_unshingleable_docs(spark, tmp_path):
+    """Docs too short to form a single shingle must not collide in a
+    degenerate all-MAX bucket."""
+    from spatialpandas_spark.streaming.dedup import near_dup_suspects_stream
+
+    chunks = [
+        [(1, _ts(0), "one two"), (2, _ts(5), "x")],   # both unshingleable (n=3)
+        [(3, _ts(20), "y z"), (999, _ts(100_000), "wm push")],
+    ]
+    src = str(tmp_path / "docs3")
+    _write_chunks(spark, src, chunks)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = near_dup_suspects_stream(stream, watermark="600 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_empty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM neardup_empty").count() == 0
