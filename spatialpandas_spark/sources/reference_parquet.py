@@ -198,6 +198,11 @@ def write_reference_parquet(
     # dask naming: rename spark's part-00000-uuid files (already in
     # partition order lexicographically) to part.{i}.parquet
     spark_parts = sorted(glob(os.path.join(path, "*.parquet")))
+    if not spark_parts:
+        raise ValueError(
+            f"nothing written to {path!r} (empty DataFrame?) — a "
+            "reference-format dataset needs at least one partition file"
+        )
     files = []
     for i, fp in enumerate(spark_parts):
         dst = os.path.join(path, f"part.{i}.parquet")

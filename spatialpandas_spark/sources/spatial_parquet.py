@@ -101,7 +101,11 @@ def read_spatial_parquet(
     """Read a spatial parquet dataset; with ``bounds`` given, prune
     non-intersecting files via the manifest (partition pruning parity with
     ``read_parquet_dask(bounds=...)``). Row-level refinement is the caller's
-    choice, as in the reference (bounds= prunes partitions only)."""
+    choice, as in the reference (bounds= prunes partitions only).
+
+    Files absent from the manifest (no footer stats — i.e. every row's
+    bounds null) are treated as non-intersecting: null geometry never
+    intersects a rect, so a bounds= read may drop all-null files."""
     mpath = os.path.join(path, MANIFEST_NAME)
     if bounds is None or not os.path.exists(mpath):
         return spark.read.parquet(path)
