@@ -168,9 +168,36 @@ def _grid_join(
     cell_size: float,
 ) -> DataFrame:
     if how != "inner":
-        raise NotImplementedError(
-            "grid strategy supports how='inner' (use broadcast for outer)"
+        # outer grid join = inner pairs + anti-join recovery of unmatched
+        # preserved-side rows (stamped with a per-scan row id). Costs one
+        # extra shuffle of the preserved side keyed by that id — the
+        # documented price of outer semantics without a broadcastable side.
+        preserved, other = (left, right) if how == "left" else (right, left)
+        pid = preserved.withColumn("__rowid", F.monotonically_increasing_id())
+        inner = _grid_join(
+            pid if how == "left" else left,
+            pid if how == "right" else right,
+            lb,
+            rb,
+            cond,
+            "inner",
+            cell_size,
         )
+        matched = inner.select("__rowid").distinct()
+        missing = pid.join(matched, "__rowid", "left_anti")
+        null_other = [
+            F.lit(None).cast(other.schema[c].dataType).alias(c)
+            for c in other.columns
+        ]
+        if how == "left":
+            missing_rows = missing.select(
+                *[missing[c] for c in preserved.columns], *null_other
+            )
+        else:
+            missing_rows = missing.select(
+                *null_other, *[missing[c] for c in preserved.columns]
+            )
+        return inner.drop("__rowid").unionByName(missing_rows)
     cs = float(cell_size)
     lx = left.withColumn("__cell", F.explode(_cells(F.col(lb), cs)))
     rx = right.withColumn("__cell", F.explode(_cells(F.col(rb), cs)))

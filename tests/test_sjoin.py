@@ -106,3 +106,47 @@ def test_point_point_equality_join(spark):
               left_type="point", right_type="point")
     rows = j.collect()
     assert [(r["aid"], r["bid"]) for r in rows] == [(1, 9)]
+
+
+def test_grid_outer_joins_match_broadcast(spark):
+    """Grid-strategy left/right joins (inner + anti-join recovery) produce
+    exactly the broadcast strategy's result."""
+    import numpy as np
+
+    from spatialpandas_spark import sjoin, st_make_diamond, st_point
+
+    rng = np.random.default_rng(7)
+    pts_rows = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(rng.uniform(0, 100, (800, 2)))
+    ]
+    pts = spark.createDataFrame(pts_rows, "pid long, x double, y double").select(
+        "pid", st_point(F.col("x"), F.col("y")).alias("geom")
+    )
+    dias = spark.range(6).select(
+        F.col("id").alias("did"),
+        st_make_diamond(
+            (F.col("id") * 18 + 8).cast("double"),
+            (F.col("id") * 13 + 11).cast("double"),
+            F.lit(7.5),
+        ).alias("poly"),
+    )
+
+    def norm(df):
+        return {
+            (r["pid"], r["did"])
+            for r in df.select("pid", "did").collect()
+        }
+
+    for how in ("left", "right"):
+        b = sjoin(
+            pts, dias, left_geom="geom", right_geom="poly",
+            left_type="point", right_type="polygon", how=how,
+        )
+        g = sjoin(
+            pts, dias, left_geom="geom", right_geom="poly",
+            left_type="point", right_type="polygon", how=how,
+            strategy="grid", cell_size=20.0,
+        )
+        assert norm(g) == norm(b), how
+        assert g.count() == b.count(), how
