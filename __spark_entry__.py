@@ -192,6 +192,46 @@ def q_sjoin_inner(spark, sf_dir):
     return j.select("id", "did")
 
 
+def q_sjoin_grid(spark, sf_dir):
+    """J1/J2 sjoin via the grid-cell equi-join strategy (the large×large
+    scale path: explode bboxes onto cells, shuffle hash join on the cell
+    key, report-once dedup). Same oracle as the broadcast inner join —
+    strategies must agree exactly."""
+    from spatialpandas_spark import sjoin
+
+    j = sjoin(
+        _points(spark, sf_dir),
+        _diamonds(spark, sf_dir),
+        left_geom="geom",
+        right_geom="poly",
+        left_type="point",
+        right_type="polygon",
+        how="inner",
+        strategy="grid",
+        cell_size=16.0,
+    )
+    return j.select("id", "did")
+
+
+def q_sjoin_grid_left(spark, sf_dir):
+    """Grid-strategy how='left' (inner + anti-join recovery): unmatched
+    points keep NULL did."""
+    from spatialpandas_spark import sjoin
+
+    j = sjoin(
+        _points(spark, sf_dir),
+        _diamonds(spark, sf_dir),
+        left_geom="geom",
+        right_geom="poly",
+        left_type="point",
+        right_type="polygon",
+        how="left",
+        strategy="grid",
+        cell_size=16.0,
+    )
+    return j.select("id", "did")
+
+
 def q_sjoin_left(spark, sf_dir):
     """J1 sjoin how='left': unmatched points keep NULL did."""
     from spatialpandas_spark import sjoin
@@ -801,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_groupby": q_geom_groupby,
         "wkb_roundtrip": q_wkb_roundtrip,
         "sjoin_inner": q_sjoin_inner,
+        "sjoin_grid": q_sjoin_grid,
+        "sjoin_grid_left": q_sjoin_grid_left,
         "sjoin_left": q_sjoin_left,
         "sjoin_counts": q_sjoin_counts,
         "sjoin_poly_poly": q_sjoin_poly_poly,
@@ -1286,6 +1328,16 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_inner": f"""
             SELECT p.id, d.did
             FROM ({points}) p JOIN ({diamonds}) d
+            ON abs(p.x - d.cx) + abs(p.y - d.cy) <= d.r
+        """,
+        "sjoin_grid": f"""
+            SELECT p.id, d.did
+            FROM ({points}) p JOIN ({diamonds}) d
+            ON abs(p.x - d.cx) + abs(p.y - d.cy) <= d.r
+        """,
+        "sjoin_grid_left": f"""
+            SELECT p.id, d.did
+            FROM ({points}) p LEFT JOIN ({diamonds}) d
             ON abs(p.x - d.cx) + abs(p.y - d.cy) <= d.r
         """,
         "sjoin_left": f"""
