@@ -168,3 +168,41 @@ def near_dup_suspects_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_near_dup_filter(
+    docs: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    query_name: str = "near_dup_filter",
+    **suspect_kwargs,
+):
+    """Doc-level composition over ``near_dup_suspects_stream``: each
+    micro-batch's suspect rows are reduced to one row per document
+    (min winner over its colliding bands) inside ``foreachBatch`` —
+    the per-batch batch-mode aggregation that a second stateful stage
+    can't express in the same streaming query — and appended to a
+    parquet suspect list. Downstream ingest anti-joins this list.
+
+    Returns the started StreamingQuery."""
+
+    suspects = near_dup_suspects_stream(docs, **suspect_kwargs)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.min("winner_id").alias("winner_id"),
+                F.count("*").alias("n_band_hits"),
+            )
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        suspects.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

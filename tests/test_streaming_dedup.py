@@ -134,3 +134,37 @@ def test_near_dup_stream_ignores_unshingleable_docs(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM neardup_empty").count() == 0
+
+
+def test_run_near_dup_filter_writes_doc_level_suspects(spark, tmp_path):
+    from spatialpandas_spark.streaming.dedup import run_near_dup_filter
+
+    base_text = (
+        "large scale data pipelines need deduplication because crawled "
+        "corpora repeat the same boilerplate documents many many times"
+    )
+    chunks = [
+        [(1, _ts(0), base_text), (2, _ts(10), "unrelated pelican tides")],
+        [(3, _ts(50), base_text), (4, _ts(60), base_text)],
+    ]
+    src = str(tmp_path / "docs4")
+    _write_chunks(spark, src, chunks)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_near_dup_filter(
+        stream,
+        sink_path=str(tmp_path / "suspects"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        watermark="600 seconds",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "suspects"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 3 and 4 are exact copies of 1 -> flagged with winner 1; one row per
+    # doc per batch, several band hits folded into n_band_hits
+    assert set(rows) == {3, 4}
+    assert rows[3]["winner_id"] == 1 and rows[3]["n_band_hits"] >= 1
+    assert rows[4]["winner_id"] in (1, 3)
