@@ -214,3 +214,54 @@ def test_sjoin_points_in_diamonds_matches_bruteforce(spark, data):
     }
     assert must_have <= got
     assert not (got & must_not)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_pad_matches_pandas_ffill(spark, data):
+    """The two-phase bucketed pad equals pandas ffill/bfill for any null
+    pattern, order-key distribution (duplicates allowed), and bucket
+    count."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.functions.transforms import st_fill_missing_pad
+
+    n = data.draw(st.integers(min_value=3, max_value=60))
+    nbuckets = data.draw(st.integers(min_value=1, max_value=8))
+    backfill = data.draw(st.booleans())
+    rows = []
+    for i in range(n):
+        key = data.draw(st.integers(min_value=0, max_value=9))
+        missing = data.draw(st.booleans())
+        rows.append((i, float(key), None if missing else float(i)))
+    df = spark.createDataFrame(rows, "id long, k double, v double").select(
+        "id",
+        "k",
+        F.when(
+            F.col("v").isNotNull(), st_point(F.col("v"), F.lit(0.0))
+        ).alias("geom"),
+    )
+    # order key must be unique for a deterministic fill when values repeat:
+    # use (k, id) folded into one double
+    df = df.withColumn("ord", F.col("k") * 1000 + F.col("id"))
+    out = st_fill_missing_pad(df, "geom", "ord", backfill=backfill, nbuckets=nbuckets)
+    got = {
+        r["id"]: (None if r["geom"] is None else r["geom"]["x"])
+        for r in out.collect()
+    }
+    pdf = pd.DataFrame(
+        [(i, k * 1000 + i, v) for i, k, v in rows],
+        columns=["id", "ord", "v"],
+    ).sort_values("ord")
+    filled = pdf["v"].bfill() if backfill else pdf["v"].ffill()
+    exp = {
+        i: (None if pd.isna(x) else float(x))
+        for i, x in zip(pdf["id"], filled)
+    }
+    assert got == exp
