@@ -102,3 +102,78 @@ def test_point_type_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         with_measures(df, "geom", "point", area="a")
+
+
+def test_cx_filter_arrow_matches_hof_all_types(spark):
+    """The vectorized cx kernel must be row-identical to the HOF
+    expression for every nested type, including nulls, holes, and the
+    rect-fully-inside-polygon case."""
+    import numpy as np
+
+    from spatialpandas_spark import cx_filter, with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+    from tests import geomgen
+
+    rng = np.random.default_rng(5)
+    cases = {
+        "line": geomgen.gen_lines(rng, 300),
+        "multiline": geomgen.gen_multilines(rng, 200),
+        "polygon": geomgen.gen_polygons(rng, 200),
+        "multipoint": [(i, [float(v) for v in rng.uniform(-50, 50, 8)]) for i in range(150)],
+    }
+    schemas = {
+        "line": "id long, geom array<double>",
+        "multiline": "id long, geom array<array<double>>",
+        "polygon": "id long, geom array<array<double>>",
+        "multipoint": "id long, geom array<double>",
+    }
+    rect = (-20.0, -15.0, 18.0, 22.0)
+    for gt, rows in cases.items():
+        rows = list(rows) + [(10_000, None)]
+        df = with_bounds(
+            spark.createDataFrame(rows, schemas[gt]), "geom", gt
+        )
+        a = {r["id"] for r in cx_filter(df, "geom", gt, rect).collect()}
+        b = {r["id"] for r in cx_filter_arrow(df, "geom", gt, rect).collect()}
+        assert a == b and a, gt
+
+
+def test_cx_filter_arrow_multipolygon_and_inside(spark):
+    import numpy as np
+
+    from spatialpandas_spark import cx_filter, with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+    from tests import geomgen
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [geomgen.gen_convex_polygon(rng), geomgen.gen_convex_polygon(rng)])
+        for i in range(120)
+    ]
+    df = with_bounds(
+        spark.createDataFrame(rows, "id long, geom array<array<array<double>>>"),
+        "geom",
+        "multipolygon",
+    )
+    for rect in ((-30.0, -30.0, 25.0, 25.0), (-1.0, -1.0, 1.0, 1.0)):
+        a = {r["id"] for r in cx_filter(df, "geom", "multipolygon", rect).collect()}
+        b = {r["id"] for r in cx_filter_arrow(df, "geom", "multipolygon", rect).collect()}
+        assert a == b, rect
+
+
+def test_cx_filter_arrow_degenerate_rect(spark):
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark import with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+
+    df = spark.range(5).select(
+        "id",
+        F.array(
+            F.col("id").cast("double"), F.lit(0.0),
+            F.col("id").cast("double") + 1, F.lit(1.0),
+        ).alias("geom"),
+    )
+    df = with_bounds(df, "geom", "line")
+    # zero-area rect never intersects lines (ref intersection.py:332-334)
+    assert cx_filter_arrow(df, "geom", "line", (0.0, 0.0, 0.0, 5.0)).count() == 0
