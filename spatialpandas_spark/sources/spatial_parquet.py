@@ -145,7 +145,11 @@ def read_spatial_parquet_cx(
     On Hilbert-packed data the covered set is most files of an interior
     viewport, so the exact predicate runs on a thin shell. Falls back to
     a plain filtered read when no manifest exists."""
-    from spatialpandas_spark.operators.cx import cx_filter
+    # nested types refine through the vectorized Arrow kernel;
+    # cx_filter_arrow dispatches points to the plain pushable filter
+    from spatialpandas_spark.functions.arrow_kernels import (
+        cx_filter_arrow as cx_filter,
+    )
 
     qx0, qy0, qx1, qy1 = rect
     if qx1 < qx0:
