@@ -219,6 +219,28 @@ def b10_tpch_q1(spark):
     return entrymod.q_tpch_q1(spark, SF_DIR).count()
 
 
+def b13_cx_lines(spark):
+    """Exact segment-vs-rect cx over ~1.5M 2-point lines through the
+    vectorized Arrow kernel (bbox conjunct JVM-side, refinement one numpy
+    pass per batch)."""
+    from spatialpandas_spark import with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    line = F.array(
+        (F.col("o_orderkey") % 101).cast("double"),
+        (F.col("o_orderkey") % 97).cast("double"),
+        (F.col("o_custkey") % 89).cast("double"),
+        (F.col("o_custkey") % 83).cast("double"),
+    )
+    df = with_bounds(
+        o.select(F.col("o_orderkey").alias("id"), line.alias("geom")),
+        "geom",
+        "line",
+    )
+    return cx_filter_arrow(df, "geom", "line", (20.0, 20.0, 40.0, 35.0)).count()
+
+
 def b12_text_pipeline(spark):
     """Scan-speed text analysis over documents: token stats (whitespace +
     BPE regex), language-ID, quality score, fingerprint — one pass, all
@@ -262,6 +284,7 @@ BENCHES = {
     "b10_tpch_q1": b10_tpch_q1,
     "b11_grid_sjoin": b11_grid_sjoin,
     "b12_text_pipeline": b12_text_pipeline,
+    "b13_cx_lines": b13_cx_lines,
 }
 
 

@@ -43,11 +43,11 @@ class _CxIndexer:
             self._edge(xs.stop, math.inf),
             self._edge(ys.stop, math.inf),
         )
-        from spatialpandas_spark.operators.cx import cx_filter
+        from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
 
         f = self._f
         return f._wrap(
-            cx_filter(f.df, f.geometry, f.geom_type, rect, f.bounds_col)
+            cx_filter_arrow(f.df, f.geometry, f.geom_type, rect, f.bounds_col)
         )
 
 
