@@ -265,3 +265,48 @@ def test_bucketed_pad_matches_pandas_ffill(spark, data):
         for i, x in zip(pdf["id"], filled)
     }
     assert got == exp
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cx_filter_arrow_equals_hof_property(spark, data):
+    """The vectorized cx kernel and the HOF expression must agree on
+    arbitrary line/polygon geometry and arbitrary (possibly inverted)
+    rects — same floats, same comparisons, same rows."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spatialpandas_spark import cx_filter, with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+
+    gt = data.draw(st.sampled_from(["line", "polygon"]))
+    n = data.draw(st.integers(min_value=2, max_value=25))
+    coord = st.floats(-30, 30)
+    rows = []
+    for i in range(n):
+        if data.draw(st.booleans(), label="null"):
+            rows.append((i, None))
+        elif gt == "line":
+            k = data.draw(st.integers(min_value=2, max_value=5))
+            rows.append(
+                (i, [data.draw(coord) for _ in range(2 * k)])
+            )
+        else:
+            # closed triangle-ish ring (validity not required for the
+            # equivalence property — both paths run the same rules)
+            pts = [(data.draw(coord), data.draw(coord)) for _ in range(3)]
+            ring = [c for xy in pts + [pts[0]] for c in xy]
+            rows.append((i, [ring]))
+    schema = (
+        "id long, geom array<double>"
+        if gt == "line"
+        else "id long, geom array<array<double>>"
+    )
+    rect = tuple(data.draw(coord) for _ in range(4))
+    df = with_bounds(spark.createDataFrame(rows, schema), "geom", gt)
+    a = {r["id"] for r in cx_filter(df, "geom", gt, rect).collect()}
+    b = {r["id"] for r in cx_filter_arrow(df, "geom", gt, rect).collect()}
+    assert a == b
