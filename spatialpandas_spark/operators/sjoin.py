@@ -96,11 +96,33 @@ def sjoin(
     cell_size: float | None = None,
     left_bounds: str | None = "bounds",
     right_bounds: str | None = "bounds",
+    refine: str = "expr",
 ) -> DataFrame:
+    """``refine`` picks how the exact predicate evaluates: ``"expr"``
+    (default) folds it into the join condition as a JVM expression;
+    ``"arrow"`` joins on the bbox conjunct only and refines candidate
+    pairs with one vectorized Arrow pass (point×polygon inner joins).
+
+    Measured guidance: ``"expr"`` stays the default because the arrow
+    path materializes every bbox-candidate pair through Arrow — the
+    duplicated polygon payload costs more than the vectorized ray cast
+    saves at typical selectivities (wash at 600k×25 simple diamonds,
+    ~10% slower at 200-vertex polygons on local[32]). Its niche is
+    predicates far more expensive than payload transfer."""
     if op != "intersects":
         raise ValueError(f"Only op='intersects' is supported, got {op!r}")
     if how not in _SUPPORTED_HOW:
         raise ValueError(f"how must be one of {_SUPPORTED_HOW}, got {how!r}")
+    if refine not in ("expr", "arrow"):
+        raise ValueError(f"refine must be 'expr' or 'arrow', got {refine!r}")
+    if refine == "arrow" and not (
+        how == "inner"
+        and left_type == "point"
+        and right_type in ("polygon", "multipolygon")
+    ):
+        raise ValueError(
+            "refine='arrow' supports inner point×(multi)polygon joins"
+        )
 
     lcols, rcols = set(left.columns), set(right.columns)
     left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix, left_bounds)
@@ -109,9 +131,9 @@ def sjoin(
     # geometry columns may share a name across sides; qualify via DataFrame
     lgeom = left[left_geom]
     rgeom = right[right_geom]
-    exact = _exact_predicate(lgeom, left_type, rgeom, right_type)
-
-    cond = bbox_overlap(left[lb], right[rb]) & exact
+    cond = bbox_overlap(left[lb], right[rb])
+    if refine == "expr":
+        cond = cond & _exact_predicate(lgeom, left_type, rgeom, right_type)
 
     if strategy == "broadcast":
         # broadcast the side that is NOT preserved by an outer join
@@ -130,6 +152,7 @@ def sjoin(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    pt_name, poly_name = left_geom, right_geom
     if left_geom == right_geom:
         # keep both geometry columns by suffixing, like payload collisions;
         # positional rename (toDF) because both sides share the name
@@ -137,6 +160,16 @@ def sjoin(
             f"{c}_{lsuffix}" if c == left_geom else c for c in left.columns
         ] + [f"{c}_{rsuffix}" if c == right_geom else c for c in right.columns]
         joined = joined.toDF(*names)
+        pt_name = f"{left_geom}_{lsuffix}"
+        poly_name = f"{right_geom}_{rsuffix}"
+    if refine == "arrow":
+        from spatialpandas_spark.functions.arrow_kernels import (
+            refine_point_in_polygon_pairs,
+        )
+
+        joined = refine_point_in_polygon_pairs(
+            joined, pt_name, poly_name, right_type
+        )
     return joined.drop(lb, rb)
 
 

@@ -150,3 +150,65 @@ def test_grid_outer_joins_match_broadcast(spark):
         )
         assert norm(g) == norm(b), how
         assert g.count() == b.count(), how
+
+
+def test_sjoin_arrow_refine_matches_expr(spark):
+    """refine='arrow' (bbox-only join + vectorized pair ray cast) equals
+    the expression path for point×polygon and point×multipolygon."""
+    import numpy as np
+
+    from spatialpandas_spark import sjoin, st_make_diamond, st_point
+
+    rng = np.random.default_rng(13)
+    pts = spark.createDataFrame(
+        [
+            (i, float(x), float(y))
+            for i, (x, y) in enumerate(rng.uniform(0, 100, (1500, 2)))
+        ],
+        "pid long, x double, y double",
+    ).select("pid", st_point(F.col("x"), F.col("y")).alias("geom"))
+    dias = spark.range(8).select(
+        F.col("id").alias("did"),
+        st_make_diamond(
+            (F.col("id") * 14 + 6).cast("double"),
+            (F.col("id") * 11 + 9).cast("double"),
+            F.lit(8.5),
+        ).alias("poly"),
+    )
+    mp = dias.select(
+        "did", F.array(F.col("poly"), F.col("poly")).alias("poly")
+    )
+
+    def pairs(df):
+        return {(r["pid"], r["did"]) for r in df.select("pid", "did").collect()}
+
+    for right, rt in ((dias, "polygon"), (mp, "multipolygon")):
+        for strat, cs in (("broadcast", None), ("grid", 25.0)):
+            a = pairs(
+                sjoin(
+                    pts, right, left_geom="geom", right_geom="poly",
+                    left_type="point", right_type=rt,
+                    strategy=strat, cell_size=cs,
+                )
+            )
+            b = pairs(
+                sjoin(
+                    pts, right, left_geom="geom", right_geom="poly",
+                    left_type="point", right_type=rt,
+                    strategy=strat, cell_size=cs, refine="arrow",
+                )
+            )
+            assert a == b and a, (rt, strat)
+
+
+def test_sjoin_arrow_refine_rejects_unsupported(spark):
+    from spatialpandas_spark import sjoin, st_point
+
+    df = spark.range(2).select(
+        "id", st_point(F.col("id").cast("double"), F.lit(0.0)).alias("geom")
+    )
+    with pytest.raises(ValueError, match="refine='arrow'"):
+        sjoin(
+            df, df, left_geom="geom", right_geom="geom",
+            left_type="point", right_type="point", refine="arrow",
+        )
