@@ -734,6 +734,23 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (alternating star contraction) -> every doc labeled with its cluster's
+    min doc_id and the cluster size. The oracle recomputes the exact pair
+    set in SQL (same signature math as ``minhash_pairs``) and closes it
+    transitively with a recursive CTE — similarity is not transitive, so
+    this is the stage that turns pairs into dedup decisions."""
+    from spatialpandas_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within hamming distance 5. The md5-prefix
     base hash makes fingerprints engine-independent, so the DuckDB oracle
@@ -865,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -1036,6 +1054,66 @@ SELECT id_a, id_b, jaccard FROM (
     JOIN counts cb ON cb.doc_id = c.id_b
     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 ) WHERE jaccard >= {threshold}
+"""
+
+
+def _cluster_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """Near-dup clusters: the exact MinHash-LSH pair SQL (same constants as
+    ``_minhash_oracle_sql``) closed transitively with a recursive CTE, then
+    min-id cluster labels + sizes over all documents (singletons keep their
+    own id)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mask = (1 << 62) - 1
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((CAST({int(A[j])} AS HUGEINT) * h + {int(B[j])}) & {mask}) AS m{j}"
+        for j in range(num_hashes)
+    )
+    nmatch = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_shingle_cte(shingle_n)},
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hv GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE ({band_hit})
+            AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+clustered AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT cl.doc_id, cl.cluster_id, s.cluster_size
+FROM clustered cl
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clustered GROUP BY cluster_id) s USING (cluster_id)
 """
 
 
@@ -1477,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "dedup_clusters": _cluster_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),

@@ -163,7 +163,8 @@ def minhash_signatures_arrow(
                 )
                 offsets.append(len(base_hashes))
             if not ids:
-                yield pd.DataFrame({"__id": [], "__sig": []})
+                # yield nothing: an empty pandas frame defaults its columns
+                # to float64, which Arrow refuses to cast to list<long>
                 continue
             h = np.array(base_hashes, dtype=np.int64)
             starts = np.array(offsets[:-1], dtype=np.int64)
@@ -385,3 +386,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Assign every document a near-duplicate ``cluster_id`` (the smallest
+    doc id in its cluster) plus the cluster size.
+
+    Pipeline: MinHash-LSH candidate pairs -> connected components over the
+    pair graph (alternating star contraction, ``operators/graph.py``) ->
+    left-join back to the corpus, singletons keeping their own id. This is
+    the stage LSH alone cannot provide: similarity is not transitive, so
+    pair output must be clustered before choosing survivors.
+
+    Scale shape: the pair graph is tiny relative to the corpus; the only
+    corpus-sized operations are the signature scan and one shuffle-join of
+    (doc_id -> component), which AQE typically plans as broadcast."""
+    from spatialpandas_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, num_hashes, bands, threshold
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+        )
+        .drop("node", "component")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id")
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate dedup: keep one document per near-dup cluster (the
+    smallest id — deterministic, matching ``dedup_exact``'s min_by rule).
+    Columns are the input's; dropped rows are the non-canonical cluster
+    members."""
+    clustered = near_dup_clusters(
+        df, id_col, text_col, shingle_n, num_hashes, bands, threshold
+    )
+    return clustered.filter(
+        F.col(id_col).cast("long") == F.col("cluster_id")
+    ).select(*df.columns)

@@ -1,0 +1,119 @@
+"""Distributed connected components (alternating star contraction).
+
+The near-dup pipeline's last stage: LSH/verify produce *pairs*, but a
+dedup decision needs *clusters* — doc B may match A and C without A
+matching C, and all three must collapse to one survivor. That grouping is
+connected components over the pair graph.
+
+The algorithm is the alternating ``large-star`` / ``small-star``
+contraction of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC'14) — the published shuffle-friendly CC: every iteration is
+two groupBy-min + join rounds over the edge list (no vertex-program
+framework, no driver-side graph), and converges in O(log n) iterations on
+any graph (star contraction at least halves tree heights each round).
+Each iteration's result is ``localCheckpoint``-ed so the lineage does not
+grow with the iteration count — the standard Spark iterative-algorithm
+discipline (same shape GraphFrames uses for its CC).
+
+At 100 TB the edge list (near-dup pairs) is orders of magnitude smaller
+than the corpus; each round shuffles only the shrinking edge set, keyed
+by node id, so AQE's skew splitting covers the hot-node case (a doc
+duplicated millions of times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Return ``(node, component)`` for every node appearing in ``edges``,
+    where ``component`` is the smallest node id in the node's connected
+    component (so component ids are themselves member nodes, and the
+    canonical representative is ``node == component``).
+
+    Node ids must be integral (cast to long). Self-loops are ignored.
+    Raises if the contraction has not converged after ``max_iters``
+    rounds (default 30 covers graphs far beyond 2^30 nodes — convergence
+    is logarithmic).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_iters):
+        # --- large-star: connect every neighbor larger than u to the
+        # minimum of u's neighborhood (including u itself)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least(F.col("u"), F.col("__mv")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            large.union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+        # --- small-star: orient edges large->small, connect every smaller
+        # neighbor (and u) to the minimum of the small neighborhood
+        o = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e = (
+            small.where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        # convergence: the star-edge set is a fixpoint of both operations.
+        # (count, order-independent xor of edge hashes) is a cheap set
+        # fingerprint — xor is commutative and cannot overflow under ANSI.
+        chk = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+        ).first()
+        cur = (chk["n"], chk["s"])
+        if prev == cur:
+            converged = True
+            break
+        prev = cur
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+
+    # converged edges form stars child -> root(min). Roots appear only on
+    # the v side; emit them as their own component.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

@@ -1,0 +1,110 @@
+"""Connected components (alternating star contraction) vs a union-find
+oracle, plus the near-dup cluster pipeline built on it."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.graph import connected_components
+
+
+def _uf_components(edges):
+    """Union-find oracle: {node: min node in its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+
+
+def test_cc_two_components_and_chain(spark):
+    # chain 1-2-3-4 plus a separate pair 10-11
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    got = _cc_dict(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    # a 200-node path is the adversarial case for label propagation
+    # (O(n) rounds); star contraction must finish well inside max_iters
+    edges = [(i, i + 1) for i in range(200)]
+    got = _cc_dict(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    got = _cc_dict(spark, edges)
+    assert got == {1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(30, 180))
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    got = _cc_dict(spark, edges)
+    assert got == _uf_components(edges)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    # 0,1,2 chain-similar; 3,4 identical; 5,6 unique
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "a quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different content about spark engines"),
+        (4, "completely different content about spark engines"),
+        (5, "unrelated text with nothing shared at all here"),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_clusters_groups_transitively(spark, dup_docs):
+    from spatialpandas_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(dup_docs, threshold=0.4)
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert len(by_id) == 7
+    # the chain 0-1-2 collapses to cluster 0 even if (0,2) is not a pair
+    assert by_id[0]["cluster_id"] == by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 0
+    assert by_id[0]["cluster_size"] == 3
+    assert by_id[3]["cluster_id"] == by_id[4]["cluster_id"] == 3
+    assert by_id[5]["cluster_id"] == 5 and by_id[5]["cluster_size"] == 1
+    assert by_id[6]["cluster_id"] == 6
+
+
+def test_dedup_near_keeps_min_id_per_cluster(spark, dup_docs):
+    from spatialpandas_spark.operators.dedup import dedup_near
+
+    kept = dedup_near(dup_docs, threshold=0.4)
+    assert kept.columns == dup_docs.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 5, 6]
