@@ -734,6 +734,25 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_shard_pack(spark, sf_dir):
+    """Token-budget shard packing: documents in doc_id order packed into
+    2000-BPE-token shards via the two-phase running sum (no global
+    window); per-shard doc count + token total. Oracle reproduces the
+    start-offset rule with a SQL window."""
+    from spatialpandas_spark.operators.shards import shard_summary
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("w")
+    )
+    out = shard_summary(d, "w", ["doc_id"], budget=2000)
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_rows").cast("long").alias("n_docs"),
+        F.col("total_weight").cast("long").alias("sum_tokens"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs -> connected components
     (alternating star contraction) -> every doc labeled with its cluster's
@@ -882,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "shard_pack": q_shard_pack,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1555,6 +1575,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "shard_pack": f"""
+            WITH tc AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
+                 FROM documents),
+            rs AS (SELECT doc_id, w,
+                   SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
+                 FROM tc)
+            SELECT CAST((s - w) // 2000 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS sum_tokens
+            FROM rs GROUP BY 1
+        """,
         "dedup_clusters": _cluster_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),

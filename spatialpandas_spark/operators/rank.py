@@ -67,3 +67,47 @@ def with_rank(
         out.withColumn(rank_col, (F.col("__off") + F.col("__lrk")).cast("long"))
         .drop("__pid", "__lrk", "__off")
     )
+
+
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Add an inclusive global running sum of ``value_col`` ordered by
+    ``order_cols`` (pass a unique tiebreaker last for determinism) — the
+    same two-phase shape as ``with_rank``: range shuffle, partition-local
+    window, tiny per-partition totals -> broadcast prefix offsets. No
+    single-task window anywhere in the plan."""
+    spark = df.sparkSession
+    n = npartitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lsum", F.sum(F.col(value_col)).over(w_local))
+
+    totals = local.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("__tot"))
+    offs = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum(F.col("b.__tot")), F.lit(0)).alias("__off"))
+    )
+
+    out = local.join(F.broadcast(offs), "__pid")
+    return out.withColumn(out_col, F.col("__off") + F.col("__lsum")).drop(
+        "__pid", "__lsum", "__off"
+    )

@@ -1,0 +1,67 @@
+"""Token-budget shard packing for training-data pipelines.
+
+A pretraining job consumes the corpus as fixed-size shards (~N tokens
+each). Packing documents into shards is a *global running sum* problem:
+docs are laid out in a deterministic order and a new shard starts every
+``budget`` tokens. The naive formulation is a global window (single-task
+at scale); this module uses the two-phase running sum from
+``operators/rank.py`` — range shuffle + partition-local window + broadcast
+prefix offsets — so the plan has no single-partition exchange and scales
+to corpus size.
+
+Assignment contract: with exclusive running weight ``s`` (sum of weights
+of all docs strictly before this one in order), ``shard = s div budget``.
+A document straddling a budget boundary belongs to the shard where it
+starts, so every shard except possibly the last holds at least ``budget``
+tokens once its straddler is counted, and overflows by less than one
+document. This start-offset rule is order-stable, engine-independent, and
+exactly reproducible in SQL (the gate oracle's window formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.rank import with_running_sum
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list,
+    budget: int,
+    shard_col: str = "shard",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a shard id by packing rows (in ``order_cols`` order)
+    into contiguous shards of ``budget`` total ``weight_col`` units.
+
+    Weights must be non-negative integers (token counts). Integer
+    arithmetic throughout — no double division, so exact beyond 2^53
+    total tokens."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    rs = with_running_sum(df, order_cols, weight_col, "__rsum", npartitions)
+    excl = F.col("__rsum") - F.col(weight_col)
+    return (
+        rs.withColumn("__excl", excl.cast("long"))
+        .withColumn(shard_col, F.expr(f"__excl div {int(budget)}"))
+        .drop("__rsum", "__excl")
+    )
+
+
+def shard_summary(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list,
+    budget: int,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Per-shard rollup of a ``pack_shards`` assignment: row count and
+    total weight — the manifest a training loader reads."""
+    packed = pack_shards(df, weight_col, order_cols, budget, "shard", npartitions)
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(weight_col)).cast("long").alias("total_weight"),
+    )
