@@ -734,6 +734,53 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click event matched to the user's most recent
+    at-or-before view event (union-window shape, keyed by user — no
+    cross product, no single-task stage). Oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from spatialpandas_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_id").cast("long").alias("view_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-balanced deterministic sampling: downsample dominant en,
+    keep all low-resource langs, default rate for the rest. Hash-mod
+    thresholding on md5-prefix — partition-invariant, rerun-stable, and
+    exactly reproducible in the SQL oracle."""
+    from spatialpandas_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.3, "fr": 1.0, "de": 1.0},
+        key_col="doc_id",
+        default_rate=0.5,
+        seed=42,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_shard_pack(spark, sf_dir):
     """Token-budget shard packing: documents in doc_id order packed into
     2000-BPE-token shards via the two-phase running sum (no global
@@ -901,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "events_asof": q_events_asof,
+        "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
@@ -1575,6 +1624,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "events_asof": """
+            SELECT l.event_id, l.user_id, r.event_id AS view_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000
+                < CASE lang WHEN 'en' THEN 300000
+                            WHEN 'fr' THEN 1000000
+                            WHEN 'de' THEN 1000000
+                            ELSE 500000 END
+        """,
         "shard_pack": f"""
             WITH tc AS (SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w

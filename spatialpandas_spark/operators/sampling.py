@@ -1,0 +1,63 @@
+"""Deterministic sampling for corpus curation.
+
+``df.sample()`` is seed-dependent *per partition layout* — the same seed
+yields different rows after a repartition, which makes pipeline runs
+non-reproducible. Curation needs content-keyed sampling: a row's fate
+depends only on its key, so reruns, backfills, and incremental updates
+agree. The standard trick is hash-mod thresholding, a pure scan-stage
+filter: no shuffle, no state, trivially parallel at 100 TB, and
+engine-independent (the md5-prefix hash is reproducible in any SQL
+engine — same base hash the MinHash/SimHash oracles use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash-space denominator: rates are quantized to 1/1e6
+_DENOM = 1_000_000
+
+
+def sample_hash(key: Column, seed: int = 42) -> Column:
+    """Non-negative 60-bit deterministic hash of (seed, key): the integer
+    value of the first 15 hex chars of ``md5(seed || ':' || key)`` —
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT`` in DuckDB."""
+    s = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash (reproducible across
+    runs, partitionings, and engines). ``rate`` is quantized to 1/1e6."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(round(rate * _DENOM))
+    return df.filter(sample_hash(F.col(key_col), seed) % _DENOM < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum hash sampling — e.g. language-balanced corpus curation:
+    keep all of a low-resource language, downsample the dominant one.
+
+    ``rates`` maps stratum value -> keep rate; strata not listed use
+    ``default_rate``. One scan, no shuffle: the per-row threshold is a
+    CASE expression on the stratum column."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {v!r} must be in [0, 1]")
+    thr: Column = F.lit(int(round(default_rate * _DENOM)))
+    for v, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(v), F.lit(int(round(r * _DENOM)))
+        ).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), seed) % _DENOM < thr)

@@ -1,0 +1,58 @@
+"""Deterministic hash sampling: reproducibility, rate accuracy, and an
+exact Python twin of the md5-prefix threshold rule."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.sampling import (
+    _DENOM,
+    hash_sample,
+    sample_hash,
+    stratified_sample,
+)
+
+
+def _py_hash(key, seed=42):
+    return int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_hash_matches_python_md5_prefix(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    got = df.select("id", sample_hash(F.col("id"), 7).alias("h")).collect()
+    for r in got:
+        assert r["h"] == _py_hash(r["id"], 7)
+
+
+def test_hash_sample_reproducible_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = _ids(hash_sample(df, "id", 0.3))
+    b = _ids(hash_sample(df.repartition(13), "id", 0.3))
+    assert a == b
+    expect = [i for i in range(2000) if _py_hash(i) % _DENOM < 300_000]
+    assert a == expect
+    # rate is approximately honored
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_stratified_rates_per_group(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(
+        df, "lang", {"de": 1.0, "en": 0.25}, key_col="id", default_rate=0.0
+    )
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert counts["de"] == 1000  # rate 1.0 keeps every row
+    assert 0.18 < counts["en"] / 2000 < 0.32
+
+
+def test_stratified_default_rate_zero_drops_unlisted(spark):
+    rows = [(1, "en"), (2, "fr"), (3, "fr")]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 1.0}, key_col="id")
+    assert _ids(out) == [1]
