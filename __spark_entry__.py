@@ -734,6 +734,20 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_top_terms(spark, sf_dir):
+    """Vocabulary building: top-50 corpus terms by total frequency with
+    document frequency; TakeOrderedAndProject (per-partition heaps), not
+    a global sort."""
+    from spatialpandas_spark.operators.text import top_terms
+
+    out = top_terms(_t(spark, sf_dir, "documents"), k=50)
+    return out.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each click event matched to the user's most recent
     at-or-before view event (union-window shape, keyed by user — no
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "top_terms": q_top_terms,
         "events_asof": q_events_asof,
         "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
@@ -1624,6 +1639,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "top_terms": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_TOKS}) AS term
+              FROM documents WHERE trim(text) != ''
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM t WHERE term != ''
+            GROUP BY term ORDER BY tf DESC, term LIMIT 50
+        """,
         "events_asof": """
             SELECT l.event_id, l.user_id, r.event_id AS view_id,
                    epoch_us(l.ts) - epoch_us(r.ts) AS gap_us

@@ -112,3 +112,38 @@ def doc_fingerprint(text: Column, shingle_n: int = 3, k: int = 8) -> Column:
     )
     bottom = F.slice(hashes, 1, k)
     return F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string"))))
+
+
+def term_counts(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus vocabulary statistics: per term, total occurrences (``tf``)
+    and document frequency (``df`` — number of distinct docs containing
+    it). One explode + one groupBy: the shuffle key is the term, map-side
+    partial aggregation keeps the exploded volume bounded, and at 100 TB
+    AQE's skew handling covers stopword-heavy keys."""
+    t = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    return t.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("__doc").alias("df"),
+    )
+
+
+def top_terms(
+    df,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+):
+    """The k most frequent terms (ties broken alphabetically) with their
+    corpus tf/df — vocabulary building for tokenizer training or stopword
+    discovery. ``orderBy().limit()`` compiles to TakeOrderedAndProject:
+    per-partition heaps merged on the driver, never a global sort."""
+    tc = term_counts(df, id_col, text_col)
+    return (
+        tc.filter(F.col("df") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(k)
+    )
