@@ -734,6 +734,46 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_scrub_normalize(spark, sf_dir):
+    """PII scrub + normalization: synthetic contact lines (email, URL, IP,
+    phone derived from doc_id) are appended to each document, scrubbed to
+    placeholder tokens, then normalized; output is the md5 of the result
+    so the oracle verifies the exact transformed string. All regexes stay
+    in the RE2-compatible subset so Java and RE2 agree."""
+    from spatialpandas_spark.operators.text import normalize_text, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com  see https://site"), F.col("doc_id").cast("string"),
+        F.lit(".org/a?b=1 at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555-000-"), (F.col("doc_id") % 10000).cast("string"),
+    )
+    out = d.select(
+        "doc_id", F.md5(normalize_text(scrub_pii(dirty))).alias("h")
+    )
+    return out
+
+
+def q_length_filter(spark, sf_dir):
+    """Per-language percentile gating: keep documents at or above their
+    language's 25th-percentile BPE token count (drop the short tail).
+    Two-stage plan — tiny per-group percentile table broadcast back; the
+    corpus never shuffles. Exact interpolated percentile on integer token
+    counts so DuckDB's quantile_cont reproduces it bit-for-bit."""
+    from spatialpandas_spark.operators.quantiles import (
+        filter_by_group_percentile,
+    )
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).cast("long").alias("w")
+    )
+    out = filter_by_group_percentile(d, "w", "lang", 0.25, approx=False)
+    return out.select("doc_id", "lang", "w")
+
+
 def q_top_terms(spark, sf_dir):
     """Vocabulary building: top-50 corpus terms by total frequency with
     document frequency; TakeOrderedAndProject (per-partition heaps), not
@@ -962,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "scrub_normalize": q_scrub_normalize,
+        "length_filter": q_length_filter,
         "top_terms": q_top_terms,
         "events_asof": q_events_asof,
         "stratified_sample": q_stratified_sample,
@@ -1639,6 +1681,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "scrub_normalize": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com  see https://site' || CAST(doc_id AS VARCHAR)
+                       || '.org/a?b=1 at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 or +1 555-000-' || CAST(doc_id % 10000 AS VARCHAR) AS t
+              FROM documents
+            ),
+            scrubbed AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t
+              FROM dirty
+            )
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS h
+            FROM scrubbed
+        """,
+        "length_filter": f"""
+            WITH tc AS (SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
+                 FROM documents),
+            thr AS (SELECT lang, quantile_cont(w, 0.25) AS t FROM tc GROUP BY lang)
+            SELECT tc.doc_id, tc.lang, tc.w
+            FROM tc JOIN thr ON tc.lang = thr.lang
+            WHERE tc.w >= thr.t
+        """,
         "top_terms": f"""
             WITH t AS (
               SELECT doc_id, unnest({_TOKS}) AS term

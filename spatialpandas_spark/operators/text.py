@@ -147,3 +147,31 @@ def top_terms(
         .orderBy(F.col("tf").desc(), F.col("term"))
         .limit(k)
     )
+
+
+#: PII/noise patterns — restricted to the RE2-compatible subset (no
+#: lookaround, no backrefs) so any engine's regex evaluates identically
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace URLs, emails, IPv4 addresses, and phone-like digit runs
+    with placeholder tokens — the standard pre-training scrub pass.
+    Order matters: URLs first (they may contain @ and dots), then emails,
+    IPs, then phones (dot-free, so IP replacement does not feed it).
+    Pure JVM regexp_replace chain: scan-speed, no shuffle."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lowercase, whitespace runs collapsed to one
+    space, trimmed. The usual prelude to hashing/dedup so formatting
+    differences do not defeat exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
