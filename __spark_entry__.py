@@ -734,6 +734,27 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """1-D bucket-equi-join range join: event values against overlapping
+    nation-derived score bands; per-band event count + value sum. The
+    bucket plan shuffles on bucket ids (a point meets a band in exactly
+    one bucket — no dedup pass); oracle is the plain inequality join."""
+    from spatialpandas_spark.operators.interval import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 17.0).alias("lo"),
+        (F.col("n_nationkey") * 17.0 + 40.0).alias("hi"),
+    )
+    j = interval_join(ev, bands, "value", "lo", "hi", bucket_width=40.0)
+    return j.groupBy("band_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_scrub_normalize(spark, sf_dir):
     """PII scrub + normalization: synthetic contact lines (email, URL, IP,
     phone derived from doc_id) are appended to each document, scrubbed to
@@ -1002,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "interval_join": q_interval_join,
         "scrub_normalize": q_scrub_normalize,
         "length_filter": q_length_filter,
         "top_terms": q_top_terms,
@@ -1681,6 +1703,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "interval_join": """
+            SELECT n.n_nationkey AS band_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(e.value), 4) AS sum_value
+            FROM events e
+            JOIN nation n
+              ON e.value >= n.n_nationkey * 17.0
+             AND e.value <= n.n_nationkey * 17.0 + 40.0
+            GROUP BY 1
+        """,
         "scrub_normalize": r"""
             WITH dirty AS (
               SELECT doc_id,

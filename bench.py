@@ -271,6 +271,33 @@ def b12_text_pipeline(spark):
     ).first()[0]
 
 
+def b14_asof_join(spark):
+    """As-of join of ~20k clicks to ~20k views (per-user backward match)
+    through the union-window plan."""
+    from spatialpandas_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _spread(spark.read.parquet(f"{SF_DIR}/events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    return asof_join(clicks, views, on="ts", by="user_id").count()
+
+
+def b15_dedup_clusters(spark):
+    """Full near-dup pipeline at sf scale: MinHash-LSH pairs -> connected
+    components -> cluster labels for every document."""
+    from spatialpandas_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return near_dup_clusters(docs, threshold=0.5).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -285,6 +312,8 @@ BENCHES = {
     "b11_grid_sjoin": b11_grid_sjoin,
     "b12_text_pipeline": b12_text_pipeline,
     "b13_cx_lines": b13_cx_lines,
+    "b14_asof_join": b14_asof_join,
+    "b15_dedup_clusters": b15_dedup_clusters,
 }
 
 

@@ -446,3 +446,38 @@ def dedup_near(
     return clustered.filter(
         F.col(id_col).cast("long") == F.col("cluster_id")
     ).select(*df.columns)
+
+
+def lsh_band_plan(
+    threshold: float, num_hashes: int = 64
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for MinHash-LSH so the S-curve
+    midpoint ``(1/bands)^(1/rows)`` sits closest to ``threshold`` —
+    replaces hand-tuning the band count per similarity target. Returns
+    the divisor pair of ``num_hashes`` minimizing the midpoint gap."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        gap = abs(midpoint - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, bands, rows)
+    return best[1], best[2]
+
+
+def embedding_band_bits(n_rows: int, bands: int = 4) -> int:
+    """Per-band signature width for random-hyperplane banding so the
+    expected per-band candidate volume stays ~linear: collisions per band
+    are ~n^2 / 2^band_bits, so band_bits ~ log2(n) (documented guidance on
+    ``embedding_near_dup_pairs``, now computable). Clamped so the packed
+    signature fits a long (bands * band_bits <= 63)."""
+    import math
+
+    if n_rows < 2:
+        return 1
+    bits = max(1, math.ceil(math.log2(n_rows)))
+    return min(bits, 63 // bands)

@@ -32,6 +32,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 30,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(node, component)`` for every node appearing in ``edges``,
     where ``component`` is the smallest node id in the node's connected
@@ -42,6 +43,13 @@ def connected_components(
     Raises if the contraction has not converged after ``max_iters``
     rounds (default 30 covers graphs far beyond 2^30 nodes — convergence
     is logarithmic).
+
+    Hybrid execution (the broadcast-join-selection idiom): when the edge
+    set fits comfortably on the driver (``<= driver_threshold`` edges
+    after dedup), a single-pass union-find there beats ~10 tiny Spark
+    jobs of star contraction — near-dup pair graphs are usually orders of
+    magnitude smaller than their corpus. Larger graphs take the
+    distributed path; set ``driver_threshold=0`` to force it.
     """
     e = (
         edges.select(
@@ -49,7 +57,16 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize once: every path below reads the edge set at least
+        # twice (count + collect, or iterate), and upstream is typically
+        # an expensive pair pipeline (LSH) that must not recompute
+        .localCheckpoint(eager=True)
     )
+
+    if driver_threshold > 0:
+        # count is one cheap job; the loop below would run ~10 per round
+        if e.count() <= driver_threshold:
+            return _driver_union_find(e)
 
     prev: tuple | None = None
     converged = False
@@ -117,3 +134,25 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph path: collect the (deduped) edge list, run path-halving
+    union-find, return the (node, component) table. Driver memory is
+    O(edges) — guarded by the caller's threshold."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in e.toLocalIterator():
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(rows, "node long, component long")

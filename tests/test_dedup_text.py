@@ -189,3 +189,23 @@ def test_bpe_token_count_edges(spark):
     assert got[2] == 0
     assert got[3] == 0
     assert got[4] == 6  # a|1|b|2|!?|c
+
+
+def test_lsh_band_plan_midpoints():
+    from spatialpandas_spark.operators.dedup import lsh_band_plan
+
+    # high threshold -> wide bands (many rows); low threshold -> many bands
+    b_hi, r_hi = lsh_band_plan(0.9, 64)
+    b_lo, r_lo = lsh_band_plan(0.3, 64)
+    assert b_hi * r_hi == 64 and b_lo * r_lo == 64
+    assert r_hi > r_lo and b_lo > b_hi
+    # the default gate config (16 bands of 4) is near the 0.5 sweet spot
+    assert lsh_band_plan(0.5, 64) in [(16, 4), (8, 8), (32, 2)]
+
+
+def test_embedding_band_bits_scales_with_n():
+    from spatialpandas_spark.operators.dedup import embedding_band_bits
+
+    assert embedding_band_bits(10_000, bands=4) == 14
+    assert embedding_band_bits(10**8, bands=4) == 15  # clamped to 63//4
+    assert embedding_band_bits(1, bands=4) == 1

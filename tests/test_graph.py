@@ -30,11 +30,11 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-def _cc_dict(spark, edges):
+def _cc_dict(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     return {
         r["node"]: r["component"]
-        for r in connected_components(df, "id_a", "id_b").collect()
+        for r in connected_components(df, "id_a", "id_b", **kw).collect()
     }
 
 
@@ -47,9 +47,10 @@ def test_cc_two_components_and_chain(spark):
 
 def test_cc_long_chain_converges_logarithmically(spark):
     # a 200-node path is the adversarial case for label propagation
-    # (O(n) rounds); star contraction must finish well inside max_iters
+    # (O(n) rounds); star contraction must finish well inside max_iters.
+    # driver_threshold=0 forces the distributed path.
     edges = [(i, i + 1) for i in range(200)]
-    got = _cc_dict(spark, edges)
+    got = _cc_dict(spark, edges, driver_threshold=0)
     assert set(got.values()) == {0}
     assert len(got) == 201
 
@@ -61,7 +62,8 @@ def test_cc_self_loops_and_duplicates_ignored(spark):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_cc_random_graphs_match_union_find(spark, seed):
+@pytest.mark.parametrize("thr", [0, 1_000_000])  # distributed and driver paths
+def test_cc_random_graphs_match_union_find(spark, seed, thr):
     rng = random.Random(seed)
     n = 120
     edges = [
@@ -69,7 +71,7 @@ def test_cc_random_graphs_match_union_find(spark, seed):
         for _ in range(rng.randrange(30, 180))
     ]
     edges = [e for e in edges if e[0] != e[1]]
-    got = _cc_dict(spark, edges)
+    got = _cc_dict(spark, edges, driver_threshold=thr)
     assert got == _uf_components(edges)
 
 
