@@ -132,3 +132,48 @@ def test_brute_force_topk_reduces_before_ranking(spark):
     # ...below the exchange that feeds the final window
     assert plan.index("Window") < plan.index("MapInPandas")  # plan prints top-down
     assert out.count() == 15
+
+
+def test_asof_join_plan_is_keyed_not_global(spark):
+    """The as-of union-window must partition by the join key — a global
+    window (single task) here would be the round-1 scale-killer class."""
+    from spatialpandas_spark.operators.asof import asof_join
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    left = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("k"), (F.col("id") * 7).alias("t")
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 13).alias("k"), (F.col("id") * 11).alias("t"),
+        F.col("id").alias("payload"),
+    )
+    plan = physical_plan(asof_join(left, right, on="t", by="k"))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    """The bucketed range join must compile to a shuffle/broadcast HASH
+    join on the bucket key, not a nested-loop theta join."""
+    from spatialpandas_spark.operators.interval import interval_join
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    pts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") % 97).cast("double").alias("v"))
+    ivs = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2.0).alias("s"),
+        (F.col("id") * 2.0 + 5.0).alias("e"),
+    )
+    plan = physical_plan(interval_join(pts, ivs, "v", "s", "e", 5.0))
+    assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin/SortMerge
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_pack_plan_has_no_single_partition_exchange(spark):
+    from spatialpandas_spark.operators.shards import pack_shards
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 50 + 1).alias("w"))
+    plan = physical_plan(pack_shards(df, "w", ["id"], 100))
+    assert "Exchange SinglePartition" not in plan

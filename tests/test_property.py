@@ -310,3 +310,73 @@ def test_cx_filter_arrow_equals_hof_property(spark, data):
     a = {r["id"] for r in cx_filter(df, "geom", gt, rect).collect()}
     b = {r["id"] for r in cx_filter_arrow(df, "geom", gt, rect).collect()}
     assert a == b
+
+
+@given(data=st.data())
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_brute_force(spark, data):
+    """asof_join == argmax over {right | same key, t_r <= t_l} for every
+    left row, on arbitrary keyed event sets (ties included)."""
+    from spatialpandas_spark.operators.asof import asof_join
+
+    n_l = data.draw(st.integers(1, 40))
+    n_r = data.draw(st.integers(0, 40))
+    lt = [
+        (i, data.draw(st.integers(0, 4)), data.draw(st.integers(0, 30)))
+        for i in range(n_l)
+    ]
+    # unique (k, t) on the right so the deterministic pick is unambiguous
+    rt_keys = data.draw(
+        st.sets(
+            st.tuples(st.integers(0, 4), st.integers(0, 30)), max_size=n_r
+        )
+    )
+    rt = [(k, t, 100 + 7 * i) for i, (k, t) in enumerate(sorted(rt_keys))]
+    ldf = spark.createDataFrame(lt, "lid long, k long, t long")
+    rdf = spark.createDataFrame(rt, "k long, t long, p long") if rt else (
+        spark.createDataFrame([], "k long, t long, p long")
+    )
+    got = {r["lid"]: r["p"] for r in asof_join(ldf, rdf, on="t", by="k").collect()}
+    for lid, k, t in lt:
+        cands = [(tr, p) for kr, tr, p in rt if kr == k and tr <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[lid] == expect, (lid, k, t, cands)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_brute_force_any_width(spark, data):
+    from spatialpandas_spark.operators.interval import interval_join
+
+    n_p = data.draw(st.integers(1, 30))
+    n_i = data.draw(st.integers(0, 20))
+    width = data.draw(st.sampled_from([0.7, 1.0, 3.0, 50.0]))
+    pts = [
+        (i, float(data.draw(st.integers(-20, 20))) / 2.0) for i in range(n_p)
+    ]
+    ivs = []
+    for j in range(n_i):
+        s = float(data.draw(st.integers(-20, 20))) / 2.0
+        e = s + float(data.draw(st.integers(-2, 10))) / 2.0  # some inverted
+        ivs.append((j, s, e))
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, s double, e double") if ivs else (
+        spark.createDataFrame([], "iid long, s double, e double")
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pdf, idf, "v", "s", "e", width).collect()
+    }
+    expect = {
+        (pid, iid)
+        for pid, v in pts
+        for iid, s, e in ivs
+        if s <= v <= e
+    }
+    assert got == expect
