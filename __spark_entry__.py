@@ -734,6 +734,34 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Exact kNN spatial join (customers' points to their 3 nearest
+    supplier points) via the level-doubling grid search; oracle is the
+    brute-force window over the cross product — results must agree
+    exactly, squared distances included."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.operators.knn import sjoin_knn
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("lid"),
+        st_point(
+            (F.col("c_custkey") % 97).cast("double"),
+            (F.col("c_nationkey") * 4).cast("double"),
+        ).alias("geom"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        st_point(
+            (F.col("s_suppkey") * 7 % 90).cast("double"),
+            (F.col("s_nationkey") * 3 % 80).cast("double"),
+        ).alias("geom"),
+    )
+    out = sjoin_knn(cust, supp, k=3, cell_size=8.0)
+    return out.select(
+        "lid", "rid", "dist2", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """1-D bucket-equi-join range join: event values against overlapping
     nation-derived score bands; per-band event count + value sum. The
@@ -1023,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verify": q_jaccard_verify,
+        "knn_join": q_knn_join,
         "interval_join": q_interval_join,
         "scrub_normalize": q_scrub_normalize,
         "length_filter": q_length_filter,
@@ -1703,6 +1732,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
+        "knn_join": """
+            WITH l AS (SELECT c_custkey AS lid,
+                        CAST(c_custkey % 97 AS DOUBLE) AS lx,
+                        CAST(c_nationkey * 4 AS DOUBLE) AS ly FROM customer),
+            r AS (SELECT s_suppkey AS rid,
+                        CAST(s_suppkey * 7 % 90 AS DOUBLE) AS rx,
+                        CAST(s_nationkey * 3 % 80 AS DOUBLE) AS ry FROM supplier)
+            SELECT lid, rid, dist2, rank FROM (
+              SELECT l.lid, r.rid,
+                     (l.lx - r.rx) * (l.lx - r.rx)
+                   + (l.ly - r.ry) * (l.ly - r.ry) AS dist2,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l.lid
+                       ORDER BY (l.lx - r.rx) * (l.lx - r.rx)
+                              + (l.ly - r.ry) * (l.ly - r.ry), r.rid
+                     ) AS BIGINT) AS rank
+              FROM l CROSS JOIN r
+            ) WHERE rank <= 3
+        """,
         "interval_join": """
             SELECT n.n_nationkey AS band_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1,0 +1,76 @@
+"""sjoin_knn vs a brute-force numpy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark import st_point
+from spatialpandas_spark.operators.knn import sjoin_knn
+
+
+def _mk(spark, pts, idc):
+    return spark.createDataFrame(pts, f"{idc} long, x double, y double").select(
+        idc, st_point(F.col("x"), F.col("y")).alias("geom")
+    )
+
+
+def _oracle(lpts, rpts, k):
+    out = {}
+    for lid, lx, ly in lpts:
+        ds = sorted(
+            ((lx - rx) ** 2 + (ly - ry) ** 2, rid) for rid, rx, ry in rpts
+        )
+        out[lid] = [(rid, d) for d, rid in ds[:k]]
+    return out
+
+
+def _got(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["lid"], []).append((r["rank"], r["rid"], r["dist2"]))
+    return {
+        lid: [(rid, d2) for _, rid, d2 in sorted(v)] for lid, v in out.items()
+    }
+
+
+@pytest.mark.parametrize("cell", [0.5, 2.0, 1000.0])
+def test_knn_matches_brute_force_random(spark, cell):
+    rng = np.random.default_rng(17)
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (40, 2)))]
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (200, 2)))]
+    got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=5, cell_size=cell))
+    assert got == _oracle(lpts, rpts, 5)
+
+
+def test_knn_sparse_neighborhoods_escalate(spark):
+    # clustered rights far from some lefts: round 0 cannot resolve them
+    lpts = [(0, 0.0, 0.0), (1, 500.0, 500.0)]
+    rpts = [(i, 500.0 + i * 0.1, 500.0) for i in range(10)]
+    got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=3, cell_size=1.0))
+    assert got == _oracle(lpts, rpts, 3)
+
+
+def test_knn_k_larger_than_right(spark):
+    lpts = [(0, 0.0, 0.0)]
+    rpts = [(0, 1.0, 0.0), (1, 2.0, 0.0)]
+    got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=5, cell_size=1.0))
+    assert got == _oracle(lpts, rpts, 5)
+    assert len(got[0]) == 2
+
+
+def test_knn_empty_right(spark):
+    lpts = [(0, 0.0, 0.0)]
+    df = sjoin_knn(
+        _mk(spark, lpts, "lid"),
+        _mk(spark, [], "rid").filter(F.lit(False)),
+        k=3,
+        cell_size=1.0,
+    )
+    assert df.count() == 0
+
+
+def test_knn_tie_break_by_rid(spark):
+    lpts = [(0, 0.0, 0.0)]
+    rpts = [(5, 1.0, 0.0), (2, -1.0, 0.0), (9, 0.0, 1.0)]  # all dist2 = 1
+    got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=2, cell_size=1.0))
+    assert got[0] == [(2, 1.0), (5, 1.0)]
