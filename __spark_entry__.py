@@ -422,6 +422,37 @@ def q_oriented_area(spark, sf_dir):
     return fixed.select("id", st_area(F.col("geom")).alias("area"))
 
 
+def q_centroid(spark, sf_dir):
+    """Beyond-ref F-surface: st_centroid of diamond-with-hole polygons
+    (shoelace area centroid, holes subtract) plus the length-weighted
+    centroid of a 3-point polyline — both reduced analytically in the
+    oracle (symmetric shapes center exactly; the polyline moment is
+    closed-form)."""
+    from spatialpandas_spark.functions.measures import st_centroid
+
+    part = _t(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") % 50).cast("double")
+    cy = (F.col("p_size") * 2).cast("double")
+    r = (F.col("p_partkey") % 5 + 1).cast("double")
+    h = r / 2
+    shell = F.array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
+    hole = F.array(cx + h, cy, cx, cy - h, cx - h, cy, cx, cy + h, cx + h, cy)
+    poly = F.array(shell, hole)
+    line = F.array(cx, cy, cx + r, cy, cx + r, cy + 2 * r)
+    df = part.select(
+        F.col("p_partkey").alias("id"),
+        st_centroid(poly, "polygon").alias("pc"),
+        st_centroid(line, "line").alias("lc"),
+    )
+    return df.select(
+        "id",
+        F.round(F.col("pc.x"), 6).alias("px"),
+        F.round(F.col("pc.y"), 6).alias("py"),
+        F.round(F.col("lc.x"), 6).alias("lx"),
+        F.round(F.col("lc.y"), 6).alias("ly"),
+    )
+
+
 def q_boundary_length(spark, sf_dir):
     """F8 st_boundary reinterpretation: boundary-as-multiline length equals
     the polygon perimeter (closed form 4*sqrt(2)*r)."""
@@ -1023,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cx_lines": q_cx_lines,
         "cx_diamonds": q_cx_diamonds,
         "oriented_area": q_oriented_area,
+        "centroid": q_centroid,
         "boundary_length": q_boundary_length,
         "fillna_points": q_fillna_points,
         "fillna_pad": q_fillna_pad,
@@ -1524,6 +1556,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey AS id,
                    2.0 * r * r AS area
             FROM (SELECT p_partkey, CAST(p_partkey % 5 + 1 AS DOUBLE) AS r FROM part)
+        """,
+        "centroid": """
+            SELECT p_partkey AS id,
+                   ROUND(cx, 6) AS px, ROUND(cy, 6) AS py,
+                   ROUND((r*(2*cx + r)/2 + 2*r*(cx + r)) / (3*r), 6) AS lx,
+                   ROUND((r*cy + 2*r*(cy + r)) / (3*r), 6) AS ly
+            FROM (SELECT p_partkey,
+                         CAST(p_partkey % 50 AS DOUBLE) AS cx,
+                         CAST(p_size * 2 AS DOUBLE) AS cy,
+                         CAST(p_partkey % 5 + 1 AS DOUBLE) AS r
+                  FROM part)
         """,
         "boundary_length": """
             SELECT did, ROUND(4 * SQRT(2 * 12.5 * 12.5), 6) AS blen

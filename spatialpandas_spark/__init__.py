@@ -34,6 +34,8 @@ from spatialpandas_spark.functions.measures import (
     st_area,
     st_length,
     st_bounds,
+    st_centroid,
+    st_distance,
     total_bounds_aggs,
 )
 from spatialpandas_spark.functions.predicates import (
@@ -59,6 +61,8 @@ __all__ = [
     "point_bounds",
     "st_area",
     "st_length",
+    "st_centroid",
+    "st_distance",
     "st_bounds",
     "total_bounds_aggs",
     "bbox_intersects_bounds",

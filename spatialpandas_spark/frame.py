@@ -96,6 +96,11 @@ class SpatialFrame:
 
         return self.df.withColumn(col, st_length(self._g(), self.geom_type))
 
+    def centroid(self, col: str = "centroid") -> DataFrame:
+        from spatialpandas_spark.functions.measures import st_centroid
+
+        return self.df.withColumn(col, st_centroid(self._g(), self.geom_type))
+
     def bounds(self, col: str = "bounds") -> DataFrame:
         from spatialpandas_spark.functions.measures import st_bounds
 

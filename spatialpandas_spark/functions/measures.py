@@ -205,3 +205,136 @@ def total_bounds_aggs(bounds_col: str = "bounds") -> list[Column]:
         F.max(skipnan(b["x1"])).alias("x1"),
         F.max(skipnan(b["y1"])).alias("y1"),
     ]
+
+
+# ------------------------------------------------------------------ centroid
+def _ring_area_moments(ring: Column) -> Column:
+    """struct(a2, sx, sy) for one ring: a2 = sum of cross terms (twice the
+    signed area, wrap-around included), sx/sy = shoelace first moments
+    (Σ (c_i + c_{i+1}) * cross_i). Additive across rings, so hole rings
+    (CW, negative cross terms) subtract automatically."""
+    npts = (F.size(ring) / 2).cast("int")
+
+    def step(acc: Column, i: Column) -> Column:
+        x0 = F.get(ring, 2 * i)
+        y0 = F.get(ring, 2 * i + 1)
+        x1 = F.get(ring, 2 * i + 2)
+        y1 = F.get(ring, 2 * i + 3)
+        cr = x0 * y1 - x1 * y0
+        return F.struct(
+            (acc["a2"] + cr).alias("a2"),
+            (acc["sx"] + (x0 + x1) * cr).alias("sx"),
+            (acc["sy"] + (y0 + y1) * cr).alias("sy"),
+        )
+
+    lx = F.get(ring, 2 * (npts - 1))
+    ly = F.get(ring, 2 * (npts - 1) + 1)
+    fx = F.get(ring, F.lit(0))
+    fy = F.get(ring, F.lit(1))
+    wcr = lx * fy - fx * ly
+    init = F.struct(
+        F.lit(0.0).alias("a2"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")
+    )
+    acc = F.aggregate(_seq0(npts - 1), init, step)
+    return F.when(
+        npts >= 3,
+        F.struct(
+            (acc["a2"] + wcr).alias("a2"),
+            (acc["sx"] + (lx + fx) * wcr).alias("sx"),
+            (acc["sy"] + (ly + fy) * wcr).alias("sy"),
+        ),
+    ).otherwise(init)
+
+
+def _ring_length_moments(ring: Column) -> Column:
+    """struct(len, mx, my) for an open polyline: total finite-segment
+    length and length-weighted midpoint sums."""
+    npts = (F.size(ring) / 2).cast("int")
+
+    def step(acc: Column, i: Column) -> Column:
+        x0 = F.get(ring, 2 * i)
+        y0 = F.get(ring, 2 * i + 1)
+        x1 = F.get(ring, 2 * i + 2)
+        y1 = F.get(ring, 2 * i + 3)
+        ok = _finite(x0) & _finite(y0) & _finite(x1) & _finite(y1)
+        d = F.when(
+            ok, F.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            (acc["len"] + d).alias("len"),
+            (acc["mx"] + d * (x0 + x1) / 2).alias("mx"),
+            (acc["my"] + d * (y0 + y1) / 2).alias("my"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("len"), F.lit(0.0).alias("mx"), F.lit(0.0).alias("my")
+    )
+    return F.aggregate(_seq0(npts - 1), init, step)
+
+
+def _sum_structs(parts: Column, fn, fields: list[str]) -> Column:
+    init = F.struct(*[F.lit(0.0).alias(f) for f in fields])
+    return F.aggregate(
+        parts,
+        init,
+        lambda acc, p: F.struct(
+            *[(acc[f] + fn(p)[f]).alias(f) for f in fields]
+        ),
+    )
+
+
+def st_centroid(geom: Column, geom_type: str) -> Column:
+    """Per-row centroid as struct<x, y> (beyond-reference; shapely
+    semantics): point -> itself; multipoint -> vertex mean; line family ->
+    length-weighted segment-midpoint average; polygon family -> shoelace
+    area centroid (holes subtract). Degenerate rows (zero total length /
+    area) and missing geometries yield NaN coordinates."""
+    if geom_type == "point":
+        return F.struct(geom["x"].alias("x"), geom["y"].alias("y"))
+    if geom_type == "multipoint":
+        n = (F.size(geom) / 2).cast("int")
+        sx = F.aggregate(
+            _seq0(n), F.lit(0.0), lambda a, i: a + F.get(geom, 2 * i)
+        )
+        sy = F.aggregate(
+            _seq0(n), F.lit(0.0), lambda a, i: a + F.get(geom, 2 * i + 1)
+        )
+        x = F.when(n > 0, sx / n).otherwise(NAN())
+        return F.struct(
+            F.coalesce(x, NAN()).alias("x"),
+            F.coalesce(F.when(n > 0, sy / n).otherwise(NAN()), NAN()).alias("y"),
+        )
+    if geom_type in ("line", "ring"):
+        m = _ring_length_moments(geom)
+    elif geom_type == "multiline":
+        m = _sum_structs(geom, _ring_length_moments, ["len", "mx", "my"])
+    elif geom_type == "polygon":
+        m = _ring_area_moments_poly(geom)
+    elif geom_type == "multipolygon":
+        m = _sum_structs(
+            geom, _ring_area_moments_poly, ["a2", "sx", "sy"]
+        )
+    else:
+        raise ValueError(f"unknown geom_type: {geom_type}")
+
+    if geom_type in ("line", "ring", "multiline"):
+        x = F.when(m["len"] > 0, m["mx"] / m["len"]).otherwise(NAN())
+        y = F.when(m["len"] > 0, m["my"] / m["len"]).otherwise(NAN())
+    else:
+        x = F.when(m["a2"] != 0, m["sx"] / (3 * m["a2"])).otherwise(NAN())
+        y = F.when(m["a2"] != 0, m["sy"] / (3 * m["a2"])).otherwise(NAN())
+    return F.struct(
+        F.coalesce(x, NAN()).alias("x"), F.coalesce(y, NAN()).alias("y")
+    )
+
+
+def _ring_area_moments_poly(poly: Column) -> Column:
+    return _sum_structs(poly, _ring_area_moments, ["a2", "sx", "sy"])
+
+
+def st_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance between two point structs (beyond-reference
+    convenience; NaN-propagating)."""
+    dx = a["x"] - b["x"]
+    dy = a["y"] - b["y"]
+    return F.sqrt(dx * dx + dy * dy)
