@@ -1013,6 +1013,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """Persistent IVF: build the bucket-partitioned index on disk, then
+    probe it — results must equal the in-memory IVF (same deterministic
+    centroids), so the same SQL oracle applies; the probe scan is
+    partition-pruned (plan-asserted in tests)."""
+    import tempfile
+
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    build_ivf_index(emb, path, n_centroids=16)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = query_ivf_index(spark, path, qs, k=5, n_probe=4)
+    return out.select(
+        "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_label_centroid_sim(spark, sf_dir):
     """Embedding analytics: avg pairwise-to-centroid cosine per label —
     exercises vector aggregation (array avg) + HOF cosine."""
@@ -1096,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index": q_ann_ivf_index,
         "label_centroid_sim": q_label_centroid_sim,
     }
 
@@ -1878,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _cluster_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_index": _ivf_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "ann_topk": """
             SELECT qid, vec_id, ROUND(sim, 6) AS sim, rk AS rank FROM (

@@ -1,0 +1,118 @@
+"""Persistent IVF index: build once, query many — the production ANN shape.
+
+``ivf_topk`` (operators/similarity.py) recomputes centroid assignments on
+every call; real serving workloads amortize that: ``build_ivf_index``
+writes the corpus parquet **partitioned by bucket id** (one directory per
+IVF bucket) with the centroid table as a JSON sidecar, and
+``query_ivf_index`` probes only the n_probe bucket directories its
+queries need — Spark's partition pruning turns the probe into a scan of
+n_probe/n_centroids of the data, verifiable in the plan's
+``PartitionFilters``. This is the same stats-driven-pruning philosophy as
+the spatial manifest (SURVEY §2.9): the "index" is layout + metadata, not
+a server-side structure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.similarity import (
+    _centroids,
+    _centroid_sims,
+    _with_centroids,
+    cosine,
+    kmeans_refine,
+)
+
+_SIDECAR = "_ivf_centroids.json"
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[list[float]]:
+    """Assign every corpus vector to its max-cosine centroid and write
+    ``path`` partitioned by ``bucket``; centroids go to a JSON sidecar.
+    Returns the centroid table. One corpus scan + one partitioned write."""
+    cents = _centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
+
+    c = _with_centroids(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("vec"),
+        ),
+        cents,
+    )
+    sims = _centroid_sims(F.col("vec"))
+    assigned = c.withColumn(
+        "bucket", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    ).drop("__cents")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    # sidecar AFTER the data write so a readable index is always complete
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump({"centroids": cents}, f)
+    return cents
+
+
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    with open(os.path.join(path, _SIDECAR)) as f:
+        return json.load(f)["centroids"]
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Top-k by cosine over the union of each query's ``n_probe`` closest
+    buckets. The bucket filter is a plain equality on the partition
+    column, so Spark prunes unprobed directories at planning time.
+    Columns out: (qid, vec_id, sim, rank)."""
+    from pyspark.sql.window import Window
+
+    cents = load_ivf_centroids(path)
+    q = _with_centroids(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).cast("array<double>").alias("__qv"),
+        ),
+        cents,
+    )
+    sims = _centroid_sims(F.col("__qv"))
+    ranked = F.sort_array(
+        F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        asc=False,
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+    q = q.withColumn("bucket", F.explode(probes)).drop("__cents")
+
+    idx = spark.read.parquet(path)
+    cand = (
+        F.broadcast(q)
+        .join(idx, "bucket")
+        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("vec")).alias("sim"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,64 @@
+"""Persistent IVF index: equivalence with in-memory ivf_topk, partition
+pruning in the probe plan, and sidecar round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.similarity import ivf_topk
+from spatialpandas_spark.operators.similarity_index import (
+    build_ivf_index,
+    load_ivf_centroids,
+    query_ivf_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(emb, path, n_centroids=8)
+    return path
+
+
+def _qs(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_index_query_equals_in_memory_ivf(spark, emb, index_path):
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in query_ivf_index(spark, index_path, _qs(emb), k=5, n_probe=3).collect()
+    }
+    expect = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_topk(_qs(emb), emb, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    assert got == expect
+
+
+def test_sidecar_roundtrip(index_path):
+    cents = load_ivf_centroids(index_path)
+    assert len(cents) == 8 and len(cents[0]) == 64
+
+
+def test_probe_prunes_partitions(spark, emb, index_path):
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    out = query_ivf_index(spark, index_path, _qs(emb), k=5, n_probe=2)
+    plan = physical_plan(out)
+    assert "PartitionFilters" in plan
+    # the scan must carry a bucket filter (dynamic or pushed), not read all
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_bucket_dirs_on_disk(index_path):
+    import os
+
+    dirs = [d for d in os.listdir(index_path) if d.startswith("bucket=")]
+    assert len(dirs) >= 2  # corpus spread over multiple buckets
