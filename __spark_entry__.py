@@ -934,6 +934,48 @@ def q_shard_pack(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end pretraining data prep, every stage oracle-checked in ONE
+    SQL twin: scrub PII -> normalize -> exact dedup -> near-dup cluster
+    dedup (MinHash-LSH + connected components, canonical survivor) ->
+    per-language 25th-percentile token gate -> language-stratified
+    deterministic sample -> 1000-token shard packing. Output is the shard
+    manifest. The oracle chains the scrub regexes, a GROUP BY dedup, the
+    exact signature math + recursive-CTE components, quantile_cont, the
+    md5 sampling rule, and a running-sum window."""
+    from spatialpandas_spark.operators.dedup import dedup_exact, dedup_near
+    from spatialpandas_spark.operators.quantiles import (
+        filter_by_group_percentile,
+    )
+    from spatialpandas_spark.operators.sampling import stratified_sample
+    from spatialpandas_spark.operators.shards import shard_summary
+    from spatialpandas_spark.operators.text import (
+        bpe_token_count,
+        normalize_text,
+        scrub_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    clean = d.select(
+        "doc_id", "lang", normalize_text(scrub_pii(F.col("text"))).alias("t")
+    )
+    exact = dedup_exact(clean, ["t"], "doc_id")
+    near = dedup_near(exact, id_col="doc_id", text_col="t", threshold=0.5)
+    tok = near.select(
+        "doc_id", "lang", bpe_token_count(F.col("t")).cast("long").alias("w")
+    )
+    kept = filter_by_group_percentile(tok, "w", "lang", 0.25, approx=False)
+    samp = stratified_sample(
+        kept, "lang", {"en": 0.5}, key_col="doc_id", default_rate=1.0
+    )
+    out = shard_summary(samp, "w", ["doc_id"], budget=1000)
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_rows").cast("long").alias("n_docs"),
+        F.col("total_weight").cast("long").alias("sum_tokens"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs -> connected components
     (alternating star contraction) -> every doc labeled with its cluster's
@@ -1116,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1349,6 +1392,101 @@ SELECT cl.doc_id, cl.cluster_id, s.cluster_size
 FROM clustered cl
 JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       FROM clustered GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, 'https?://[^\\s]+', '<URL>', 'g'), "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+    "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')"
+)
+
+
+def _curation_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+    budget: int = 1000,
+) -> str:
+    """SQL twin of the full curation pipeline (see ``q_curation_pipeline``)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mask = (1 << 62) - 1
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((CAST({int(A[j])} AS HUGEINT) * h + {int(B[j])}) & {mask}) AS m{j}"
+        for j in range(num_hashes)
+    )
+    nmatch = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE clean AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower({_SCRUB_SQL}), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+exact AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY t),
+ex AS (SELECT c.doc_id, c.lang, c.t FROM clean c JOIN exact e USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+{shingle_n - 1}], ' ') AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+        FROM ex WHERE trim(t) != '') x,
+       UNNEST(range(1, len(tk) - {shingle_n - 2})) AS u(i)
+),
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hv GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE ({band_hit})
+            AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+canon AS (
+  SELECT e.doc_id, e.lang, e.t FROM ex e
+  LEFT JOIN comp c ON e.doc_id = c.doc_id
+  WHERE COALESCE(c.cluster_id, e.doc_id) = e.doc_id
+),
+tok AS (SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
+        FROM canon),
+thr AS (SELECT lang, quantile_cont(w, 0.25) AS q FROM tok GROUP BY lang),
+keepq AS (SELECT tok.doc_id, tok.lang, tok.w
+          FROM tok JOIN thr ON tok.lang = thr.lang WHERE tok.w >= thr.q),
+samp AS (
+  SELECT * FROM keepq
+  WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000
+      < CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
+),
+rs AS (SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
+       FROM samp)
+SELECT CAST((s - w) // {budget} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_tokens
+FROM rs GROUP BY 1
 """
 
 
@@ -1901,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS BIGINT) AS sum_tokens
             FROM rs GROUP BY 1
         """,
+        "curation_pipeline": _curation_oracle_sql(),
         "dedup_clusters": _cluster_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
