@@ -700,6 +700,59 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: treat every 17th document as the eval
+    set, compute each remaining training doc's 5-gram overlap against the
+    broadcast benchmark shingle set. Exact per-doc totals/matches/fraction
+    checked against a DuckDB set-join twin."""
+    from spatialpandas_spark.operators.contamination import ngram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    return ngram_overlap(train, bench, n=5).select(
+        "doc_id",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("matched_ngrams").cast("long").alias("matched_ngrams"),
+        "overlap",
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: token-level duplicate
+    fraction (duplicate_line_fraction over one-token-per-line text) and
+    the token share of the most frequent 2-gram / 3-gram."""
+    from spatialpandas_spark.operators.text import (
+        duplicate_line_fraction,
+        top_ngram_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        duplicate_line_fraction(
+            F.translate(F.col("text"), " ", "\n")
+        ).alias("dup_token_frac"),
+        top_ngram_fraction(F.col("text"), 2).alias("top2_frac"),
+        top_ngram_fraction(F.col("text"), 3).alias("top3_frac"),
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (size 32, stride 24): every chunk
+    row with its token count and the md5 of its exact text."""
+    from spatialpandas_spark.operators.chunk import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, size=32, stride=24)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword language-ID over documents."""
     from spatialpandas_spark.operators.text import lang_id
@@ -1145,6 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "bpe_tokens": q_bpe_tokens,
+        "decontamination": q_decontamination,
+        "repetition_signals": q_repetition_signals,
+        "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1885,6 +1941,82 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
                              / len({_TOKS}) END, 6) AS avg_word_len
             FROM documents
+        """,
+        "decontamination": f"""
+            WITH bench AS (
+              SELECT DISTINCT array_to_string(tk[u.i:u.i+4], ' ') AS s
+              FROM (SELECT {_TOKS} AS tk FROM documents
+                    WHERE doc_id % 17 = 0) x,
+                   UNNEST(range(1, len(tk) - 3)) AS u(i)
+            ),
+            train AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                      WHERE doc_id % 17 != 0),
+            dsh AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+4], ' ') AS s
+              FROM train, UNNEST(range(1, len(tk) - 3)) AS u(i)
+            ),
+            m AS (SELECT d.doc_id, COUNT(*) AS total, COUNT(b.s) AS matched
+                  FROM dsh d LEFT JOIN bench b USING (s) GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(m.total, 0) AS BIGINT) AS total_ngrams,
+                   CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_ngrams,
+                   CASE WHEN COALESCE(m.total, 0) > 0
+                        THEN CAST(m.matched AS DOUBLE) / m.total
+                        ELSE 0.0 END AS overlap
+            FROM train t LEFT JOIN m USING (doc_id)
+        """,
+        "repetition_signals": f"""
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, ' '),
+                                                x -> trim(x)),
+                                 x -> x != '') AS ls
+              FROM documents
+            ),
+            dup AS (SELECT doc_id,
+                     CASE WHEN len(ls) > 0
+                          THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                               / len(ls)
+                          ELSE 0.0 END AS dup_token_frac
+                    FROM lt),
+            t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                  WHERE text IS NOT NULL AND trim(text) != ''),
+            n AS (SELECT doc_id, len(tk) AS ntok FROM t),
+            c2 AS (SELECT doc_id, MAX(c) AS maxc FROM (
+                     SELECT t.doc_id, array_to_string(tk[u.i:u.i+1], ' ') AS g,
+                            COUNT(*) AS c
+                     FROM t, UNNEST(range(1, len(tk))) AS u(i)
+                     GROUP BY 1, 2) GROUP BY 1),
+            c3 AS (SELECT doc_id, MAX(c) AS maxc FROM (
+                     SELECT t.doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS g,
+                            COUNT(*) AS c
+                     FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+                     GROUP BY 1, 2) GROUP BY 1)
+            SELECT d.doc_id, dup.dup_token_frac,
+                   COALESCE(LEAST(CAST(c2.maxc * 2 AS DOUBLE) / n.ntok, 1.0),
+                            0.0) AS top2_frac,
+                   COALESCE(LEAST(CAST(c3.maxc * 3 AS DOUBLE) / n.ntok, 1.0),
+                            0.0) AS top3_frac
+            FROM documents d
+            JOIN dup USING (doc_id)
+            LEFT JOIN n USING (doc_id)
+            LEFT JOIN c2 USING (doc_id)
+            LEFT JOIN c3 USING (doc_id)
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                       WHERE text IS NOT NULL AND trim(text) != ''),
+            c AS (SELECT doc_id, tk,
+                   1 + CASE WHEN len(tk) > 32
+                            THEN (len(tk) - 32 + 23) // 24 ELSE 0 END AS nc
+                  FROM t),
+            ch AS (SELECT doc_id, u.i AS chunk_id,
+                          tk[u.i*24 + 1 : u.i*24 + 32] AS ct
+                   FROM c, UNNEST(range(0, nc)) AS u(i))
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(ct) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(ct, ' ')) AS chunk_md5
+            FROM ch
         """,
         "lang_id": f"""
             SELECT doc_id,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from spatialpandas_spark.functions.measures import _seq0
 from spatialpandas_spark.operators.dedup import tokens, word_shingles
 
 
@@ -168,6 +169,45 @@ def scrub_pii(text: Column) -> Column:
     out = F.regexp_replace(out, IPV4_RE, "<IP>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return out
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of a document's non-empty lines that are duplicates of an
+    earlier line — the classic boilerplate/repetition quality signal
+    (navigation bars, repeated headers). Whole computation is doc-local
+    array algebra (split → trim → distinct): scan speed, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - d).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's tokens covered by its single most
+    frequent word ``n``-gram (Gopher-style repetition signal; capped at
+    1.0 because overlapping occurrences can over-count). Doc-local and
+    quadratic in the number of distinct n-grams — bounded by document
+    length, which is bounded by ingest policy, so it stays a scan-speed
+    expression with no shuffle at any corpus size."""
+    toks = tokens(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    sh = F.transform(
+        _seq0(cnt), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    maxc = F.array_max(
+        F.transform(
+            F.array_distinct(sh),
+            lambda g: F.size(F.filter(sh, lambda x: x == g)),
+        )
+    )
+    ntok = F.size(toks)
+    return F.when(
+        (ntok > 0) & (F.size(sh) > 0),
+        F.least((maxc * F.lit(n)).cast("double") / ntok, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
 
 
 def normalize_text(text: Column) -> Column:
