@@ -753,6 +753,36 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Corpus-level duplicate span removal (windowed exact-substring
+    dedup, C4/Lee-et-al-style): drop every 8-token span occurring twice
+    or more anywhere in the corpus, reassemble surviving text. Checked
+    span-for-span against a DuckDB set twin (md5 of the exact result)."""
+    from spatialpandas_spark.operators.spans import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(d, window=8, min_count=2, keep="none")
+    return out.select(
+        "doc_id",
+        F.col("kept_spans").cast("long").alias("kept_spans"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON property extraction over the events stream: parse the props
+    JSON payload JVM-side (get_json_object, no Python) and aggregate the
+    extracted metric per event type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword language-ID over documents."""
     from spatialpandas_spark.operators.text import lang_id
@@ -1201,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "repetition_signals": q_repetition_signals,
         "doc_chunks": q_doc_chunks,
+        "span_dedup": q_span_dedup,
+        "events_json": q_events_json,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2017,6 +2049,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ct) AS BIGINT) AS n_tokens,
                    md5(array_to_string(ct, ' ')) AS chunk_md5
             FROM ch
+        """,
+        "span_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                       WHERE text IS NOT NULL AND trim(text) != ''),
+            w AS (SELECT doc_id, u.i AS wid,
+                         array_to_string(tk[u.i*8 + 1 : u.i*8 + 8], ' ') AS s
+                  FROM t, UNNEST(range(0, (len(tk) + 7) // 8)) AS u(i)),
+            c AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) >= 2),
+            k AS (SELECT doc_id, wid, s FROM w ANTI JOIN c USING (s)),
+            r AS (SELECT doc_id, COUNT(*) AS kept,
+                         string_agg(s, ' ' ORDER BY wid) AS txt
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_spans,
+                   md5(COALESCE(r.txt, '')) AS text_md5
+            FROM documents d LEFT JOIN r USING (doc_id)
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6)
+                        AS avg_k
+            FROM events GROUP BY event_type
         """,
         "lang_id": f"""
             SELECT doc_id,

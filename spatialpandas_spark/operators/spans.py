@@ -1,0 +1,133 @@
+"""Corpus-level duplicate span removal (exact-substring dedup, windowed).
+
+Document-level dedup (``operators/dedup.py``) drops whole near-identical
+documents; what it cannot catch is *boilerplate* — the same sentence or
+paragraph repeated across millions of otherwise-distinct pages. The
+public recipe (C4's three-sentence rule; Lee et al. 2022's exact
+substring dedup) removes any span that occurs verbatim elsewhere in the
+corpus. A true suffix-array over 100 TB is not a Spark-shaped
+computation; the standard scalable approximation — used here — is
+dedup at fixed token-window granularity: split each document into
+non-overlapping windows of ``window`` tokens, count each window's exact
+occurrences corpus-wide, and drop (or keep one of) the repeated ones,
+then reassemble the surviving text in order.
+
+Scale shape (the whole point):
+
+- the span table is ``total_tokens / window`` rows — a linear explode,
+  no shuffle;
+- occurrence counting is ONE ``groupBy`` on the span's md5 (16-byte
+  shuffle key regardless of window size) with map-side partial counts;
+  key skew is bounded by real boilerplate frequency and handled by AQE;
+- reassembly is ONE ``groupBy(doc_id)`` collecting ``(span_id, span)``
+  structs and sorting within the doc — per-document state only.
+
+Two shuffles total, both keyed uniformly; nothing global, nothing
+driver-side, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.functions.measures import _seq0
+from spatialpandas_spark.operators.dedup import tokens
+
+
+def doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """Explode each document into non-overlapping ``window``-token spans.
+
+    Span ``i`` covers tokens ``[i*window, (i+1)*window)``; the tail span
+    may be shorter. Returns ``(id_col, span_id, span)``; empty documents
+    yield no rows.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_spans = F.when(
+        n > 0,
+        F.floor((n + F.lit(window - 1)) / F.lit(window)).cast("int"),
+    ).otherwise(F.lit(0))
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(_seq0(n_spans)).alias("span_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("span_id") * F.lit(window) + F.lit(1), window
+    )
+    return ex.select(id_col, "span_id", F.concat_ws(" ", piece).alias("span"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    min_count: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Drop every token span occurring ``>= min_count`` times corpus-wide
+    and reassemble the surviving text.
+
+    ``keep="none"`` removes all occurrences of a repeated span (C4-style
+    boilerplate removal); ``keep="first"`` preserves the single earliest
+    occurrence by ``(doc_id, span_id)`` (Lee et al. exact-substring
+    semantics). Returns one row per input document:
+    ``(id_col, kept_spans, text_col)`` — documents whose every span was
+    removed survive with ``kept_spans = 0`` and empty text.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError("keep must be 'none' or 'first'")
+    spans = doc_spans(df, id_col, text_col, window).withColumn(
+        "__h", F.md5(F.col("span"))
+    )
+    if keep == "none":
+        flagged = (
+            spans.groupBy("__h")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= F.lit(min_count))
+            .select("__h")
+        )
+        kept = spans.join(flagged, "__h", "left_anti")
+    else:
+        agg = spans.groupBy("__h").agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__first"),
+        )
+        kept = (
+            spans.join(agg, "__h")
+            .filter(
+                (F.col("__c") < F.lit(min_count))
+                | (
+                    (F.col(id_col) == F.col(f"__first.{id_col}"))
+                    & (F.col("span_id") == F.col("__first.span_id"))
+                )
+            )
+            .select(id_col, "span_id", "span")
+        )
+    re = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("span_id"), F.col("span")))
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+    base = df.select(id_col)
+    return base.join(re, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("kept_spans"), F.lit(0)).alias("kept_spans"),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    )
