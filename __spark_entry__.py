@@ -783,6 +783,92 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_unigram_quality(spark, sf_dir):
+    """CCNet-style LM quality proxy: fit a unigram model on the corpus
+    (one groupBy(token) pass), score every document by mean token
+    log-probability (token-keyed join + per-doc agg)."""
+    from spatialpandas_spark.operators.lm import unigram_fit, unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    sc = unigram_logprob(d, unigram_fit(d))
+    return sc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.round("avg_logp", 6), F.lit(0.0)).alias("avg_logp"),
+    )
+
+
+def q_event_funnel(spark, sf_dir):
+    """Conversion funnel over the event stream: per user, the first
+    'view' and the first 'click' at-or-after it, plus a 1-day conversion
+    flag. One window keyed by user + one groupBy(user) — no global
+    state, scales with the user-key shuffle."""
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events").withColumn("us", F.expr("ts div 1000"))
+    fv = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(Window.partitionBy("user_id"))
+    e2 = e.withColumn("__fv", fv)
+    agg = e2.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "__view"
+        ),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") >= F.col("__fv")),
+                F.col("us"),
+            )
+        ).alias("__click"),
+    )
+    return agg.select(
+        "user_id",
+        F.coalesce(F.col("__view"), F.lit(-1)).cast("long").alias("first_view_us"),
+        F.coalesce(F.col("__click"), F.lit(-1)).cast("long").alias("first_click_us"),
+        F.when(
+            F.col("__click").isNotNull()
+            & (F.col("__click") - F.col("__view") <= 86400 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("converted_1d"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-ish local-supplier revenue: six-table join with broadcast
+    dims (region/nation/supplier), time-range filter pushed to the scan,
+    hash agg by nation."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword language-ID over documents."""
     from spatialpandas_spark.operators.text import lang_id
@@ -1233,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
         "events_json": q_events_json,
+        "unigram_quality": q_unigram_quality,
+        "event_funnel": q_event_funnel,
+        "tpch_q5": q_tpch_q5,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2074,6 +2163,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6)
                         AS avg_k
             FROM events GROUP BY event_type
+        """,
+        "unigram_quality": f"""
+            WITH tok AS (
+              SELECT doc_id, u.t AS token
+              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) x,
+                   UNNEST(tk) AS u(t)
+            ),
+            m AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT SUM(n) AS total FROM m),
+            sc AS (SELECT doc_id, COUNT(*) AS nt,
+                          AVG(ln(CAST(n AS DOUBLE) / total)) AS lp
+                   FROM tok JOIN m USING (token) CROSS JOIN tot
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.nt, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(ROUND(sc.lp, 6), 0.0) AS avg_logp
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "event_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            f AS (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'view' THEN us END) AS fv
+                  FROM e GROUP BY 1),
+            c AS (SELECT e.user_id, MIN(us) AS fc
+                  FROM e JOIN f USING (user_id)
+                  WHERE event_type = 'click' AND us >= fv GROUP BY 1)
+            SELECT f.user_id,
+                   CAST(COALESCE(f.fv, -1) AS BIGINT) AS first_view_us,
+                   CAST(COALESCE(c.fc, -1) AS BIGINT) AS first_click_us,
+                   CAST(CASE WHEN c.fc IS NOT NULL
+                              AND c.fc - f.fv <= 86400000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS converted_1d
+            FROM f LEFT JOIN c USING (user_id)
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "lang_id": f"""
             SELECT doc_id,
