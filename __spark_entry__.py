@@ -34,6 +34,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts normalized to a microsecond TIMESTAMP (the
+    fixture has shipped both nanos-bigint and timestamp[us] encodings)."""
+    from spatialpandas_spark.sources.events import read_events
+
+    return read_events(spark, sf_dir)
+
+
 # ---------------------------------------------------------------- geometry
 # points derived from customer: exact integer coordinates
 def _points(spark, sf_dir):
@@ -535,12 +543,9 @@ def q_geom_sort(spark, sf_dir):
 def q_user_sessions(spark, sf_dir):
     """Window-function sessionization: a session break is a >30 min gap in
     a user's event stream; count sessions and events per user."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
@@ -641,12 +646,7 @@ def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events table (batch form of the
     streaming rollup; watermarked Structured Streaming variant in
     spatialpandas_spark.streaming)."""
-    # the events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects by default; read nanos as long and convert to micros
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -773,8 +773,7 @@ def q_events_json(spark, sf_dir):
     """JSON property extraction over the events stream: parse the props
     JSON payload JVM-side (get_json_object, no Python) and aggregate the
     extracted metric per event type."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -805,8 +804,7 @@ def q_event_funnel(spark, sf_dir):
     state, scales with the user-key shuffle."""
     from pyspark.sql.window import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = _t(spark, sf_dir, "events").withColumn("us", F.expr("ts div 1000"))
+    e = _events(spark, sf_dir).withColumn("us", F.unix_micros(F.col("ts")))
     fv = F.min(
         F.when(F.col("event_type") == "view", F.col("us"))
     ).over(Window.partitionBy("user_id"))
@@ -969,8 +967,7 @@ def q_interval_join(spark, sf_dir):
     one bucket — no dedup pass); oracle is the plain inequality join."""
     from spatialpandas_spark.operators.interval import interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ev = _events(spark, sf_dir).select("event_id", "value")
     bands = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("band_id"),
         (F.col("n_nationkey") * 17.0).alias("lo"),
@@ -1044,10 +1041,7 @@ def q_events_asof(spark, sf_dir):
     ASOF LEFT JOIN."""
     from spatialpandas_spark.operators.asof import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

@@ -275,11 +275,9 @@ def b14_asof_join(spark):
     """As-of join of ~20k clicks to ~20k views (per-user backward match)
     through the union-window plan."""
     from spatialpandas_spark.operators.asof import asof_join
+    from spatialpandas_spark.sources.events import read_events
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _spread(spark.read.parquet(f"{SF_DIR}/events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _spread(read_events(spark, SF_DIR))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

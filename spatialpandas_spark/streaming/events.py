@@ -36,12 +36,24 @@ EVENT_SCHEMA = StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source event stream (one file per micro-batch by default)."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
+    """File-source event stream (one file per micro-batch by default).
+
+    Schema-adaptive like the batch reader: the stored ``ts`` may be legacy
+    nanosecond bigint, ``timestamp_ntz``, or ``timestamp``; the stream's
+    schema is taken from a static peek at the path and ``ts`` is
+    normalized to a microsecond TIMESTAMP before any watermark applies.
+    """
+    from spatialpandas_spark.sources.events import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+    return normalize_event_ts(stream)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -14,11 +14,10 @@ from spatialpandas_spark.streaming.events import (
 
 def _write_event_files(spark, path: str):
     """Split the sf0.001 events into 3 files to get 3 micro-batches,
-    converting the nanos timestamps Spark can't read natively."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    normalizing ts whatever the fixture's physical encoding."""
+    from spatialpandas_spark.sources.events import read_events
+
+    e = read_events(spark, "/root/testdata/sf0.001")
     e = e.select("event_id", "ts", "user_id", "event_type", "value", "props")
     # time-ordered 3-way split (arrival order must roughly follow event
     # time, else the watermark finalizes windows early and drops the rest

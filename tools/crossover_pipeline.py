@@ -124,11 +124,11 @@ def sp_asof(spark, path: str) -> int:
     from pyspark.sql import functions as F
 
     from spatialpandas_spark.operators.asof import asof_join
+    from spatialpandas_spark.sources.events import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_event_ts(spark.read.parquet(path))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
