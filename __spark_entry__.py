@@ -1266,6 +1266,102 @@ def q_label_centroid_sim(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- consolidated gates
+# The driver verifies at most 50 queries per round (round-2 finding), so
+# closely-related gates are merged: unions carry a `variant` tag, joins
+# share the natural key. Every underlying operator is still exercised —
+# the constituent q_* functions above run unchanged inside the merge.
+def _variant(df: DataFrame, v: str) -> DataFrame:
+    return df.withColumn("variant", F.lit(v))
+
+
+def q_cx_bbox_merged(spark, sf_dir):
+    """P1/P2 .cx selection, regular + inverted-slice variants."""
+    return _variant(q_cx_bbox(spark, sf_dir), "select").unionByName(
+        _variant(q_cx_bbox_inverted(spark, sf_dir), "inverted")
+    )
+
+
+def q_cx_refine_merged(spark, sf_dir):
+    """P5 exact cx refinement for line + polygon geometry types."""
+    return _variant(q_cx_lines(spark, sf_dir), "line").unionByName(
+        _variant(q_cx_diamonds(spark, sf_dir), "diamond")
+    )
+
+
+def q_sjoin_inner_merged(spark, sf_dir):
+    """J1/J2 inner sjoin through both physical strategies (broadcast
+    filter-refine vs grid-cell shuffle) — identical results by contract."""
+    return _variant(q_sjoin_inner(spark, sf_dir), "broadcast").unionByName(
+        _variant(q_sjoin_grid(spark, sf_dir), "grid")
+    )
+
+
+def q_sjoin_left_merged(spark, sf_dir):
+    """J1/J2 left-outer sjoin, broadcast vs grid strategies."""
+    return _variant(q_sjoin_left(spark, sf_dir), "broadcast").unionByName(
+        _variant(q_sjoin_grid_left(spark, sf_dir), "grid")
+    )
+
+
+def q_fillna_merged(spark, sf_dir):
+    """P8 missing-data handling: constant fill + pad (ffill) variants."""
+    return _variant(q_fillna_points(spark, sf_dir), "value").unionByName(
+        _variant(q_fillna_pad(spark, sf_dir), "pad")
+    )
+
+
+def q_area_length_by_group(spark, sf_dir):
+    """F1/F2 grouped measures: shoelace area + perimeter length, one row
+    per brand."""
+    return q_area_by_group(spark, sf_dir).join(
+        q_length_by_group(spark, sf_dir), "brand"
+    )
+
+
+def q_poly_measures(spark, sf_dir):
+    """F2/F6 signed area + st_centroid per polygon, keyed by id."""
+    return q_oriented_area(spark, sf_dir).join(q_centroid(spark, sf_dir), "id")
+
+
+def q_diamond_stats(spark, sf_dir):
+    """A5 sjoin counts + F8 boundary length per diamond, keyed by did."""
+    return q_sjoin_counts(spark, sf_dir).join(
+        q_boundary_length(spark, sf_dir), "did"
+    )
+
+
+def q_doc_stats_merged(spark, sf_dir):
+    """Text stats: whitespace tokens/chars/avg-word-len + BPE token count."""
+    return q_doc_stats(spark, sf_dir).join(q_bpe_tokens(spark, sf_dir), "doc_id")
+
+
+def q_text_signals(spark, sf_dir):
+    """Language-ID + quality score per document."""
+    return q_lang_id(spark, sf_dir).join(q_quality_score(spark, sf_dir), "doc_id")
+
+
+def q_doc_quality_signals(spark, sf_dir):
+    """Repetition signals + unigram-LM quality per document."""
+    return q_repetition_signals(spark, sf_dir).join(
+        q_unigram_quality(spark, sf_dir), "doc_id"
+    )
+
+
+def q_minhash_merged(spark, sf_dir):
+    """MinHash-LSH candidate pairs + exact Jaccard verification."""
+    return q_minhash_pairs(spark, sf_dir).join(
+        q_jaccard_verify(spark, sf_dir), ["id_a", "id_b"]
+    )
+
+
+def q_user_journeys(spark, sf_dir):
+    """Sessionization + conversion funnel per user."""
+    return q_user_sessions(spark, sf_dir).join(
+        q_event_funnel(spark, sf_dir), "user_id"
+    )
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join of derived points into diamond polygons with
@@ -1274,69 +1370,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ≤50 entries (the driver verifies at most 50 per round, in order);
+    # the queries with the least prior driver evidence come first.
     return {
-        "cx_bbox": q_cx_bbox,
-        "cx_bbox_inverted": q_cx_bbox_inverted,
-        "area_by_group": q_area_by_group,
-        "length_by_group": q_length_by_group,
-        "bounds_multipoint": q_bounds_multipoint,
-        "total_bounds": q_total_bounds,
-        "cx_lines": q_cx_lines,
-        "cx_diamonds": q_cx_diamonds,
-        "oriented_area": q_oriented_area,
-        "centroid": q_centroid,
-        "boundary_length": q_boundary_length,
-        "fillna_points": q_fillna_points,
-        "fillna_pad": q_fillna_pad,
-        "geom_sort": q_geom_sort,
-        "user_sessions": q_user_sessions,
-        "geom_groupby": q_geom_groupby,
-        "wkb_roundtrip": q_wkb_roundtrip,
-        "sjoin_inner": q_sjoin_inner,
-        "sjoin_grid": q_sjoin_grid,
-        "sjoin_grid_left": q_sjoin_grid_left,
-        "sjoin_left": q_sjoin_left,
-        "sjoin_counts": q_sjoin_counts,
-        "sjoin_poly_poly": q_sjoin_poly_poly,
-        "hilbert_pack": q_hilbert_pack,
-        "ref_interop": q_ref_interop,
-        "cx_read_covered": q_cx_read_covered,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_orders_per_priority": q_top_orders_per_priority,
-        "events_hourly": q_events_hourly,
-        "dedup_exact": q_dedup_exact,
-        "doc_stats": q_doc_stats,
-        "bpe_tokens": q_bpe_tokens,
-        "decontamination": q_decontamination,
-        "repetition_signals": q_repetition_signals,
-        "doc_chunks": q_doc_chunks,
-        "span_dedup": q_span_dedup,
-        "events_json": q_events_json,
-        "unigram_quality": q_unigram_quality,
-        "event_funnel": q_event_funnel,
-        "tpch_q5": q_tpch_q5,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "corpus_pipeline": q_corpus_pipeline,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_verify": q_jaccard_verify,
-        "knn_join": q_knn_join,
-        "interval_join": q_interval_join,
-        "scrub_normalize": q_scrub_normalize,
-        "length_filter": q_length_filter,
-        "top_terms": q_top_terms,
-        "events_asof": q_events_asof,
-        "stratified_sample": q_stratified_sample,
-        "shard_pack": q_shard_pack,
+        # --- round-2 unchecked tail, promoted to the front
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
+        "embedding_near_dup": q_embedding_near_dup,
+        "simhash_pairs": q_simhash_pairs,
+        "events_asof": q_events_asof,
+        "top_terms": q_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "shard_pack": q_shard_pack,
         "label_centroid_sim": q_label_centroid_sim,
+        # --- temporal / events
+        "user_sessions": q_user_journeys,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+        "interval_join": q_interval_join,
+        # --- LLM-pipeline text ops
+        "minhash_pairs": q_minhash_merged,
+        "dedup_exact": q_dedup_exact,
+        "span_dedup": q_span_dedup,
+        "decontamination": q_decontamination,
+        "doc_chunks": q_doc_chunks,
+        "doc_stats": q_doc_stats_merged,
+        "lang_id": q_text_signals,
+        "repetition_signals": q_doc_quality_signals,
+        "scrub_normalize": q_scrub_normalize,
+        "length_filter": q_length_filter,
+        "corpus_pipeline": q_corpus_pipeline,
+        "knn_join": q_knn_join,
+        # --- spatial core
+        "cx_bbox": q_cx_bbox_merged,
+        "cx_refine": q_cx_refine_merged,
+        "cx_read_covered": q_cx_read_covered,
+        "ref_interop": q_ref_interop,
+        "area_by_group": q_area_length_by_group,
+        "bounds_multipoint": q_bounds_multipoint,
+        "total_bounds": q_total_bounds,
+        "oriented_area": q_poly_measures,
+        "sjoin_inner": q_sjoin_inner_merged,
+        "sjoin_left": q_sjoin_left_merged,
+        "sjoin_counts": q_diamond_stats,
+        "sjoin_poly_poly": q_sjoin_poly_poly,
+        "hilbert_pack": q_hilbert_pack,
+        "geom_sort": q_geom_sort,
+        "geom_groupby": q_geom_groupby,
+        "wkb_roundtrip": q_wkb_roundtrip,
+        "fillna_points": q_fillna_merged,
+        # --- relational shell
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "top_orders_per_priority": q_top_orders_per_priority,
     }
 
 
@@ -1808,7 +1898,7 @@ def _hits(words: str) -> str:
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
 
 
-def oracle_sql() -> dict[str, str]:
+def _base_oracle_sql() -> dict[str, str]:
     diamonds = _DIAMONDS_SQL
     points = _POINTS_SQL
     poly_area = (
@@ -2400,3 +2490,39 @@ def oracle_sql() -> dict[str, str]:
             FROM cs GROUP BY label
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracle twins for every `queries()` entry, composing the per-operator
+    base SQL for the consolidated gates exactly the way the Spark side
+    composes the per-operator DataFrames (tagged UNION ALL / key join)."""
+    o = _base_oracle_sql()
+
+    def union(a: str, b: str, ta: str, tb: str) -> str:
+        return (
+            f"SELECT x.*, '{ta}' AS variant FROM ({o[a]}) x "
+            f"UNION ALL SELECT y.*, '{tb}' AS variant FROM ({o[b]}) y"
+        )
+
+    def join(a: str, b: str, keys: str) -> str:
+        return f"SELECT * FROM ({o[a]}) ja JOIN ({o[b]}) jb USING ({keys})"
+
+    merged = {
+        "cx_bbox": union("cx_bbox", "cx_bbox_inverted", "select", "inverted"),
+        "cx_refine": union("cx_lines", "cx_diamonds", "line", "diamond"),
+        "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
+        "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
+        "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
+        "area_by_group": join("area_by_group", "length_by_group", "brand"),
+        "oriented_area": join("oriented_area", "centroid", "id"),
+        "sjoin_counts": join("sjoin_counts", "boundary_length", "did"),
+        "doc_stats": join("doc_stats", "bpe_tokens", "doc_id"),
+        "lang_id": join("lang_id", "quality_score", "doc_id"),
+        "repetition_signals": join("repetition_signals", "unigram_quality", "doc_id"),
+        "minhash_pairs": join("minhash_pairs", "jaccard_verify", "id_a, id_b"),
+        "user_sessions": join("user_sessions", "event_funnel", "user_id"),
+    }
+    out = dict(o)
+    out.update(merged)
+    declared = set(queries())
+    return {k: v for k, v in out.items() if k in declared}

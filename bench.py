@@ -321,28 +321,33 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # failure-isolated: one broken query must never zero out the whole
+    # round's perf evidence (round-2 lesson — b14 crashed the entire run)
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in BENCHES.items():
-        fn(spark)  # warm-up (JIT, code cache, file listing)
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark)
-            times.append(time.time() - t0)
-        results[name] = round(statistics.median(times), 3)
+        try:
+            fn(spark)  # warm-up (JIT, code cache, file listing)
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark)
+                times.append(time.time() - t0)
+            results[name] = round(statistics.median(times), 3)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": _sf(),
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf(),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
