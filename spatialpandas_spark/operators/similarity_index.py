@@ -59,15 +59,22 @@ def build_ivf_index(
     ).drop("__cents")
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-    # sidecar AFTER the data write so a readable index is always complete
-    with open(os.path.join(path, _SIDECAR), "w") as f:
-        json.dump({"centroids": cents}, f)
+    # sidecar AFTER the data write so a readable index is always complete;
+    # pyarrow-fs layer so object-store index paths work (S6)
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(
+        f"{path.rstrip('/')}/{_SIDECAR}", json.dumps({"centroids": cents})
+    )
     return cents
 
 
-def load_ivf_centroids(path: str) -> list[list[float]]:
-    with open(os.path.join(path, _SIDECAR)) as f:
-        return json.load(f)["centroids"]
+def load_ivf_centroids(path: str, filesystem=None) -> list[list[float]]:
+    from spatialpandas_spark.sources import fs as _fs
+
+    return json.loads(
+        _fs.read_text(f"{path.rstrip('/')}/{_SIDECAR}", filesystem=filesystem)
+    )["centroids"]
 
 
 def query_ivf_index(

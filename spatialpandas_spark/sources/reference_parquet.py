@@ -29,39 +29,42 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 import re
-from glob import glob
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spatialpandas_spark.sources import fs as _fs
+
 _PART_RE = re.compile(r"part\.(\d+)\.parquet$")
 
 
-def _natural_parts(path: str) -> list[str]:
+def _natural_parts(path: str, filesystem=None) -> list[str]:
     """Dataset files in partition order (part.0, part.1, ... part.10)."""
+    files = _fs.list_files(path, ".parquet", filesystem=filesystem)
     out = []
-    for fp in glob(os.path.join(path, "*.parquet")):
-        m = _PART_RE.search(os.path.basename(fp))
+    for fp in files:
+        m = _PART_RE.search(posixpath.basename(fp))
         if m:
             out.append((int(m.group(1)), fp))
     if out:
         return [fp for _, fp in sorted(out)]
     # fall back to lexicographic (our own writer's part-00000-... names)
-    return sorted(glob(os.path.join(path, "*.parquet")))
+    return files
 
 
-def load_partition_bounds(path: str) -> dict[str, list[tuple]]:
+def load_partition_bounds(path: str, filesystem=None) -> dict[str, list[tuple]]:
     """Decode the ``b'spatialpandas'`` partition-bounds metadata.
 
     Returns {geom_col: [(x0, y0, x1, y1), ...]} ordered by partition
     index; empty dict when no spatialpandas metadata exists.
     """
-    cm = os.path.join(path, "_common_metadata")
-    if not os.path.exists(cm):
+    cm = f"{path.rstrip('/')}/_common_metadata"
+    if not _fs.exists(cm, filesystem=filesystem):
         return {}
-    meta = pq.read_metadata(cm).metadata or {}
+    meta = _fs.read_parquet_metadata(cm, filesystem=filesystem).metadata or {}
     raw = meta.get(b"spatialpandas")
     if raw is None:
         return {}
@@ -76,16 +79,19 @@ def load_partition_bounds(path: str) -> dict[str, list[tuple]]:
     return out
 
 
-def load_divisions(path: str) -> tuple[list, list]:
+def load_divisions(path: str, filesystem=None) -> tuple[list, list]:
     """Per-row-group ``hilbert_distance`` min/max — the reference's
     ``load_divisions`` (ref ``io/parquet.py:522-543``). Reads the
     aggregated ``_metadata`` footer when present, else per-file footers.
     """
-    mpath = os.path.join(path, "_metadata")
+    mpath = f"{path.rstrip('/')}/_metadata"
     metas = (
-        [pq.read_metadata(mpath)]
-        if os.path.exists(mpath)
-        else [pq.read_metadata(fp) for fp in _natural_parts(path)]
+        [_fs.read_parquet_metadata(mpath, filesystem=filesystem)]
+        if _fs.exists(mpath, filesystem=filesystem)
+        else [
+            _fs.read_parquet_metadata(fp, filesystem=filesystem)
+            for fp in _natural_parts(path, filesystem=filesystem)
+        ]
     )
     mins: list = []
     maxes: list = []
@@ -196,8 +202,10 @@ def write_reference_parquet(
 
     df.write.mode("overwrite").parquet(path)
     # dask naming: rename spark's part-00000-uuid files (already in
-    # partition order lexicographically) to part.{i}.parquet
-    spark_parts = sorted(glob(os.path.join(path, "*.parquet")))
+    # partition order lexicographically) to part.{i}.parquet; the move
+    # goes through the pyarrow fs layer so object-store paths work
+    fsys, local = _fs.resolve(path)
+    spark_parts = _fs.list_files(path, ".parquet", filesystem=fsys)
     if not spark_parts:
         raise ValueError(
             f"nothing written to {path!r} (empty DataFrame?) — a "
@@ -205,23 +213,23 @@ def write_reference_parquet(
         )
     files = []
     for i, fp in enumerate(spark_parts):
-        dst = os.path.join(path, f"part.{i}.parquet")
-        os.rename(fp, dst)
+        dst = f"{local.rstrip('/')}/part.{i}.parquet"
+        fsys.move(fp, dst)
         files.append(dst)
 
-    manifest = build_manifest(path, bounds_col)
+    manifest = build_manifest(path, bounds_col, filesystem=fsys)
     pb: dict[str, dict] = {}
     for col in geom_cols:
         entry = {"x0": {}, "y0": {}, "x1": {}, "y1": {}}
         for i, fp in enumerate(files):
-            b = manifest.get(os.path.basename(fp))
+            b = manifest.get(posixpath.basename(fp))
             if b is None:
                 continue
             for k, v in zip(("x0", "y0", "x1", "y1"), b):
                 entry[k][str(i)] = v
         pb[col] = entry
 
-    schema = pq.read_schema(files[0])
+    schema = pq.read_schema(files[0], filesystem=fsys)
     pandas_cols = []
     for name in schema.names:
         t = schema.field(name).type
@@ -266,11 +274,15 @@ def write_reference_parquet(
     # aggregated _metadata + _common_metadata footers
     collector = []
     for fp in files:
-        md = pq.read_metadata(fp)
-        md.set_file_path(os.path.basename(fp))
+        md = _fs.read_parquet_metadata(fp, filesystem=fsys)
+        md.set_file_path(posixpath.basename(fp))
         collector.append(md)
-    pq.write_metadata(schema, os.path.join(path, "_metadata"), collector)
-    pq.write_metadata(schema, os.path.join(path, "_common_metadata"))
+    pq.write_metadata(
+        schema, f"{local.rstrip('/')}/_metadata", collector, filesystem=fsys
+    )
+    pq.write_metadata(
+        schema, f"{local.rstrip('/')}/_common_metadata", filesystem=fsys
+    )
 
 
 def st_point_to_flat(col) -> F.Column:

@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import json
 import os
-from glob import glob
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
 from spatialpandas_spark.operators.pack import pack_partitions
+from spatialpandas_spark.sources import fs as _fs
 
 MANIFEST_NAME = "_spatial_manifest.json"
 
@@ -56,19 +57,21 @@ def write_spatial_parquet(
         )
     df.write.mode("overwrite").option("compression", compression).parquet(path)
     manifest = build_manifest(path, bounds_col)
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump({"bounds_col": bounds_col, "files": manifest}, f)
+    _fs.write_text(
+        f"{path.rstrip('/')}/{MANIFEST_NAME}",
+        json.dumps({"bounds_col": bounds_col, "files": manifest}),
+    )
     return manifest
 
 
-def build_manifest(path: str, bounds_col: str = "bounds") -> dict:
+def build_manifest(path: str, bounds_col: str = "bounds", filesystem=None) -> dict:
     """Per-file bbox from parquet footer statistics only (no data IO) —
-    row-group min/max of the four bounds fields."""
-    import pyarrow.parquet as pq
-
+    row-group min/max of the four bounds fields. Footer reads go through
+    the pyarrow filesystem layer, so object-store paths work."""
+    filesystem, _ = _fs.resolve(path, filesystem)
     manifest: dict[str, list[float]] = {}
-    for fp in sorted(glob(os.path.join(path, "*.parquet"))):
-        md = pq.read_metadata(fp)
+    for fp in _fs.list_files(path, ".parquet", filesystem=filesystem):
+        md = _fs.read_parquet_metadata(fp, filesystem=filesystem)
         want = {f"{bounds_col}.{k}": k for k in ("x0", "y0", "x1", "y1")}
         mins: dict[str, float] = {}
         maxs: dict[str, float] = {}
@@ -87,7 +90,7 @@ def build_manifest(path: str, bounds_col: str = "bounds") -> dict:
         if all(k in mins for k in ("x0", "y0")) and all(
             k in maxs for k in ("x1", "y1")
         ):
-            manifest[os.path.basename(fp)] = [
+            manifest[posixpath.basename(fp)] = [
                 mins["x0"], mins["y0"], maxs["x1"], maxs["y1"]
             ]
     return manifest
@@ -106,11 +109,10 @@ def read_spatial_parquet(
     Files absent from the manifest (no footer stats — i.e. every row's
     bounds null) are treated as non-intersecting: null geometry never
     intersects a rect, so a bounds= read may drop all-null files."""
-    mpath = os.path.join(path, MANIFEST_NAME)
-    if bounds is None or not os.path.exists(mpath):
+    mpath = f"{path.rstrip('/')}/{MANIFEST_NAME}"
+    if bounds is None or not _fs.exists(mpath):
         return spark.read.parquet(path)
-    with open(mpath) as f:
-        meta = json.load(f)
+    meta = json.loads(_fs.read_text(mpath))
     qx0, qy0, qx1, qy1 = bounds
     if qx1 < qx0:
         qx0, qx1 = qx1, qx0
@@ -156,13 +158,12 @@ def read_spatial_parquet_cx(
         qx0, qx1 = qx1, qx0
     if qy1 < qy0:
         qy0, qy1 = qy1, qy0
-    mpath = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(mpath):
+    mpath = f"{path.rstrip('/')}/{MANIFEST_NAME}"
+    if not _fs.exists(mpath):
         return cx_filter(
             spark.read.parquet(path), geom, geom_type, rect, bounds_col
         )
-    with open(mpath) as f:
-        meta = json.load(f)
+    meta = json.loads(_fs.read_text(mpath))
     covered, straddle = [], []
     for name, (x0, y0, x1, y1) in meta["files"].items():
         if x0 > qx1 or x1 < qx0 or y0 > qy1 or y1 < qy0:
