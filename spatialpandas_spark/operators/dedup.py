@@ -342,6 +342,11 @@ def simhash_pairs(
     least one of d+1 bands) to avoid the O(n²) join."""
     assert bands >= max_hamming + 1, "need bands > max_hamming for pigeonhole"
     band_bits = bits // bands
+    # a doc with no shingles (null/empty/too-short text) has no content
+    # signature: the all-zero fingerprint would pair every such doc with
+    # every other, an O(n²) blowup at corpus scale. Same contract as the
+    # MinHash path, which drops shingle-less docs.
+    df = df.filter(F.size(word_shingles(F.col(text_col), 2)) > 0)
     sd = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         simhash_bits(F.col(text_col), bits).alias("__sh"),

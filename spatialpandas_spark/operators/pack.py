@@ -62,6 +62,12 @@ def pack_partitions(
     if total_bounds is None:
         row = df.agg(*total_bounds_aggs(bounds_col)).first()
         total_bounds = (row["x0"], row["y0"], row["x1"], row["y1"])
+    if any(v is None for v in total_bounds):
+        # empty frame or all-null geometry: no spatial extent exists. Use
+        # the unit square (the reference widens degenerate ranges the same
+        # way, ref rtree.py:54-57); every row keys to distance 0 and the
+        # write degrades to a plain partitioned write instead of crashing.
+        total_bounds = (0.0, 0.0, 1.0, 1.0)
     if npartitions is None:
         n = df.count()
         npartitions = max(MIN_PARTITIONS, math.ceil(n / ROWS_PER_PARTITION))
