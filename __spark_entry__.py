@@ -1199,32 +1199,53 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def _ivf_with_recall(out: DataFrame, bf: DataFrame, k: int) -> DataFrame:
+    """Attach per-query recall@k vs the exact brute-force top-k, so ANN
+    quality itself is driver-verified (the oracle recomputes the same
+    recall from its own IVF + brute-force replicas)."""
+    marked = out.join(
+        bf.select("qid", "vec_id").withColumn("__hit", F.lit(1)),
+        ["qid", "vec_id"],
+        "left",
+    )
+    rc = marked.groupBy("qid").agg(
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / k).alias("recall")
+    )
+    return out.join(rc, "qid")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (bucketed ANN scale path). Deterministic
     md5-ordered centroid sample -> the DuckDB oracle replays the exact
-    bucketing, probing, and re-ranking in SQL. (The kmeans_iters>0
-    refinement path is pytest-covered via a recall assertion instead —
-    FP-order-dependent centroid means have no exact cross-engine twin.)"""
-    from spatialpandas_spark.operators.similarity import ivf_topk
+    bucketing, probing, and re-ranking in SQL, plus the recall@5 of the
+    IVF answer vs exact brute force. (The kmeans_iters>0 refinement path
+    is pytest-covered via a recall assertion instead — FP-order-dependent
+    centroid means have no exact cross-engine twin.)"""
+    from spatialpandas_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=4)
-    return out.select(
+    out = ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=4).select(
         "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+    return _ivf_with_recall(out, brute_force_topk(qs, emb, k=5), 5)
 
 
 def q_ann_ivf_index(spark, sf_dir):
     """Persistent IVF: build the bucket-partitioned index on disk, then
     probe it — results must equal the in-memory IVF (same deterministic
-    centroids), so the same SQL oracle applies; the probe scan is
-    partition-pruned (plan-asserted in tests)."""
+    centroids), so the same SQL oracle (incl. recall@5 vs brute force)
+    applies; the probe scan is partition-pruned (plan-asserted in
+    tests)."""
     import tempfile
 
+    from spatialpandas_spark.operators.similarity import brute_force_topk
     from spatialpandas_spark.operators.similarity_index import (
         build_ivf_index,
         query_ivf_index,
@@ -1236,11 +1257,11 @@ def q_ann_ivf_index(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = query_ivf_index(spark, path, qs, k=5, n_probe=4)
-    return out.select(
+    out = query_ivf_index(spark, path, qs, k=5, n_probe=4).select(
         "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+    return _ivf_with_recall(out, brute_force_topk(qs, emb, k=5), 5)
 
 
 def q_label_centroid_sim(spark, sf_dir):
@@ -2563,7 +2584,22 @@ def oracle_sql() -> dict[str, str]:
     def join(a: str, b: str, keys: str) -> str:
         return f"SELECT * FROM ({o[a]}) ja JOIN ({o[b]}) jb USING ({keys})"
 
+    # IVF gates additionally carry recall@5 vs exact brute force (driver-
+    # verified ANN quality): oracle recomputes recall from its own replicas
+    ivf_recall = f"""
+        WITH ivf AS ({o["ann_ivf_topk"]}), bf AS ({o["ann_topk"]}),
+        rc AS (SELECT ivf.qid,
+                      CAST(SUM(CASE WHEN bf.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
+               FROM ivf LEFT JOIN bf
+                 ON ivf.qid = bf.qid AND ivf.vec_id = bf.vec_id
+               GROUP BY ivf.qid)
+        SELECT ivf.*, rc.recall FROM ivf JOIN rc USING (qid)
+    """
+
     merged = {
+        "ann_ivf_topk": ivf_recall,
+        "ann_ivf_index": ivf_recall,
         "cx_bbox": union("cx_bbox", "cx_bbox_inverted", "select", "inverted"),
         "cx_refine": union("cx_lines", "cx_diamonds", "line", "diamond"),
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),

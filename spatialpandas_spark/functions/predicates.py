@@ -68,8 +68,17 @@ def _tri_orient(ax, ay, bx, by, cx, cy) -> Column:
 
 def _segments_intersect(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> Column:
     """Segment-segment intersection incl. endpoint touches; collinear
-    segments intersect iff their bboxes overlap (strictly tighter than the
-    reference's collinear shortcut at ``intersection.py:102-104``)."""
+    segments intersect iff their bboxes overlap.
+
+    DELIBERATE divergence from the reference: its collinear shortcut
+    (ref ``_algorithms/intersection.py:102-104``) returns True for ANY
+    fully-collinear pair, including disjoint ones on the same line — a
+    false positive reachable only through degenerate inputs. This
+    implementation keeps the exact semantics (overlap required), which
+    agree with the standard CLRS formulation; the contract is pinned
+    against an exact integer-arithmetic oracle in
+    ``tests/test_segment_collinear.py`` including every degenerate class
+    (collinear overlap/touch/disjoint, zero-length segments)."""
     d1 = _tri_orient(ax0, ay0, ax1, ay1, bx0, by0)
     d2 = _tri_orient(ax0, ay0, ax1, ay1, bx1, by1)
     d3 = _tri_orient(bx0, by0, bx1, by1, ax0, ay0)
