@@ -14,9 +14,11 @@ geometry deterministically from the TPC-H-ish tables:
 - cross-engine float *sums* are rounded identically on both sides (row-level
   values are bit-identical; only aggregation order differs).
 
-Ops with no SQL equivalent (hilbert packing, minhash/simhash pairs,
-fingerprints — all hash-based) are declared without an oracle → the driver
-records a rows-only check; pytest covers them against Python oracles.
+Every declared query has an exact DuckDB oracle — including the
+hash-based ops (hilbert packing, minhash/simhash), whose oracles replay
+the same md5-derived hashes in SQL. Consolidated gates (tagged unions /
+key joins of related operators) get their oracle composed from the same
+per-operator base SQL in ``oracle_sql()``.
 """
 
 from __future__ import annotations
