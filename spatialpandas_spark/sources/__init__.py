@@ -10,8 +10,14 @@ from spatialpandas_spark.sources.reference_parquet import (
     load_partition_bounds,
     load_divisions,
 )
+from spatialpandas_spark.sources.events import (
+    normalize_event_ts,
+    read_events,
+)
 
 __all__ = [
+    "normalize_event_ts",
+    "read_events",
     "write_spatial_parquet",
     "read_spatial_parquet",
     "read_spatial_parquet_cx",
