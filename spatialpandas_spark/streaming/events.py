@@ -175,6 +175,100 @@ def sessionize_stream(
     )
 
 
+def attribute_clicks_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each click to the SAME
+    user's view events within the preceding ``max_gap_seconds`` — the
+    incremental twin of the batch as-of/interval attribution.
+
+    Scale design: both sides carry event-time watermarks and the join
+    condition bounds view_ts to a finite window before click_ts, so the
+    state store retains each side only for watermark + gap — without the
+    time bound a stream-stream join must buffer one side forever. The
+    equality on user_id keys the state store; the range condition prunes
+    within the key.
+
+    Output: one row per (click, qualifying view) pair — downstream picks
+    last-touch (max view_ts per click) or multi-touch weights; that
+    per-click reduction composes as a normal aggregation.
+    """
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    v = (
+        views.select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+        )
+    )
+    return c.join(v, cond, "inner").select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        (F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+def attribute_clicks_batch(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Batch twin of ``attribute_clicks_stream`` (same output schema) for
+    cross-checking the streaming result on finite data."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+        )
+    )
+    return c.join(v, cond, "inner").select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        (F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:
