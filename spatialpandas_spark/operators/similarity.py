@@ -64,21 +64,82 @@ def brute_force_topk(
     Columns out: (qid, vec_id, sim, rank)."""
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")))
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
-    sims = q.crossJoin(c).select(
-        "qid",
-        "vec_id",
-        cosine(
-            F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>")
-        ).alias("sim"),
+    # the probe set is small by contract (it was broadcast in the previous
+    # formulation); collecting it lets ONE Arrow pass over the corpus
+    # compute all query sims per batch — no q x corpus pair table, no
+    # interpreted per-row HOF fold (measured 7.3 s -> ~1 s at 1M x 8,
+    # tools/crossover_ann.py)
+    qrows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    ).collect()
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    Q = _stack([r["__qv"] for r in qrows])
+    qn = np.sqrt(_seq_pair_dot(Q, Q))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("vec_id", c.schema["vec_id"].dataType),
+            StructField("sim", DoubleType()),
+        ]
     )
 
     def _reduce(q, v, s):
         # keep the k best (sim desc, id asc) per qid, fully vectorized
+        idx = np.lexsort((v, -s, q))
+        q, v, s = q[idx], v[idx], s[idx]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return q[keep], v[keep], s[keep]
+
+    def sims_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _stack(pdf["__cv"])
+            xn = np.sqrt(_seq_pair_dot(X, X))
+            vid = pdf["vec_id"].to_numpy()
+            for j in range(len(qids)):
+                ok = (xn > 0) & (qn[j] > 0)
+                s = np.where(ok, _seq_dot(X, Q[j]) / (xn * qn[j]), 0.0)
+                acc.append(
+                    _reduce(np.full(len(s), qids[j], dtype=np.int64), vid, s)
+                )
+        if acc:
+            q, v, s = (np.concatenate([a[i] for a in acc]) for i in range(3))
+            q, v, s = _reduce(q, v, s)
+            yield pd.DataFrame({"qid": q, "vec_id": v, "sim": s})
+
+    survivors = c.mapInPandas(sims_topk, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _topk_rerank(sims: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k over a (qid, vec_id, sim) candidate set: an
+    Arrow partial top-k per partition, then the ranking window over the
+    tiny survivor set — the same shape brute_force_topk uses, factored
+    out so every ANN rerank avoids windowing the full candidate volume
+    (n_probe/n_centroids of the corpus per query at IVF scale)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _reduce(q, v, s):
         idx = np.lexsort((v, -s, q))
         q, v, s = q[idx], v[idx], s[idx]
         starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
@@ -104,10 +165,106 @@ def brute_force_topk(
 
     survivors = sims.mapInPandas(partial_topk, sims.schema)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
+
+
+def _seq_dot(X: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot(X, y) with a SEQUENTIAL left-to-right fold over
+    dimensions (vectorized across rows) — bit-identical to the Catalyst
+    ``aggregate(zip_with(...))`` fold and DuckDB's list_dot_product, which
+    is what keeps the Arrow fast path hash-equal to the SQL oracles.
+    (np.dot would use BLAS pairwise summation: ~1 ulp different.)"""
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * y[i]
+    return acc
+
+
+def _seq_pair_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
+def _stack(col) -> "np.ndarray":
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def bucket_assign_arrow(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "__cv"
+) -> DataFrame:
+    """Max-cosine centroid assignment as one Arrow pass (adds
+    ``__bucket``). The interpreted per-row HOF fold costs
+    O(n_centroids x dim) element evaluations per corpus row — measured
+    9-14x slower than brute force at 1M vectors (tools/crossover_ann.py);
+    this kernel does the same math vectorized across each record batch
+    while keeping the SEQUENTIAL dim fold, so bucket ids and sims stay
+    bit-identical to the Catalyst expression and the SQL oracle
+    (ties: np.argmax = first max = array_position(.., array_max))."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(cents, dtype=np.float64)
+    cnorms = np.sqrt(_seq_pair_dot(C, C))
+    # copy the field list — StructType.add would MUTATE the frame's
+    # cached schema and make the input frame claim the output column
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__bucket", IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _stack(pdf[vec_col])
+            xn = np.sqrt(_seq_pair_dot(X, X))
+            sims = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for j in range(len(C)):
+                ok = (xn > 0) & (cnorms[j] > 0)
+                sims[:, j] = np.where(
+                    ok, _seq_dot(X, C[j]) / (xn * cnorms[j]), 0.0
+                )
+            out = pdf.copy()
+            out["__bucket"] = np.argmax(sims, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pair_cosine_arrow(
+    df: DataFrame, a_col: str = "__qv", b_col: str = "__cv"
+) -> DataFrame:
+    """(qid, vec_id, cosine(a, b)) as one Arrow pass over candidate pairs
+    — same sequential-fold bit-exactness contract as
+    ``bucket_assign_arrow``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema["qid"], df.schema["vec_id"], StructField("sim", DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A, B = _stack(pdf[a_col]), _stack(pdf[b_col])
+            na = np.sqrt(_seq_pair_dot(A, A))
+            nb = np.sqrt(_seq_pair_dot(B, B))
+            ok = (na > 0) & (nb > 0)
+            sim = np.where(ok, _seq_pair_dot(A, B) / (na * nb), 0.0)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "vec_id": pdf["vec_id"], "sim": sim}
+            )
+
+    return df.mapInPandas(run, out_schema)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -174,11 +331,10 @@ def lsh_bucket_topk(
     cand = (
         F.broadcast(q)
         .join(c, "__bk", "inner")
-        .dropDuplicates(["qid", "vec_id"])
-        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
+        .dropDuplicates(["qid", "vec_id"])  # a pair can hit several bands
+        .select("qid", "vec_id", "__qv", "__cv")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_rerank(pair_cosine_arrow(cand), k)
 
 
 def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, n: int):
@@ -211,10 +367,7 @@ def kmeans_refine(
     dim = len(centroids[0])
     c = corpus.select(F.col(corpus_vec).cast("array<double>").alias("__cv"))
     for _ in range(iters):
-        dots = _centroid_sims(F.col("__cv"))
-        assigned = _with_centroids(c, centroids).withColumn(
-            "__bucket", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-        )
+        assigned = bucket_assign_arrow(c, centroids)
         sums = (
             assigned.groupBy("__bucket")
             .agg(
@@ -275,19 +428,16 @@ def ivf_topk(
             corpus, cents, kmeans_iters, corpus_id, corpus_vec
         )
 
-    c = _with_centroids(
+    # corpus bucketing: Arrow kernel (bit-identical to the Catalyst fold)
+    c = bucket_assign_arrow(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
         ),
         cents,
     )
-    dots_c = _centroid_sims(F.col("__cv"))
-    c = c.withColumn(
-        "__bucket",
-        (F.array_position(dots_c, F.array_max(dots_c)) - 1).cast("int"),
-    ).drop("__cents")
 
+    # query-side probe ranking stays in Catalyst (query set is tiny)
     q = _with_centroids(
         queries.select(
             F.col(query_id).alias("qid"),
@@ -308,14 +458,13 @@ def ivf_topk(
     probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
     q = q.withColumn("__bucket", F.explode(probes)).drop("__cents")
 
-    cand = (
-        F.broadcast(q)
-        .join(c, "__bucket", "inner")
-        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
-        .dropDuplicates(["qid", "vec_id"])
+    # (qid, vec_id) pairs are unique by construction — each corpus row has
+    # exactly one bucket and a query's probe buckets are distinct indices —
+    # so no dedup shuffle; rerank is the two-phase partial-top-k shape
+    cand = F.broadcast(q).join(c, "__bucket", "inner").select(
+        "qid", "vec_id", "__qv", "__cv"
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_rerank(pair_cosine_arrow(cand), k)
 
 
 def embedding_near_dup_pairs(

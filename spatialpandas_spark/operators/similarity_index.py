@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 from spatialpandas_spark.operators.similarity import (
     _centroids,
     _centroid_sims,
+    _topk_rerank,
     _with_centroids,
-    cosine,
+    bucket_assign_arrow,
     kmeans_refine,
+    pair_cosine_arrow,
 )
 
 _SIDECAR = "_ivf_centroids.json"
@@ -46,17 +48,14 @@ def build_ivf_index(
     if kmeans_iters > 0:
         cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
 
-    c = _with_centroids(
+    assigned = bucket_assign_arrow(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("vec"),
         ),
         cents,
-    )
-    sims = _centroid_sims(F.col("vec"))
-    assigned = c.withColumn(
-        "bucket", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    ).drop("__cents")
+        vec_col="vec",
+    ).withColumnRenamed("__bucket", "bucket")
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
     # sidecar AFTER the data write so a readable index is always complete;
@@ -90,8 +89,6 @@ def query_ivf_index(
     buckets. The bucket filter is a plain equality on the partition
     column, so Spark prunes unprobed directories at planning time.
     Columns out: (qid, vec_id, sim, rank)."""
-    from pyspark.sql.window import Window
-
     cents = load_ivf_centroids(path)
     q = _with_centroids(
         queries.select(
@@ -113,13 +110,10 @@ def query_ivf_index(
     q = q.withColumn("bucket", F.explode(probes)).drop("__cents")
 
     idx = spark.read.parquet(path)
-    cand = (
-        F.broadcast(q)
-        .join(idx, "bucket")
-        .select("qid", "vec_id", cosine(F.col("__qv"), F.col("vec")).alias("sim"))
-        .dropDuplicates(["qid", "vec_id"])
+    # pairs unique by construction (one bucket per indexed vector,
+    # distinct probe buckets per query) — no dedup shuffle; Arrow pair
+    # cosine + two-phase partial-top-k rerank
+    cand = F.broadcast(q).join(idx, "bucket").select(
+        "qid", "vec_id", "__qv", F.col("vec").alias("__cv")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _topk_rerank(pair_cosine_arrow(cand), k)
