@@ -237,9 +237,12 @@ def bucket_assign_arrow(
 
 
 def pair_cosine_arrow(
-    df: DataFrame, a_col: str = "__qv", b_col: str = "__cv"
+    df: DataFrame,
+    a_col: str = "__qv",
+    b_col: str = "__cv",
+    keep_cols: tuple[str, str] = ("qid", "vec_id"),
 ) -> DataFrame:
-    """(qid, vec_id, cosine(a, b)) as one Arrow pass over candidate pairs
+    """(*keep_cols, cosine(a, b)) as one Arrow pass over candidate pairs
     — same sequential-fold bit-exactness contract as
     ``bucket_assign_arrow``."""
     from collections.abc import Iterator
@@ -248,7 +251,7 @@ def pair_cosine_arrow(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     out_schema = StructType(
-        [df.schema["qid"], df.schema["vec_id"], StructField("sim", DoubleType())]
+        [df.schema[c] for c in keep_cols] + [StructField("sim", DoubleType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,9 +263,47 @@ def pair_cosine_arrow(
             nb = np.sqrt(_seq_pair_dot(B, B))
             ok = (na > 0) & (nb > 0)
             sim = np.where(ok, _seq_pair_dot(A, B) / (na * nb), 0.0)
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], "vec_id": pdf["vec_id"], "sim": sim}
-            )
+            out = {c: pdf[c] for c in keep_cols}
+            out["sim"] = sim
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def rp_signatures_arrow(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "__v",
+    out_col: str = "__sig",
+) -> DataFrame:
+    """Packed random-hyperplane sign signature as one Arrow pass (adds
+    ``out_col`` long). Same bit-exactness contract: the per-plane dot is
+    the sequential dimension fold, so signs — and therefore signatures
+    and band keys — equal the Catalyst ``rp_signature`` expression and
+    the SQL oracle's replay."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    P = np.asarray(planes, dtype=np.float64)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _stack(pdf[vec_col])
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(P.shape[0]):
+                sig = sig | np.where(
+                    _seq_dot(X, P[b]) > 0, np.int64(1) << b, np.int64(0)
+                )
+            out = pdf.copy()
+            out[out_col] = sig
+            yield out
 
     return df.mapInPandas(run, out_schema)
 
@@ -323,10 +364,16 @@ def lsh_bucket_topk(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
     ).withColumn("__bk", F.explode(band_keys(rp_signature(F.col("__qv"), planes))))
-    c = corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    ).withColumn("__bk", F.explode(band_keys(rp_signature(F.col("__cv"), planes))))
+    # corpus signatures via the Arrow kernel (bit-identical, see
+    # rp_signatures_arrow); the query side is tiny — Catalyst is fine
+    c = rp_signatures_arrow(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        ),
+        planes,
+        vec_col="__cv",
+    ).withColumn("__bk", F.explode(band_keys(F.col("__sig")))).drop("__sig")
 
     cand = (
         F.broadcast(q)
@@ -487,10 +534,13 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, bits, seed)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sd = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__sig", rp_signature(F.col("__v"), planes))
+    sd = rp_signatures_arrow(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        planes,
+    )
     banded = sd.select(
         "__id",
         "__v",
@@ -509,7 +559,7 @@ def embedding_near_dup_pairs(
         ).alias("__bk"),
     )
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.__bk") == F.col("r.__bk")) & (F.col("l.__id") < F.col("r.__id")),
@@ -518,8 +568,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
-            cosine(F.col("l.__v"), F.col("r.__v")).alias("sim"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("sim") >= threshold)
     )
+    sims = pair_cosine_arrow(
+        cand, a_col="__va", b_col="__vb", keep_cols=("id_a", "id_b")
+    )
+    return sims.filter(F.col("sim") >= threshold)
