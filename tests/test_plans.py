@@ -134,6 +134,27 @@ def test_brute_force_topk_reduces_before_ranking(spark):
     assert out.count() == 15
 
 
+def test_ivf_topk_plan_two_phase_rerank(spark):
+    """IVF rerank must use the same two-phase shape: Arrow partial top-k
+    below the final window (windowing the full candidate volume —
+    n_probe/n_centroids of the corpus per query — is the scale-killer the
+    round-3 ANN sweep caught)."""
+    from spatialpandas_spark.operators.similarity import ivf_topk
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(qs, emb, k=5, n_centroids=8, n_probe=2)
+    plan = physical_plan(out)
+    # bucket assign + pair cosine + partial top-k are all Arrow stages
+    assert plan.count("MapInPandas") >= 2
+    assert plan.index("Window") < plan.index("MapInPandas")
+    # no dedup shuffle between rerank stages (pairs unique by construction)
+    assert "dropDuplicates" not in plan and out.count() == 15
+
+
 def test_asof_join_plan_is_keyed_not_global(spark):
     """The as-of union-window must partition by the join key — a global
     window (single task) here would be the round-1 scale-killer class."""
