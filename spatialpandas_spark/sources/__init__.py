@@ -2,6 +2,8 @@ from spatialpandas_spark.sources.spatial_parquet import (
     write_spatial_parquet,
     read_spatial_parquet,
     read_spatial_parquet_cx,
+    append_spatial_parquet,
+    refresh_manifest,
     build_manifest,
 )
 from spatialpandas_spark.sources.reference_parquet import (

@@ -64,6 +64,53 @@ def write_spatial_parquet(
     return manifest
 
 
+def refresh_manifest(
+    path: str, bounds_col: str = "bounds", filesystem=None
+) -> dict:
+    """Rebuild the bounds manifest from the current file set's footers
+    (no data IO) and rewrite the sidecar — call after any out-of-band
+    file addition/removal."""
+    manifest = build_manifest(path, bounds_col, filesystem=filesystem)
+    _fs.write_text(
+        f"{path.rstrip('/')}/{MANIFEST_NAME}",
+        json.dumps({"bounds_col": bounds_col, "files": manifest}),
+        filesystem=filesystem,
+    )
+    return manifest
+
+
+def append_spatial_parquet(
+    df: DataFrame,
+    path: str,
+    bounds_col: str = "bounds",
+    pack: bool = True,
+    npartitions: int | None = None,
+    p: int = 15,
+    total_bounds: tuple[float, float, float, float] | None = None,
+    compression: str = "snappy",
+) -> dict:
+    """Append rows to an existing spatial dataset and refresh the
+    manifest (ingest path for a continuously-growing lake).
+
+    The appended batch is Hilbert-packed WITHIN ITSELF (tight footer
+    stats, so the new files prune exactly like the originals), but the
+    dataset-wide layout is no longer one global Hilbert order — each
+    append adds its own pruning units. That is the right trade at 100 TB:
+    appends stay O(batch), reads stay manifest-pruned, and a periodic
+    `write_spatial_parquet` repack (compaction) restores the single
+    global order when file counts warrant it."""
+    if pack:
+        df = pack_partitions(
+            df,
+            bounds_col=bounds_col,
+            npartitions=npartitions,
+            p=p,
+            total_bounds=total_bounds,
+        )
+    df.write.mode("append").option("compression", compression).parquet(path)
+    return refresh_manifest(path, bounds_col)
+
+
 def build_manifest(path: str, bounds_col: str = "bounds", filesystem=None) -> dict:
     """Per-file bbox from parquet footer statistics only (no data IO) —
     row-group min/max of the four bounds fields. Footer reads go through

@@ -127,3 +127,45 @@ def test_cx_read_all_covered_has_no_filter(spark, points, tmp_path):
     # no row-level Filter node anywhere (scan attributes like
     # "DataFilters: []" don't count)
     assert "Filter (" not in physical_plan(out)
+
+
+def test_append_refreshes_manifest_and_prunes(spark, tmp_path):
+    """Append path: new batch packs within itself, manifest refresh makes
+    both generations prunable; bounds-read sees the union."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark import st_point, with_bounds
+    from spatialpandas_spark.sources import (
+        append_spatial_parquet,
+        read_spatial_parquet,
+        write_spatial_parquet,
+    )
+
+    def pts(offset):
+        return with_bounds(
+            spark.range(200).select(
+                (F.col("id") + offset * 1000).alias("id"),
+                st_point(
+                    (F.col("id") % 20 + offset * 100).cast("double"),
+                    (F.col("id") % 10).cast("double"),
+                ).alias("geom"),
+            ),
+            "geom",
+            "point",
+        )
+
+    path = str(tmp_path / "appendable")
+    write_spatial_parquet(pts(0), path, npartitions=2, p=8)
+    m1 = append_spatial_parquet(pts(1), path, npartitions=2, p=8)
+    assert len(m1) > 2  # manifest now covers both generations' files
+
+    allrows = read_spatial_parquet(spark, path)
+    assert allrows.count() == 400
+
+    # viewport covering only generation 0 must prune generation 1 files
+    gen0 = read_spatial_parquet(spark, path, bounds=(0.0, 0.0, 30.0, 30.0))
+    assert gen0.count() == 200
+    gen1 = read_spatial_parquet(
+        spark, path, bounds=(100.0, 0.0, 130.0, 30.0)
+    )
+    assert gen1.count() == 200
