@@ -218,10 +218,36 @@ class SpatialFrame:
             **kwargs,
         )
 
+    def sjoin_knn(
+        self, other: SpatialFrame, k: int, cell_size: float, **kwargs
+    ) -> DataFrame:
+        """Exact kNN join (point frames): each row of self paired with
+        its k nearest rows of other (level-doubling grid join)."""
+        from spatialpandas_spark.operators.knn import sjoin_knn
+
+        return sjoin_knn(
+            self.df,
+            other.df,
+            k=k,
+            cell_size=cell_size,
+            left_geom=self.geometry,
+            right_geom=other.geometry,
+            **kwargs,
+        )
+
     def to_parquet(self, path: str, **kwargs) -> dict:
         from spatialpandas_spark.sources import write_spatial_parquet
 
         return write_spatial_parquet(
+            self.with_bounds().df, path, bounds_col=self.bounds_col, **kwargs
+        )
+
+    def append_parquet(self, path: str, **kwargs) -> dict:
+        """Append this frame to an existing spatial dataset and refresh
+        its manifest (see sources.append_spatial_parquet)."""
+        from spatialpandas_spark.sources import append_spatial_parquet
+
+        return append_spatial_parquet(
             self.with_bounds().df, path, bounds_col=self.bounds_col, **kwargs
         )
 

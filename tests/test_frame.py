@@ -115,3 +115,34 @@ def test_intersects_methods(spark, pts):
         if abs(r["x"] - 50) + abs(r["y"] - 50) <= 20
     )
     assert hit == exp2 and hit > 0
+
+
+def test_frame_knn_and_append(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark import SpatialFrame, st_point
+    from spatialpandas_spark.sources import read_spatial_parquet
+
+    def mk(n, offset=0):
+        return spark.range(n).select(
+            (F.col("id") + offset * 100).alias("lid"),
+            st_point(
+                (F.col("id") % 9 + offset * 50).cast("double"),
+                (F.col("id") % 7).cast("double"),
+            ).alias("geom"),
+        )
+
+    a = SpatialFrame(mk(30), "geom", "point")
+    b = SpatialFrame(
+        mk(20).withColumnRenamed("lid", "rid"), "geom", "point"
+    )
+    knn = a.sjoin_knn(b, k=2, cell_size=3.0)
+    assert knn.count() == 60  # 30 lefts x k=2
+    assert set(knn.columns) == {"lid", "rid", "dist2", "rank"}
+
+    path = str(tmp_path / "sf_append")
+    a.to_parquet(path, npartitions=2, p=8)
+    SpatialFrame(mk(30, offset=1), "geom", "point").append_parquet(
+        path, npartitions=2, p=8
+    )
+    assert read_spatial_parquet(spark, path).count() == 60
