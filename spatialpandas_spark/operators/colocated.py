@@ -80,12 +80,21 @@ def salted_join(
     each right row exists once per salt value)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    lk = F.concat_ws(
-        "#",
-        F.col(key).cast("string"),
-        (F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt)).cast(
-            "string"
-        ),
+    # Salt is a pure function of row content (not monotonically_increasing_id):
+    # a non-deterministic salt re-evaluated during partial stage recompute can
+    # assign a different sub-key to the same row than the copy already consumed
+    # downstream, duplicating or dropping rows (SPARK-23207 class).
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    )
+    # Null join keys must stay non-matching, exactly as in a plain equi-join.
+    # concat_ws skips nulls, which would collapse a null-key left row's __sk to
+    # its bare salt digit and collide with right-side digits — so route null
+    # keys to a null __sk (null never equals null in a join condition).
+    lk = F.when(
+        F.col(key).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat_ws("#", F.col(key).cast("string"), salt_col.cast("string"))
     )
     salted_l = left.withColumn("__sk", lk)
     rk = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -93,8 +102,14 @@ def salted_join(
         right.withColumn("__salt", rk)
         .withColumn(
             "__sk",
-            F.concat_ws(
-                "#", F.col(key).cast("string"), F.col("__salt").cast("string")
+            F.when(
+                F.col(key).isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.concat_ws(
+                    "#",
+                    F.col(key).cast("string"),
+                    F.col("__salt").cast("string"),
+                )
             ),
         )
         .drop("__salt", key)

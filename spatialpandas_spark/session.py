@@ -41,6 +41,13 @@ def get_spark(
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Events-pipeline session contract (see sources/events.py): the
+        # engine's timestamp semantics are defined against a UTC session
+        # zone, and legacy TIMESTAMP(NANOS) parquet is surfaced as bigint.
+        # Owned HERE, at session setup — the readers verify rather than
+        # silently re-own these mid-session.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -15,12 +15,61 @@ wall-clock equals the stored UTC instant. Keeping the adaptation in one
 place is also the 100 TB posture — a production lake accretes files with
 both encodings, and per-file branching belongs in the source, not in
 every query.
+
+SESSION CONTRACT (load-bearing, session-wide): the events pipeline is
+defined against ``spark.sql.session.timeZone=UTC`` — both the
+NTZ->TIMESTAMP cast at read time and every downstream wall-clock
+extraction (``hour(ts)``, ``unix_*``, window boundaries) are
+session-zone-dependent and lazily evaluated, so the zone cannot be set
+and restored around the read; it must hold for the life of the queries.
+``spatialpandas_spark.session.get_spark`` sets it (plus
+``nanosAsLong``) at session construction. For sessions built elsewhere,
+:func:`ensure_events_session_confs` applies the contract and WARNS when
+it overrides a different pre-existing zone instead of changing it
+silently.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_EVENTS_SESSION_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_events_session_confs(spark: SparkSession) -> None:
+    """Apply the events session contract (UTC zone + nanosAsLong),
+    warning — not silent — when a conflicting session zone is replaced.
+    Idempotent; a session built by ``session.get_spark`` already
+    complies and is untouched."""
+    for key, want in _EVENTS_SESSION_CONFS:
+        try:
+            cur = spark.conf.get(key)
+        except Exception:
+            cur = None
+        if cur == want:
+            continue
+        if key == "spark.sql.session.timeZone" and cur not in (
+            None,
+            "UTC",
+            "Etc/UTC",
+            "Z",
+        ):
+            warnings.warn(
+                f"spatialpandas_spark events reader requires "
+                f"{key}={want} for the whole session and is overriding "
+                f"the current value {cur!r}; timestamp rendering of other "
+                f"queries in this SparkSession changes accordingly. Build "
+                f"the session with spatialpandas_spark.session.get_spark "
+                f"to own this at setup.",
+                stacklevel=3,
+            )
+        spark.conf.set(key, want)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -44,11 +93,9 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read ``{sf_dir}/events.parquet`` with ``ts`` normalized to a
-    microsecond TIMESTAMP (UTC instant)."""
-    # harmless when ts is already timestamp[us]; required for nanos files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # make the NTZ->TIMESTAMP cast (and epoch extraction downstream) agree
-    # with the oracle engines, which treat the naive value as UTC
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    microsecond TIMESTAMP (UTC instant). Requires the session contract
+    documented in this module's docstring (applied with a warning on
+    conflict, owned at setup by ``session.get_spark``)."""
+    ensure_events_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     return normalize_event_ts(df)

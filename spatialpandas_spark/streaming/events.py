@@ -42,12 +42,23 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     nanosecond bigint, ``timestamp_ntz``, or ``timestamp``; the stream's
     schema is taken from a static peek at the path and ``ts`` is
     normalized to a microsecond TIMESTAMP before any watermark applies.
+    When the source directory is empty at start (the normal cold-start
+    case for a file stream), the peek cannot infer a schema — the stream
+    falls back to the canonical ``EVENT_SCHEMA`` and waits for files
+    instead of failing.
     """
-    from spatialpandas_spark.sources.events import normalize_event_ts
+    from spatialpandas_spark.sources.events import (
+        ensure_events_session_confs,
+        normalize_event_ts,
+    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    static_schema = spark.read.parquet(path).schema
+    ensure_events_session_confs(spark)
+    try:
+        static_schema = spark.read.parquet(path).schema
+    except Exception:
+        # empty/absent dir at cold start: no files to peek — use the
+        # canonical schema (the peek exists only to detect legacy nanos)
+        static_schema = EVENT_SCHEMA
     stream = (
         spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", 1)

@@ -90,7 +90,7 @@ def test_salted_join_splits_hot_key(spark):
     # every left row matched key 7 exactly once
     assert out.count() == 1_000
     # pre-drop salt keys spread the hot key over multiple sub-keys: verify
-    # via the same construction the operator uses
+    # via the same construction the operator uses (content-derived salt)
     n_subkeys = (
         left.withColumn(
             "__sk",
@@ -98,7 +98,7 @@ def test_salted_join_splits_hot_key(spark):
                 "#",
                 F.col("k").cast("string"),
                 F.pmod(
-                    F.xxhash64(F.monotonically_increasing_id()), 8
+                    F.xxhash64(F.col("k"), F.col("v")), F.lit(8)
                 ).cast("string"),
             ),
         )
@@ -107,3 +107,48 @@ def test_salted_join_splits_hot_key(spark):
         .count()
     )
     assert n_subkeys > 1
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_null_keys_never_match(spark, how):
+    # Null join keys never match in a plain equi-join; the salted variant
+    # must preserve that (regression: concat_ws silently skipped nulls,
+    # collapsing a null-key left __sk to its bare salt digit).
+    left = spark.range(200).select(
+        F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(F.col("id") % 10)
+        .cast("long").alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(20).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.col("id"))
+        .cast("long").alias("k"),
+        (F.col("id") * 3).alias("rval"),
+    )
+    got = salted_join(left, right, "k", salt=8, how=how)
+    exp = left.join(right, "k", how)
+    gsum = got.agg(F.count("*"), F.sum("lval"), F.sum("rval")).first()
+    esum = exp.agg(F.count("*"), F.sum("lval"), F.sum("rval")).first()
+    assert tuple(gsum) == tuple(esum)
+    # no null-key left row acquired right-side values
+    assert (
+        got.where(F.col("k").isNull() & F.col("rval").isNotNull()).count() == 0
+    )
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    # Same input twice → identical salted keys (content-derived, not
+    # monotonically_increasing_id): re-execution under partial stage
+    # recompute cannot reassign salts.
+    left = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("lval")
+    )
+    right = spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rval")
+    )
+    a = salted_join(left, right, "k", salt=8).orderBy("lval").collect()
+    b = (
+        salted_join(left.repartition(13), right, "k", salt=8)
+        .orderBy("lval")
+        .collect()
+    )
+    assert a == b

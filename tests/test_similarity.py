@@ -51,6 +51,59 @@ def test_brute_force_topk_matches_numpy(spark, emb):
             assert r["sim"] == pytest.approx(sims[qid][oi], rel=1e-6)
 
 
+def test_brute_force_topk_string_ids(spark, emb):
+    """String query/corpus ids pass through with their native type
+    (regression: qid was hardcoded LongType + int64 coercion)."""
+    df, vecs = emb
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    qs = df.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    got = brute_force_topk(qs, sdf, k=3).collect()
+    assert got, "no rows"
+    assert all(isinstance(r["qid"], str) and isinstance(r["vec_id"], str) for r in got)
+    # rank-1 for q-i is its own vector doc-i (cosine 1.0)
+    for r in got:
+        if r["rank"] == 1:
+            assert r["vec_id"] == "doc-" + r["qid"][2:]
+            assert r["sim"] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_distributed_fallback_row_identical(spark, emb):
+    """Above max_collected_queries the operator must switch to the
+    distributed pair-join formulation and produce identical rows — the
+    driver-collect guard (round-3 verdict item 4)."""
+    df, vecs = emb
+    qs = df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    fast = brute_force_topk(qs, df, k=5).collect()
+    dist = brute_force_topk(qs, df, k=5, max_collected_queries=10).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    fast_s, dist_s = sorted(fast, key=key), sorted(dist, key=key)
+    assert [tuple(r) for r in fast_s] == [tuple(r) for r in dist_s]
+
+
+def test_brute_force_topk_distributed_plan_has_no_collect(spark, emb):
+    """The large-query path is a real distributed plan: the pair join and
+    the two-phase partial-top-k (MapInPandas below the ranking Window)
+    both appear in the physical plan."""
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    df, _ = emb
+    qs = df.limit(20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = physical_plan(
+        brute_force_topk(qs, df, k=5, max_collected_queries=10)
+    )
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+
+
 def test_lsh_topk_high_recall_on_near_dups(spark, emb):
     df, vecs = emb
     qs = df.filter(F.col("vec_id") < 10).select(

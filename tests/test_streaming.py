@@ -159,3 +159,39 @@ def test_sessionize_stream_matches_batch_with_late_events(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) == 3  # sessions A, B, C
+
+
+def test_read_event_stream_cold_start_empty_dir(spark, tmp_path):
+    """A source directory that is EMPTY at stream start (the normal file-
+    stream cold-start case) must fall back to EVENT_SCHEMA and wait for
+    files, not fail at the static schema peek (round-3 ADVICE)."""
+    import os
+
+    from spatialpandas_spark.streaming.events import (
+        EVENT_SCHEMA,
+        hourly_rollup,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "cold_start_events")
+    os.makedirs(src, exist_ok=True)
+    stream = read_event_stream(spark, src)  # must not raise
+    assert stream.isStreaming
+    assert stream.schema == EVENT_SCHEMA
+
+    # files that arrive AFTER start are picked up and processed
+    q = (
+        hourly_rollup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_cold_rollup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_event_files(spark, src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits watermark-finalized windows; the stream ran
+    # and advanced — progress recorded rows in, zero errors
+    assert q.exception() is None
