@@ -9,9 +9,13 @@ codecs, so compressed-format decode is STUBBED: ``decoder="fake"``
 produces a deterministic feature vector from the bytes (real plumbing,
 fake kernel); ``decoder="pillow"``/``"ffmpeg"`` raise
 ``NotImplementedError`` until the dependency exists in the runtime image.
-``decoder="ppm"`` is a REAL decoder: binary P6 PPM needs no codec, so
-:func:`decode_ppm` parses it with pure numpy and ``extract_features``
-computes per-channel statistics from actual pixels.
+``decoder="ppm"`` is a REAL path end-to-end: binary P6 PPM needs no
+codec, so :func:`decode_ppm` parses pixels with pure numpy,
+``extract_features`` computes per-channel statistics from them,
+``resize_images`` resamples them (:func:`resize_rgb`,
+nearest/bilinear, closed-form-tested) and re-encodes P6, and
+``sample_frames`` slices frames out of concatenated-P6 streams
+(:func:`iter_ppm_stream`). Only compressed formats remain gated.
 """
 
 from __future__ import annotations
@@ -88,17 +92,14 @@ def _fake_decode_features(payload: bytes | None) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Pure-numpy binary-PPM (P6) decoder — needs no codec library.
-
-    Supports the full header grammar (whitespace runs, ``#`` comments,
-    any maxval < 256) and returns an (H, W, 3) uint8 array. Raises
-    ``ValueError`` on malformed input.
-    """
-    data = bytes(payload)
-    if not data.startswith(b"P6"):
+def _parse_ppm_header(data: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse one binary-PPM (P6) header starting at ``pos``; returns
+    (width, height, maxval, raster_start). Supports the full grammar
+    (whitespace runs, ``#`` comments, any maxval < 256). Raises
+    ``ValueError`` on malformed input."""
+    if data[pos : pos + 2] != b"P6":
         raise ValueError("not a binary PPM (missing P6 magic)")
-    pos, vals = 2, []
+    pos, vals = pos + 2, []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
@@ -116,11 +117,73 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     pos += 1  # exactly one whitespace byte separates maxval from raster
+    return width, height, maxval, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary-PPM (P6) decoder — needs no codec library.
+    Returns an (H, W, 3) uint8 array; raises ``ValueError`` on malformed
+    input."""
+    data = bytes(payload)
+    width, height, _maxval, pos = _parse_ppm_header(data)
     n = width * height * 3
     if len(data) - pos < n:
         raise ValueError("truncated PPM raster")
     px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
     return px.reshape(height, width, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 array -> canonical binary-PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def resize_rgb(img: np.ndarray, width: int, height: int, method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize, (H, W, 3) uint8 -> (height, width, 3).
+
+    Both methods use the standard half-pixel-center (align_corners=False)
+    mapping ``sx = (dx + 0.5) * S / D - 0.5``: ``nearest`` rounds the
+    source coordinate; ``bilinear`` separably interpolates the 2x2
+    neighborhood with edge clamping and rounds to uint8 once at the end
+    (np.rint, ties-to-even). Deterministic and vectorized — no per-pixel
+    Python."""
+    sh, sw = img.shape[:2]
+    if method == "nearest":
+        ys = np.clip(((np.arange(height) + 0.5) * sh / height).astype(np.int64), 0, sh - 1)
+        xs = np.clip(((np.arange(width) + 0.5) * sw / width).astype(np.int64), 0, sw - 1)
+        return img[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = np.clip((np.arange(height) + 0.5) * sh / height - 0.5, 0, sh - 1)
+    fx = np.clip((np.arange(width) + 0.5) * sw / width - 0.5, 0, sw - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    im = img.astype(np.float64)
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def iter_ppm_stream(data: bytes):
+    """Iterate a concatenated-P6 'video' stream (the ffmpeg image2pipe
+    ppm shape): yields (start, end) byte offsets of each complete frame.
+    Raises ``ValueError`` on a malformed or truncated frame."""
+    pos, n = 0, len(data)
+    while pos < n:
+        width, height, _maxval, raster = _parse_ppm_header(data, pos)
+        end = raster + width * height * 3
+        if end > n:
+            raise ValueError("truncated PPM frame in stream")
+        yield pos, end
+        pos = end
 
 
 def _ppm_features(payload: bytes | None) -> np.ndarray:
@@ -188,12 +251,12 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
-def _require_fake(decoder: str) -> None:
-    if decoder != "fake":
+def _check_media_decoder(decoder: str, supported: tuple[str, ...]) -> None:
+    if decoder not in supported:
         raise NotImplementedError(
             f"decoder={decoder!r} requires codec libraries not present in "
-            "this runtime image; only the deterministic 'fake' decoder is "
-            "available (real Arrow/batch plumbing, stubbed kernel)"
+            f"this runtime image; available: {set(supported)} ('ppm' is a "
+            "real pure-numpy kernel, 'fake' a deterministic stand-in)"
         )
 
 
@@ -204,14 +267,21 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decoder: str = "fake",
+    method: str = "bilinear",
 ) -> DataFrame:
     """Resize image payloads via Arrow-batched ``mapInPandas``; output is
-    (id, payload binary, width, height). The fake kernel emits a
-    deterministic payload derived from (input digest, target dims) — same
-    bytes for same input, different for different targets — so downstream
-    schema/partitioning/dedup logic is fully exercisable without codecs.
+    (id, payload binary, width, height).
+
+    ``decoder="ppm"`` is REAL: decode P6 pixels (pure numpy), resample
+    with :func:`resize_rgb` (``method`` = nearest | bilinear), re-encode
+    as canonical P6 — closed-form-tested on known pixels. A null or
+    undecodable payload yields a null output payload instead of failing
+    the job. ``decoder="fake"`` emits a deterministic digest payload
+    derived from (input bytes, target dims) so downstream plumbing is
+    exercisable without any decodable input; compressed formats stay
+    gated on codec libraries.
     """
-    _require_fake(decoder)
+    _check_media_decoder(decoder, ("fake", "ppm"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -221,17 +291,21 @@ def resize_images(
         ]
     )
 
+    def kernel(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        if decoder == "fake":
+            return hashlib.sha256(
+                bytes(p) + f"|{width}x{height}".encode()
+            ).digest()
+        try:
+            return encode_ppm(resize_rgb(decode_ppm(p), width, height, method))
+        except ValueError:
+            return None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf[payload_col]:
-                if p is None:
-                    out.append(None)
-                    continue
-                digest = hashlib.sha256(
-                    bytes(p) + f"|{width}x{height}".encode()
-                ).digest()
-                out.append(digest)
+            out = [kernel(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -256,10 +330,16 @@ def sample_frames(
     """Sample every ``every_n``-th frame (up to ``max_frames``) from video
     payloads — one OUTPUT ROW PER FRAME (the explode-shaped mapInPandas
     batch: output length differs from input length), which is the shape a
-    real ffmpeg kernel plugs into. Frame count comes from the metadata
-    column (decoders that know better can override); the fake kernel
-    derives deterministic per-frame bytes from (payload digest, index)."""
-    _require_fake(decoder)
+    real ffmpeg kernel plugs into.
+
+    ``decoder="ppm"`` is REAL: the payload is a concatenated-P6 stream
+    (ffmpeg image2pipe ppm shape); the kernel walks the frame headers,
+    derives the TRUE frame count from the stream itself (overriding the
+    metadata column), and emits each sampled frame's exact byte slice as
+    a standalone P6 payload. Malformed streams are skipped, not fatal.
+    ``decoder="fake"`` trusts ``n_frames_col`` and derives deterministic
+    per-frame bytes from (payload digest, index)."""
+    _check_media_decoder(decoder, ("fake", "ppm"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -274,7 +354,21 @@ def sample_frames(
             for mid, p, nf in zip(
                 pdf[id_col], pdf[payload_col], pdf[n_frames_col]
             ):
-                if p is None or nf is None:
+                if p is None:
+                    continue
+                if decoder == "ppm":
+                    try:
+                        offsets = list(iter_ppm_stream(bytes(p)))
+                    except ValueError:
+                        continue
+                    data = bytes(p)
+                    for fi in list(range(0, len(offsets), every_n))[:max_frames]:
+                        s, e = offsets[fi]
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(data[s:e])
+                    continue
+                if nf is None:
                     continue
                 digest = hashlib.sha256(bytes(p)).digest()
                 picked = range(0, int(nf), every_n)

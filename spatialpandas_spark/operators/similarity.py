@@ -475,7 +475,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 2,
     query_id: str = "qid",
     query_vec: str = "qvec",
     corpus_id: str = "vec_id",
@@ -485,9 +485,18 @@ def ivf_topk(
     by nearest centroid; each query probes its ``n_probe`` closest
     centroids and exact-reranks only those buckets. Probe cost scales with
     n_probe/n_centroids of the corpus — the ANN scale path alongside
-    ``lsh_bucket_topk``. ``kmeans_iters > 0`` runs spherical-k-means Lloyd
-    refinement over the sampled centroids (better-balanced buckets, higher
-    recall). Columns out: (qid, vec_id, sim, rank)."""
+    ``lsh_bucket_topk``. ``kmeans_iters`` runs spherical-k-means Lloyd
+    refinement over the sampled centroids (better-balanced buckets) and
+    DEFAULTS ON (2 iterations = 2 extra linear scans at build time);
+    pass 0 for raw md5-sampled centroids (deterministic, exactly
+    replayable in SQL — the correctness-gate path).
+
+    Recall expectations (measured, tools/ivf_recall_study.py): on data
+    with cluster structure recall@5 is ~1.0 at n_probe/n_centroids = 4/16;
+    on ISOTROPIC vectors (no structure, e.g. random Gaussians) recall for
+    ANY IVF/partition index is information-theoretically bounded near the
+    scan fraction — no centroid quality can beat it; raise n_probe or use
+    brute_force_topk. Columns out: (qid, vec_id, sim, rank)."""
     cents = _centroids(corpus, corpus_id, corpus_vec, n_centroids)
     if kmeans_iters > 0:
         cents = kmeans_refine(

@@ -74,3 +74,119 @@ def test_extract_features_unknown_decoder_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
         extract_features(df, decoder="pillow")
+
+
+# ---------- round-4: real resize + frame sampling over PPM ----------
+
+
+def test_resize_rgb_nearest_closed_form():
+    from spatialpandas_spark.operators.multimodal import resize_rgb
+
+    # 2x2 distinct colors -> 4x4 nearest = 2x2 blocks of each color
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]],
+        dtype=np.uint8,
+    )
+    up = resize_rgb(img, 4, 4, method="nearest")
+    for (by, bx), col in [
+        ((0, 0), [255, 0, 0]),
+        ((0, 1), [0, 255, 0]),
+        ((1, 0), [0, 0, 255]),
+        ((1, 1), [255, 255, 0]),
+    ]:
+        block = up[2 * by : 2 * by + 2, 2 * bx : 2 * bx + 2]
+        assert (block == np.array(col, dtype=np.uint8)).all(), (by, bx)
+    # downscale 4x4 -> 2x2 returns the original colors (centers hit blocks)
+    np.testing.assert_array_equal(resize_rgb(up, 2, 2, method="nearest"), img)
+
+
+def test_resize_rgb_bilinear_closed_form():
+    from spatialpandas_spark.operators.multimodal import resize_rgb
+
+    # constant image stays exactly constant
+    const = np.full((3, 5, 3), 77, dtype=np.uint8)
+    assert (resize_rgb(const, 7, 2, method="bilinear") == 77).all()
+    # 1x2 [a, b] -> 1x4 with half-pixel-center weights:
+    # sx = (dx+0.5)/2 - 0.5 clipped -> 0, 0.25, 0.75, 1
+    a, b = 0, 255
+    img = np.array([[[a] * 3, [b] * 3]], dtype=np.uint8)
+    out = resize_rgb(img, 4, 1, method="bilinear")
+    expect = [
+        a,
+        round(0.75 * a + 0.25 * b),  # 63.75 -> 64
+        round(0.25 * a + 0.75 * b),  # 191.25 -> 191
+        b,
+    ]
+    np.testing.assert_array_equal(out[0, :, 0], np.array(expect, dtype=np.uint8))
+
+
+def test_resize_images_ppm_real_pixels(spark):
+    from spatialpandas_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+    )
+
+    img1 = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]],
+        dtype=np.uint8,
+    )
+    img2 = np.full((3, 3, 3), 10, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, _ppm_bytes(img1)),
+            (2, _ppm_bytes(img2)),
+            (3, b"not a ppm"),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(df, 4, 4, decoder="ppm", method="nearest").collect()
+    }
+    out1 = decode_ppm(bytes(rows[1]["payload"]))
+    assert out1.shape == (4, 4, 3)
+    # nearest 2x2 -> 4x4 blocks
+    assert (out1[0:2, 0:2] == [255, 0, 0]).all()
+    assert (out1[2:4, 2:4] == [255, 255, 0]).all()
+    assert (decode_ppm(bytes(rows[2]["payload"])) == 10).all()
+    assert rows[3]["payload"] is None  # undecodable -> null, not a crash
+    assert rows[4]["payload"] is None
+    assert rows[1]["width"] == rows[1]["height"] == 4
+
+
+def test_sample_frames_ppm_stream(spark):
+    from spatialpandas_spark.operators.multimodal import (
+        decode_ppm,
+        sample_frames,
+    )
+
+    # 5-frame stream of distinct constant colors; n_frames column LIES
+    # (99) to prove the ppm decoder derives the true count from the bytes
+    frames = [np.full((2, 2, 3), 10 * i, dtype=np.uint8) for i in range(5)]
+    stream = b"".join(_ppm_bytes(f) for f in frames)
+    df = spark.createDataFrame(
+        [(1, stream, 99), (2, b"P6 garbage", 99), (3, None, 5)],
+        "media_id long, payload binary, n_frames int",
+    )
+    out = sample_frames(df, every_n=2, max_frames=2, decoder="ppm").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert sorted(by_id[1]) == [0, 2]  # every 2nd frame, capped at 2
+    np.testing.assert_array_equal(decode_ppm(by_id[1][0]), frames[0])
+    np.testing.assert_array_equal(decode_ppm(by_id[1][2]), frames[2])
+    assert 2 not in by_id  # malformed stream skipped
+    assert 3 not in by_id  # null payload skipped
+
+
+def test_sample_frames_ppm_takes_first_frames_when_every_n_1(spark):
+    from spatialpandas_spark.operators.multimodal import sample_frames
+
+    frames = [np.full((1, 1, 3), i, dtype=np.uint8) for i in range(6)]
+    stream = b"".join(_ppm_bytes(f) for f in frames)
+    df = spark.createDataFrame(
+        [(1, stream, None)], "media_id long, payload binary, n_frames int"
+    )
+    out = sample_frames(df, every_n=1, max_frames=4, decoder="ppm").collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 1, 2, 3]

@@ -20,7 +20,11 @@ def emb(spark):
 @pytest.fixture(scope="module")
 def index_path(spark, emb, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf") / "index")
-    build_ivf_index(emb, path, n_centroids=8)
+    # kmeans_iters=0 pins the deterministic md5-centroid path so the
+    # index == in-memory equality below is exact (two independent k-means
+    # runs could differ in last-ulp centroid sums); the kmeans DEFAULT
+    # path is covered by test_default_index_recall_on_clustered below
+    build_ivf_index(emb, path, n_centroids=8, kmeans_iters=0)
     return path
 
 
@@ -37,9 +41,36 @@ def test_index_query_equals_in_memory_ivf(spark, emb, index_path):
     }
     expect = {
         (r["qid"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
-        for r in ivf_topk(_qs(emb), emb, k=5, n_centroids=8, n_probe=3).collect()
+        for r in ivf_topk(
+            _qs(emb), emb, k=5, n_centroids=8, n_probe=3, kmeans_iters=0
+        ).collect()
     }
     assert got == expect
+
+
+def test_default_index_recall_on_clustered(spark, tmp_path):
+    """The DEFAULT build path (kmeans_iters=2) end-to-end: build the
+    persistent index over the deterministic clustered twin, probe it, and
+    require recall@5 >= 0.9 at n_probe=4/16 vs exact brute force."""
+    from __spark_entry__ import _clustered_vecs
+    from spatialpandas_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cdf = _clustered_vecs(emb.select("vec_id", "label"))
+    path = str(tmp_path / "index_default")
+    build_ivf_index(cdf, path, n_centroids=16, corpus_vec="cvec")
+    qs = cdf.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    bf = {
+        (r["qid"], r["vec_id"])
+        for r in brute_force_topk(qs, cdf, k=5, corpus_vec="cvec").collect()
+    }
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in query_ivf_index(spark, path, qs, k=5, n_probe=4).collect()
+    }
+    assert len(got & bf) / len(bf) >= 0.9
 
 
 def test_sidecar_roundtrip(index_path):

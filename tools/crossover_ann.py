@@ -100,7 +100,9 @@ def engine_runs(spark, path: str, truth: set) -> dict:
 
     bf_t, bf_rows = timed(lambda: brute_force_topk(qs, emb, k=K))
     ivf_t, ivf_rows = timed(
-        lambda: ivf_topk(qs, emb, k=K, n_centroids=32, n_probe=8)
+        # kmeans_iters=0: this tool measures the assignment/probe kernels,
+        # not build-time centroid refinement (library default is 2)
+        lambda: ivf_topk(qs, emb, k=K, n_centroids=32, n_probe=8, kmeans_iters=0)
     )
 
     # persistent-index probe: the bucketing scan is paid ONCE at build
@@ -112,7 +114,7 @@ def engine_runs(spark, path: str, truth: set) -> dict:
 
     idx_path = path.replace(".parquet", "_idx")
     t0 = time.time()
-    build_ivf_index(emb, idx_path, n_centroids=32)
+    build_ivf_index(emb, idx_path, n_centroids=32, kmeans_iters=0)
     build_t = time.time() - t0
     probe_t, probe_rows = timed(
         lambda: query_ivf_index(spark, idx_path, qs, k=K, n_probe=8)
