@@ -61,6 +61,104 @@ def gen_polygons(rng: np.random.Generator, n: int):
     return [(i, gen_convex_polygon(rng)) for i in range(n)]
 
 
+def _ring_min_center_dist(xs, ys, cx, cy) -> float:
+    """Min distance from (cx, cy) to the ring's boundary segments."""
+    best = math.inf
+    k = len(xs)
+    for i in range(k):
+        ax, ay = xs[i] - cx, ys[i] - cy
+        bx, by = xs[(i + 1) % k] - cx, ys[(i + 1) % k] - cy
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, -(ax * dx + ay * dy) / L2))
+        px, py = ax + t * dx, ay + t * dy
+        best = min(best, math.hypot(px, py))
+    return best
+
+
+def gen_star_polygon(rng: np.random.Generator, holes_max: int = 2):
+    """CONCAVE shell: sorted angles with independently random radii — the
+    varying radii create re-entrant vertices, exactly the geometry the
+    reference's Voronoi-polygonization strategies produce (ref
+    tests/geometry/strategies.py:142-193) and convex generators never
+    exercise (ray-cast/winding paths through re-entrant corners). Holes
+    are concave star rings strictly inside (bounded by the measured min
+    center-to-boundary distance of the shell), CCW shell / CW holes."""
+    k = int(rng.integers(6, 16))
+    angles = np.sort(rng.uniform(0, 2 * math.pi, k))
+    # distinct angles: re-draw collided ones deterministically
+    while len(np.unique(angles)) < k:
+        angles = np.sort(rng.uniform(0, 2 * math.pi, k))
+    radii = rng.uniform(2.0, 10.0, k)
+    cx, cy = rng.uniform(-50, 50, 2)
+    xs = cx + radii * np.cos(angles)
+    ys = cy + radii * np.sin(angles)
+    shell = []
+    for x, y in zip(xs, ys):
+        shell += [float(x), float(y)]
+    shell += shell[:2]
+    rings = [shell]
+    clearance = _ring_min_center_dist(xs, ys, cx, cy)
+    n_holes = int(rng.integers(0, holes_max + 1))
+    if clearance > 0.8:
+        for _ in range(n_holes):
+            hk = int(rng.integers(5, 9))
+            ha = np.sort(rng.uniform(0, 2 * math.pi, hk))
+            hr = rng.uniform(0.2, 0.85, hk) * clearance
+            hx = cx + hr * np.cos(ha)
+            hy = cy + hr * np.sin(ha)
+            hole = []
+            for x, y in zip(hx[::-1], hy[::-1]):  # reversed -> CW
+                hole += [float(x), float(y)]
+            hole += hole[:2]
+            rings.append(hole)
+    return rings
+
+
+def gen_ortho_polygon(rng: np.random.Generator):
+    """CONCAVE rectilinear polygon: a skyline/staircase of 3-7 columns
+    with independent heights (L / C / staircase shapes), optionally with
+    one rectangular hole inside the tallest column. Axis-parallel edges
+    produce the grazing / collinear-touch cases star polygons don't."""
+    m = int(rng.integers(3, 8))
+    heights = rng.uniform(2.0, 12.0, m)
+    w = rng.uniform(1.0, 4.0)
+    ox, oy = rng.uniform(-50, 50, 2)
+    pts = [(0.0, 0.0), (m * w, 0.0), (m * w, float(heights[-1]))]
+    for i in range(m - 1, 0, -1):  # right-to-left over column tops (CCW)
+        pts.append((i * w, float(heights[i])))
+        pts.append((i * w, float(heights[i - 1])))
+    pts.append((0.0, float(heights[0])))
+    shell = []
+    for x, y in pts:
+        shell += [float(ox + x), float(oy + y)]
+    shell += shell[:2]
+    rings = [shell]
+    if rng.random() < 0.5:
+        i = int(np.argmax(heights))
+        x0, x1 = float(ox + i * w + 0.25 * w), float(ox + i * w + 0.75 * w)
+        y0, y1 = float(oy + 0.3), float(oy + heights[i] - 0.3)
+        if y1 > y0:
+            rings.append(  # CW rectangle hole
+                [x0, y0, x0, y1, x1, y1, x1, y0, x0, y0]
+            )
+    return rings
+
+
+def gen_concave_polygons(rng: np.random.Generator, n: int):
+    """Mixed concave battery: stars (re-entrant radial corners) and
+    rectilinear skylines (axis-parallel grazing), ~50/50."""
+    return [
+        (
+            i,
+            gen_star_polygon(rng)
+            if rng.random() < 0.5
+            else gen_ortho_polygon(rng),
+        )
+        for i in range(n)
+    ]
+
+
 def gen_multilines(rng: np.random.Generator, n: int):
     out = []
     for i in range(n):

@@ -177,3 +177,37 @@ def test_cx_filter_arrow_degenerate_rect(spark):
     df = with_bounds(df, "geom", "line")
     # zero-area rect never intersects lines (ref intersection.py:332-334)
     assert cx_filter_arrow(df, "geom", "line", (0.0, 0.0, 0.0, 5.0)).count() == 0
+
+
+def test_concave_polygon_kernels_match_hof(spark):
+    """Arrow measure + cx kernels over CONCAVE fixtures (stars with
+    concave holes, rectilinear skylines) must still match the Catalyst
+    HOF expressions row-for-row — the convex-only pool never exercised
+    re-entrant vertices in the vectorized offsets/values paths."""
+    from spatialpandas_spark import cx_filter, with_bounds
+    from spatialpandas_spark.functions.arrow_kernels import cx_filter_arrow
+
+    rows = geomgen.gen_concave_polygons(np.random.default_rng(77), 120)
+    df = spark.createDataFrame(rows, "id long, geom array<array<double>>")
+    hof = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            st_area(F.col("geom")).alias("a"),
+            st_length(F.col("geom"), "polygon").alias("l"),
+            st_bounds(F.col("geom"), "polygon").alias("b"),
+        ).collect()
+    }
+    ark = with_measures(df, "geom", "polygon", area="a", length="l", bounds="b")
+    for r in ark.select("id", "a", "l", "b").collect():
+        h = hof[r["id"]]
+        assert _agree(r["a"], h["a"]), (r["id"], "area")
+        assert _agree(r["l"], h["l"]), (r["id"], "length")
+        for f in ("x0", "y0", "x1", "y1"):
+            assert _agree(r["b"][f], h["b"][f]), (r["id"], f)
+
+    wb = with_bounds(df, "geom", "polygon")
+    for _, rect in geomgen.gen_rects(np.random.default_rng(31), 8):
+        got_hof = {r["id"] for r in cx_filter(wb, "geom", "polygon", rect).collect()}
+        got_ark = {r["id"] for r in cx_filter_arrow(wb, "geom", "polygon", rect).collect()}
+        assert got_hof == got_ark, rect
