@@ -198,3 +198,76 @@ def test_shard_pack_plan_has_no_single_partition_exchange(spark):
     df = spark.range(1000).select(F.col("id"), (F.col("id") % 50 + 1).alias("w"))
     plan = physical_plan(pack_shards(df, "w", ["id"], 100))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grid_sjoin_aqe_splits_skewed_cell(spark):
+    """SCALE.md claims AQE skew-split covers hot grid cells; prove it
+    (round-3 verdict item 5): one cell holds ~50% of the left rows; with
+    the skew thresholds scaled to the fixture, the EXECUTED adaptive plan
+    must mark the join skew=true with a 'coalesced and skewed'
+    AQEShuffleRead — i.e. the hot cell's shuffle partition was split
+    across tasks — and the row set must equal the broadcast strategy's."""
+    import numpy as np
+
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    confs = {
+        # force the shuffle (SMJ) join shape the skew optimizer acts on
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scale AQE's skew thresholds (prod defaults: 256m/5x) down to the
+        # fixture's MB-scale partitions — same mechanism, smaller units
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rng = np.random.default_rng(3)
+        hot = np.column_stack(
+            [rng.uniform(4.9, 5.1, 30_000), rng.uniform(4.9, 5.1, 30_000)]
+        )
+        spread = rng.uniform(-500, 500, (30_000, 2))
+        pts = np.vstack([hot, spread])
+        left = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts)],
+            "pid long, x double, y double",
+        ).select("pid", st_point(F.col("x"), F.col("y")).alias("geom"))
+
+        def sq(x0, y0, s):
+            return [[
+                float(x0), float(y0), float(x0 + s), float(y0),
+                float(x0 + s), float(y0 + s), float(x0), float(y0 + s),
+                float(x0), float(y0),
+            ]]
+
+        polys = [(i, sq(-500 + 20 * i, -500 + 20 * i, 15)) for i in range(50)]
+        polys.append((100, sq(0, 0, 10)))
+        right = spark.createDataFrame(polys, "gid long, geom array<array<double>>")
+
+        grid = sjoin(
+            left, right, left_geom="geom", right_geom="geom",
+            left_type="point", right_type="polygon",
+            strategy="grid", cell_size=10.0,
+        )
+        got = {(r["pid"], r["gid"]) for r in grid.collect()}
+        plan = physical_plan(grid)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+        assert "coalesced and skewed" in plan, plan[:3000]
+
+        # correctness unaffected by the split: identical pair set to the
+        # broadcast strategy (explicit hint, unaffected by the -1 threshold)
+        bc = sjoin(
+            left, right, left_geom="geom", right_geom="geom",
+            left_type="point", right_type="polygon", strategy="broadcast",
+        )
+        expect = {(r["pid"], r["gid"]) for r in bc.collect()}
+        assert got == expect
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
