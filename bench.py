@@ -296,6 +296,49 @@ def b15_dedup_clusters(spark):
     return near_dup_clusters(docs, threshold=0.5).count()
 
 
+def b16_knn(spark):
+    """Exact kNN join (~19k query points x 600k corpus points, k=5)
+    through the level-doubling grid plan, with the round-0 cell size
+    picked automatically from a sampled k-th-NN distance estimate."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.operators.knn import sjoin_knn
+
+    corpus = make_points(spark)
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    qs = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("qid"),
+        st_point(
+            (F.col("o_orderkey") * 6007 % 500).cast("double"),
+            (F.col("o_custkey") * 9973 % 500).cast("double"),
+        ).alias("geom"),
+    )
+    j = sjoin_knn(qs, corpus, k=5, left_id="qid", right_id="id")
+    return j.count()
+
+
+def b17_interval(spark):
+    """1-D interval join (600k lineitem ship-dates x ~15k order
+    validity windows, ~60M matched pairs) through the bucketed
+    range-join plan."""
+    from spatialpandas_spark.operators.interval import interval_join
+
+    li = _spread(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).cast("double").alias("v"),
+    )
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    start = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("double")
+    ivs = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        start.alias("s"),
+        (start + (F.col("o_orderkey") % 30 + 1).cast("double")).alias("e"),
+    )
+    j = interval_join(pts, ivs, value_col="v", start_col="s", end_col="e",
+                      bucket_width=16.0)
+    return j.count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -312,6 +355,8 @@ BENCHES = {
     "b13_cx_lines": b13_cx_lines,
     "b14_asof_join": b14_asof_join,
     "b15_dedup_clusters": b15_dedup_clusters,
+    "b16_knn": b16_knn,
+    "b17_interval": b17_interval,
 }
 
 

@@ -23,6 +23,19 @@ vanishing fraction after round 0 when ``cell_size`` is near the k-th
 neighbor distance) plus one re-bucketing pass over the right side. The
 per-left candidate ranking uses a window keyed by left id over
 neighborhood-bounded candidates — never the whole corpus.
+
+Out-of-distribution queries (far from every corpus point) are the
+level-doubling plan's bad case: by the time the cell width reaches
+their isolation distance, a 3x3 neighborhood IS the whole corpus, and
+those candidates would flow through a shuffle + window (measured 294 s
+for 11k far queries x 60k corpus at sf0.01). So once the unresolved
+residual is small, the operator switches to a *vectorized brute-force
+sweep*: the residual queries ride into an Arrow ``mapInPandas`` over
+the corpus, each partition emits its local top-k per query (numpy block
+distances, identical IEEE op order to the grid path so ``dist2`` stays
+bit-exact), and only ``n_partitions * n_residual * k`` survivor rows
+reach the final ranking window. Same exact semantics, one corpus scan,
+no candidate shuffle.
 """
 
 from __future__ import annotations
@@ -34,29 +47,172 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def estimate_knn_cell_size(
+    right: DataFrame,
+    k: int,
+    right_geom: str = "geom",
+    sample_rows: int = 20_000,
+    n_queries: int = 256,
+    n: int | None = None,
+) -> float:
+    """Estimate the k-th-NN distance of ``right`` by sampling, for use as
+    ``sjoin_knn``'s round-0 ``cell_size``.
+
+    Scale design: never collects more than ``sample_rows`` (x,y) pairs.
+    A bounded sample of the corpus (fraction ``f``) is pulled to the
+    driver; for ``n_queries`` of those points we compute their
+    ``k' = max(1, round(k*f))``-th NN distance *within the sample* with
+    one numpy distance block, then rescale by the 2-D Poisson relation
+    ``r_k ~ sqrt(k / density)``: the sample has density ``f * d_full``,
+    so ``r_full(k) = r_sample(k') * sqrt(k * f / k')``. The median over
+    query points makes the estimate robust to local density spikes.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    import numpy as np
+
+    xy = right.select(
+        F.col(right_geom)["x"].alias("x"), F.col(right_geom)["y"].alias("y")
+    )
+    if n is None:
+        n = xy.count()
+    if n < 2:
+        raise ValueError("need at least 2 right rows to estimate cell_size")
+    f = min(1.0, sample_rows / n)
+    # slight oversample then limit: df.sample is approximate
+    samp = xy.sample(fraction=min(1.0, f * 1.2), seed=7).limit(sample_rows)
+    pts = np.asarray(samp.collect(), dtype=np.float64)
+    m = len(pts)
+    if m < 2:
+        pts = np.asarray(xy.limit(sample_rows).collect(), dtype=np.float64)
+        m = len(pts)
+    f_eff = m / n
+    kp = max(1, int(round(k * f_eff)))
+    kp = min(kp, m - 1)
+    rng = np.random.default_rng(7)
+    qidx = rng.choice(m, size=min(n_queries, m), replace=False)
+    q = pts[qidx]  # (q, 2)
+    # (q, m) squared distances in one block — bounded by n_queries*sample_rows
+    d2 = (q[:, None, 0] - pts[None, :, 0]) ** 2 + (q[:, None, 1] - pts[None, :, 1]) ** 2
+    # k'-th *neighbor* excludes self (distance 0 at position 0 after sort)
+    kth = np.sqrt(np.partition(d2, kp, axis=1)[:, kp])
+    r_sample = float(np.median(kth))
+    r_full = r_sample * math.sqrt(k * f_eff / kp)
+    return max(r_full, 1e-12)
+
+
+def _residual_bruteforce(r0: DataFrame, rows, k: int) -> DataFrame:
+    """Exact top-k for a small collected residual query set: one Arrow
+    pass over the corpus, per-partition partial top-k (numpy), survivors
+    ranked by a window over at most n_partitions * n_queries * k rows.
+
+    ``rows`` are collected (__lid, __lx, __ly) Rows — bounded by the
+    caller's residual threshold. Distance arithmetic matches the grid
+    path op-for-op ((lx-rx)*(lx-rx) + (ly-ry)*(ly-ry)), elementwise IEEE
+    double sub/mul/add, so ``dist2`` is bit-identical whichever path
+    resolves a row."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lids = np.asarray([r["__lid"] for r in rows])
+    lx = np.asarray([r["__lx"] for r in rows], dtype=np.float64)
+    ly = np.asarray([r["__ly"] for r in rows], dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("__lid", _lid_spark_type(rows)),
+            StructField("__rid", r0.schema["__rid"].dataType),
+            StructField("__d2", DoubleType()),
+        ]
+    )
+
+    def _reduce(q, v, d):
+        idx = np.lexsort((v, d, q))
+        q, v, d = q[idx], v[idx], d[idx]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return q[keep], v[keep], d[keep]
+
+    # bound each distance block to chunk x partition_rows doubles
+    chunk = 128
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rx = pdf["__rx"].to_numpy(dtype=np.float64)
+            ry = pdf["__ry"].to_numpy(dtype=np.float64)
+            rid = pdf["__rid"].to_numpy()
+            for s in range(0, len(lids), chunk):
+                qx, qy = lx[s : s + chunk], ly[s : s + chunk]
+                dx = qx[:, None] - rx[None, :]
+                dy = qy[:, None] - ry[None, :]
+                d2 = dx * dx + dy * dy  # (chunk, n) — same ops as grid path
+                kk = min(k, d2.shape[1])
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                qi = np.repeat(np.arange(d2.shape[0]), kk)
+                acc.append(
+                    (
+                        lids[s : s + chunk][qi],
+                        rid[part.ravel()],
+                        d2[qi, part.ravel()],
+                    )
+                )
+        if acc:
+            q, v, d = (np.concatenate([a[i] for a in acc]) for i in range(3))
+            q, v, d = _reduce(q, v, d)
+            yield pd.DataFrame({"__lid": q, "__rid": v, "__d2": d})
+
+    survivors = r0.mapInPandas(part_topk, schema=schema)
+    wnd = Window.partitionBy("__lid").orderBy(
+        F.col("__d2").asc(), F.col("__rid").asc()
+    )
+    return (
+        survivors.withColumn("__rk", F.row_number().over(wnd))
+        .filter(F.col("__rk") <= k)
+    )
+
+
+def _lid_spark_type(rows):
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    v = rows[0]["__lid"]
+    if isinstance(v, bool) or isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    return StringType()
+
+
 def sjoin_knn(
     left: DataFrame,
     right: DataFrame,
     k: int,
-    cell_size: float,
+    cell_size: float | None = None,
     left_id: str = "lid",
     right_id: str = "rid",
     left_geom: str = "geom",
     right_geom: str = "geom",
     extent: float | None = None,
+    residual_bf_rows: int = 65536,
+    residual_bf_budget: float = 5e9,
 ) -> DataFrame:
     """Exact kNN join of two point frames (struct<x,y> geometry columns).
 
     Output: (left_id, right_id, dist2, rank) — squared distance (exact
     double arithmetic, no sqrt) and 1-based rank per left row; rows with
     rank <= min(k, |right|). ``cell_size`` tunes round-0 selectivity:
-    pick ~ the expected k-th neighbor distance. ``extent`` (max of the
-    data's x/y span) bounds the level count; computed from the right
-    side when omitted (one tiny agg job)."""
+    pick ~ the expected k-th neighbor distance, or omit it to have it
+    estimated from a bounded sample (``estimate_knn_cell_size``).
+    ``extent`` (max of the data's x/y span) bounds the level count;
+    computed from the right side when omitted (one tiny agg job)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    if cell_size <= 0:
-        raise ValueError("cell_size must be positive")
 
     l0 = left.select(
         F.col(left_id).alias("__lid"),
@@ -69,45 +225,98 @@ def sjoin_knn(
         F.col(right_geom)["y"].alias("__ry"),
     )
 
+    # one agg scan of the corpus yields count + bounds together (the
+    # count feeds the cell-size estimator and the residual-budget check,
+    # the bounds feed the extent)
+    rstat = r0.agg(
+        F.count("*").alias("n"),
+        F.max("__rx").alias("x1"), F.min("__rx").alias("x0"),
+        F.max("__ry").alias("y1"), F.min("__ry").alias("y0"),
+    ).first()
+    n_right = rstat["n"]
+    if n_right == 0:
+        return l0.sparkSession.createDataFrame(
+            [], f"{left_id} long, {right_id} long, dist2 double, rank int"
+        )
+
+    if cell_size is None:
+        cell_size = estimate_knn_cell_size(
+            right, k, right_geom=right_geom, n=n_right
+        )
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+
     if extent is None:
         # the last level's 3x3 must cover the farthest possible (left,
         # right) pair, so the extent spans the UNION of both point sets
-        pts = l0.select(
-            F.col("__lx").alias("x"), F.col("__ly").alias("y")
-        ).unionByName(r0.select(F.col("__rx").alias("x"), F.col("__ry").alias("y")))
-        b = pts.agg(
-            F.max("x").alias("x1"), F.min("x").alias("x0"),
-            F.max("y").alias("y1"), F.min("y").alias("y0"),
+        lb = l0.agg(
+            F.max("__lx").alias("x1"), F.min("__lx").alias("x0"),
+            F.max("__ly").alias("y1"), F.min("__ly").alias("y0"),
         ).first()
-        if r0.isEmpty():
-            return l0.sparkSession.createDataFrame(
-                [], f"{left_id} long, {right_id} long, dist2 double, rank int"
-            )
-        extent = max(b["x1"] - b["x0"], b["y1"] - b["y0"], cell_size)
+        if lb["x1"] is None:
+            x0, x1 = rstat["x0"], rstat["x1"]
+            y0, y1 = rstat["y0"], rstat["y1"]
+        else:
+            x0, x1 = min(lb["x0"], rstat["x0"]), max(lb["x1"], rstat["x1"])
+            y0, y1 = min(lb["y0"], rstat["y0"]), max(lb["y1"], rstat["y1"])
+        extent = max(x1 - x0, y1 - y0, cell_size)
 
-    n_levels = max(1, math.ceil(math.log2(extent / cell_size)) + 2)
+    max_lvl = max(0, math.ceil(math.log2(extent / cell_size)) + 1)
 
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    unresolved = l0
+    # every row carries its OWN grid level. Round 0 runs everyone at
+    # level 0; afterwards each unresolved row jumps straight to the level
+    # that provably resolves it: a row with >= k candidates knows an
+    # upper bound sqrt(maxd2) on its true k-th distance, and at
+    # lvl = ceil(log2(sqrt(maxd2)/cell)) the 3x3 neighborhood contains
+    # every point within one cell width >= that bound — guaranteed
+    # resolution in ONE more join round. Rows with < k candidates
+    # (isolated) have no bound and quad-step (+2 levels); the residual
+    # brute-force sweep usually absorbs them first.
+    import os
+    import time as _time
+
+    _dbg = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
+    _t0 = _time.time()
+
+    unresolved = l0.withColumn("__lvl", F.lit(0))
     results = []
-    for j in range(n_levels):
-        w = float(cell_size * (2**j))
-        last = j == n_levels - 1
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds == 1:
+            active = [0]
+        else:
+            active = sorted(
+                r["__lvl"] for r in unresolved.select("__lvl").distinct().collect()
+            )
+        # right side bucketed once per ACTIVE level (few), level in the key
         rj = r0.select(
             "__rid", "__rx", "__ry",
-            F.struct(
-                F.floor(F.col("__rx") / F.lit(w)).alias("cx"),
-                F.floor(F.col("__ry") / F.lit(w)).alias("cy"),
-            ).alias("__cell"),
-        )
-        lj = unresolved.select(
-            "__lid", "__lx", "__ly",
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            (F.floor(F.col("__lx") / F.lit(w)) + dx).alias("cx"),
-                            (F.floor(F.col("__ly") / F.lit(w)) + dy).alias("cy"),
+                            F.lit(lvl).alias("lvl"),
+                            F.floor(F.col("__rx") / F.lit(float(cell_size * 2**lvl))).alias("cx"),
+                            F.floor(F.col("__ry") / F.lit(float(cell_size * 2**lvl))).alias("cy"),
+                        )
+                        for lvl in active
+                    ]
+                )
+            ).alias("__cell"),
+        )
+        # each left row explodes its 3x3 neighborhood at its own level
+        wexpr = F.lit(float(cell_size)) * F.pow(F.lit(2.0), F.col("__lvl").cast("double"))
+        lj = unresolved.select(
+            "__lid", "__lx", "__ly", "__lvl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col("__lvl").cast("int").alias("lvl"),
+                            (F.floor(F.col("__lx") / wexpr) + dx).alias("cx"),
+                            (F.floor(F.col("__ly") / wexpr) + dy).alias("cy"),
                         )
                         for dx, dy in offsets
                     ]
@@ -120,39 +329,85 @@ def sjoin_knn(
         ddy = F.col("__ly") - F.col("__ry")
         d2 = ddx * ddx + ddy * ddy
         cand = lj.join(rj, "__cell").select(
-            "__lid", "__rid", d2.alias("__d2")
+            "__lid", "__lvl", "__rid", d2.alias("__d2")
         )
         wnd = Window.partitionBy("__lid").orderBy(
             F.col("__d2").asc(), F.col("__rid").asc()
         )
+        # ONE heavy job per round: materialize the per-row top-k survivors
+        # (<= |unresolved| * k rows — tiny). Everything downstream (the
+        # resolve test, the kept results, the next unresolved set) derives
+        # from this checkpoint, so the corpus scan + grid join + window
+        # run exactly once per round.
         ranked = (
             cand.withColumn("__rk", F.row_number().over(wnd))
             .filter(F.col("__rk") <= k)
-        )
-        # resolved iff the k-th (or last available at the final level)
-        # candidate lies within one cell width of the query point
-        per_left = ranked.groupBy("__lid").agg(
-            F.count("*").alias("__n"), F.max("__d2").alias("__maxd2")
-        )
-        if last:
-            ok = per_left  # final level: 3x3 covers the whole extent
-        else:
-            ok = per_left.filter(
-                (F.col("__n") >= k) & (F.col("__maxd2") <= F.lit(w * w))
-            )
-        results.append(
-            ranked.join(ok.select("__lid"), "__lid", "left_semi")
             .localCheckpoint(eager=True)
         )
-        if last:
-            break
+        # resolved iff the k-th candidate lies within one (row-level) cell
+        # width — except at max_lvl, where 3x3 covers the whole extent
+        wrow = F.lit(float(cell_size)) * F.pow(F.lit(2.0), F.col("__lvl").cast("double"))
+        per_left = ranked.groupBy("__lid", "__lvl").agg(
+            F.count("*").alias("__n"), F.max("__d2").alias("__maxd2")
+        )
+        ok = per_left.filter(
+            (F.col("__lvl") >= max_lvl)
+            | ((F.col("__n") >= k) & (F.col("__maxd2") <= wrow * wrow))
+        )
+        results.append(
+            ranked.drop("__lvl").join(ok.select("__lid"), "__lid", "left_semi")
+        )
         # checkpoint the shrinking unresolved set: without it each round's
         # anti-join chain re-evaluates every previous round's window
-        unresolved = unresolved.join(
-            ok.select("__lid"), "__lid", "left_anti"
-        ).localCheckpoint(eager=True)
-        if unresolved.isEmpty():
+        nxt = (
+            unresolved.drop("__lvl")
+            .join(ok.select("__lid"), "__lid", "left_anti")
+            # jump: bounded rows go straight to their resolving level,
+            # unbounded (isolated) rows quad-step; clamp to max_lvl
+            .join(per_left.select("__lid", "__n", "__maxd2"), "__lid", "left")
+            .withColumn(
+                "__lvl",
+                F.least(
+                    F.lit(max_lvl),
+                    F.when(
+                        (F.col("__n") >= k) & (F.col("__maxd2") > 0),
+                        F.greatest(
+                            F.ceil(F.log2(F.sqrt("__maxd2") / F.lit(float(cell_size)))),
+                            F.lit(1),
+                        ),
+                    ).otherwise(F.lit(2 * rounds)),
+                ).cast("int"),
+            )
+            .drop("__n", "__maxd2")
+        )
+        unresolved = nxt.localCheckpoint(eager=True)
+        stats = unresolved.agg(
+            F.count("*").alias("n"), F.min("__lvl").alias("minl")
+        ).first()
+        cnt = stats["n"]
+        if _dbg:
+            print(
+                f"[knn] round {rounds} lvls={active} unresolved={cnt} "
+                f"t={_time.time() - _t0:.2f}s"
+            )
+        if cnt == 0:
             break
+        # residual switch: once the unresolved set is small, one vectorized
+        # corpus sweep beats joining at levels so wide that 3x3 covers
+        # everything (candidates = residual x corpus through shuffle+window).
+        # Trigger on either a bounded total flop budget or on width
+        # degeneracy (every row's next cell is a big fraction of the extent
+        # — the window path would see near-all-corpus candidates anyway).
+        if cnt <= residual_bf_rows:
+            degenerate = cell_size * (2 ** stats["minl"]) >= extent / 4
+            if cnt * n_right <= residual_bf_budget or degenerate:
+                if _dbg:
+                    print(
+                        f"[knn] residual brute-force n={cnt} "
+                        f"t={_time.time() - _t0:.2f}s"
+                    )
+                results.append(_residual_bruteforce(r0, unresolved.collect(), k))
+                break
 
     out = results[0]
     for r in results[1:]:

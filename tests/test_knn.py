@@ -69,6 +69,26 @@ def test_knn_empty_right(spark):
     assert df.count() == 0
 
 
+def test_knn_auto_cell_size_matches_brute_force(spark):
+    # omitted cell_size: estimated from a sampled k-th-NN distance, and
+    # the join stays exact regardless of the estimate's quality
+    rng = np.random.default_rng(23)
+    lpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 50, (30, 2)))]
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 50, (300, 2)))]
+    got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=4))
+    assert got == _oracle(lpts, rpts, 4)
+
+
+def test_estimate_cell_size_near_kth_nn_distance(spark):
+    # uniform grid with spacing 1.0: true 1st-NN distance is exactly 1.0,
+    # the estimate must land within a small constant factor
+    from spatialpandas_spark.operators.knn import estimate_knn_cell_size
+
+    pts = [(y * 40 + x, float(x), float(y)) for x in range(40) for y in range(40)]
+    est = estimate_knn_cell_size(_mk(spark, pts, "rid"), k=1)
+    assert 0.3 <= est <= 3.0
+
+
 def test_knn_tie_break_by_rid(spark):
     lpts = [(0, 0.0, 0.0)]
     rpts = [(5, 1.0, 0.0), (2, -1.0, 0.0), (9, 0.0, 1.0)]  # all dist2 = 1
