@@ -1467,11 +1467,47 @@ def q_doc_quality_signals(spark, sf_dir):
     )
 
 
-def q_minhash_merged(spark, sf_dir):
-    """MinHash-LSH candidate pairs + exact Jaccard verification."""
-    return q_minhash_pairs(spark, sf_dir).join(
-        q_jaccard_verify(spark, sf_dir), ["id_a", "id_b"]
+def q_minhash_index_probe(spark, sf_dir):
+    """Persistent MinHash-LSH dedup index probe (continuous-ingestion
+    shape): index 3/4 of the documents (doc_id % 4 != 0), probe the
+    remaining 1/4 as the 'new batch'. Same signature math as
+    ``minhash_pairs`` — the oracle replays the split + band collisions +
+    estimated-Jaccard filter in SQL; partition-pruned band scan is
+    plan-asserted in tests/test_dedup_index.py."""
+    import tempfile
+
+    from spatialpandas_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
     )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="mh_idx_"), "index")
+    build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+    out = dedup_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 4 == 0), threshold=0.5
+    )
+    return out.select(
+        F.least("new_id", "dup_of").alias("id_a"),
+        F.greatest("new_id", "dup_of").alias("id_b"),
+        F.round(F.col("est_jaccard"), 6).alias("jaccard"),
+    )
+
+
+def q_minhash_merged(spark, sf_dir):
+    """MinHash-LSH candidate pairs + exact Jaccard verification + the
+    persistent-index probe variant (src marks which formulation each row
+    came from; the probe's jaccard column is the signature ESTIMATE, the
+    pairs rows carry the exact value)."""
+    pairs = (
+        q_minhash_pairs(spark, sf_dir)
+        .join(q_jaccard_verify(spark, sf_dir), ["id_a", "id_b"])
+        .withColumn("src", F.lit("pairs"))
+    )
+    probe = q_minhash_index_probe(spark, sf_dir).withColumn(
+        "src", F.lit("index")
+    )
+    return pairs.unionByName(probe)
 
 
 def q_user_journeys(spark, sf_dir):
@@ -1659,6 +1695,54 @@ sig AS (SELECT doc_id,
         FROM hv GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_hit})
+  AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
+def _minhash_index_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """SQL replay of the persistent-index probe: the same signature math
+    as ``_minhash_oracle_sql``, with corpus membership doc_id % 4 != 0
+    and batch membership doc_id % 4 = 0 (matching
+    ``q_minhash_index_probe``), band-slice collision, and the rounded
+    estimated-Jaccard output."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mask = (1 << 62) - 1
+    A = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.int64) * 2 + 1
+    B = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((CAST({int(A[j])} AS HUGEINT) * h + {int(B[j])}) & {mask}) AS m{j}"
+        for j in range(num_hashes)
+    )
+    nmatch = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hv GROUP BY doc_id)
+SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+       GREATEST(a.doc_id, b.doc_id) AS id_b,
+       ROUND(CAST({nmatch} AS DOUBLE) / {num_hashes}, 6) AS jaccard
+FROM sig a JOIN sig b
+  ON (a.doc_id % 4) <> 0 AND (b.doc_id % 4) = 0
 WHERE ({band_hit})
   AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}
 """
@@ -2711,7 +2795,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": join("doc_stats", "bpe_tokens", "doc_id"),
         "lang_id": join("lang_id", "quality_score", "doc_id"),
         "repetition_signals": join("repetition_signals", "unigram_quality", "doc_id"),
-        "minhash_pairs": join("minhash_pairs", "jaccard_verify", "id_a, id_b"),
+        "minhash_pairs": (
+            "SELECT *, 'pairs' AS src FROM ("
+            + join("minhash_pairs", "jaccard_verify", "id_a, id_b")
+            + ") UNION ALL SELECT *, 'index' AS src FROM ("
+            + _minhash_index_oracle_sql()
+            + ")"
+        ),
         "user_sessions": join("user_sessions", "event_funnel", "user_id"),
     }
     out = dict(o)
