@@ -1,0 +1,142 @@
+"""Streaming ingestion against the persistent MinHash dedup index.
+
+The production loop for continuous corpus growth: a document stream is
+checked per micro-batch against the on-disk index
+(operators/dedup_index.py), survivors are appended to BOTH the index and
+the curated output — so later batches also dedup against earlier ones,
+exactly like a sequential batch pipeline would.
+
+This is a ``foreachBatch`` sink rather than a stateful streaming
+operator, deliberately: the dedup state (the index) must outlive the
+stream, be shared with batch jobs, and scale past executor memory — an
+on-disk, partition-pruned store is the right home for it, not
+watermark-bounded operator state (streaming/dedup.py covers the
+bounded-horizon variant). ``foreachBatch`` is the documented Spark shape
+for stream-to-batch-sink composition.
+
+Semantics per micro-batch b:
+  1. within-batch near-dups collapse first (keep the min id per
+     cluster-free pair ordering — deterministic),
+  2. survivors probe the index (``dedup_against_index``); anything
+     matching the already-ingested corpus is dropped,
+  3. the remainder appends to the index and to ``output_path``.
+
+Failure note (documented, inherent to parquet appends): a micro-batch
+retried AFTER its append committed can double-append; Spark's
+checkpointing makes this rare (batch ids replay only on crash between
+commit points). Idempotent retries need a transactional table format
+underneath — out of scope for a parquet-layout index, called out in
+SCALE.md rather than papered over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.dedup_index import (
+    append_to_minhash_index,
+    dedup_against_index,
+    filter_against_index,
+    load_minhash_params,
+)
+
+
+def _drop_within_batch_dups(
+    batch: DataFrame, p: dict, threshold: float
+) -> DataFrame:
+    """Collapse near-dup pairs inside one micro-batch: keep the smaller
+    id of every matching pair (transitively: a doc survives iff no
+    smaller-id near-dup exists in the batch — the same winner rule the
+    batch dedup operators use)."""
+    from spatialpandas_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        batch,
+        id_col=p["id_col"],
+        text_col=p["text_col"],
+        shingle_n=p["shingle_n"],
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        threshold=threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias(p["id_col"])).distinct()
+    return batch.join(losers, p["id_col"], "left_anti")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    output_path: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One ingestion step (also the foreachBatch body): within-batch
+    collapse -> probe index -> append survivors to index (and to
+    ``output_path`` when given). Returns the surviving documents."""
+    p = load_minhash_params(index_path)
+    survivors = filter_against_index(
+        spark,
+        index_path,
+        _drop_within_batch_dups(batch, p, threshold),
+        threshold,
+    )
+    # the survivor set is consumed three times (append x2 + return);
+    # checkpoint so the probe plan runs once
+    survivors = survivors.localCheckpoint(eager=True)
+    append_to_minhash_index(survivors, index_path)
+    if output_path is not None:
+        survivors.write.mode("append").parquet(output_path)
+    return survivors
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+):
+    """Attach the ingestion loop to a streaming DataFrame. Returns the
+    started ``StreamingQuery``; stop it (or ``processAllAvailable`` in
+    tests) as usual."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch(
+            batch.sparkSession, index_path, batch, output_path, threshold
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
+
+
+def probe_matches_stream(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+):
+    """Read-only variant: stream documents, emit (new_id, dup_of,
+    est_jaccard) match rows to ``output_path`` without mutating the
+    index — the monitoring/decontamination-alert shape."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dedup_against_index(
+            batch.sparkSession, index_path, batch, threshold
+        ).write.mode("append").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
