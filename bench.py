@@ -339,6 +339,31 @@ def b17_interval(spark):
     return j.count()
 
 
+_MH_INDEX_PATH: str | None = None
+
+
+def b18_index_probe(spark):
+    """Amortized dedup: probe a 25% batch of documents against the
+    persistent MinHash index built from the other 75% (built once, on
+    the warm-up call — the amortization IS the operator's point; compare
+    with b8_minhash, which recomputes all-pairs every run)."""
+    global _MH_INDEX_PATH
+    from spatialpandas_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if _MH_INDEX_PATH is None:
+        _MH_INDEX_PATH = os.path.join(
+            tempfile.mkdtemp(prefix="bench_mh_"), "index"
+        )
+        build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), _MH_INDEX_PATH)
+    return dedup_against_index(
+        spark, _MH_INDEX_PATH, docs.filter(F.col("doc_id") % 4 == 0)
+    ).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -357,6 +382,7 @@ BENCHES = {
     "b15_dedup_clusters": b15_dedup_clusters,
     "b16_knn": b16_knn,
     "b17_interval": b17_interval,
+    "b18_index_probe": b18_index_probe,
 }
 
 

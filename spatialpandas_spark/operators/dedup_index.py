@@ -118,14 +118,27 @@ def build_minhash_index(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     seed: int = 42,
 ) -> None:
     """Index ``docs`` at ``path``: band store + signature store + sidecar.
     One scan of the corpus; documents with no shingles are (by minhash
-    contract) unindexable and skipped."""
+    contract) unindexable and skipped.
+
+    ``n_buckets`` rules probe pruning granularity AND directory count
+    (bands * n_buckets partition dirs). When omitted it is sized from
+    the corpus count so dirs stay file-sized: ~1 bucket per 500 docs,
+    clamped to [4, 4096] — a fixed large default would schedule one
+    near-empty scan task per dir on small corpora (measured: 1024 dirs
+    for 6k docs turned a sub-second probe into 7.7 s of task overhead),
+    and a fixed small one would stop pruning at scale. The band rows are
+    repartitioned ON the partition columns before the write, so each dir
+    holds one file instead of one per shuffle partition."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    if n_buckets is None:
+        n_docs = docs.count()
+        n_buckets = max(4, min(4096, n_docs // 500))
     params = {
         "id_col": id_col,
         "text_col": text_col,
@@ -140,9 +153,11 @@ def build_minhash_index(
     # materialize it at an exchange so it is computed once per row
     sigs = sigs.repartition(F.col("__id"))
     base = path.rstrip("/")
-    _band_rows(sigs, bands, num_hashes, n_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("band", "bucket").parquet(f"{base}/bands")
+    _band_rows(sigs, bands, num_hashes, n_buckets).repartition(
+        F.col("band"), F.col("bucket")
+    ).write.mode("overwrite").partitionBy("band", "bucket").parquet(
+        f"{base}/bands"
+    )
     sigs.withColumnRenamed("__id", id_col).withColumnRenamed(
         "__sig", "sig"
     ).write.mode("overwrite").parquet(f"{base}/sigs")
@@ -170,9 +185,11 @@ def append_to_minhash_index(docs: DataFrame, path: str) -> None:
     p = load_minhash_params(path)
     sigs = _signatures(docs, p).repartition(F.col("__id"))
     base = path.rstrip("/")
-    _band_rows(sigs, p["bands"], p["num_hashes"], p["n_buckets"]).write.mode(
-        "append"
-    ).partitionBy("band", "bucket").parquet(f"{base}/bands")
+    _band_rows(sigs, p["bands"], p["num_hashes"], p["n_buckets"]).repartition(
+        F.col("band"), F.col("bucket")
+    ).write.mode("append").partitionBy("band", "bucket").parquet(
+        f"{base}/bands"
+    )
     sigs.withColumnRenamed("__id", p["id_col"]).withColumnRenamed(
         "__sig", "sig"
     ).write.mode("append").parquet(f"{base}/sigs")
