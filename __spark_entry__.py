@@ -1450,9 +1450,43 @@ def q_diamond_stats(spark, sf_dir):
     )
 
 
+def _gate_classifier_model() -> dict:
+    """Deterministic dyadic-weight model for the scoring gate: weights
+    k/1024 with small |k| make every margin an exact float under ANY
+    summation order, so the DuckDB replay is bit-equal with no rounding
+    (see operators/classifier.py score_documents link='margin'). Real
+    training is pytest-covered (tests/test_classifier.py); MLlib's
+    fitted coefficients are FP-order-dependent and have no cross-engine
+    twin — same reasoning as the IVF kmeans gate split."""
+    return {
+        "weights": [((i * 37 + 11) % 41 - 20) / 1024.0 for i in range(64)],
+        "intercept": 3.0 / 1024.0,
+        "n_features": 64,
+        "lowercase": True,
+    }
+
+
+def q_quality_margin(spark, sf_dir):
+    """Classifier scoring over documents with the fixed gate model:
+    hashed unigram+bigram buckets (md5-prefix family), linear margin."""
+    from spatialpandas_spark.operators.classifier import score_documents
+
+    return score_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _gate_classifier_model(),
+        score_col="quality_margin",
+        link="margin",
+    ).select("doc_id", "quality_margin")
+
+
 def q_doc_stats_merged(spark, sf_dir):
-    """Text stats: whitespace tokens/chars/avg-word-len + BPE token count."""
-    return q_doc_stats(spark, sf_dir).join(q_bpe_tokens(spark, sf_dir), "doc_id")
+    """Text stats: whitespace tokens/chars/avg-word-len + BPE token
+    count + classifier quality margin (fixed dyadic gate model)."""
+    return (
+        q_doc_stats(spark, sf_dir)
+        .join(q_bpe_tokens(spark, sf_dir), "doc_id")
+        .join(q_quality_margin(spark, sf_dir), "doc_id")
+    )
 
 
 def q_text_signals(spark, sf_dir):
@@ -1745,6 +1779,40 @@ FROM sig a JOIN sig b
   ON (a.doc_id % 4) <> 0 AND (b.doc_id % 4) = 0
 WHERE ({band_hit})
   AND CAST({nmatch} AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
+def _quality_margin_oracle_sql() -> str:
+    """SQL replay of classifier scoring with the fixed gate model:
+    tokenization parity with ``classifier._tokens`` (split + drop empty
+    strings), unigram + bigram grams, md5-prefix bucket hash, weight
+    lookup via a VALUES table, exact dyadic margin sum (no rounding
+    needed — see ``_gate_classifier_model``)."""
+    m = _gate_classifier_model()
+    wt = ", ".join(f"({i}, {w!r})" for i, w in enumerate(m["weights"]))
+    return f"""
+WITH q AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, tk[u.i] AS gram
+  FROM q, UNNEST(range(1, len(tk) + 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS gram
+  FROM q, UNNEST(range(1, len(tk))) AS u(i)
+),
+wt(bucket, w) AS (VALUES {wt}),
+s AS (
+  SELECT b.doc_id, SUM(wt.w) AS msum
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % {m["n_features"]}
+                 AS bucket
+        FROM g) b
+  JOIN wt ON wt.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT q.doc_id, ({m["intercept"]!r} + COALESCE(s.msum, 0.0)) AS quality_margin
+FROM q LEFT JOIN s USING (doc_id)
 """
 
 
@@ -2792,7 +2860,13 @@ def oracle_sql() -> dict[str, str]:
         "area_by_group": join("area_by_group", "length_by_group", "brand"),
         "oriented_area": join("oriented_area", "centroid", "id"),
         "sjoin_counts": join("sjoin_counts", "boundary_length", "did"),
-        "doc_stats": join("doc_stats", "bpe_tokens", "doc_id"),
+        "doc_stats": (
+            "SELECT * FROM ("
+            + join("doc_stats", "bpe_tokens", "doc_id")
+            + ") jds JOIN ("
+            + _quality_margin_oracle_sql()
+            + ") jqm USING (doc_id)"
+        ),
         "lang_id": join("lang_id", "quality_score", "doc_id"),
         "repetition_signals": join("repetition_signals", "unigram_quality", "doc_id"),
         "minhash_pairs": (
