@@ -1077,7 +1077,16 @@ def q_stratified_sample(spark, sf_dir):
         default_rate=0.5,
         seed=42,
     )
-    return out.select("doc_id", "lang")
+    # + deterministic training order over the sample (merged gate: the
+    # shuffle rank is a VALUE column, so the driver's order-insensitive
+    # hash still verifies the ordering; oracle replays ROW_NUMBER over
+    # the same md5-prefix hash)
+    from spatialpandas_spark.operators.ordering import with_shuffle_rank
+
+    ranked = with_shuffle_rank(out.select("doc_id", "lang"), "doc_id", seed=42)
+    return ranked.select(
+        "doc_id", "lang", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
+    )
 
 
 def q_shard_pack(spark, sf_dir):
@@ -2758,13 +2767,20 @@ def _base_oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "stratified_sample": """
-            SELECT doc_id, lang FROM documents
-            WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                  % 1000000
-                < CASE lang WHEN 'en' THEN 300000
-                            WHEN 'fr' THEN 1000000
-                            WHEN 'de' THEN 1000000
-                            ELSE 500000 END
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                              doc_id
+                   ) - 1 AS BIGINT) AS shuffle_rank
+            FROM (
+              SELECT doc_id, lang FROM documents
+              WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000
+                  < CASE lang WHEN 'en' THEN 300000
+                              WHEN 'fr' THEN 1000000
+                              WHEN 'de' THEN 1000000
+                              ELSE 500000 END
+            )
         """,
         "shard_pack": f"""
             WITH tc AS (SELECT doc_id,
