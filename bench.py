@@ -364,6 +364,31 @@ def b18_index_probe(spark):
     ).count()
 
 
+_QC_MODEL: dict | None = None
+
+
+def b19_quality_scoring(spark):
+    """Classifier scoring at scan speed: hashed unigram+bigram features
+    + linear margin + sigmoid over all documents, one Arrow pass (model
+    trained once on the warm-up call — amortized, like b18's index)."""
+    global _QC_MODEL
+    from spatialpandas_spark.operators.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if _QC_MODEL is None:
+        labeled = docs.withColumn(
+            "label", (F.length("text") > 200).cast("int")
+        )
+        _QC_MODEL = train_quality_classifier(
+            labeled.filter(F.col("doc_id") % 2 == 0), n_features=1 << 16
+        )
+    scored = score_documents(_spread(docs), _QC_MODEL)
+    return scored.agg(F.sum("quality_prob")).first()[0]
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -383,6 +408,7 @@ BENCHES = {
     "b16_knn": b16_knn,
     "b17_interval": b17_interval,
     "b18_index_probe": b18_index_probe,
+    "b19_quality_scoring": b19_quality_scoring,
 }
 
 

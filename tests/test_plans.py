@@ -271,3 +271,37 @@ def test_grid_sjoin_aqe_splits_skewed_cell(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_classifier_scoring_plan_is_shuffle_free(spark):
+    """score_documents is a pure scan-stage op: project (bucket
+    expression) + one MapInPandas — no Exchange of any kind."""
+    from spatialpandas_spark.operators.classifier import score_documents
+    from spatialpandas_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, f"some text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    model = {
+        "weights": [0.25] * 64,
+        "intercept": 0.125,
+        "n_features": 64,
+        "lowercase": True,
+    }
+    plan = physical_plan(score_documents(df, model))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_deterministic_shuffle_plan_is_range_partitioned(spark):
+    """The global shuffle must execute as ONE range-partitioned sort —
+    never a single-partition collapse."""
+    from spatialpandas_spark.operators.ordering import deterministic_shuffle
+    from spatialpandas_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    ).repartition(8)
+    plan = physical_plan(deterministic_shuffle(df, "doc_id"))
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan
