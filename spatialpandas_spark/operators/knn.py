@@ -335,36 +335,43 @@ def sjoin_knn(
             F.col("__d2").asc(), F.col("__rid").asc()
         )
         # ONE heavy job per round: materialize the per-row top-k survivors
-        # (<= |unresolved| * k rows — tiny). Everything downstream (the
-        # resolve test, the kept results, the next unresolved set) derives
-        # from this checkpoint, so the corpus scan + grid join + window
-        # run exactly once per round.
+        # (<= |unresolved| * k rows — tiny) WITH the resolve verdict
+        # precomputed as window aggregates over the same partitioning the
+        # ranking window already shuffled by — the resolve test costs no
+        # extra exchange, and every downstream consumer (kept results,
+        # next unresolved set) is a plain filter on this checkpoint
+        # instead of a groupBy + join re-evaluated per consumer.
+        wrow = F.lit(float(cell_size)) * F.pow(F.lit(2.0), F.col("__lvl").cast("double"))
+        agg_w = Window.partitionBy("__lid")
         ranked = (
             cand.withColumn("__rk", F.row_number().over(wnd))
             .filter(F.col("__rk") <= k)
+            .withColumn("__n", F.count("*").over(agg_w))
+            .withColumn("__maxd2", F.max("__d2").over(agg_w))
+            .withColumn(
+                "__ok",
+                (F.col("__lvl") >= max_lvl)
+                | ((F.col("__n") >= k) & (F.col("__maxd2") <= wrow * wrow)),
+            )
             .localCheckpoint(eager=True)
         )
-        # resolved iff the k-th candidate lies within one (row-level) cell
-        # width — except at max_lvl, where 3x3 covers the whole extent
-        wrow = F.lit(float(cell_size)) * F.pow(F.lit(2.0), F.col("__lvl").cast("double"))
-        per_left = ranked.groupBy("__lid", "__lvl").agg(
-            F.count("*").alias("__n"), F.max("__d2").alias("__maxd2")
-        )
-        ok = per_left.filter(
-            (F.col("__lvl") >= max_lvl)
-            | ((F.col("__n") >= k) & (F.col("__maxd2") <= wrow * wrow))
-        )
         results.append(
-            ranked.drop("__lvl").join(ok.select("__lid"), "__lid", "left_semi")
+            ranked.filter(F.col("__ok")).select("__lid", "__rid", "__d2", "__rk")
         )
-        # checkpoint the shrinking unresolved set: without it each round's
-        # anti-join chain re-evaluates every previous round's window
+        # the next unresolved set: one representative ranked row per lid
+        # carries (__n, __maxd2, __ok) — LEFT join so rows with an EMPTY
+        # 3x3 neighborhood (absent from ranked entirely) stay unresolved
+        # instead of vanishing; null __ok means "no candidates yet"
+        info = ranked.filter(F.col("__rk") == 1).select(
+            "__lid", "__n", "__maxd2", "__ok"
+        )
         nxt = (
             unresolved.drop("__lvl")
-            .join(ok.select("__lid"), "__lid", "left_anti")
+            .join(info, "__lid", "left")
+            .filter(~F.coalesce(F.col("__ok"), F.lit(False)))
+            .drop("__ok")
             # jump: bounded rows go straight to their resolving level,
             # unbounded (isolated) rows quad-step; clamp to max_lvl
-            .join(per_left.select("__lid", "__n", "__maxd2"), "__lid", "left")
             .withColumn(
                 "__lvl",
                 F.least(
