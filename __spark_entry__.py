@@ -1019,7 +1019,19 @@ def q_length_filter(spark, sf_dir):
         "doc_id", "lang", bpe_token_count(F.col("text")).cast("long").alias("w")
     )
     out = filter_by_group_percentile(d, "w", "lang", 0.25, approx=False)
-    return out.select("doc_id", "lang", "w")
+    # + per-source domain cap (merged gate): LEFT join the cap rank so
+    # docs beyond their source's 20-row cap carry a null — the oracle
+    # replays ROW_NUMBER over the same md5-prefix hash order
+    from spatialpandas_spark.operators.sampling import cap_per_group
+
+    capped = cap_per_group(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        20,
+        key_col="doc_id",
+        rank_col="cap_rank",
+    ).select("doc_id", F.col("cap_rank").cast("long").alias("cap_rank"))
+    return out.select("doc_id", "lang", "w").join(capped, "doc_id", "left")
 
 
 def q_top_terms(spark, sf_dir):
@@ -2744,9 +2756,21 @@ def _base_oracle_sql() -> dict[str, str]:
             WITH tc AS (SELECT doc_id, lang,
                    CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
                  FROM documents),
-            thr AS (SELECT lang, quantile_cont(w, 0.25) AS t FROM tc GROUP BY lang)
-            SELECT tc.doc_id, tc.lang, tc.w
+            thr AS (SELECT lang, quantile_cont(w, 0.25) AS t FROM tc GROUP BY lang),
+            cap AS (
+              SELECT doc_id, cap_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                  doc_id
+                       ) AS BIGINT) AS cap_rank
+                FROM documents
+              ) WHERE cap_rank <= 20
+            )
+            SELECT tc.doc_id, tc.lang, tc.w, cap.cap_rank
             FROM tc JOIN thr ON tc.lang = thr.lang
+            LEFT JOIN cap USING (doc_id)
             WHERE tc.w >= thr.t
         """,
         "top_terms": f"""

@@ -38,6 +38,39 @@ def hash_sample(
     return df.filter(sample_hash(F.col(key_col), seed) % _DENOM < thr)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    key_col: str,
+    seed: int = 42,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group (the domain-cap curation
+    op: no single source may dominate the corpus). Rows are chosen in
+    deterministic hash order of (seed, key) — partition-invariant and
+    rerun-stable, same contract as ``hash_sample`` — never by input
+    order. ``rank_col`` optionally exposes the 1-based within-group
+    rank.
+
+    Scale: one shuffle on the group column; skewed groups (hot domains)
+    are exactly the rows the cap discards, and AQE splits the hot
+    partitions while the per-partition window streams in sorted order —
+    no group's rows ever need to fit in memory at once."""
+    if max_rows <= 0:
+        raise ValueError("max_rows must be positive")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    rc = rank_col or "__rn"
+    out = df.withColumn(rc, F.row_number().over(w)).filter(
+        F.col(rc) <= max_rows
+    )
+    return out if rank_col else out.drop(rc)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -6,6 +6,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from spatialpandas_spark.operators.sampling import (
+    cap_per_group,
     _DENOM,
     hash_sample,
     sample_hash,
@@ -56,3 +57,38 @@ def test_stratified_default_rate_zero_drops_unlisted(spark):
     df = spark.createDataFrame(rows, "id long, lang string")
     out = stratified_sample(df, "lang", {"en": 1.0}, key_col="id")
     assert _ids(out) == [1]
+
+
+def test_cap_per_group_limits_and_determinism(spark):
+    import hashlib
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = cap_per_group(df, "domain", 10, key_col="id")
+    got = out.groupBy("domain").count().collect()
+    assert all(r["count"] == 10 for r in got)
+    # winner set = first 10 ids per domain in (md5 hash, id) order
+    def h(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+    for d in range(3):
+        ids = [i for i in range(300) if i % 3 == d]
+        want = set(sorted(ids, key=lambda i: (h(i), i))[:10])
+        assert {r["id"] for r in out.filter(F.col("domain") == f"d{d}").collect()} == want
+    # layout-invariant
+    out2 = cap_per_group(df.repartition(7), "domain", 10, key_col="id")
+    assert sorted(r["id"] for r in out2.collect()) == sorted(
+        r["id"] for r in out.collect()
+    )
+
+
+def test_cap_per_group_rank_and_small_groups(spark):
+    rows = [(1, "a"), (2, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = cap_per_group(df, "domain", 5, key_col="id", rank_col="r")
+    got = {(r["id"], r["r"]) for r in out.collect()}
+    assert len(got) == 3 and {r for _, r in got} <= {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "domain", 0, key_col="id")
