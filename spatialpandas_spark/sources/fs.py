@@ -71,6 +71,32 @@ def exists(path: str, filesystem: pafs.FileSystem | None = None) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def replace_dir(
+    src: str, dst: str, filesystem: pafs.FileSystem | None = None
+) -> None:
+    """Replace directory ``dst`` with ``src`` (compaction swap). Uses
+    the filesystem's move where available — atomic on POSIX when src
+    and dst share a device; object stores emulate move as copy+delete
+    (pyarrow does this internally), so the swap window there is
+    best-effort, the same caveat as any non-transactional lake."""
+    fs, s = resolve(src, filesystem)
+    _, d = resolve(dst, filesystem)
+    old = None
+    if fs.get_file_info(d).type != pafs.FileType.NotFound:
+        old = d.rstrip("/") + ".old"
+        if fs.get_file_info(old).type != pafs.FileType.NotFound:
+            fs.delete_dir(old)
+        fs.move(d, old)
+    try:
+        fs.move(s, d)
+    except Exception:
+        if old is not None:  # restore the live dataset on a failed swap
+            fs.move(old, d)
+        raise
+    if old is not None:
+        fs.delete_dir(old)
+
+
 def list_files(
     path: str,
     suffix: str = ".parquet",

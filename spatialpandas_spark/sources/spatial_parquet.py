@@ -111,6 +111,59 @@ def append_spatial_parquet(
     return refresh_manifest(path, bounds_col)
 
 
+def compact_spatial_parquet(
+    spark,
+    path: str,
+    bounds_col: str = "bounds",
+    npartitions: int | None = None,
+    p: int = 15,
+    total_bounds: tuple[float, float, float, float] | None = None,
+    compression: str = "snappy",
+    min_files: int = 2,
+) -> dict | None:
+    """Repack an append-fragmented spatial dataset into one global
+    Hilbert order — the compaction half of the append story
+    (``append_spatial_parquet`` keeps each batch packed within itself;
+    after many appends the per-batch pruning units overlap and file
+    counts grow, and this restores the single global order).
+
+    Safe swap discipline: the repacked layout is written NEXT TO the
+    live one (``<path>.compact.tmp``), verified (row count equality),
+    then moved over the old directory — a reader mid-swap sees either
+    the old complete dataset or the new complete dataset, never a
+    partial write. Directory moves through the pyarrow-fs layer so
+    object-store paths behave (copy + delete where rename isn't
+    atomic — documented, same caveat as any non-transactional lake).
+
+    Returns the new manifest, or None when the dataset already has
+    fewer than ``min_files`` data files (nothing to compact)."""
+    base = path.rstrip("/")
+    old = json.loads(_fs.read_text(f"{base}/{MANIFEST_NAME}"))
+    if len(old["files"]) < min_files:
+        return None
+    df = spark.read.parquet(base)
+    n_before = df.count()
+    tmp = f"{base}.compact.tmp"
+    manifest = write_spatial_parquet(
+        df,
+        tmp,
+        bounds_col=bounds_col,
+        pack=True,
+        npartitions=npartitions,
+        p=p,
+        total_bounds=total_bounds,
+        compression=compression,
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        raise RuntimeError(
+            f"compaction row-count mismatch ({n_before} -> {n_after}); "
+            f"repacked copy left at {tmp}, live dataset untouched"
+        )
+    _fs.replace_dir(tmp, base)
+    return manifest
+
+
 def build_manifest(path: str, bounds_col: str = "bounds", filesystem=None) -> dict:
     """Per-file bbox from parquet footer statistics only (no data IO) —
     row-group min/max of the four bounds fields. Footer reads go through

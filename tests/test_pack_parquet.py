@@ -169,3 +169,50 @@ def test_append_refreshes_manifest_and_prunes(spark, tmp_path):
         spark, path, bounds=(100.0, 0.0, 130.0, 30.0)
     )
     assert gen1.count() == 200
+
+
+def test_compact_restores_single_pack(spark, tmp_path):
+    """append-fragmented dataset -> compact -> one global Hilbert order,
+    same rows, manifest rebuilt, reads still prune."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark import st_point, with_bounds
+    from spatialpandas_spark.sources import read_spatial_parquet
+    from spatialpandas_spark.sources.spatial_parquet import (
+        MANIFEST_NAME,
+        append_spatial_parquet,
+        compact_spatial_parquet,
+        write_spatial_parquet,
+    )
+    import json as _json
+
+    def pts(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.col("id"),
+            st_point(
+                (F.col("id") % 100).cast("double"),
+                (F.col("id") % 97).cast("double"),
+            ).alias("geom"),
+        )
+        return with_bounds(df, "geom", "point")
+
+    path = str(tmp_path / "ds")
+    write_spatial_parquet(pts(0, 500), path, npartitions=4, total_bounds=(0, 0, 99, 96))
+    append_spatial_parquet(pts(500, 800), path, npartitions=2, total_bounds=(0, 0, 99, 96))
+    append_spatial_parquet(pts(800, 1000), path, npartitions=2, total_bounds=(0, 0, 99, 96))
+    before = _json.loads(open(f"{path}/{MANIFEST_NAME}").read())
+    assert len(before["files"]) == 8
+
+    manifest = compact_spatial_parquet(
+        spark, path, npartitions=4, total_bounds=(0, 0, 99, 96)
+    )
+    after = _json.loads(open(f"{path}/{MANIFEST_NAME}").read())
+    assert manifest is not None and len(after["files"]) == 4
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert sorted(r["id"] for r in got.select("id").collect()) == list(range(1000))
+    # reads still prune through the refreshed manifest
+    pruned = read_spatial_parquet(spark, path, bounds=(0.0, 0.0, 10.0, 10.0))
+    assert 0 < pruned.count() < 1000
+    # tiny dataset short-circuit
+    assert compact_spatial_parquet(spark, path, min_files=99) is None
