@@ -1406,6 +1406,58 @@ def q_extract_features(spark, sf_dir):
     )
 
 
+# 44-byte RIFF/WAVE header: PCM, mono, 8-bit, 8 kHz, 16-sample data chunk
+_WAV_HDR_HEX = (
+    "524946463400000057415645666D7420100000000100"
+    "0100401F0000401F0000010008006461746110000000"
+)
+
+
+def q_extract_features_audio(spark, sf_dir):
+    """Multimodal decode on REAL audio samples: 16-sample 8-bit-PCM
+    RIFF/WAVE payloads are synthesized JVM-side from part keys (fixed
+    header hex + per-sample hex via unhex — arbitrary bytes, no UTF-8
+    identity trick needed), then decoded with the pure-numpy WAV parser
+    in the same Arrow-batched extract_features stage; per-channel sample
+    statistics come back in the image-parallel 12-slot layout (channels
+    beyond the first zero-filled). Every statistic is a ratio of small
+    integers over 16, so the closed-form oracle is bit-exact."""
+    from spatialpandas_spark.operators.multimodal import extract_features
+
+    part = _t(spark, sf_dir, "part")
+    pieces = [
+        F.expr(f"lpad(hex((p_partkey*13 + {i}*7) % 256), 2, '0')")
+        for i in range(16)
+    ]
+    payload = F.unhex(F.concat(F.lit(_WAV_HDR_HEX), *pieces))
+    media = part.select(
+        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+    )
+    out = extract_features(media, decoder="wav")
+    names = [
+        "mean_r", "mean_g", "mean_b",
+        "min_r", "min_g", "min_b",
+        "max_r", "max_g", "max_b",
+        "fgt_r", "fgt_g", "fgt_b",
+    ]
+    return out.select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), j).cast("double").alias(nm)
+            for j, nm in enumerate(names)
+        ],
+        "decode_ok",
+    )
+
+
+def q_extract_features_media(spark, sf_dir):
+    """Merged multimodal gate: image (PPM) + audio (WAV) variants through
+    the same extract_features operator, tagged union."""
+    return _variant(q_extract_features(spark, sf_dir), "image").unionByName(
+        _variant(q_extract_features_audio(spark, sf_dir), "audio")
+    )
+
+
 # ----------------------------------------------------- consolidated gates
 # The driver verifies at most 50 queries per round (round-2 finding), so
 # closely-related gates are merged: unions carry a `variant` tag, joins
@@ -1596,7 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
         "label_centroid_sim": q_label_centroid_sim,
-        "extract_features": q_extract_features,
+        "extract_features": q_extract_features_media,
         # --- temporal / events
         "user_sessions": q_user_journeys,
         "events_hourly": q_events_hourly,
@@ -2356,6 +2408,10 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST((p_partkey*7 + u.i*5 + 11) % 127 + 1 AS DOUBLE) AS g,
                      CAST((p_partkey*7 + u.i*5 + 22) % 127 + 1 AS DOUBLE) AS b
               FROM part, UNNEST(range(0, 16)) AS u(i)
+            ), au AS (
+              SELECT p_partkey AS media_id,
+                     CAST((p_partkey*13 + u.i*7) % 256 AS DOUBLE) AS s
+              FROM part, UNNEST(range(0, 16)) AS u(i)
             )
             SELECT media_id,
                    AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
@@ -2364,8 +2420,17 @@ def _base_oracle_sql() -> dict[str, str]:
                    AVG(CASE WHEN r > 64 THEN 1.0 ELSE 0.0 END) AS fgt_r,
                    AVG(CASE WHEN g > 64 THEN 1.0 ELSE 0.0 END) AS fgt_g,
                    AVG(CASE WHEN b > 64 THEN 1.0 ELSE 0.0 END) AS fgt_b,
-                   'ok' AS decode_ok
+                   'ok' AS decode_ok, 'image' AS variant
             FROM px GROUP BY media_id
+            UNION ALL
+            SELECT media_id,
+                   AVG(s) AS mean_r, 0.0 AS mean_g, 0.0 AS mean_b,
+                   MIN(s) AS min_r, 0.0 AS min_g, 0.0 AS min_b,
+                   MAX(s) AS max_r, 0.0 AS max_g, 0.0 AS max_b,
+                   AVG(CASE WHEN s > 64 THEN 1.0 ELSE 0.0 END) AS fgt_r,
+                   0.0 AS fgt_g, 0.0 AS fgt_b,
+                   'ok' AS decode_ok, 'audio' AS variant
+            FROM au GROUP BY media_id
         """,
         "hilbert_pack": _hilbert_oracle_sql(p=10),
         "geom_sort": """

@@ -15,7 +15,12 @@ codec, so :func:`decode_ppm` parses pixels with pure numpy,
 ``resize_images`` resamples them (:func:`resize_rgb`,
 nearest/bilinear, closed-form-tested) and re-encodes P6, and
 ``sample_frames`` slices frames out of concatenated-P6 streams
-(:func:`iter_ppm_stream`). Only compressed formats remain gated.
+(:func:`iter_ppm_stream`). ``decoder="wav"`` is likewise REAL for audio:
+uncompressed RIFF/WAVE PCM (8-bit unsigned / 16-bit LE, any channel
+count) parses with pure numpy (:func:`decode_wav`), ``extract_features``
+computes per-channel sample statistics, and ``resample_audio`` does
+linear-interpolation rate conversion (:func:`resample_pcm`). Only
+compressed formats (JPEG/PNG/mp3/aac/h264) remain codec-gated.
 """
 
 from __future__ import annotations
@@ -221,7 +226,7 @@ def extract_features(
     if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder={decoder!r} requires codec libraries not present in "
-            "this runtime image; available: {'fake', 'ppm'}"
+            "this runtime image; available: {'fake', 'ppm', 'wav'}"
         )
     kernel = _DECODERS[decoder]
 
@@ -385,3 +390,191 @@ def sample_frames(
     return df.select(id_col, payload_col, n_frames_col).mapInPandas(
         run, out_schema
     )
+
+
+# --------------------------------------------------------------- audio (WAV)
+# Uncompressed RIFF/WAVE PCM needs no codec library — the same trick that
+# made the image path real via binary PPM. The parser walks the RIFF chunk
+# list (fmt / data, skipping unknown chunks per the spec's even-padding
+# rule) and supports the two classic PCM layouts: unsigned 8-bit and
+# signed 16-bit little-endian, any channel count.
+
+
+def _parse_wav(data: bytes) -> tuple[dict, bytes]:
+    """Parse a RIFF/WAVE container; returns (fmt dict, raw data bytes).
+    Raises ``ValueError`` on malformed input."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            raw = body
+        # chunks are word-aligned: odd sizes carry one pad byte
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt["audio_format"] != 1:
+        raise ValueError(f"unsupported WAV format {fmt['audio_format']} (PCM only)")
+    if fmt["bits"] not in (8, 16):
+        raise ValueError(f"unsupported PCM bit depth {fmt['bits']}")
+    if fmt["n_channels"] < 1:
+        raise ValueError("zero-channel WAV")
+    return fmt, raw
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy WAV (RIFF PCM) decoder — needs no codec library.
+
+    Returns ``(samples, sample_rate)`` where samples is an
+    (n_samples, n_channels) integer array: uint8 for 8-bit PCM (raw
+    0..255, 128 = silence), int16 for 16-bit little-endian PCM. Raises
+    ``ValueError`` on malformed input."""
+    fmt, raw = _parse_wav(bytes(payload))
+    ch = fmt["n_channels"]
+    dtype = np.dtype(np.uint8) if fmt["bits"] == 8 else np.dtype("<i2")
+    width = dtype.itemsize * ch
+    n = len(raw) // width
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    samples = np.frombuffer(raw, dtype=dtype, count=n * ch).reshape(n, ch)
+    return samples, fmt["sample_rate"]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """(n, ch) integer array -> canonical RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    raw = np.ascontiguousarray(samples, dtype=dtype).tobytes()
+    block = (bits // 8) * ch
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def resample_pcm(samples: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation PCM resample, (n, ch) int -> (m, ch) int with
+    ``m = round(n * target_sr / sr)``. Uses the same half-sample-center
+    (align_corners=False) mapping as :func:`resize_rgb` —
+    ``sx = (dx + 0.5) * n / m - 0.5`` with edge clamping — and one
+    ties-to-even rounding at the end. Vectorized; no per-sample Python."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n = samples.shape[0]
+    m = max(1, int(round(n * target_sr / sr)))
+    if m == n:
+        return samples.copy()
+    fx = np.clip((np.arange(m) + 0.5) * n / m - 0.5, 0, n - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    x1 = np.minimum(x0 + 1, n - 1)
+    w = (fx - x0)[:, None]
+    out = samples[x0].astype(np.float64) * (1 - w) + samples[x1].astype(np.float64) * w
+    info = np.iinfo(samples.dtype)
+    return np.clip(np.rint(out), info.min, info.max).astype(samples.dtype)
+
+
+_WAV_FGT_DIVISOR = 4  # threshold = full-scale / 4 (u8: 64, s16: 8192)
+
+
+def _wav_features(payload: bytes | None) -> np.ndarray:
+    """Real per-channel PCM statistics, layout-parallel to the image
+    features: mean, min, max, and fraction-above-quarter-scale for up to
+    3 channels (missing channels zero-filled) — 12 floats. Thresholds:
+    raw value > 64 for unsigned 8-bit, > 8192 for signed 16-bit. With
+    small sample counts every statistic is a dyadic rational, so the
+    gate oracle reproduces the float32 values bit-exactly."""
+    if payload is None:
+        raise ValueError("null payload")
+    samples, _sr = decode_wav(payload)
+    thresh = (int(np.iinfo(samples.dtype).max) + 1) // _WAV_FGT_DIVISOR
+    s = samples[:, :3].astype(np.float64)
+    nch = s.shape[1]
+    pad = np.zeros(3 - nch)
+    feats = np.concatenate(
+        [
+            np.r_[s.mean(0), pad],
+            np.r_[s.min(0), pad],
+            np.r_[s.max(0), pad],
+            np.r_[(s > thresh).mean(0), pad],
+        ]
+    )
+    return feats.astype(np.float32)
+
+
+_DECODERS["wav"] = _wav_features
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "wav",
+) -> DataFrame:
+    """Resample audio payloads via Arrow-batched ``mapInPandas``; output
+    is (id, payload binary, sample_rate int) — the audio analog of
+    :func:`resize_images`.
+
+    ``decoder="wav"`` is REAL: decode PCM (pure numpy), linear-resample
+    with :func:`resample_pcm`, re-encode RIFF/WAVE at ``target_rate``
+    preserving bit depth and channel count. A null or undecodable
+    payload yields a null output payload instead of failing the job.
+    ``decoder="fake"`` emits a deterministic digest payload; compressed
+    formats (mp3/aac/…) stay gated on codec libraries."""
+    _check_media_decoder(decoder, ("fake", "wav"))
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(payload_col, BinaryType()),
+            StructField("sample_rate", IntegerType()),
+        ]
+    )
+
+    def kernel(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        if decoder == "fake":
+            return hashlib.sha256(bytes(p) + f"|{target_rate}".encode()).digest()
+        try:
+            samples, sr = decode_wav(p)
+            bits = 8 if samples.dtype == np.uint8 else 16
+            return encode_wav(
+                resample_pcm(samples, sr, target_rate), target_rate, bits
+            )
+        except ValueError:
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    payload_col: [kernel(p) for p in pdf[payload_col]],
+                    "sample_rate": [target_rate] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
