@@ -389,6 +389,43 @@ def b19_quality_scoring(spark):
     return scored.agg(F.sum("quality_prob")).first()[0]
 
 
+_PQ_STATE: tuple | None = None
+
+
+def b20_pq_scan(spark):
+    """PQ ADC scan: the embeddings table tiled 64x (~128k vectors at
+    sf0.1) is encoded to 8-byte codes once (warm-up amortized, like
+    b18/b19 — at scale the codes are the persisted index), then every
+    run ADC-scans the codes for 8 queries and exact-reranks the top
+    candidates. Compare with b9: same query shape against raw floats."""
+    global _PQ_STATE
+    from spatialpandas_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tiled = (
+        emb.crossJoin(spark.range(64).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") * 64 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep") % 7).cast("float") * F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    if _PQ_STATE is None:
+        books = train_pq(tiled, m_sub=8, n_codes=64, sample_n=2048, iters=4)
+        codes = pq_encode(tiled, books).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        codes.cache().count()
+        _PQ_STATE = (books, codes)
+    books, codes = _PQ_STATE
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(qs, codes, books, k=10, rerank=tiled, rerank_factor=4).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -409,6 +446,7 @@ BENCHES = {
     "b17_interval": b17_interval,
     "b18_index_probe": b18_index_probe,
     "b19_quality_scoring": b19_quality_scoring,
+    "b20_pq_scan": b20_pq_scan,
 }
 
 

@@ -1,0 +1,132 @@
+"""Product-quantization ANN: codebook training determinism, encode
+compression, the exact-reconstruction limit (PQ == brute force when
+codebooks can represent every sub-vector), recall with exact rerank on
+clustered data, and degenerate inputs."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.pq import (
+    pq_encode,
+    pq_reconstruct_error,
+    pq_topk,
+    train_pq,
+)
+from spatialpandas_spark.operators.similarity import brute_force_topk
+
+
+def _emb(spark, n=200, dim=16, labels=8, noise=0.15, seed=11):
+    """Clustered unit-scale vectors: label prototype + noise."""
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((labels, dim))
+    lab = rng.integers(0, labels, n)
+    X = protos[lab] + noise * rng.standard_normal((n, dim))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_train_pq_deterministic_and_shaped(spark):
+    emb = _emb(spark)
+    b1 = train_pq(emb, m_sub=4, n_codes=16, iters=3)
+    b2 = train_pq(emb, m_sub=4, n_codes=16, iters=3)
+    assert b1 == b2
+    B = np.asarray(b1)
+    assert B.shape == (4, 16, 4)
+
+
+def test_train_pq_dim_guard(spark):
+    emb = _emb(spark, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(emb, m_sub=4)
+
+
+def test_pq_encode_compression_and_nulls(spark):
+    emb = _emb(spark, n=50).unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    books = train_pq(emb, m_sub=4, n_codes=8, iters=2)
+    rows = {r["vec_id"]: r["code"] for r in pq_encode(emb, books).collect()}
+    assert rows[999] is None
+    assert all(len(v) == 4 for k, v in rows.items() if k != 999)
+    assert all(max(bytes(v)) < 8 for k, v in rows.items() if k != 999)
+
+
+def test_pq_exact_reconstruction_limit(spark):
+    # 12 distinct vectors, n_codes >= corpus size: every sub-vector is its
+    # own codeword, reconstruction is exact, so ADC == exact cosine and
+    # PQ top-k equals brute force top-k exactly (ids AND ranks).
+    emb = _emb(spark, n=12, dim=8, labels=12, noise=0.0, seed=5)
+    books = train_pq(emb, m_sub=2, n_codes=12, iters=4)
+    codes = pq_encode(emb, books)
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in pq_topk(qs, codes, books, k=3).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(qs, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_pq_rerank_recall_clustered(spark):
+    emb = _emb(spark, n=300, dim=16, labels=6, noise=0.2, seed=3)
+    books = train_pq(emb, m_sub=4, n_codes=32, iters=5)
+    codes = pq_encode(emb, books)
+    qs = emb.limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k = 10
+    approx = pq_topk(qs, codes, books, k=k, rerank=emb, rerank_factor=4)
+    exact = brute_force_topk(qs, emb, k=k)
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"recall@{k} = {recall}"
+    # with rerank, sims are exact cosines: spot-check one overlap pair
+    av = {(r["qid"], r["vec_id"]): r["sim"] for r in approx.collect()}
+    ev = {(r["qid"], r["vec_id"]): r["sim"] for r in exact.collect()}
+    for key in list(a & e)[:5]:
+        assert av[key] == pytest.approx(ev[key], abs=1e-12)
+
+
+def test_pq_reconstruct_error_decreases_with_codes(spark):
+    emb = _emb(spark, n=200, dim=16)
+    small = train_pq(emb, m_sub=4, n_codes=4, iters=4)
+    big = train_pq(emb, m_sub=4, n_codes=64, iters=4)
+    mse_small = pq_reconstruct_error(emb, small).collect()[0]["mse"]
+    mse_big = pq_reconstruct_error(emb, big).collect()[0]["mse"]
+    assert mse_big < mse_small
+    assert mse_big >= 0.0
+
+
+def test_pq_topk_query_guard(spark):
+    emb = _emb(spark, n=20, dim=8)
+    books = train_pq(emb, m_sub=2, n_codes=8, iters=2)
+    codes = pq_encode(emb, books)
+    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="max_collected_queries"):
+        pq_topk(qs, codes, books, k=3, max_collected_queries=5)
+
+
+def test_pq_string_ids_pass_through(spark):
+    emb = _emb(spark, n=30, dim=8).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    books = train_pq(emb, m_sub=2, n_codes=16, iters=2)
+    codes = pq_encode(emb, books)
+    qs = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rows = pq_topk(qs, codes, books, k=2).collect()
+    assert rows and all(isinstance(r["vec_id"], str) for r in rows)
+    assert all(isinstance(r["qid"], str) for r in rows)
