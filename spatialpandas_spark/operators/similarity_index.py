@@ -122,3 +122,221 @@ def query_ivf_index(
         "qid", "vec_id", "__qv", F.col("vec").alias("__cv")
     )
     return _topk_rerank(pair_cosine_arrow(cand), k)
+
+
+# ------------------------------------------------------------- IVF-PQ index
+# The composition of the two ANN scale levers (the IVFADC design of
+# Jégou, Douze & Schmid, TPAMI 2011, minus the residual encoding — codes
+# quantize the normalized vector directly so they are shared with the
+# flat-PQ path and the exact-reconstruction tests): IVF partition
+# pruning bounds WHICH bytes a probe reads (n_probe/n_centroids of the
+# corpus), PQ bounds HOW MANY bytes per row (m_sub instead of 4*dim).
+# A probe of a 100 TB corpus at defaults reads 25% of 1/32 of the data:
+# ~0.8% of the raw bytes, before any rerank.
+
+_PQ_SIDECAR = "_ivfpq.json"
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    sample_n: int = 4096,
+    pq_iters: int = 8,
+    store_vectors: bool = False,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> dict:
+    """Build a persistent IVF-PQ index: bucket assignment (spherical
+    k-means centroids) + PQ codes, written partitioned by ``bucket``;
+    centroids AND codebooks go to one JSON sidecar (written after the
+    data so a readable index is always complete). ``store_vectors=True``
+    also persists the float vectors for self-contained exact rerank —
+    at scale leave it False and rerank against the source table.
+    Returns the sidecar dict."""
+    from spatialpandas_spark.operators.pq import pq_encode, train_pq
+
+    cents = _centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
+    books = train_pq(
+        corpus, m_sub=m_sub, n_codes=n_codes, sample_n=sample_n,
+        iters=pq_iters, corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+
+    assigned = bucket_assign_arrow(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("vec"),
+        ),
+        cents,
+        vec_col="vec",
+    ).withColumnRenamed("__bucket", "bucket")
+    codes = pq_encode(corpus, books, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    cols = ["vec_id", "bucket", "code"] + (["vec"] if store_vectors else [])
+    joined = assigned.join(codes, "vec_id").select(*cols)
+    joined.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    meta = {
+        "centroids": cents,
+        "codebooks": books,
+        "m_sub": m_sub,
+        "store_vectors": store_vectors,
+    }
+    _fs.write_text(f"{path.rstrip('/')}/{_PQ_SIDECAR}", json.dumps(meta))
+    return meta
+
+
+def load_ivfpq_meta(path: str, filesystem=None) -> dict:
+    from spatialpandas_spark.sources import fs as _fs
+
+    return json.loads(
+        _fs.read_text(f"{path.rstrip('/')}/{_PQ_SIDECAR}", filesystem=filesystem)
+    )
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank=None,
+    rerank_factor: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_collected_queries: int = 10_000,
+) -> DataFrame:
+    """Probe an IVF-PQ index: per query, rank centroids, STATICALLY
+    filter the scan to the union of probe buckets (the probe set is
+    known driver-side, so pruning is a planning-time partition filter —
+    same discipline as the dedup index, no reliance on DPP), ADC-score
+    only the 8-byte codes in those buckets, and keep each query's
+    scores to its own probed buckets. ``rerank`` is ``None`` (ADC sims
+    out), a corpus DataFrame (exact-cosine rerank join against the
+    source table — the at-scale shape), or ``"stored"`` (rerank against
+    vectors persisted with ``store_vectors=True``).
+    Columns out: (qid, vec_id, sim, rank)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from spatialpandas_spark.operators.pq import _books_array, _l2_normalize
+
+    meta = load_ivfpq_meta(path)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    B = _books_array(meta["codebooks"])
+    m_sub, n_codes, sub = B.shape
+
+    q_sel = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    qrows = q_sel.limit(max_collected_queries + 1).collect()
+    if len(qrows) > max_collected_queries:
+        raise ValueError(
+            f"query_ivfpq_index query side exceeds max_collected_queries="
+            f"{max_collected_queries}; split the query frame or raise the "
+            "bound explicitly"
+        )
+    qids = np.asarray([r["qid"] for r in qrows])
+    Q = _l2_normalize(
+        np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    )
+    # centroid ranking in numpy (cosine == dot of normalized pairs)
+    cn = _l2_normalize(cents)
+    csims = Q @ cn.T
+    order = np.argsort(-csims, axis=1, kind="stable")[:, :n_probe]
+    probes_by_bucket: dict[int, list[int]] = {}
+    for qi in range(order.shape[0]):
+        for b in order[qi]:
+            probes_by_bucket.setdefault(int(b), []).append(qi)
+    buckets = sorted(probes_by_bucket)
+
+    lut = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m_sub)], axis=1
+    )
+    n_cand = k * rerank_factor if rerank is not None else k
+
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    cds = idx.select("bucket", "vec_id", "code")
+    out_schema = StructType(
+        [
+            StructField("qid", q_sel.schema["qid"].dataType),
+            StructField("vec_id", cds.schema["vec_id"].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def _reduce(q, v, s):
+        ix = np.lexsort((v, -s, q))
+        q, v, s = q[ix], v[ix], s[ix]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < n_cand
+        return q[keep], v[keep], s[keep]
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list = []
+        for pdf in batches:
+            ok = pdf["code"].notna()
+            if not ok.any():
+                continue
+            pdf = pdf[ok]
+            bk = pdf["bucket"].to_numpy()
+            vid = pdf["vec_id"].to_numpy()
+            C = np.frombuffer(
+                b"".join(bytes(b) for b in pdf["code"]), dtype=np.uint8
+            ).reshape(-1, m_sub)
+            for b in np.unique(bk):
+                qs_b = probes_by_bucket.get(int(b))
+                if not qs_b:
+                    continue
+                rows = np.flatnonzero(bk == b)
+                Cb = C[rows]
+                scores = np.zeros((len(qs_b), len(rows)))
+                lsel = lut[qs_b]
+                for j in range(m_sub):
+                    scores += lsel[:, j, :][:, Cb[:, j]]
+                qcol = np.repeat(np.asarray(qs_b), len(rows))
+                vcol = np.tile(vid[rows], len(qs_b))
+                acc.append(_reduce(qcol, vcol, scores.ravel()))
+        if acc:
+            q, v, s = (np.concatenate([a[i] for a in acc]) for i in range(3))
+            q, v, s = _reduce(q, v, s)
+            yield pd.DataFrame({"qid": qids[q], "vec_id": v, "sim": s})
+
+    cand = cds.mapInPandas(adc_scan, out_schema)
+    if rerank is None:
+        return _topk_rerank(cand, k)
+    if isinstance(rerank, str):
+        if rerank != "stored":
+            raise ValueError(f"unknown rerank mode {rerank!r}")
+        if not meta.get("store_vectors"):
+            raise ValueError(
+                "rerank='stored' requires build_ivfpq_index(store_vectors=True)"
+            )
+        cv = idx.select("vec_id", F.col("vec").alias("__cv"))
+    else:
+        cv = rerank.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        )
+    pairs = (
+        cand.select("qid", "vec_id")
+        .join(F.broadcast(q_sel), "qid")
+        .join(cv, "vec_id")
+        .select("qid", "vec_id", "__qv", "__cv")
+    )
+    return _topk_rerank(pair_cosine_arrow(pairs), k)

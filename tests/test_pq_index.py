@@ -1,0 +1,131 @@
+"""Persistent IVF-PQ index: build layout, sidecar round-trip, static
+partition pruning in the probe plan, exact-limit equivalence, and
+recall with the three rerank modes."""
+
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.similarity import brute_force_topk
+from spatialpandas_spark.operators.similarity_index import (
+    build_ivfpq_index,
+    load_ivfpq_meta,
+    query_ivfpq_index,
+)
+
+
+def _emb(spark, n=240, dim=16, labels=6, noise=0.15, seed=9):
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((labels, dim))
+    lab = rng.integers(0, labels, n)
+    X = protos[lab] + noise * rng.standard_normal((n, dim))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _qs(emb, n=6):
+    return emb.limit(n).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = _emb(spark)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m_sub=4, n_codes=32, store_vectors=True
+    )
+    return path
+
+
+def test_sidecar_and_layout(index_path):
+    import os
+
+    meta = load_ivfpq_meta(index_path)
+    assert meta["m_sub"] == 4 and meta["store_vectors"] is True
+    B = np.asarray(meta["codebooks"])
+    assert B.shape == (4, 32, 4)
+    assert len(meta["centroids"]) == 8
+    dirs = [d for d in os.listdir(index_path) if d.startswith("bucket=")]
+    assert len(dirs) >= 2
+
+
+def test_probe_static_partition_pruning(spark, emb, index_path):
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    out = query_ivfpq_index(spark, index_path, _qs(emb), k=5, n_probe=2)
+    plan = physical_plan(out)
+    # the probe set is computed driver-side, so the filter is STATIC —
+    # a planning-time bucket IN-list on the index scan
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+
+
+def test_probe_rerank_source_recall(spark, emb, index_path):
+    k = 5
+    got = query_ivfpq_index(
+        spark, index_path, _qs(emb), k=k, n_probe=4, rerank=emb
+    )
+    exact = brute_force_topk(_qs(emb), emb, k=k)
+    a = {(r["qid"], r["vec_id"]) for r in got.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"recall@{k} = {recall}"
+
+
+def test_probe_rerank_stored_matches_source(spark, emb, index_path):
+    a = query_ivfpq_index(
+        spark, index_path, _qs(emb), k=5, n_probe=4, rerank="stored"
+    ).collect()
+    b = query_ivfpq_index(
+        spark, index_path, _qs(emb), k=5, n_probe=4, rerank=emb
+    ).collect()
+    assert {(r["qid"], r["vec_id"], r["rank"]) for r in a} == {
+        (r["qid"], r["vec_id"], r["rank"]) for r in b
+    }
+
+
+def test_exact_limit_full_probe(spark, tmp_path):
+    # n_codes >= corpus and n_probe = n_centroids: the index is lossless
+    # and the probe is exhaustive -> identical to brute force
+    emb = _emb(spark, n=14, dim=8, labels=14, noise=0.0, seed=2)
+    path = str(tmp_path / "exact")
+    build_ivfpq_index(
+        emb, path, n_centroids=4, m_sub=2, n_codes=14, store_vectors=True
+    )
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in query_ivfpq_index(
+            spark, path, _qs(emb, 4), k=3, n_probe=4, rerank="stored"
+        ).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(_qs(emb, 4), emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_stored_rerank_requires_vectors(spark, emb, tmp_path):
+    path = str(tmp_path / "novec")
+    build_ivfpq_index(emb, path, n_centroids=4, m_sub=4, n_codes=16)
+    with pytest.raises(ValueError, match="store_vectors"):
+        query_ivfpq_index(spark, path, _qs(emb), rerank="stored")
+
+
+def test_query_guard(spark, emb, index_path):
+    with pytest.raises(ValueError, match="max_collected_queries"):
+        query_ivfpq_index(
+            spark, index_path, _qs(emb, 6), max_collected_queries=2
+        )
