@@ -178,6 +178,22 @@ def test_ivf_sidecar_over_s3(s3fs_moto):
     )
 
 
+def test_ivfpq_sidecar_over_s3(s3fs_moto):
+    from spatialpandas_spark.operators.similarity_index import load_ivfpq_meta
+
+    meta = {
+        "centroids": [[0.0, 1.0], [1.0, 0.0]],
+        "codebooks": [[[0.5], [0.25]], [[0.125], [0.75]]],
+        "m_sub": 2,
+        "store_vectors": False,
+    }
+    _fs.write_text(
+        f"s3://{BUCKET}/ivfpq/_ivfpq.json", json.dumps(meta),
+        filesystem=s3fs_moto,
+    )
+    assert load_ivfpq_meta(f"s3://{BUCKET}/ivfpq", filesystem=s3fs_moto) == meta
+
+
 def test_multipart_size_object_roundtrip(s3fs_moto):
     """A payload above pyarrow's default S3 part size (5 MiB) exercises
     the multipart upload path end-to-end."""
