@@ -1222,6 +1222,38 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_exact(spark, sf_dir):
+    """PQ end-to-end through the driver gate in the provably-LOSSLESS
+    configuration: a 200-vector corpus with n_codes=200 makes every
+    sub-vector its own codeword (zero quantization error — pinned by
+    tests/test_pq.py::test_pq_exact_reconstruction_limit), so train ->
+    encode -> ADC code scan -> exact-cosine rerank returns exactly the
+    brute-force top-k, and the oracle is the plain brute-force SQL
+    replay over the reduced corpus. Lossy-setting recall is pytest +
+    study evidence (tools/pq_study.py, BASELINE.md round-4 notes)."""
+    from spatialpandas_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    books = train_pq(emb, m_sub=8, n_codes=200, sample_n=256, iters=2)
+    codes = pq_encode(emb, books)
+    out = pq_topk(qs, codes, books, k=5, rerank=emb, rerank_factor=4)
+    return out.select(
+        "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_topk_merged(spark, sf_dir):
+    """Merged ANN gate: brute force over the full table + the PQ
+    pipeline in its exact-reconstruction limit, tagged union."""
+    return _variant(q_ann_topk(spark, sf_dir), "bf").unionByName(
+        _variant(q_ann_pq_exact(spark, sf_dir), "pq_exact")
+    )
+
+
 def _ivf_with_recall(out: DataFrame, bf: DataFrame, k: int) -> DataFrame:
     """Attach per-query recall@k vs the exact brute-force top-k, so ANN
     quality itself is driver-verified (the oracle recomputes the same
@@ -1638,7 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 unchecked tail, promoted to the front
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
+        "ann_topk": q_ann_topk_merged,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2957,6 +2989,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT y.*, 'clustered' AS variant FROM ({clus_recall}) y"
         ),
         "ann_ivf_index": iso_recall,
+        # bf variant = full corpus; pq_exact = the PQ pipeline in its
+        # lossless configuration (200-vector corpus, n_codes=200), where
+        # encode -> ADC -> exact rerank provably equals brute force
+        "ann_topk": (
+            f"SELECT x.*, 'bf' AS variant FROM ({o['ann_topk']}) x "
+            f"UNION ALL SELECT y.*, 'pq_exact' AS variant FROM ("
+            f"{_bf_oracle_sql(e_sql=_ISO_E_SQL + ' WHERE vec_id < 200')}) y"
+        ),
         "cx_bbox": union("cx_bbox", "cx_bbox_inverted", "select", "inverted"),
         "cx_refine": union("cx_lines", "cx_diamonds", "line", "diamond"),
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
