@@ -228,6 +228,17 @@ def pq_topk(
             f"{max_collected_queries}; split the query frame or raise the "
             "bound explicitly"
         )
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("qid", q_sel.schema["qid"].dataType),
+                    StructField("vec_id", codes.schema["vec_id"].dataType),
+                    StructField("sim", DoubleType()),
+                ]
+            ),
+        ).withColumn("rank", F.lit(1).cast("int"))
     qids = np.asarray([r["qid"] for r in qrows])
     Q = _l2_normalize(
         np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])

@@ -249,6 +249,17 @@ def query_ivfpq_index(
             f"{max_collected_queries}; split the query frame or raise the "
             "bound explicitly"
         )
+    if not qrows:
+        empty = StructType(
+            [
+                StructField("qid", q_sel.schema["qid"].dataType),
+                StructField("vec_id", spark.read.parquet(path).schema["vec_id"].dataType),
+                StructField("sim", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], empty).withColumn(
+            "rank", F.lit(1).cast("int")
+        )
     qids = np.asarray([r["qid"] for r in qrows])
     Q = _l2_normalize(
         np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
@@ -340,3 +351,38 @@ def query_ivfpq_index(
         .select("qid", "vec_id", "__qv", "__cv")
     )
     return _topk_rerank(pair_cosine_arrow(pairs), k)
+
+
+def append_to_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append new vectors to an existing IVF-PQ index under its PINNED
+    centroids and codebooks (one scan + one partitioned append; the
+    sidecar is untouched, so readers never see a half-updated model).
+    Quantization quality for appended data follows the training-time
+    distribution — under real drift, rebuild to re-train; the
+    ``pq_reconstruct_error`` diagnostic over the appended slice is the
+    cheap drift check."""
+    from spatialpandas_spark.operators.pq import pq_encode
+
+    meta = load_ivfpq_meta(path)
+    assigned = bucket_assign_arrow(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("vec"),
+        ),
+        meta["centroids"],
+        vec_col="vec",
+    ).withColumnRenamed("__bucket", "bucket")
+    codes = pq_encode(
+        corpus, meta["codebooks"], corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    cols = ["vec_id", "bucket", "code"] + (
+        ["vec"] if meta.get("store_vectors") else []
+    )
+    assigned.join(codes, "vec_id").select(*cols).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)

@@ -140,3 +140,110 @@ def probe_matches_stream(
         .outputMode("append")
         .start()
     )
+
+
+# ----------------------------------------------- embedding-stream ingestion
+# The vector-corpus twin of the text loop above: continuous embedding
+# growth with near-duplicate suppression against the persistent IVF-PQ
+# index (operators/similarity_index.py). Same design stance — the dedup
+# state lives in the on-disk, partition-pruned index (shared with batch
+# jobs, unbounded by executor memory), driven via foreachBatch; the same
+# parquet-append retry caveat applies.
+
+
+def embedding_ingest_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    output_path: str | None = None,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One embedding-ingestion step (also the foreachBatch body):
+
+    1. within-batch collapse — embedding near-dup pairs (banded
+       random-hyperplane self-join), keep the smaller id,
+    2. survivors probe the IVF-PQ index top-1 with EXACT stored-vector
+       rerank; cosine >= ``threshold`` against the already-ingested
+       corpus drops the row (requires ``store_vectors=True`` at build —
+       the probe's duplicate verdict must be exact, not ADC-approximate),
+    3. the remainder appends to the index (pinned model) and, when
+       given, to ``output_path``.
+
+    Returns the surviving vectors."""
+    from spatialpandas_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from spatialpandas_spark.operators.similarity_index import (
+        append_to_ivfpq_index,
+        load_ivfpq_meta,
+        query_ivfpq_index,
+    )
+
+    if not load_ivfpq_meta(index_path).get("store_vectors"):
+        raise ValueError(
+            "embedding ingestion needs build_ivfpq_index(store_vectors=True) "
+            "so the duplicate verdict is exact cosine, not ADC-approximate"
+        )
+    pairs = embedding_near_dup_pairs(
+        batch, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    surv = batch.join(losers, id_col, "left_anti")
+
+    qs = surv.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    top = query_ivfpq_index(
+        spark, index_path, qs, k=1, n_probe=n_probe, rerank="stored"
+    )
+    dups = (
+        top.filter(F.col("sim") >= threshold)
+        .select(F.col("qid").alias(id_col))
+        .distinct()
+    )
+    surv = surv.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
+    append_to_ivfpq_index(surv, index_path, corpus_id=id_col, corpus_vec=vec_col)
+    if output_path is not None:
+        surv.write.mode("append").parquet(output_path)
+    return surv
+
+
+def stream_embedding_ingest(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Attach the embedding-ingestion loop to a streaming DataFrame.
+    Returns the started ``StreamingQuery``."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        embedding_ingest_batch(
+            batch.sparkSession,
+            index_path,
+            batch,
+            output_path,
+            threshold,
+            n_probe,
+            id_col,
+            vec_col,
+            dim,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
