@@ -60,6 +60,45 @@ def replicate(n: int) -> str:
     return path
 
 
+def _verify_adc_against_numpy(spark, emb, codes, books, qs) -> None:
+    """Engine ADC top-k vs a single-process numpy replica: identical
+    (qid, vec_id, rank) triples and bit-identical sims required."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.operators.pq import _l2_normalize, pq_topk
+
+    B = np.asarray(books, dtype=np.float64)
+    m_sub, n_codes, sub = B.shape
+    crows = codes.collect()
+    vid = np.asarray([r["vec_id"] for r in crows])
+    C = np.frombuffer(
+        b"".join(bytes(r["code"]) for r in crows), dtype=np.uint8
+    ).reshape(-1, m_sub)
+    qrows = qs.collect()
+    Q = _l2_normalize(
+        np.asarray([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    )
+    lut = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m_sub)], axis=1
+    )
+    got = {}
+    for r in pq_topk(qs, codes, books, k=K).collect():
+        got[(r["qid"], r["rank"])] = (r["vec_id"], r["sim"])
+    for qi, r in enumerate(qrows):
+        scores = np.zeros(C.shape[0])
+        for j in range(m_sub):
+            scores += lut[qi, j, :][C[:, j]]
+        order = np.lexsort((vid, -scores))[:K]
+        for rank, ci in enumerate(order, start=1):
+            want = (vid[ci], scores[ci])
+            have = got[(r["qid"], rank)]
+            assert have[0] == want[0] and have[1] == want[1], (
+                r["qid"], rank, have, want,
+            )
+    print(json.dumps({"adc_value_check": "exact", "k": K,
+                      "n": int(C.shape[0]), "queries": len(qrows)}), flush=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -96,6 +135,13 @@ def main() -> None:
         t0 = time.time()
         exact = brute_force_topk(qs, emb, k=K).collect()
         t_bf = time.time() - t0
+
+        if scale == SCALES[0]:
+            # value cross-check before any timing is trusted (the
+            # crossover_knn discipline): a numpy ADC replica — same
+            # normalization, same per-subspace j-order float64 sums —
+            # must produce the identical candidate ranking
+            _verify_adc_against_numpy(spark, emb, codes, books, qs)
 
         t0 = time.time()
         adc = pq_topk(qs, codes, books, k=K).collect()
