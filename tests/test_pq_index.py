@@ -72,6 +72,30 @@ def test_probe_static_partition_pruning(spark, emb, index_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
 
 
+def test_adc_probe_prunes_vec_column(spark, emb, index_path):
+    """With rerank=None the probe must not read the (stored) float
+    vectors: the index scan's ReadSchema carries only vec_id + code —
+    the 32x byte win is visible in the plan, not just the docstring."""
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    out = query_ivfpq_index(spark, index_path, _qs(emb), k=5, n_probe=2)
+    plan = physical_plan(out)
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan, plan
+    assert "vec_id" in scan[0] and "code" in scan[0], scan[0]
+    assert not re.search(r"ReadSchema:[^\n]*\bvec\b[^_]", scan[0]), scan[0]
+
+
+def test_probe_window_over_survivors_only(spark, emb, index_path):
+    """The final ranking window must sit ABOVE the Arrow partial-top-k
+    (MapInPandas), never over the raw candidate volume."""
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    out = query_ivfpq_index(spark, index_path, _qs(emb), k=5, n_probe=2)
+    plan = physical_plan(out)
+    assert plan.index("Window") < plan.index("MapInPandas"), plan
+
+
 def test_probe_rerank_source_recall(spark, emb, index_path):
     k = 5
     got = query_ivfpq_index(
