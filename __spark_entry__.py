@@ -1350,11 +1350,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_ivf_index(spark, sf_dir):
-    """Persistent IVF: build the bucket-partitioned index on disk, then
-    probe it — results must equal the in-memory IVF (same deterministic
-    centroids), so the same SQL oracle (incl. recall@5 vs brute force)
-    applies; the probe scan is partition-pruned (plan-asserted in
-    tests)."""
+    """Persistent IVF, TWO variants like q_ann_ivf_topk: build the
+    bucket-partitioned index on disk, then probe it — results must equal
+    the in-memory IVF (same deterministic centroids), so the same SQL
+    oracles (incl. recall@5 vs brute force) apply. 'iso' = raw fixture
+    (recall ~ scan fraction, the bound for structureless vectors);
+    'clustered' = the deterministic twin where the PERSISTENT index's
+    quality is driver-verified at 1.0. Probe scans are partition-pruned
+    (plan-asserted in tests)."""
     import tempfile
 
     from spatialpandas_spark.operators.similarity import brute_force_topk
@@ -1364,18 +1367,29 @@ def q_ann_ivf_index(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
-    # kmeans_iters=0: deterministic md5 centroids = the exact SQL twin
-    # (the library default is 2; see q_ann_ivf_topk's docstring)
-    build_ivf_index(emb, path, n_centroids=16, kmeans_iters=0)
-    qs = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+
+    def variant(corpus, vec_col, tag):
+        path = os.path.join(tempfile.mkdtemp(prefix=f"ivf_idx_{tag}_"), "index")
+        # kmeans_iters=0: deterministic md5 centroids = the exact SQL
+        # twin (the library default is 2; see q_ann_ivf_topk's docstring)
+        build_ivf_index(
+            corpus, path, n_centroids=16, kmeans_iters=0, corpus_vec=vec_col
+        )
+        qs = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec")
+        )
+        out = query_ivf_index(spark, path, qs, k=5, n_probe=4).select(
+            "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = _ivf_with_recall(
+            out, brute_force_topk(qs, corpus, k=5, corpus_vec=vec_col), 5
+        )
+        return out.withColumn("variant", F.lit(tag))
+
+    return variant(emb, "embedding", "iso").unionByName(
+        variant(_clustered_vecs(emb), "cvec", "clustered")
     )
-    out = query_ivf_index(spark, path, qs, k=5, n_probe=4).select(
-        "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
-        F.col("rank").cast("long").alias("rank"),
-    )
-    return _ivf_with_recall(out, brute_force_topk(qs, emb, k=5), 5)
 
 
 def q_label_centroid_sim(spark, sf_dir):
@@ -2988,7 +3002,11 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL "
             f"SELECT y.*, 'clustered' AS variant FROM ({clus_recall}) y"
         ),
-        "ann_ivf_index": iso_recall,
+        "ann_ivf_index": (
+            f"SELECT x.*, 'iso' AS variant FROM ({iso_recall}) x "
+            f"UNION ALL "
+            f"SELECT y.*, 'clustered' AS variant FROM ({clus_recall}) y"
+        ),
         # bf variant = full corpus; pq_exact = the PQ pipeline in its
         # lossless configuration (200-vector corpus, n_codes=200), where
         # encode -> ADC -> exact rerank provably equals brute force
