@@ -98,7 +98,16 @@ def sjoin(
     right_bounds: str | None = "bounds",
     refine: str = "expr",
 ) -> DataFrame:
-    """``refine`` picks how the exact predicate evaluates: ``"expr"``
+    """``strategy`` is ``"broadcast"`` (small dim side), ``"grid"``
+    (big x big, explode-to-cells hash equi-join; needs ``cell_size``),
+    or ``"auto"`` — pick broadcast when the build side's Catalyst size
+    estimate fits the session broadcast threshold, else grid with a
+    sampled cell-size estimate (no hand-tuning). Non-file frames carry
+    a huge default size estimate, so auto conservatively grids them —
+    the safe failure mode; pass ``strategy="broadcast"`` explicitly for
+    small in-memory frames.
+
+    ``refine`` picks how the exact predicate evaluates: ``"expr"``
     (default) folds it into the join condition as a JVM expression;
     ``"arrow"`` joins on the bbox conjunct only and refines candidate
     pairs with one vectorized Arrow pass (point×polygon inner joins).
@@ -127,6 +136,23 @@ def sjoin(
     lcols, rcols = set(left.columns), set(right.columns)
     left, lb = _prepare(left, left_geom, left_type, "l", rcols, lsuffix, left_bounds)
     right, rb = _prepare(right, right_geom, right_type, "r", lcols, rsuffix, right_bounds)
+
+    if strategy == "auto":
+        # pick by the build side's optimizer size estimate (driver-only
+        # stats call, no job): under the session's broadcast threshold
+        # -> broadcast; otherwise the grid shuffle plan, with the cell
+        # size taken from a bounded bounds sample when not given. This
+        # is the no-hand-tuning entry point: at 100 TB the dimension
+        # side is usually broadcastable and the big x big case must
+        # never silently BNLJ the full volume.
+        bcast_side = left if how == "right" else right
+        size = _plan_size_bytes(bcast_side)
+        if 0 <= size <= _broadcast_threshold(left.sparkSession):
+            strategy = "broadcast"
+        else:
+            strategy = "grid"
+            if cell_size is None:
+                cell_size = _estimate_cell_size(right, rb)
 
     # geometry columns may share a name across sides; qualify via DataFrame
     lgeom = left[left_geom]
@@ -171,6 +197,62 @@ def sjoin(
             joined, pt_name, poly_name, right_type
         )
     return joined.drop(lb, rb)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (file-size based for scans)
+    — a driver-only stats lookup, no job. Returns -1 if unavailable."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - stats API drift
+        return -1
+
+
+def _broadcast_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (accepts the
+    '10MB' / '10485760b' spellings; -1 disables broadcasting)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:  # pragma: no cover - malformed conf
+        return 10 << 20
+
+
+def _estimate_cell_size(right: DataFrame, rb: str, sample_n: int = 2048) -> float:
+    """Grid cell size from a bounded sample of right-side bounds: twice
+    the median bbox side (cells a bit larger than typical geometries keep
+    per-geometry cell counts ~1-4). Degenerate sides (points) fall back
+    to 1/256 of the sampled extent. One limit() collect, never unbounded."""
+    rows = right.select(F.col(rb).alias("b")).limit(sample_n).collect()
+    import numpy as np
+
+    b = [r["b"] for r in rows if r["b"] is not None]
+    if not b:
+        return 1.0
+    w = np.asarray([x["x1"] - x["x0"] for x in b], dtype=np.float64)
+    h = np.asarray([x["y1"] - x["y0"] for x in b], dtype=np.float64)
+    w, h = w[np.isfinite(w)], h[np.isfinite(h)]
+    base = max(
+        float(np.median(w)) if len(w) else 0.0,
+        float(np.median(h)) if len(h) else 0.0,
+    )
+    if base <= 0:
+        x0 = np.asarray([x["x0"] for x in b], dtype=np.float64)
+        y0 = np.asarray([x["y0"] for x in b], dtype=np.float64)
+        x0, y0 = x0[np.isfinite(x0)], y0[np.isfinite(y0)]
+        ext = max(
+            float(x0.max() - x0.min()) if len(x0) else 0.0,
+            float(y0.max() - y0.min()) if len(y0) else 0.0,
+        )
+        return ext / 256.0 if ext > 0 else 1.0
+    return 2.0 * base
 
 
 def _cells(b: Column, cell_size: float) -> Column:

@@ -212,3 +212,58 @@ def test_sjoin_arrow_refine_rejects_unsupported(spark):
             df, df, left_geom="geom", right_geom="geom",
             left_type="point", right_type="point", refine="arrow",
         )
+
+
+def test_auto_strategy_small_side_broadcasts(spark, fixtures, tmp_path):
+    """auto needs a REAL size estimate to choose broadcast, so the right
+    side comes from parquet (file-size stats); in-memory frames have a
+    worthless huge default estimate and conservatively grid instead —
+    the safe choice, covered by the next test."""
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    left, right, pts, polys, expect = fixtures
+    p = str(tmp_path / "right.parquet")
+    right.write.parquet(p)
+    right_pq = spark.read.parquet(p)
+    j = sjoin(left, right_pq, left_geom="geom", right_geom="geom",
+              left_type="point", right_type="polygon", strategy="auto")
+    assert "BroadcastNestedLoopJoin" in physical_plan(j)
+    got = {(r["pid"], r["gid"]) for r in j.collect()}
+    assert got == expect
+
+
+def test_auto_strategy_big_side_grids(spark, fixtures):
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    left, right, pts, polys, expect = fixtures
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        j = sjoin(left, right, left_geom="geom", right_geom="geom",
+                  left_type="point", right_type="polygon", strategy="auto")
+        plan = physical_plan(j)
+        # the grid plan is a hash equi-join on cells, never a BNLJ
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        got = {(r["pid"], r["gid"]) for r in j.collect()}
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_auto_grid_estimates_cell_size_for_points(spark, fixtures):
+    """Degenerate right-side bounds (points) fall back to the sampled
+    extent — the estimator never returns a zero/NaN cell."""
+    left, right, pts, polys, expect = fixtures
+    ptsr = spark.createDataFrame(
+        pts, "gid long, x double, y double"
+    ).select("gid", st_point(F.col("x"), F.col("y")).alias("geom"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        j = sjoin(left, ptsr, left_geom="geom", right_geom="geom",
+                  left_type="point", right_type="point", strategy="auto")
+        got = {(r["pid"], r["gid"]) for r in j.collect()}
+        want = {(pid, pid) for pid, _, _ in pts}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
