@@ -430,6 +430,47 @@ def b20_pq_scan(spark):
     return pq_topk(qs, codes, books, k=10, rerank=tiled, rerank_factor=4).count()
 
 
+_IVFPQ_PATH: str | None = None
+
+
+def b21_ivfpq_probe(spark):
+    """Persistent IVF-PQ probe: the 64x-tiled corpus (~128k vectors at
+    sf0.1) is indexed once on the warm-up call (bucket-partitioned
+    8-byte codes + stored vectors); every run probes 8 queries through
+    the static-pruned ADC scan with exact stored rerank — the serving
+    path whose bytes-touched is ~n_probe/n_centroids x m_sub/256 of a
+    raw scan."""
+    global _IVFPQ_PATH
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if _IVFPQ_PATH is None:
+        tiled = (
+            emb.crossJoin(spark.range(64).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("vec_id") * 64 + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + (F.col("rep") % 7).cast("float") * F.lit(0.01),
+                ).alias("embedding"),
+            )
+        )
+        _IVFPQ_PATH = os.path.join(tempfile.mkdtemp(prefix="bench_ivfpq_"), "index")
+        build_ivfpq_index(
+            tiled, _IVFPQ_PATH, n_centroids=16, m_sub=8, n_codes=64,
+            store_vectors=True,
+        )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return query_ivfpq_index(
+        spark, _IVFPQ_PATH, qs, k=10, n_probe=4, rerank="stored"
+    ).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -451,6 +492,7 @@ BENCHES = {
     "b18_index_probe": b18_index_probe,
     "b19_quality_scoring": b19_quality_scoring,
     "b20_pq_scan": b20_pq_scan,
+    "b21_ivfpq_probe": b21_ivfpq_probe,
 }
 
 
