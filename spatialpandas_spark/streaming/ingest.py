@@ -247,3 +247,57 @@ def stream_embedding_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def embedding_matches_stream(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Read-only embedding variant of ``probe_matches_stream``: stream
+    vectors, emit (new_id, dup_of, sim) match rows against the IVF-PQ
+    index without mutating it — the drift/contamination-alert shape for
+    embedding corpora (requires stored vectors, exact verdicts)."""
+    from spatialpandas_spark.operators.similarity_index import (
+        load_ivfpq_meta,
+        query_ivfpq_index,
+    )
+
+    if not load_ivfpq_meta(index_path).get("store_vectors"):
+        raise ValueError(
+            "embedding match monitoring needs build_ivfpq_index("
+            "store_vectors=True) for exact duplicate verdicts"
+        )
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        qs = batch.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        )
+        (
+            query_ivfpq_index(
+                batch.sparkSession, index_path, qs, k=1,
+                n_probe=n_probe, rerank="stored",
+            )
+            .filter(F.col("sim") >= threshold)
+            .select(
+                F.col("qid").alias("new_id"),
+                F.col("vec_id").alias("dup_of"),
+                "sim",
+            )
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )

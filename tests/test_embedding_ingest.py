@@ -141,3 +141,28 @@ def test_stream_matches_sequential(spark, fixture):
         )
     batched = {r["vec_id"] for r in spark.read.parquet(bout).collect()}
     assert streamed == batched
+
+
+def test_matches_stream_read_only(spark, fixture):
+    from spatialpandas_spark.streaming.ingest import embedding_matches_stream
+
+    td, cdf, b1, b2 = fixture
+    src = f"{td}/msrc"
+    b1.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    path, out = f"{td}/m_idx", f"{td}/m_out"
+    _build(spark, cdf, path)
+    n_before = spark.read.parquet(path).count()
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = embedding_matches_stream(
+        stream, path, out, f"{td}/m_ckpt", threshold=0.95, n_probe=4
+    )
+    q.processAllAvailable()
+    q.stop()
+    matches = spark.read.parquet(out).collect()
+    # b1 carries exactly two near-dups of corpus vectors 0 and 1
+    assert {r["new_id"] for r in matches} == {104, 105}
+    assert {r["dup_of"] for r in matches} == {0, 1}
+    assert all(r["sim"] >= 0.95 for r in matches)
+    # index untouched
+    assert spark.read.parquet(path).count() == n_before
