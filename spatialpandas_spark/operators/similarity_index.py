@@ -61,7 +61,13 @@ def build_ivf_index(
         cents,
         vec_col="vec",
     ).withColumnRenamed("__bucket", "bucket")
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # one file per bucket dir (same small-files lesson as the dedup
+    # index): without this, every writing task emits a sliver into every
+    # bucket dir and the probe pays per-file open cost 32x over. Row
+    # groups keep single files splittable for big buckets at scale.
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
 
     # sidecar AFTER the data write so a readable index is always complete;
     # pyarrow-fs layer so object-store index paths work (S6)
@@ -178,7 +184,10 @@ def build_ivfpq_index(
     codes = pq_encode(corpus, books, corpus_id=corpus_id, corpus_vec=corpus_vec)
     cols = ["vec_id", "bucket", "code"] + (["vec"] if store_vectors else [])
     joined = assigned.join(codes, "vec_id").select(*cols)
-    joined.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # one file per bucket dir — see build_ivf_index's small-files note
+    joined.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
 
     from spatialpandas_spark.sources import fs as _fs
 
@@ -383,6 +392,9 @@ def append_to_ivfpq_index(
     cols = ["vec_id", "bucket", "code"] + (
         ["vec"] if meta.get("store_vectors") else []
     )
-    assigned.join(codes, "vec_id").select(*cols).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(path)
+    # one file per bucket dir PER APPEND (small-files note in
+    # build_ivf_index); heavy append churn is what compact_spatial_parquet
+    # exists for
+    assigned.join(codes, "vec_id").select(*cols).repartition(
+        "bucket"
+    ).write.mode("append").partitionBy("bucket").parquet(path)

@@ -97,9 +97,14 @@ def test_probe_window_over_survivors_only(spark, emb, index_path):
 
 
 def test_probe_rerank_source_recall(spark, emb, index_path):
+    # rerank_factor=8: the candidate budget is EXACTLY k*factor per
+    # query since the one-file-per-bucket layout (the old many-sliver
+    # layout accidentally inflated candidates via per-sliver top-c,
+    # which silently flattered recall — this pins the honest setting)
     k = 5
     got = query_ivfpq_index(
-        spark, index_path, _qs(emb), k=k, n_probe=4, rerank=emb
+        spark, index_path, _qs(emb), k=k, n_probe=4, rerank=emb,
+        rerank_factor=8,
     )
     exact = brute_force_topk(_qs(emb), emb, k=k)
     a = {(r["qid"], r["vec_id"]) for r in got.collect()}
