@@ -240,7 +240,14 @@ def sjoin_knn(
         )
 
     if cell_size is None:
-        cell_size = estimate_knn_cell_size(
+        # the estimator returns the MEDIAN k-th-NN distance, but a row
+        # only resolves in round 0 when its k-th candidate is within ONE
+        # cell width — at cell = median, ~half the rows miss that bound
+        # and force a second full join round. 2.5x makes round-0
+        # resolution the common case at ~O(100) candidates/row for small
+        # k (measured on b16: 19k x 600k, 6.8 s -> 2.1-2.9 s, identical
+        # output); explicit cell_size callers keep full control.
+        cell_size = 2.5 * estimate_knn_cell_size(
             right, k, right_geom=right_geom, n=n_right
         )
     if cell_size <= 0:
