@@ -219,7 +219,8 @@ class SpatialFrame:
         )
 
     def sjoin_knn(
-        self, other: SpatialFrame, k: int, cell_size: float, **kwargs
+        self, other: SpatialFrame, k: int, cell_size: float | None = None,
+        **kwargs,
     ) -> DataFrame:
         """Exact kNN join (point frames): each row of self paired with
         its k nearest rows of other (level-doubling grid join)."""
