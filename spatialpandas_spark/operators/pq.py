@@ -220,7 +220,7 @@ def pq_topk(
     q_sel = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).filter(F.col("__qv").isNotNull())
     qrows = q_sel.limit(max_collected_queries + 1).collect()
     if len(qrows) > max_collected_queries:
         raise ValueError(

@@ -77,14 +77,17 @@ def brute_force_topk(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # null vectors are unrankable: drop them at the DataFrame boundary
+    # (cheap JVM filter) instead of making every Arrow kernel tolerate
+    # ragged batches — at 100 TB some rows WILL be null
     q_sel = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).filter(F.col("__qv").isNotNull())
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    )
+    ).filter(F.col("__cv").isNotNull())
 
     # the probe set is small by contract; collecting it lets ONE Arrow pass
     # over the corpus compute all query sims per batch — no q x corpus pair
@@ -382,14 +385,16 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    ).withColumn("__bk", F.explode(band_keys(rp_signature(F.col("__qv"), planes))))
+    ).filter(F.col("__qv").isNotNull()).withColumn(
+        "__bk", F.explode(band_keys(rp_signature(F.col("__qv"), planes)))
+    )
     # corpus signatures via the Arrow kernel (bit-identical, see
     # rp_signatures_arrow); the query side is tiny — Catalyst is fine
     c = rp_signatures_arrow(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
-        ),
+        ).filter(F.col("__cv").isNotNull()),
         planes,
         vec_col="__cv",
     ).withColumn("__bk", F.explode(band_keys(F.col("__sig")))).drop("__sig")
@@ -431,7 +436,9 @@ def kmeans_refine(
     only driver state is the centroid table itself). Empty buckets keep
     their previous centroid."""
     dim = len(centroids[0])
-    c = corpus.select(F.col(corpus_vec).cast("array<double>").alias("__cv"))
+    c = corpus.select(
+        F.col(corpus_vec).cast("array<double>").alias("__cv")
+    ).filter(F.col("__cv").isNotNull())
     for _ in range(iters):
         assigned = bucket_assign_arrow(c, centroids)
         sums = (
@@ -508,7 +515,7 @@ def ivf_topk(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
-        ),
+        ).filter(F.col("__cv").isNotNull()),
         cents,
     )
 
@@ -517,7 +524,7 @@ def ivf_topk(
         queries.select(
             F.col(query_id).alias("qid"),
             F.col(query_vec).cast("array<double>").alias("__qv"),
-        ),
+        ).filter(F.col("__qv").isNotNull()),
         cents,
     )
     dots_q = _centroid_sims(F.col("__qv"))
@@ -566,7 +573,7 @@ def embedding_near_dup_pairs(
         df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
-        ),
+        ).filter(F.col("__v").isNotNull()),
         planes,
     )
     banded = sd.select(

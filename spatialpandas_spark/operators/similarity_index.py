@@ -53,11 +53,12 @@ def build_ivf_index(
     if kmeans_iters > 0:
         cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
 
+    # null vectors are unindexable — drop at the boundary (documented)
     assigned = bucket_assign_arrow(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("vec"),
-        ),
+        ).filter(F.col("vec").isNotNull()),
         cents,
         vec_col="vec",
     ).withColumnRenamed("__bucket", "bucket")
@@ -105,7 +106,7 @@ def query_ivf_index(
         queries.select(
             F.col(query_id).alias("qid"),
             F.col(query_vec).cast("array<double>").alias("__qv"),
-        ),
+        ).filter(F.col("__qv").isNotNull()),
         cents,
     )
     sims = _centroid_sims(F.col("__qv"))
@@ -177,7 +178,7 @@ def build_ivfpq_index(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("vec"),
-        ),
+        ).filter(F.col("vec").isNotNull()),
         cents,
         vec_col="vec",
     ).withColumnRenamed("__bucket", "bucket")
@@ -250,7 +251,7 @@ def query_ivfpq_index(
     q_sel = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).filter(F.col("__qv").isNotNull())
     qrows = q_sel.limit(max_collected_queries + 1).collect()
     if len(qrows) > max_collected_queries:
         raise ValueError(
@@ -382,7 +383,7 @@ def append_to_ivfpq_index(
         corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("vec"),
-        ),
+        ).filter(F.col("vec").isNotNull()),
         meta["centroids"],
         vec_col="vec",
     ).withColumnRenamed("__bucket", "bucket")

@@ -130,3 +130,58 @@ def test_pq_string_ids_pass_through(spark):
     rows = pq_topk(qs, codes, books, k=2).collect()
     assert rows and all(isinstance(r["vec_id"], str) for r in rows)
     assert all(isinstance(r["qid"], str) for r in rows)
+
+
+def test_ann_ops_tolerate_null_vectors(spark):
+    """Null vectors are unrankable/unindexable: dropped at the DataFrame
+    boundary everywhere in the ANN surface (100 TB corpora have nulls;
+    a ragged-batch crash is not an acceptable failure mode)."""
+    import os
+    import tempfile
+
+    from spatialpandas_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+    from spatialpandas_spark.operators.similarity_index import (
+        append_to_ivfpq_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        query_ivf_index,
+        query_ivfpq_index,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows + [(99, None)], "vec_id long, embedding array<double>"
+    )
+    qs = df.filter(F.col("vec_id").isin(1, 99)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # flat ops: null corpus row never a candidate, null query dropped
+    assert brute_force_topk(qs, df, k=3).filter(F.col("qid") == 99).count() == 0
+    assert ivf_topk(qs, df, k=3, n_centroids=4, n_probe=4).count() > 0
+    assert embedding_near_dup_pairs(df, dim=4).filter(
+        (F.col("id_a") == 99) | (F.col("id_b") == 99)
+    ).count() == 0
+    # persistent indexes: build, append, probe all null-safe
+    base = tempfile.mkdtemp(prefix="nulls_")
+    p1 = os.path.join(base, "ivf")
+    build_ivf_index(df, p1, n_centroids=4)
+    assert query_ivf_index(spark, p1, qs, k=3, n_probe=4).count() > 0
+    p2 = os.path.join(base, "ivfpq")
+    build_ivfpq_index(df, p2, n_centroids=4, m_sub=2, n_codes=8,
+                      store_vectors=True)
+    append_to_ivfpq_index(
+        spark.createDataFrame(
+            [(500, [1.0, 1.0, 1.0, 1.0]), (501, None)],
+            "vec_id long, embedding array<double>",
+        ),
+        p2,
+    )
+    out = query_ivfpq_index(spark, p2, qs, k=3, n_probe=4, rerank="stored")
+    assert out.filter(F.col("qid") == 99).count() == 0
+    assert out.count() > 0
+    idx_ids = {r["vec_id"] for r in spark.read.parquet(p2).collect()}
+    assert 99 not in idx_ids and 501 not in idx_ids and 500 in idx_ids
