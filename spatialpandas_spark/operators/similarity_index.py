@@ -399,3 +399,49 @@ def append_to_ivfpq_index(
     assigned.join(codes, "vec_id").select(*cols).repartition(
         "bucket"
     ).write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def compact_vector_index(
+    spark: SparkSession, path: str, min_files: int | None = None
+) -> int | None:
+    """Repack an append-churned vector index (IVF or IVF-PQ) back to one
+    file per bucket directory — every ``append_to_ivfpq_index`` adds one
+    file per touched bucket, and probe cost grows with file count (the
+    small-files note on ``build_ivf_index``).
+
+    Same safe-swap discipline as ``compact_spatial_parquet``: write the
+    repacked layout NEXT TO the live one, copy the model sidecar so the
+    staged directory is complete, verify row-count equality, then move it
+    over the old directory. Returns the new data-file count, or None when
+    the index already has <= ``min_files`` files (default: one per
+    existing bucket, i.e. already compact)."""
+    from spatialpandas_spark.sources import fs as _fs
+
+    base = path.rstrip("/")
+    files = _fs.list_files(base, ".parquet", recursive=True)
+    df = spark.read.parquet(base)
+    buckets = df.select("bucket").distinct().count()
+    if min_files is None:
+        min_files = buckets
+    if len(files) <= min_files:
+        return None
+    n_before = df.count()
+    tmp = f"{base}.compact.tmp"
+    df.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    for sidecar in (_SIDECAR, _PQ_SIDECAR):
+        try:
+            _fs.write_text(
+                f"{tmp}/{sidecar}", _fs.read_text(f"{base}/{sidecar}")
+            )
+        except (FileNotFoundError, OSError):
+            continue
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        raise RuntimeError(
+            f"index compaction row-count mismatch ({n_before} -> {n_after});"
+            f" repacked copy left at {tmp}, live index untouched"
+        )
+    _fs.replace_dir(tmp, base)
+    return len(_fs.list_files(base, ".parquet", recursive=True))

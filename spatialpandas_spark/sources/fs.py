@@ -101,10 +101,13 @@ def list_files(
     path: str,
     suffix: str = ".parquet",
     filesystem: pafs.FileSystem | None = None,
+    recursive: bool = False,
 ) -> list[str]:
-    """Sorted fs-local paths of the direct children with ``suffix``."""
+    """Sorted fs-local paths of the children with ``suffix`` (direct
+    children by default; ``recursive=True`` descends into partition
+    directories like ``bucket=N``)."""
     fs, p = resolve(path, filesystem)
-    sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    sel = pafs.FileSelector(p, recursive=recursive, allow_not_found=True)
     return sorted(
         info.path
         for info in fs.get_file_info(sel)

@@ -158,3 +158,46 @@ def test_query_guard(spark, emb, index_path):
         query_ivfpq_index(
             spark, index_path, _qs(emb, 6), max_collected_queries=2
         )
+
+
+def test_compact_after_appends(spark, tmp_path):
+    from spatialpandas_spark.operators.similarity_index import (
+        append_to_ivfpq_index,
+        compact_vector_index,
+    )
+    from spatialpandas_spark.sources import fs as _fs
+
+    emb = _emb(spark, n=80, seed=21)
+    path = str(tmp_path / "churn")
+    build_ivfpq_index(
+        emb, path, n_centroids=4, m_sub=4, n_codes=16, store_vectors=True
+    )
+    for s in (31, 32, 33):
+        batch = _emb(spark, n=20, seed=s).select(
+            (F.col("vec_id") + 1000 * s).alias("vec_id"), "embedding"
+        )
+        append_to_ivfpq_index(batch, path)
+    n_files_before = len(_fs.list_files(path, ".parquet", recursive=True))
+    assert n_files_before > 4  # churned: multiple files per bucket
+    qs = _qs(emb, 4)
+    before = {
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in query_ivfpq_index(
+            spark, path, qs, k=5, n_probe=4, rerank="stored"
+        ).collect()
+    }
+    n_rows = spark.read.parquet(path).count()
+
+    n_files = compact_vector_index(spark, path)
+    assert n_files is not None and n_files <= 4
+    assert spark.read.parquet(path).count() == n_rows
+    assert load_ivfpq_meta(path)["m_sub"] == 4  # sidecar survived the swap
+    after = {
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in query_ivfpq_index(
+            spark, path, qs, k=5, n_probe=4, rerank="stored"
+        ).collect()
+    }
+    assert after == before
+    # already compact -> no-op
+    assert compact_vector_index(spark, path) is None
