@@ -1496,11 +1496,68 @@ def q_extract_features_audio(spark, sf_dir):
     )
 
 
+def q_extract_features_png(spark, sf_dir):
+    """Multimodal decode on REAL COMPRESSED payloads: 8 distinct 4x4 PNGs
+    (pixel value (k*7 + i*5 + c*11) % 127 + 1 for k = media_id % 8 — the
+    PPM gate's formula keyed on k) are encoded ONCE at query-build time
+    with the pure-stdlib PNG encoder (operators/png.py: DEFLATE via
+    zlib, CRC-framed chunks) and embedded as hex literals; each part row
+    picks its payload by key. The engine side then runs the FULL real
+    path — magic sniff (decoder="image"), chunk CRC verification, zlib
+    inflate, filter reconstruction — inside the Arrow-batched
+    extract_features stage. Stats are ratios of small integers over 16,
+    so the closed-form oracle (same formula on k) is bit-exact."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.multimodal import extract_features
+    from spatialpandas_spark.operators.png import encode_png
+
+    hexes = []
+    for k in range(8):
+        img = np.array(
+            [
+                [(k * 7 + i * 5 + c * 11) % 127 + 1 for c in range(3)]
+                for i in range(16)
+            ],
+            dtype=np.uint8,
+        ).reshape(4, 4, 3)
+        hexes.append(encode_png(img).hex().upper())
+
+    part = _t(spark, sf_dir, "part")
+    payload = F.unhex(
+        F.element_at(
+            F.array(*[F.lit(h) for h in hexes]),
+            (F.col("p_partkey") % 8 + 1).cast("int"),
+        )
+    )
+    media = part.select(
+        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+    )
+    out = extract_features(media, decoder="image")
+    names = [
+        "mean_r", "mean_g", "mean_b",
+        "min_r", "min_g", "min_b",
+        "max_r", "max_g", "max_b",
+        "fgt_r", "fgt_g", "fgt_b",
+    ]
+    return out.select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), j).cast("double").alias(nm)
+            for j, nm in enumerate(names)
+        ],
+        "decode_ok",
+    )
+
+
 def q_extract_features_media(spark, sf_dir):
-    """Merged multimodal gate: image (PPM) + audio (WAV) variants through
-    the same extract_features operator, tagged union."""
-    return _variant(q_extract_features(spark, sf_dir), "image").unionByName(
-        _variant(q_extract_features_audio(spark, sf_dir), "audio")
+    """Merged multimodal gate: image (PPM) + audio (WAV) + compressed
+    (PNG, magic-sniffed) variants through the same extract_features
+    operator, tagged union."""
+    return (
+        _variant(q_extract_features(spark, sf_dir), "image")
+        .unionByName(_variant(q_extract_features_audio(spark, sf_dir), "audio"))
+        .unionByName(_variant(q_extract_features_png(spark, sf_dir), "png"))
     )
 
 
@@ -2477,6 +2534,22 @@ def _base_oracle_sql() -> dict[str, str]:
                    0.0 AS fgt_g, 0.0 AS fgt_b,
                    'ok' AS decode_ok, 'audio' AS variant
             FROM au GROUP BY media_id
+            UNION ALL
+            SELECT media_id,
+                   AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
+                   MIN(r) AS min_r, MIN(g) AS min_g, MIN(b) AS min_b,
+                   MAX(r) AS max_r, MAX(g) AS max_g, MAX(b) AS max_b,
+                   AVG(CASE WHEN r > 64 THEN 1.0 ELSE 0.0 END) AS fgt_r,
+                   AVG(CASE WHEN g > 64 THEN 1.0 ELSE 0.0 END) AS fgt_g,
+                   AVG(CASE WHEN b > 64 THEN 1.0 ELSE 0.0 END) AS fgt_b,
+                   'ok' AS decode_ok, 'png' AS variant
+            FROM (
+              SELECT p_partkey AS media_id,
+                     CAST(((p_partkey % 8)*7 + u.i*5 + 0)  % 127 + 1 AS DOUBLE) AS r,
+                     CAST(((p_partkey % 8)*7 + u.i*5 + 11) % 127 + 1 AS DOUBLE) AS g,
+                     CAST(((p_partkey % 8)*7 + u.i*5 + 22) % 127 + 1 AS DOUBLE) AS b
+              FROM part, UNNEST(range(0, 16)) AS u(i)
+            ) GROUP BY media_id
         """,
         "hilbert_pack": _hilbert_oracle_sql(p=10),
         "geom_sort": """

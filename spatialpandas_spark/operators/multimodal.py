@@ -19,8 +19,15 @@ nearest/bilinear, closed-form-tested) and re-encodes P6, and
 uncompressed RIFF/WAVE PCM (8-bit unsigned / 16-bit LE, any channel
 count) parses with pure numpy (:func:`decode_wav`), ``extract_features``
 computes per-channel sample statistics, and ``resample_audio`` does
-linear-interpolation rate conversion (:func:`resample_pcm`). Only
-compressed formats (JPEG/PNG/mp3/aac/h264) remain codec-gated.
+linear-interpolation rate conversion (:func:`resample_pcm`).
+``decoder="png"`` is a REAL *compressed* path: PNG's DEFLATE stream
+inflates with stdlib ``zlib`` and the rest of the format (chunk CRCs,
+scanline filters, color types incl. palette and alpha) is implemented
+from the public spec in :mod:`spatialpandas_spark.operators.png` — see
+that module's docstring for scope. ``decoder="image"`` sniffs the
+payload magic per row and routes PPM/PNG to the right real kernel — the
+mixed-crawl shape. Only formats whose entropy coding has no stdlib
+implementation (JPEG/mp3/aac/h264) remain codec-gated.
 """
 
 from __future__ import annotations
@@ -205,7 +212,44 @@ def _ppm_features(payload: bytes | None) -> np.ndarray:
     return feats.astype(np.float32)
 
 
-_DECODERS = {"fake": _fake_decode_features, "ppm": _ppm_features}
+def _png_features(payload: bytes | None) -> np.ndarray:
+    """Same per-channel pixel statistics as :func:`_ppm_features`, over
+    PNG payloads decoded for real (stdlib zlib + numpy, operators/png.py).
+    Identical pixels in PPM and PNG produce identical features — the
+    format-agnostic contract the mixed-crawl path relies on."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.png import decode_png
+
+    flat = decode_png(payload).reshape(-1, 3).astype(np.float64)
+    feats = np.concatenate(
+        [flat.mean(0), flat.min(0), flat.max(0), (flat > 64).mean(0)]
+    )
+    return feats.astype(np.float32)
+
+
+def _image_features(payload: bytes | None) -> np.ndarray:
+    """Magic-sniffing image features: route each payload to the PPM or
+    PNG kernel by its header bytes (the mixed-format crawl column shape);
+    unknown magic raises ``ValueError`` and becomes a tagged error row."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.png import sniff_image
+
+    kind = sniff_image(bytes(payload))
+    if kind == "png":
+        return _png_features(payload)
+    if kind == "ppm":
+        return _ppm_features(payload)
+    raise ValueError("unrecognized image magic")
+
+
+_DECODERS = {
+    "fake": _fake_decode_features,
+    "ppm": _ppm_features,
+    "png": _png_features,
+    "image": _image_features,
+}
 
 
 def extract_features(
@@ -226,7 +270,7 @@ def extract_features(
     if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder={decoder!r} requires codec libraries not present in "
-            "this runtime image; available: {'fake', 'ppm', 'wav'}"
+            f"this runtime image; available: {sorted(_DECODERS)}"
         )
     kernel = _DECODERS[decoder]
 
@@ -279,14 +323,17 @@ def resize_images(
 
     ``decoder="ppm"`` is REAL: decode P6 pixels (pure numpy), resample
     with :func:`resize_rgb` (``method`` = nearest | bilinear), re-encode
-    as canonical P6 — closed-form-tested on known pixels. A null or
-    undecodable payload yields a null output payload instead of failing
-    the job. ``decoder="fake"`` emits a deterministic digest payload
-    derived from (input bytes, target dims) so downstream plumbing is
-    exercisable without any decodable input; compressed formats stay
-    gated on codec libraries.
+    as canonical P6 — closed-form-tested on known pixels. ``"png"`` is
+    equally real for the compressed case (stdlib-zlib decode, resample,
+    re-encode PNG); ``"image"`` sniffs each payload's magic and
+    round-trips it in its OWN format (PPM in -> PPM out, PNG in -> PNG
+    out). A null or undecodable payload yields a null output payload
+    instead of failing the job. ``decoder="fake"`` emits a deterministic
+    digest payload derived from (input bytes, target dims) so downstream
+    plumbing is exercisable without any decodable input; formats with no
+    stdlib entropy coder (JPEG etc.) stay codec-gated.
     """
-    _check_media_decoder(decoder, ("fake", "ppm"))
+    _check_media_decoder(decoder, ("fake", "ppm", "png", "image"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -296,6 +343,14 @@ def resize_images(
         ]
     )
 
+    from spatialpandas_spark.operators.png import (
+        decode_png,
+        encode_png,
+        sniff_image,
+    )
+
+    _codecs = {"ppm": (decode_ppm, encode_ppm), "png": (decode_png, encode_png)}
+
     def kernel(p: bytes | None) -> bytes | None:
         if p is None:
             return None
@@ -303,8 +358,12 @@ def resize_images(
             return hashlib.sha256(
                 bytes(p) + f"|{width}x{height}".encode()
             ).digest()
+        fmt = sniff_image(bytes(p)) if decoder == "image" else decoder
+        if fmt not in _codecs:
+            return None
+        dec, enc = _codecs[fmt]
         try:
-            return encode_ppm(resize_rgb(decode_ppm(p), width, height, method))
+            return enc(resize_rgb(dec(p), width, height, method))
         except ValueError:
             return None
 

@@ -1,0 +1,284 @@
+"""Real compressed-format decode: pure-stdlib PNG codec (zlib inflate +
+numpy filter reconstruction, operators/png.py) and the Arrow-batched
+extract_features / resize_images paths over it.
+
+Correctness evidence is an INDEPENDENT forward-filter oracle: the tests
+build PNG byte streams by applying the spec's filter equations in their
+own straight-from-the-RFC implementation (``_forward_filter`` below) and
+assert the decoder inverts them exactly — so decoder and oracle share no
+code. (No external image library exists in this runtime to cross-check
+against; the round-trip + independent-oracle pair is the substitute.)
+
+Ref analog: spatialpandas has no media surface — beyond-reference
+pipeline tooling per the builder brief.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spatialpandas_spark.operators.multimodal import (
+    encode_ppm,
+    extract_features,
+    resize_images,
+    resize_rgb,
+)
+from spatialpandas_spark.operators.png import (
+    _PNG_MAGIC,
+    _chunk,
+    decode_png,
+    encode_png,
+    sniff_image,
+)
+
+
+def _png_from_raw(w, h, color_type, raw, extra_chunks=()):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    for ctype, payload in extra_chunks:
+        body += _chunk(ctype, payload)
+    return (
+        _PNG_MAGIC
+        + body
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _forward_filter(img: np.ndarray, ftypes) -> bytes:
+    """Independent filter oracle: per-scanline forward transform written
+    directly from the PNG spec's equations (Recon -> Filt), pixel by
+    pixel — shares nothing with the decoder's vectorized inverse."""
+    h, w, _ = img.shape
+    bpp, stride = 3, w * 3
+    recon = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        f = ftypes[y]
+        prev = recon[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        out.append(f)
+        for x in range(stride):
+            a = int(recon[y][x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(recon[y - 1][x - bpp]) if (y > 0 and x >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(recon[y][x]) - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_roundtrip_rgb():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (5, 3, 3), (17, 32, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31),
+    data=st.data(),
+)
+def test_all_filters_vs_independent_oracle(w, h, seed, data):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ftypes = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    png = _png_from_raw(w, h, 2, _forward_filter(img, ftypes))
+    np.testing.assert_array_equal(decode_png(png), img)
+
+
+def test_grayscale_replicates_channels():
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5) * 12
+    raw = np.zeros((4, 6), np.uint8)
+    raw[:, 1:] = g
+    png = _png_from_raw(5, 4, 0, raw.tobytes())
+    np.testing.assert_array_equal(
+        decode_png(png), np.repeat(g[:, :, None], 3, axis=2)
+    )
+
+
+def test_palette_lookup():
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    raw = np.zeros((2, 4), np.uint8)
+    raw[:, 1:] = idx
+    png = _png_from_raw(3, 2, 3, raw.tobytes(), [(b"PLTE", pal.tobytes())])
+    np.testing.assert_array_equal(decode_png(png), pal[idx])
+
+
+def test_palette_index_out_of_range_raises():
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    raw = np.array([[0, 5]], dtype=np.uint8)  # index 5 > palette size 2
+    png = _png_from_raw(1, 1, 3, raw.tobytes(), [(b"PLTE", pal.tobytes())])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
+def test_rgba_composites_over_black():
+    rgba = np.array(
+        [[[200, 100, 50, 255], [200, 100, 50, 0], [200, 100, 50, 128]]],
+        dtype=np.uint8,
+    )
+    raw = np.zeros((1, 13), np.uint8)
+    raw[:, 1:] = rgba.reshape(1, 12)
+    png = _png_from_raw(3, 1, 6, raw.tobytes())
+    # alpha 255 -> unchanged, 0 -> black, 128 -> round(v*128/255)
+    exp = ((rgba[:, :, :3].astype(np.uint16) * rgba[:, :, 3:4] + 127) // 255).astype(
+        np.uint8
+    )
+    got = decode_png(png)
+    np.testing.assert_array_equal(got, exp)
+    np.testing.assert_array_equal(got[0, 0], [200, 100, 50])
+    np.testing.assert_array_equal(got[0, 1], [0, 0, 0])
+
+
+def test_gray_alpha_composites():
+    ga = np.array([[[100, 255], [100, 0]]], dtype=np.uint8)
+    raw = np.zeros((1, 5), np.uint8)
+    raw[:, 1:] = ga.reshape(1, 4)
+    png = _png_from_raw(2, 1, 4, raw.tobytes())
+    np.testing.assert_array_equal(
+        decode_png(png), [[[100, 100, 100], [0, 0, 0]]]
+    )
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:5],  # truncated magic
+        lambda b: b"\x89PNH" + b[4:],  # wrong magic
+        lambda b: b[:-12],  # missing IEND
+        lambda b: b[: len(b) // 2],  # truncated mid-chunk
+    ],
+)
+def test_malformed_raises(mutate):
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_png(mutate(bytearray(encode_png(img))))
+
+
+def test_crc_corruption_detected():
+    png = bytearray(encode_png(np.full((4, 4, 3), 9, dtype=np.uint8)))
+    png[len(_PNG_MAGIC) + 10] ^= 0xFF  # flip a bit inside IHDR payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+
+def test_unsupported_variants_raise():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(png)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    png = _PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 4)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(png)
+
+
+def test_ancillary_chunks_skipped():
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    raw = np.zeros((3, 10), np.uint8)
+    raw[:, 1:] = img.reshape(3, 9)
+    png = _png_from_raw(
+        3, 3, 2, raw.tobytes(), [(b"tEXt", b"Comment\x00hi"), (b"gAMA", struct.pack(">I", 45455))]
+    )
+    np.testing.assert_array_equal(decode_png(png), img)
+
+
+def test_sniff_image():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert sniff_image(encode_png(img)) == "png"
+    assert sniff_image(encode_ppm(img)) == "ppm"
+    assert sniff_image(b"\x89PNG\r\n") == "unknown"  # too short
+    assert sniff_image(b"JFIF....") == "unknown"
+
+
+def test_extract_features_png_matches_ppm(spark):
+    """Identical pixels through PNG and PPM must produce identical
+    features — plus closed-form values for the flat image."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    flat = np.full((2, 2, 3), 64, dtype=np.uint8)
+    df_png = spark.createDataFrame(
+        [(1, encode_png(img)), (2, encode_png(flat)), (3, b"not a png")],
+        "media_id long, payload binary",
+    )
+    df_ppm = spark.createDataFrame(
+        [(1, encode_ppm(img)), (2, encode_ppm(flat))],
+        "media_id long, payload binary",
+    )
+    got_png = {r["media_id"]: r for r in extract_features(df_png, decoder="png").collect()}
+    got_ppm = {r["media_id"]: r for r in extract_features(df_ppm, decoder="ppm").collect()}
+    for i in (1, 2):
+        assert got_png[i]["decode_ok"] == "ok"
+        assert got_png[i]["feature"] == got_ppm[i]["feature"]
+    assert got_png[2]["feature"][:3] == [64.0, 64.0, 64.0]  # mean
+    assert got_png[3]["feature"] is None
+    assert got_png[3]["decode_ok"].startswith("error")
+
+
+def test_extract_features_image_sniffs_mixed_column(spark):
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3) * 9
+    df = spark.createDataFrame(
+        [(1, encode_png(img)), (2, encode_ppm(img)), (3, b"JFIF")],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in extract_features(df, decoder="image").collect()}
+    assert got[1]["decode_ok"] == "ok" and got[2]["decode_ok"] == "ok"
+    assert got[1]["feature"] == got[2]["feature"]
+    assert "unrecognized" in got[3]["decode_ok"]
+
+
+def test_resize_images_png_real_pixels(spark):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(img)), (2, None)], "media_id long, payload binary"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(df, 3, 4, decoder="png", method="nearest").collect()
+    }
+    out = decode_png(bytes(rows[1]["payload"]))
+    np.testing.assert_array_equal(out, resize_rgb(img, 3, 4, "nearest"))
+    assert rows[2]["payload"] is None
+
+
+def test_resize_images_image_preserves_source_format(spark):
+    img = np.arange(36, dtype=np.uint8).reshape(3, 4, 3) * 5
+    df = spark.createDataFrame(
+        [(1, encode_png(img)), (2, encode_ppm(img))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(df, 2, 2, decoder="image").collect()
+    }
+    assert sniff_image(rows[1]) == "png"
+    assert sniff_image(rows[2]) == "ppm"
+    # same pixels either way
+    from spatialpandas_spark.operators.multimodal import decode_ppm
+
+    np.testing.assert_array_equal(decode_png(rows[1]), decode_ppm(rows[2]))
