@@ -24,10 +24,14 @@ linear-interpolation rate conversion (:func:`resample_pcm`).
 inflates with stdlib ``zlib`` and the rest of the format (chunk CRCs,
 scanline filters, color types incl. palette and alpha) is implemented
 from the public spec in :mod:`spatialpandas_spark.operators.png` — see
-that module's docstring for scope. ``decoder="image"`` sniffs the
-payload magic per row and routes PPM/PNG to the right real kernel — the
-mixed-crawl shape. Only formats whose entropy coding has no stdlib
-implementation (JPEG/mp3/aac/h264) remain codec-gated.
+that module's docstring for scope. ``decoder="jpeg"`` decodes baseline
+JPEG for real too — Huffman entropy coding + 8x8 IDCT written from the
+public T.81 spec (:mod:`spatialpandas_spark.operators.jpeg`), verified
+against an independent spec-derived encoder. ``decoder="image"`` sniffs
+the payload magic per row and routes PPM/PNG/JPEG to the right real
+kernel — the mixed-crawl shape. Remaining codec-gated: progressive
+JPEG, and compressed audio/video (mp3/aac/h264), whose decoders are out
+of scope for a pure-numpy runtime.
 """
 
 from __future__ import annotations
@@ -228,10 +232,25 @@ def _png_features(payload: bytes | None) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+def _jpeg_features(payload: bytes | None) -> np.ndarray:
+    """Per-channel pixel statistics over baseline JPEG payloads decoded
+    for real (pure-numpy Huffman + IDCT, operators/jpeg.py)."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.jpeg import decode_jpeg
+
+    flat = decode_jpeg(payload).reshape(-1, 3).astype(np.float64)
+    feats = np.concatenate(
+        [flat.mean(0), flat.min(0), flat.max(0), (flat > 64).mean(0)]
+    )
+    return feats.astype(np.float32)
+
+
 def _image_features(payload: bytes | None) -> np.ndarray:
-    """Magic-sniffing image features: route each payload to the PPM or
-    PNG kernel by its header bytes (the mixed-format crawl column shape);
-    unknown magic raises ``ValueError`` and becomes a tagged error row."""
+    """Magic-sniffing image features: route each payload to the PPM, PNG,
+    or JPEG kernel by its header bytes (the mixed-format crawl column
+    shape); unknown magic raises ``ValueError`` and becomes a tagged
+    error row."""
     if payload is None:
         raise ValueError("null payload")
     from spatialpandas_spark.operators.png import sniff_image
@@ -241,6 +260,8 @@ def _image_features(payload: bytes | None) -> np.ndarray:
         return _png_features(payload)
     if kind == "ppm":
         return _ppm_features(payload)
+    if kind == "jpeg":
+        return _jpeg_features(payload)
     raise ValueError("unrecognized image magic")
 
 
@@ -248,6 +269,7 @@ _DECODERS = {
     "fake": _fake_decode_features,
     "ppm": _ppm_features,
     "png": _png_features,
+    "jpeg": _jpeg_features,
     "image": _image_features,
 }
 
@@ -325,15 +347,17 @@ def resize_images(
     with :func:`resize_rgb` (``method`` = nearest | bilinear), re-encode
     as canonical P6 — closed-form-tested on known pixels. ``"png"`` is
     equally real for the compressed case (stdlib-zlib decode, resample,
-    re-encode PNG); ``"image"`` sniffs each payload's magic and
-    round-trips it in its OWN format (PPM in -> PPM out, PNG in -> PNG
-    out). A null or undecodable payload yields a null output payload
-    instead of failing the job. ``decoder="fake"`` emits a deterministic
-    digest payload derived from (input bytes, target dims) so downstream
-    plumbing is exercisable without any decodable input; formats with no
-    stdlib entropy coder (JPEG etc.) stay codec-gated.
+    re-encode PNG); ``"jpeg"`` decodes baseline JPEG for real and
+    re-encodes the resized pixels as PNG (lossless — the package
+    deliberately ships no lossy encoder); ``"image"`` sniffs each
+    payload's magic and routes accordingly (PPM in -> PPM out, PNG in ->
+    PNG out, JPEG in -> PNG out). A null or undecodable payload yields a
+    null output payload instead of failing the job. ``decoder="fake"``
+    emits a deterministic digest payload derived from (input bytes,
+    target dims) so downstream plumbing is exercisable without any
+    decodable input.
     """
-    _check_media_decoder(decoder, ("fake", "ppm", "png", "image"))
+    _check_media_decoder(decoder, ("fake", "ppm", "png", "jpeg", "image"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -343,13 +367,18 @@ def resize_images(
         ]
     )
 
+    from spatialpandas_spark.operators.jpeg import decode_jpeg
     from spatialpandas_spark.operators.png import (
         decode_png,
         encode_png,
         sniff_image,
     )
 
-    _codecs = {"ppm": (decode_ppm, encode_ppm), "png": (decode_png, encode_png)}
+    _codecs = {
+        "ppm": (decode_ppm, encode_ppm),
+        "png": (decode_png, encode_png),
+        "jpeg": (decode_jpeg, encode_png),  # lossless re-encode
+    }
 
     def kernel(p: bytes | None) -> bytes | None:
         if p is None:

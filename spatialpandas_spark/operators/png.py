@@ -220,11 +220,13 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 
 
 def sniff_image(payload: bytes) -> str:
-    """Return 'png' | 'ppm' | 'unknown' from the payload magic — lets a
-    mixed crawl column route per-row to the right real decoder."""
+    """Return 'png' | 'ppm' | 'jpeg' | 'unknown' from the payload magic —
+    lets a mixed crawl column route per-row to the right real decoder."""
     head = bytes(payload[:8])
     if head == _PNG_MAGIC:
         return "png"
     if head[:2] == b"P6":
         return "ppm"
+    if head[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
