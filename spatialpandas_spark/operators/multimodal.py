@@ -246,11 +246,25 @@ def _jpeg_features(payload: bytes | None) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+def _gif_features(payload: bytes | None) -> np.ndarray:
+    """Per-channel pixel statistics over the FIRST composited GIF frame
+    (the still-image contract; pure-python LZW, operators/gif.py)."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.gif import decode_gif_first
+
+    flat = decode_gif_first(payload).reshape(-1, 3).astype(np.float64)
+    feats = np.concatenate(
+        [flat.mean(0), flat.min(0), flat.max(0), (flat > 64).mean(0)]
+    )
+    return feats.astype(np.float32)
+
+
 def _image_features(payload: bytes | None) -> np.ndarray:
     """Magic-sniffing image features: route each payload to the PPM, PNG,
-    or JPEG kernel by its header bytes (the mixed-format crawl column
-    shape); unknown magic raises ``ValueError`` and becomes a tagged
-    error row."""
+    JPEG, or GIF kernel by its header bytes (the mixed-format crawl
+    column shape); unknown magic raises ``ValueError`` and becomes a
+    tagged error row."""
     if payload is None:
         raise ValueError("null payload")
     from spatialpandas_spark.operators.png import sniff_image
@@ -262,6 +276,8 @@ def _image_features(payload: bytes | None) -> np.ndarray:
         return _ppm_features(payload)
     if kind == "jpeg":
         return _jpeg_features(payload)
+    if kind == "gif":
+        return _gif_features(payload)
     raise ValueError("unrecognized image magic")
 
 
@@ -270,6 +286,7 @@ _DECODERS = {
     "ppm": _ppm_features,
     "png": _png_features,
     "jpeg": _jpeg_features,
+    "gif": _gif_features,
     "image": _image_features,
 }
 
@@ -357,7 +374,9 @@ def resize_images(
     target dims) so downstream plumbing is exercisable without any
     decodable input.
     """
-    _check_media_decoder(decoder, ("fake", "ppm", "png", "jpeg", "image"))
+    _check_media_decoder(
+        decoder, ("fake", "ppm", "png", "jpeg", "gif", "image")
+    )
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -367,6 +386,7 @@ def resize_images(
         ]
     )
 
+    from spatialpandas_spark.operators.gif import decode_gif_first
     from spatialpandas_spark.operators.jpeg import decode_jpeg
     from spatialpandas_spark.operators.png import (
         decode_png,
@@ -378,6 +398,7 @@ def resize_images(
         "ppm": (decode_ppm, encode_ppm),
         "png": (decode_png, encode_png),
         "jpeg": (decode_jpeg, encode_png),  # lossless re-encode
+        "gif": (decode_gif_first, encode_png),  # first frame, lossless
     }
 
     def kernel(p: bytes | None) -> bytes | None:
@@ -430,9 +451,14 @@ def sample_frames(
     derives the TRUE frame count from the stream itself (overriding the
     metadata column), and emits each sampled frame's exact byte slice as
     a standalone P6 payload. Malformed streams are skipped, not fatal.
+    ``decoder="gif"`` is REAL for an actual compressed multi-frame
+    container: animated GIF decodes via pure-python LZW
+    (operators/gif.py), frames are COMPOSITED per the disposal/
+    transparency rules (what a viewer shows), the true frame count comes
+    from the stream, and each sampled frame re-encodes as lossless PNG.
     ``decoder="fake"`` trusts ``n_frames_col`` and derives deterministic
     per-frame bytes from (payload digest, index)."""
-    _check_media_decoder(decoder, ("fake", "ppm"))
+    _check_media_decoder(decoder, ("fake", "ppm", "gif"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -460,6 +486,31 @@ def sample_frames(
                         ids.append(mid)
                         idxs.append(fi)
                         frames.append(data[s:e])
+                    continue
+                if decoder == "gif":
+                    from spatialpandas_spark.operators.gif import (
+                        iter_gif_frames,
+                    )
+                    from spatialpandas_spark.operators.png import encode_png
+
+                    try:
+                        # sampled frames still require full sequential
+                        # decode (composition depends on every prior
+                        # frame) — inherent to the format, not a shortcut
+                        # being missed
+                        taken = 0
+                        for fi, frame in enumerate(iter_gif_frames(bytes(p))):
+                            if fi % every_n or taken >= max_frames:
+                                continue
+                            ids.append(mid)
+                            idxs.append(fi)
+                            frames.append(encode_png(frame))
+                            taken += 1
+                    except ValueError:
+                        # drop any partial rows from the malformed stream
+                        del ids[len(ids) - taken :]
+                        del idxs[len(idxs) - taken :]
+                        del frames[len(frames) - taken :]
                     continue
                 if nf is None:
                     continue
