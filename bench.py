@@ -471,6 +471,26 @@ def b21_ivfpq_probe(spark):
     ).count()
 
 
+_BPE_MERGES = None
+
+
+def b22_bpe_encode(spark):
+    """BPE tokenization of the documents table: merges trained once
+    (amortized, the persisted-model serving shape) then applied per run
+    through the Arrow batch path with the distinct-word cache."""
+    from spatialpandas_spark.operators.bpe import bpe_encode, train_bpe
+
+    global _BPE_MERGES
+    d = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    if _BPE_MERGES is None:
+        _BPE_MERGES = train_bpe(d, n_merges=500, text_col="text")
+    return (
+        bpe_encode(d, _BPE_MERGES, id_col="doc_id", text_col="text")
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -493,6 +513,7 @@ BENCHES = {
     "b19_quality_scoring": b19_quality_scoring,
     "b20_pq_scan": b20_pq_scan,
     "b21_ivfpq_probe": b21_ivfpq_probe,
+    "b22_bpe_encode": b22_bpe_encode,
 }
 
 
