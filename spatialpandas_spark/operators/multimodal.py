@@ -260,6 +260,29 @@ def _gif_features(payload: bytes | None) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode any supported image payload to (H, W, 3) uint8 RGB by
+    magic sniffing (PPM / PNG / baseline JPEG / GIF first frame) — the
+    single-image public entry point behind the batched operators.
+    Raises ``ValueError`` on unknown magic or malformed input."""
+    from spatialpandas_spark.operators.png import decode_png, sniff_image
+
+    kind = sniff_image(bytes(payload))
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "jpeg":
+        from spatialpandas_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if kind == "gif":
+        from spatialpandas_spark.operators.gif import decode_gif_first
+
+        return decode_gif_first(payload)
+    raise ValueError("unrecognized image magic")
+
+
 def _image_features(payload: bytes | None) -> np.ndarray:
     """Magic-sniffing image features: route each payload to the PPM, PNG,
     JPEG, or GIF kernel by its header bytes (the mixed-format crawl

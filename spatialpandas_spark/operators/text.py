@@ -215,3 +215,94 @@ def normalize_text(text: Column) -> Column:
     space, trimmed. The usual prelude to hashing/dedup so formatting
     differences do not defeat exact dedup."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# --------------------------------------------------------- URL / domain ops
+
+
+URL_RE = "https?://[^\\s\"'<>]+"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text, in order (RE2-safe character-class
+    regex, no backtracking). The standard first step of web-corpus
+    domain accounting."""
+    return F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))
+
+
+def url_host(url: Column) -> Column:
+    """Hostname of a URL, lowercased (JVM ``parse_url`` — scan speed)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def doc_hosts(text: Column) -> Column:
+    """Distinct lowercased hostnames referenced by a document."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(extract_urls(text), url_host),
+            lambda h: h.isNotNull(),
+        )
+    )
+
+
+def host_suffixes(host: Column) -> Column:
+    """Every registrable suffix of a hostname: ``a.b.co`` ->
+    ``[a.b.co, b.co, co]``. Turns "blocked domain or any subdomain"
+    matching into a plain EQUI-join key (suffix chains are <= ~6 long),
+    so the blocklist join stays a broadcast hash join — never a
+    nested-loop ``endswith`` scan."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        _seq0(n), lambda i: F.array_join(F.slice(parts, i + 1, n - i), ".")
+    )
+
+
+def host_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-level host frequency: ``(host, n_docs, n_refs)`` —
+    explode + one groupBy (n_docs counts a host once per document)."""
+    per_doc = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(
+            F.filter(
+                F.transform(extract_urls(F.col(text_col)), url_host),
+                lambda h: h.isNotNull(),
+            )
+        ).alias("host"),
+    )
+    return per_doc.groupBy("host").agg(
+        F.count_distinct("__did").alias("n_docs"),
+        F.count("*").alias("n_refs"),
+    )
+
+
+def filter_blocklisted_hosts(
+    docs,
+    blocklist,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Drop documents that reference any blocklisted host — by exact
+    lowercase hostname or any subdomain of a blocked host (the
+    domain-blocklist curation step). ``blocklist`` is a DataFrame with a
+    ``host`` column or a plain list of hostnames.
+
+    Scale shape: documents with at least one URL explode to
+    (id, host-suffix) pairs (see :func:`host_suffixes`) and equi-join
+    the broadcast blocklist; matching ids LEFT ANTI join back.
+    Documents with no URLs never enter the join."""
+    from pyspark.sql import DataFrame
+
+    spark = docs.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(h.lower(),) for h in blocklist], "host string"
+        )
+    sufs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(F.transform(doc_hosts(F.col(text_col)), host_suffixes))
+        ).alias("host"),
+    )
+    bad = sufs.join(F.broadcast(blocklist), "host", "inner").select(id_col).distinct()
+    return docs.join(bad, id_col, "left_anti")

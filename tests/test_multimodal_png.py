@@ -215,6 +215,16 @@ def test_sniff_image():
     assert sniff_image(b"JFIF....") == "unknown"
 
 
+def test_decode_image_public_helper():
+    from spatialpandas_spark.operators.multimodal import decode_image
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5
+    np.testing.assert_array_equal(decode_image(encode_png(img)), img)
+    np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"BM..bitmap?")
+
+
 def test_extract_features_png_matches_ppm(spark):
     """Identical pixels through PNG and PPM must produce identical
     features — plus closed-form values for the flat image."""
