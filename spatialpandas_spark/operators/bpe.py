@@ -237,3 +237,72 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """The symbol vocabulary a merge list induces (merged symbols in
     rank order; base characters are implicit)."""
     return [a + b for a, b in merges]
+
+
+def bpe_vocab_ids(
+    merges: list[tuple[str, str]], alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789"
+) -> dict[str, int]:
+    """Stable symbol -> id mapping for training export: id 0 is UNK,
+    1 is ``</w>``, then the base alphabet in order, then merged symbols
+    in rank order. Deterministic for a given merge list — the property
+    a resumable training pipeline needs."""
+    vocab = {"<unk>": 0, END: 1}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for m in bpe_vocab(merges):
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bpe_encode`` + vocabulary lookup in one Arrow pass:
+    ``(id_col, token_ids array<int>, n_tokens)``, unknown symbols -> 0
+    (UNK). The export shape a tokenized-dataset writer consumes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    vocab = bpe_vocab_ids(merges)
+    bc = spark.sparkContext.broadcast(
+        ({tuple(m): i for i, m in enumerate(merges)}, vocab)
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("token_ids", ArrayType(IntegerType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+    prepped = docs.select(id_col, word_tokens(text_col).alias("__words"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks, voc = bc.value
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for did, words in zip(pdf[id_col], pdf["__words"]):
+                out: list[int] = []
+                if words is not None:
+                    for w in words:
+                        seg = cache.get(w)
+                        if seg is None:
+                            seg = [
+                                voc.get(s, 0) for s in segment_word(w, ranks)
+                            ]
+                            cache[w] = seg
+                        out.extend(seg)
+                ids.append(did)
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame(
+                {id_col: ids, "token_ids": toks, "n_tokens": ns}
+            )
+
+    return prepped.mapInPandas(run, out_schema)

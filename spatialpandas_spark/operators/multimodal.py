@@ -517,18 +517,20 @@ def sample_frames(
                     from spatialpandas_spark.operators.png import encode_png
 
                     try:
-                        # sampled frames still require full sequential
-                        # decode (composition depends on every prior
-                        # frame) — inherent to the format, not a shortcut
-                        # being missed
+                        # sampled frames still require sequential decode
+                        # up to the last SAMPLED index (composition
+                        # depends on every prior frame), but nothing
+                        # after it — stop as soon as the quota is filled
                         taken = 0
                         for fi, frame in enumerate(iter_gif_frames(bytes(p))):
-                            if fi % every_n or taken >= max_frames:
+                            if fi % every_n:
                                 continue
                             ids.append(mid)
                             idxs.append(fi)
                             frames.append(encode_png(frame))
                             taken += 1
+                            if taken >= max_frames:
+                                break
                     except ValueError:
                         # drop any partial rows from the malformed stream
                         del ids[len(ids) - taken :]

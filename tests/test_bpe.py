@@ -150,6 +150,25 @@ def test_bpe_encode_distributed_matches_local(spark):
         assert out[did]["n_tokens"] == len(exp)
 
 
+def test_bpe_encode_ids_matches_string_path(spark):
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids, bpe_vocab_ids
+
+    docs = spark.createDataFrame(
+        [(1, "lowest newest"), (2, "zz9 low"), (3, None)],
+        "doc_id long, text string",
+    )
+    hist = {r["word"]: r["n"] for r in word_histogram(docs).collect()}
+    merges = train_bpe_from_histogram(hist, 8)
+    vocab = bpe_vocab_ids(merges)
+    strs = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+    ids = {r["doc_id"]: r["token_ids"] for r in bpe_encode_ids(docs, merges).collect()}
+    for did in (1, 2, 3):
+        assert ids[did] == [vocab.get(t, 0) for t in strs[did]], did
+    # determinism + UNK floor
+    assert vocab["<unk>"] == 0 and vocab[END] == 1
+    assert all(i >= 0 for i in ids[2])
+
+
 def test_encode_scales_shape(spark):
     # 500 docs from a zipfy vocabulary through the Arrow path
     rng = np.random.default_rng(0)
