@@ -147,3 +147,83 @@ def bm25_search(
         postings, doc_lengths(docs, id_col, text_col), id_col
     )
     return bm25_score(postings, stats, query, k1, b, k, id_col)
+
+
+def hashed_tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors: ``(doc_id, vector
+    array<double>)`` — the bridge from the text surface to the ANN
+    stack (near-dup pairs, cosine top-k, IVF indexes all take any
+    ``array<double>``), with no external embedding model.
+
+    The hashing trick (Weinberger et al. 2009): each term maps to
+    bucket ``crc32(term) % dim`` with sign ``crc32(term + '#s') % 2``
+    (the sign makes collision noise zero-mean). Weights are
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` (smoothed IDF), optionally
+    l2-normalized so dot product = cosine.
+
+    Scale shape: explode + two keyed aggregations (per-doc tf, per-term
+    df) + one broadcast of the 1-row N, then ONE groupBy(doc) building
+    the dense array with ``dim`` conditional sums — the expression tree
+    is O(dim), independent of corpus size, and everything stays in
+    whole-stage codegen. CRC32 was chosen over xxhash64 deliberately:
+    it exists in every engine and stdlib, so the vectors are exactly
+    reproducible outside Spark (the test oracle replicates them
+    bit-for-bit)."""
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = ex.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            F.pmod(F.crc32(F.col("term")), F.lit(dim)).cast("int").alias("__b"),
+            (
+                F.when(
+                    F.pmod(F.crc32(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                * F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("__w"),
+        )
+    )
+    vec = F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("__b") == i, F.col("__w"))), F.lit(0.0)
+            )
+            for i in range(dim)
+        ]
+    )
+    out = w.groupBy(id_col).agg(vec.alias("vector"))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("vector"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        out = out.select(
+            id_col,
+            F.when(
+                nrm > 0, F.transform(F.col("vector"), lambda x: x / nrm)
+            )
+            .otherwise(F.col("vector"))
+            .alias("vector"),
+        )
+    return out

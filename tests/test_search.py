@@ -82,3 +82,65 @@ def test_empty_query_and_no_match(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     assert bm25_search(docs, "").count() == 0
     assert bm25_search(docs, "zzznotfound").count() == 0
+
+
+def _py_tfidf(corpus, dim, normalize=True):
+    import zlib
+
+    docs = {i: (t or "").lower().split() for i, t in corpus}
+    n = len(docs)
+    dfreq = {}
+    for ts in docs.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for i, ts in docs.items():
+        if not ts:
+            continue
+        v = [0.0] * dim
+        for t in set(ts):
+            tf = ts.count(t)
+            b = zlib.crc32(t.encode()) % dim
+            sign = 1.0 if zlib.crc32((t + "#s").encode()) % 2 == 0 else -1.0
+            v[b] += sign * tf * (math.log((n + 1) / (dfreq[t] + 1)) + 1)
+        if normalize:
+            nrm = math.sqrt(sum(x * x for x in v))
+            if nrm > 0:
+                v = [x / nrm for x in v]
+        out[i] = v
+    return out
+
+
+def test_hashed_tfidf_matches_python(spark):
+    from spatialpandas_spark.operators.search import hashed_tfidf_vectors
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    for normalize in (True, False):
+        got = {
+            r["doc_id"]: list(r["vector"])
+            for r in hashed_tfidf_vectors(
+                docs, dim=32, normalize=normalize
+            ).collect()
+        }
+        exp = _py_tfidf(CORPUS, 32, normalize)
+        assert set(got) == set(exp)  # empty doc 5 produces no vector
+        for did in exp:
+            assert got[did] == pytest.approx(exp[did], abs=1e-12), did
+
+
+def test_tfidf_vectors_feed_ann_surface(spark):
+    """End-to-end: TF-IDF vectors into the existing embedding near-dup
+    operator find the duplicated document pair."""
+    from spatialpandas_spark.operators.search import hashed_tfidf_vectors
+    from spatialpandas_spark.operators.similarity import brute_force_topk
+
+    corpus = CORPUS[:4] + [(6, CORPUS[0][1])]  # doc 6 duplicates doc 1
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    vecs = hashed_tfidf_vectors(docs, dim=64)
+    q = vecs.filter("doc_id = 6").selectExpr("doc_id as qid", "vector as qvec")
+    top = brute_force_topk(
+        q, vecs.filter("doc_id != 6"), k=1,
+        query_vec="qvec", corpus_id="doc_id", corpus_vec="vector",
+    ).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["sim"] == pytest.approx(1.0, abs=1e-9)
