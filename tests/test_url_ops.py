@@ -117,3 +117,28 @@ def test_url_host_column(spark):
     )
     got = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
     assert got == ["a.b.c", "host.io"]
+
+
+def test_corpus_profile(spark):
+    from spatialpandas_spark.operators.text import corpus_profile
+
+    corpus = [
+        (1, "the cat sat on the mat here now"),
+        (2, "the cat sat on the mat here now"),   # exact dup of 1
+        (3, "The  cat sat on the mat here NOW"),  # dup after normalize
+        (4, "der hund und die katze und der vogel"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    row = corpus_profile(df).collect()[0]
+    assert row["n_docs"] == 6
+    assert row["n_empty"] == 2
+    assert row["total_tokens"] == 8 * 4  # four 8-token docs
+    assert row["avg_tokens"] == 32 / 6
+    assert row["p50_tokens"] == 8.0  # sorted [0,0,8,8,8,8] -> median 8
+    assert row["p90_tokens"] == 8.0
+    assert row["top_lang"] == "en"
+    assert row["n_langs"] == 3  # en, de, und(empty/null)
+    # docs 1,2 identical; doc 3 identical after normalize -> 2 distinct of 4
+    assert row["exact_dup_rate"] == 0.5
