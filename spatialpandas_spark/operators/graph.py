@@ -156,3 +156,81 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
     rows = [(n, find(n)) for n in parent]
     return e.sparkSession.createDataFrame(rows, "node long, component long")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Join-based PageRank power iteration — the host-graph quality
+    prior a web-curation pipeline feeds into document filtering (rank
+    the link graph from :func:`~spatialpandas_spark.operators.text
+    .host_counts`-style extraction, then gate docs by their host's
+    rank).
+
+    Standard damped formulation with dangling-mass redistribution:
+    ``r = (1 - d)/N + d * (sum of in-neighbor contributions
+    + dangling_mass/N)``, so ranks sum to 1 after every iteration (the
+    invariant the tests pin against a plain-python reference).
+
+    Scale shape per iteration: one equi-join of ranks to the edge list
+    (keyed by source), one ``groupBy(dst)`` sum, one 1-row dangling-mass
+    aggregate broadcast back — the published MapReduce PageRank shape.
+    The rank frame is ``localCheckpoint``-ed every round so lineage stays
+    O(1) in the iteration count, same discipline as
+    :func:`connected_components`. Returns ``(node, rank)``."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank", "__deg")
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contrib = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"], "inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -110,3 +110,56 @@ def test_dedup_near_keeps_min_id_per_cluster(spark, dup_docs):
     kept = dedup_near(dup_docs, threshold=0.4)
     assert kept.columns == dup_docs.columns
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 5, 6]
+
+
+def _py_pagerank(edges, iters=10, d=0.85):
+    """Reference power iteration with dangling redistribution."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in out)
+        new = {v: (1 - d) / n + d * dm / n for v in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                new[t] += d * share
+        r = new
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from spatialpandas_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 3), (2, 1), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    exp = _py_pagerank(edges, iters=8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_and_hub(spark):
+    from spatialpandas_spark.operators.graph import pagerank
+
+    # star into node 0 (a hub), node 9 dangling receiver
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=12).collect()}
+    exp = _py_pagerank(edges, iters=12)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # the hub outranks its spokes; its sole target outranks the spokes too
+    assert got[0] > got[1] and got[9] > got[1]
+
+
+def test_pagerank_empty_edges(spark):
+    from spatialpandas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, iters=3).count() == 0
