@@ -174,7 +174,16 @@ def _decode_block(br, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG payload to (H, W, 3) uint8 RGB. Pure
     numpy; raises ``ValueError`` on malformed, truncated, corrupt, or
-    out-of-scope input (progressive, arithmetic, 12-bit, CMYK)."""
+    out-of-scope input (progressive, arithmetic, 12-bit, CMYK) — the
+    crawl contract: ValueError or a valid image, never a stray
+    struct/index error from a hostile byte stream."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
