@@ -65,3 +65,52 @@ def shard_summary(
         F.count("*").alias("n_rows"),
         F.sum(F.col(weight_col)).cast("long").alias("total_weight"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    merges: list,
+    out_dir: str,
+    shard_tokens: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> dict:
+    """End-of-pipeline sink: tokenize (BPE ids), deterministically
+    shuffle, pack into ~``shard_tokens``-token shards, and write
+    shard-partitioned parquet — the dataset layout a pretraining loader
+    consumes (``shard=K/part-*.parquet`` with ``token_ids`` rows).
+
+    Composition of existing scale shapes, nothing new to shuffle-plan:
+    ``bpe_encode_ids`` (Arrow map) -> md5-seeded deterministic order
+    (layout-invariant, replayable) -> ``pack_shards`` (two-phase running
+    sum, no single-partition exchange) -> ``repartition(shard)`` before
+    the partitioned write so each shard directory holds ONE file
+    (the small-files rule in docs/SCALE.md).
+
+    Returns {"n_docs", "n_shards", "total_tokens"} gathered from the
+    written data (read back, trust the sink not the plan)."""
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+
+    toks = bpe_encode_ids(docs, merges, id_col=id_col, text_col=text_col)
+    ordered_key = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
+    packed = pack_shards(
+        toks.withColumn("__ord", ordered_key).filter(F.col("n_tokens") > 0),
+        weight_col="n_tokens",
+        order_cols=["__ord", id_col],
+        budget=shard_tokens,
+    ).drop("__ord")
+    (
+        packed.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    back = spark.read.parquet(out_dir)
+    row = back.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("shard").alias("s"),
+        F.sum("n_tokens").alias("t"),
+    ).first()
+    return {"n_docs": row["n"], "n_shards": row["s"], "total_tokens": row["t"]}

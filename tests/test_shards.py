@@ -67,3 +67,47 @@ def test_pack_shards_zero_weights_and_ties(spark):
     got = {r["id"]: r["shard"] for r in pack_shards(df, "w", ["id"], 6).collect()}
     # excl sums: 0,0,0,5,5 -> shards 0,0,0,0,0
     assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_write_training_shards_end_to_end(spark, tmp_path):
+    import glob
+
+    from spatialpandas_spark.operators.bpe import train_bpe
+    from spatialpandas_spark.operators.shards import write_training_shards
+
+    rows = [(i, f"doc number {i} has some repeated words words words") for i in range(60)]
+    rows.append((99, ""))  # empty doc must not enter any shard
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=20)
+    out = str(tmp_path / "shards")
+    stats = write_training_shards(
+        docs, merges, out, shard_tokens=200, seed=7
+    )
+    assert stats["n_docs"] == 60  # empty doc excluded
+    assert stats["n_shards"] >= 2
+    back = spark.read.parquet(out)
+    # every shard except at most one reaches the budget (straddler rule)
+    per = {
+        r["shard"]: r["t"]
+        for r in back.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # straddler contract: a non-last shard's own-row sum is >= budget
+    # minus (max doc - 1), because the previous shard's straddling doc
+    # may eat into this shard's token range
+    max_doc = back.agg(F.max("n_tokens")).first()[0]
+    last = max(per)
+    short = [s for s, t in per.items() if s != last and t < 200 - (max_doc - 1)]
+    assert short == [], (short, per)
+    # one file per shard directory (small-files rule)
+    for s in per:
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, (s, files)
+    # deterministic: same seed -> same assignment
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, merges, out2, shard_tokens=200, seed=7)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
+    }
+    assert a == b
