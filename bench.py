@@ -517,7 +517,64 @@ BENCHES = {
 }
 
 
+def _main_isolated() -> None:
+    """``bench.py --isolated``: run EVERY query in its own subprocess
+    (fresh JVM, cold code cache) — the measurement mode behind
+    BASELINE.md's isolated-re-run noise discipline. ~20x slower wall
+    clock than the in-suite mode (one JVM start per query), so the
+    driver's per-round run stays in-suite; use this by hand when an
+    in-suite number moves >20%."""
+    import subprocess
+
+    results: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in BENCHES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        line = (proc.stdout.strip().splitlines() or [""])[-1]
+        try:
+            results[name] = json.loads(line)["sec"]
+        except Exception:
+            errors[name] = (proc.stderr or line)[-300:]
+    out = {
+        "metric": "bench_total_median_sec",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf(),
+        "mode": "isolated",
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+def _main_one(name: str) -> None:
+    """Run a single query (fresh session) and print {"sec": median}."""
+    from spatialpandas_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = BENCHES[name]
+    fn(spark)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(spark)
+        times.append(time.time() - t0)
+    print(json.dumps({"sec": round(statistics.median(times), 3)}))
+    spark.stop()
+
+
 def main() -> None:
+    if "--isolated" in sys.argv:
+        return _main_isolated()
+    if "--one" in sys.argv:
+        return _main_one(sys.argv[sys.argv.index("--one") + 1])
     from spatialpandas_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
