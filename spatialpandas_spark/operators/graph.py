@@ -176,12 +176,21 @@ def pagerank(
     + dangling_mass/N)``, so ranks sum to 1 after every iteration (the
     invariant the tests pin against a plain-python reference).
 
-    Scale shape per iteration: one equi-join of ranks to the edge list
-    (keyed by source), one ``groupBy(dst)`` sum, one 1-row dangling-mass
-    aggregate broadcast back — the published MapReduce PageRank shape.
-    The rank frame is ``localCheckpoint``-ed every round so lineage stays
-    O(1) in the iteration count, same discipline as
-    :func:`connected_components`. Returns ``(node, rank)``."""
+    Scale shape per iteration: ONE equi-join of ranks to the
+    weight-annotated edge list (keyed by source; edge weights
+    ``1/out_degree`` are precomputed and checkpointed ONCE before the
+    loop, not re-derived per round), one ``groupBy(dst)`` sum, one
+    1-row dangling-mass aggregate broadcast back — the published
+    MapReduce PageRank shape. The rank frame is ``localCheckpoint``-ed
+    every round so lineage stays O(1) in the iteration count, same
+    discipline as :func:`connected_components`. Returns
+    ``(node, rank)``.
+
+    Honest local-scale note (tools/crossover_pagerank.py): the
+    per-iteration job floor (~2 s at local[32]) means a single-node
+    numpy twin wins below ~10^8 edges; the marginal per-edge slope is
+    what this formulation buys — use it when the edge list exceeds one
+    machine, which is its only honest use case."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -194,25 +203,31 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    # weight-annotated edges and the dangling-node set: built once,
+    # checkpointed, reused every iteration
     out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    e_w = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    dangling_nodes = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "__deg")
-        # dangling nodes (no out-edges) spread their mass uniformly
-        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+        dangling = dangling_nodes.join(ranks, "node", "inner").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contrib = (
-            with_deg.filter(F.col("__deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"], "inner")
+            ranks.join(e_w, ranks["node"] == e_w["src"], "inner")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("__deg")).alias("__c"),
+                (F.col("rank") * F.col("__w")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
