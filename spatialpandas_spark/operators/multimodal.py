@@ -280,6 +280,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         from spatialpandas_spark.operators.gif import decode_gif_first
 
         return decode_gif_first(payload)
+    if kind == "bmp":
+        return _decode_bmp_payload(payload)
     raise ValueError("unrecognized image magic")
 
 
@@ -301,7 +303,30 @@ def _image_features(payload: bytes | None) -> np.ndarray:
         return _jpeg_features(payload)
     if kind == "gif":
         return _gif_features(payload)
+    if kind == "bmp":
+        return _pixel_features_rgb(_decode_bmp_payload(payload))
     raise ValueError("unrecognized image magic")
+
+
+def _decode_bmp_payload(payload: bytes) -> np.ndarray:
+    from spatialpandas_spark.operators.bmp import decode_bmp
+
+    return decode_bmp(payload)
+
+
+def _pixel_features_rgb(rgb: np.ndarray) -> np.ndarray:
+    """The shared per-channel statistics over any decoded RGB array."""
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    feats = np.concatenate(
+        [flat.mean(0), flat.min(0), flat.max(0), (flat > 64).mean(0)]
+    )
+    return feats.astype(np.float32)
+
+
+def _bmp_features(payload: bytes | None) -> np.ndarray:
+    if payload is None:
+        raise ValueError("null payload")
+    return _pixel_features_rgb(_decode_bmp_payload(payload))
 
 
 _DECODERS = {
@@ -310,6 +335,7 @@ _DECODERS = {
     "png": _png_features,
     "jpeg": _jpeg_features,
     "gif": _gif_features,
+    "bmp": _bmp_features,
     "image": _image_features,
 }
 
@@ -398,7 +424,7 @@ def resize_images(
     decodable input.
     """
     _check_media_decoder(
-        decoder, ("fake", "ppm", "png", "jpeg", "gif", "image")
+        decoder, ("fake", "ppm", "png", "jpeg", "gif", "bmp", "image")
     )
     out_schema = StructType(
         [
@@ -417,11 +443,14 @@ def resize_images(
         sniff_image,
     )
 
+    from spatialpandas_spark.operators.bmp import decode_bmp, encode_bmp
+
     _codecs = {
         "ppm": (decode_ppm, encode_ppm),
         "png": (decode_png, encode_png),
         "jpeg": (decode_jpeg, encode_png),  # lossless re-encode
         "gif": (decode_gif_first, encode_png),  # first frame, lossless
+        "bmp": (decode_bmp, encode_bmp),
     }
 
     def kernel(p: bytes | None) -> bytes | None:
@@ -591,10 +620,16 @@ def _parse_wav(data: bytes) -> tuple[dict, bytes]:
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("missing fmt or data chunk")
-    if fmt["audio_format"] != 1:
-        raise ValueError(f"unsupported WAV format {fmt['audio_format']} (PCM only)")
-    if fmt["bits"] not in (8, 16):
-        raise ValueError(f"unsupported PCM bit depth {fmt['bits']}")
+    if fmt["audio_format"] == 1:  # integer PCM
+        if fmt["bits"] not in (8, 16, 24, 32):
+            raise ValueError(f"unsupported PCM bit depth {fmt['bits']}")
+    elif fmt["audio_format"] == 3:  # IEEE float
+        if fmt["bits"] not in (32, 64):
+            raise ValueError(f"unsupported float WAV bit depth {fmt['bits']}")
+    else:
+        raise ValueError(
+            f"unsupported WAV format {fmt['audio_format']} (PCM/float only)"
+        )
     if fmt["n_channels"] < 1:
         raise ValueError("zero-channel WAV")
     return fmt, raw
@@ -604,12 +639,36 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Pure-numpy WAV (RIFF PCM) decoder — needs no codec library.
 
     Returns ``(samples, sample_rate)`` where samples is an
-    (n_samples, n_channels) integer array: uint8 for 8-bit PCM (raw
-    0..255, 128 = silence), int16 for 16-bit little-endian PCM. Raises
+    (n_samples, n_channels) array: uint8 for 8-bit PCM (raw 0..255,
+    128 = silence), int16/int32 for 16/24/32-bit little-endian PCM
+    (24-bit widened to int32 preserving raw values), float32/float64
+    for IEEE-float WAVE (format 3, nominal -1..1). Raises
     ``ValueError`` on malformed input."""
     fmt, raw = _parse_wav(bytes(payload))
     ch = fmt["n_channels"]
-    dtype = np.dtype(np.uint8) if fmt["bits"] == 8 else np.dtype("<i2")
+    bits = fmt["bits"]
+    if fmt["audio_format"] == 3:
+        dtype = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+    elif bits == 8:
+        dtype = np.dtype(np.uint8)
+    elif bits == 16:
+        dtype = np.dtype("<i2")
+    elif bits == 32:
+        dtype = np.dtype("<i4")
+    else:  # 24-bit: assemble 3-byte LE frames into int32
+        width = 3 * ch
+        n = len(raw) // width
+        if n == 0:
+            raise ValueError("empty WAV data chunk")
+        b = np.frombuffer(raw, dtype=np.uint8, count=n * ch * 3).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        # sign-extend 24 -> 32 bits without shifting into the sign bit
+        vals = np.where(vals & 0x800000, vals - (1 << 24), vals).astype(np.int32)
+        return vals.reshape(n, ch), fmt["sample_rate"]
     width = dtype.itemsize * ch
     n = len(raw) // width
     if n == 0:
@@ -673,7 +732,10 @@ def _wav_features(payload: bytes | None) -> np.ndarray:
     if payload is None:
         raise ValueError("null payload")
     samples, _sr = decode_wav(payload)
-    thresh = (int(np.iinfo(samples.dtype).max) + 1) // _WAV_FGT_DIVISOR
+    if np.issubdtype(samples.dtype, np.floating):
+        thresh = 1.0 / _WAV_FGT_DIVISOR  # float WAVE nominal scale ±1
+    else:
+        thresh = (int(np.iinfo(samples.dtype).max) + 1) // _WAV_FGT_DIVISOR
     s = samples[:, :3].astype(np.float64)
     nch = s.shape[1]
     pad = np.zeros(3 - nch)

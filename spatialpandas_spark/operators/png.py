@@ -220,9 +220,9 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 
 
 def sniff_image(payload: bytes) -> str:
-    """Return 'png' | 'ppm' | 'jpeg' | 'gif' | 'unknown' from the payload
-    magic — lets a mixed crawl column route per-row to the right real
-    decoder."""
+    """Return 'png' | 'ppm' | 'jpeg' | 'gif' | 'bmp' | 'unknown' from the
+    payload magic — lets a mixed crawl column route per-row to the right
+    real decoder."""
     head = bytes(payload[:8])
     if head == _PNG_MAGIC:
         return "png"
@@ -232,4 +232,6 @@ def sniff_image(payload: bytes) -> str:
         return "jpeg"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
     return "unknown"

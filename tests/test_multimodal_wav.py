@@ -151,3 +151,69 @@ def test_resample_audio_codec_gated(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
         resample_audio(df, 16000, decoder="ffmpeg")
+
+
+def _wav_bytes(audio_format, bits, ch, rate, raw):
+    """Hand-assembled RIFF/WAVE container (independent of encode_wav)."""
+    import struct as _s
+
+    fmt = _s.pack(
+        "<HHIIHH", audio_format, ch, rate, rate * (bits // 8) * ch,
+        (bits // 8) * ch, bits,
+    )
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", len(raw)) + raw
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_decode_wav_float32():
+    vals = np.array([[0.0], [0.5], [-0.25], [1.0]], dtype="<f4")
+    payload = _wav_bytes(3, 32, 1, 16000, vals.tobytes())
+    samples, sr = decode_wav(payload)
+    assert sr == 16000 and samples.dtype == np.dtype("<f4")
+    np.testing.assert_array_equal(samples, vals)
+
+
+def test_decode_wav_float64():
+    vals = np.array([[0.125, -0.125]], dtype="<f8")
+    samples, _ = decode_wav(_wav_bytes(3, 64, 2, 8000, vals.tobytes()))
+    np.testing.assert_array_equal(samples, vals)
+
+
+def test_decode_wav_24bit_sign_extension():
+    # raw 3-byte LE samples: 0x000001 = 1, 0xFFFFFF = -1, 0x800000 = -2^23
+    raw = bytes([0x01, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x80])
+    samples, _ = decode_wav(_wav_bytes(1, 24, 1, 44100, raw))
+    assert samples.dtype == np.int32
+    assert samples[:, 0].tolist() == [1, -1, -(2**23)]
+
+
+def test_decode_wav_32bit_pcm():
+    vals = np.array([[2**30], [-(2**30)]], dtype="<i4")
+    samples, _ = decode_wav(_wav_bytes(1, 32, 1, 22050, vals.tobytes()))
+    assert samples[:, 0].tolist() == [2**30, -(2**30)]
+
+
+def test_unsupported_wav_variants_raise():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bit depth"):
+        decode_wav(_wav_bytes(1, 12, 1, 8000, b"\x00" * 12))
+    with _pt.raises(ValueError, match="PCM/float"):
+        decode_wav(_wav_bytes(0xFFFE, 16, 1, 8000, b"\x00" * 4))
+    with _pt.raises(ValueError, match="float WAV bit"):
+        decode_wav(_wav_bytes(3, 16, 1, 8000, b"\x00" * 4))
+
+
+def test_float_wav_features(spark):
+    from spatialpandas_spark.operators.multimodal import extract_features
+
+    vals = np.array([[0.5], [0.5], [-0.5], [-0.5]], dtype="<f4")
+    payload = _wav_bytes(3, 32, 1, 8000, vals.tobytes())
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    row = extract_features(df, decoder="wav").collect()[0]
+    assert row["decode_ok"] == "ok"
+    assert row["feature"][0] == 0.0   # mean
+    assert row["feature"][3] == -0.5  # min
+    assert row["feature"][6] == 0.5   # max
+    assert row["feature"][9] == 0.5   # fraction above 1/4 scale
