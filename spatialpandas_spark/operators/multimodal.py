@@ -329,6 +329,17 @@ def _bmp_features(payload: bytes | None) -> np.ndarray:
     return _pixel_features_rgb(_decode_bmp_payload(payload))
 
 
+def _media_features(payload: bytes | None) -> np.ndarray:
+    """Full media sniffing: images via :func:`_image_features`, RIFF/WAVE
+    audio via the WAV kernel — one decoder for a heterogeneous media
+    column (the crawl reality where one binary column mixes modalities)."""
+    if payload is None:
+        raise ValueError("null payload")
+    if bytes(payload[:4]) == b"RIFF":
+        return _wav_features(payload)
+    return _image_features(payload)
+
+
 _DECODERS = {
     "fake": _fake_decode_features,
     "ppm": _ppm_features,
@@ -337,6 +348,7 @@ _DECODERS = {
     "gif": _gif_features,
     "bmp": _bmp_features,
     "image": _image_features,
+    "media": _media_features,
 }
 
 

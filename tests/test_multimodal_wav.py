@@ -217,3 +217,23 @@ def test_float_wav_features(spark):
     assert row["feature"][3] == -0.5  # min
     assert row["feature"][6] == 0.5   # max
     assert row["feature"][9] == 0.5   # fraction above 1/4 scale
+
+
+def test_media_decoder_mixes_modalities(spark):
+    from spatialpandas_spark.operators.multimodal import (
+        encode_ppm,
+        extract_features,
+    )
+
+    img = np.full((2, 2, 3), 64, dtype=np.uint8)
+    vals = np.array([[0.5], [-0.5]], dtype="<f4")
+    rows = [
+        (1, encode_ppm(img)),
+        (2, _wav_bytes(3, 32, 1, 8000, vals.tobytes())),
+        (3, b"neither"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_features(df, decoder="media").collect()}
+    assert got[1]["decode_ok"] == "ok" and got[1]["feature"][0] == 64.0
+    assert got[2]["decode_ok"] == "ok" and got[2]["feature"][6] == 0.5  # max
+    assert got[3]["decode_ok"].startswith("error")
