@@ -491,6 +491,51 @@ def b22_bpe_encode(spark):
     )
 
 
+_MEDIA_DF = None
+
+
+def b23_media_decode(spark):
+    """Mixed-format media featurization: 3000 real payloads (PNG + BMP +
+    float-WAV, synthesized once and cached) through the magic-sniffing
+    Arrow decode path — the codec layer's serving shape."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.bmp import encode_bmp
+    from spatialpandas_spark.operators.multimodal import extract_features
+    from spatialpandas_spark.operators.png import encode_png
+
+    global _MEDIA_DF
+    if _MEDIA_DF is None:
+        import struct as _s
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(3000):
+            kind = i % 3
+            if kind < 2:
+                img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                payload = encode_png(img) if kind == 0 else encode_bmp(img)
+            else:
+                vals = rng.standard_normal((256, 1)).astype("<f4") * 0.1
+                raw = vals.tobytes()
+                fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+                body = (
+                    b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+                    + b"data" + _s.pack("<I", len(raw)) + raw
+                )
+                payload = b"RIFF" + _s.pack("<I", len(body)) + body
+            rows.append((i, payload))
+        _MEDIA_DF = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(32).cache()
+        _MEDIA_DF.count()
+    return (
+        extract_features(_MEDIA_DF, decoder="media")
+        .filter("decode_ok = 'ok'")
+        .count()
+    )
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -514,6 +559,7 @@ BENCHES = {
     "b20_pq_scan": b20_pq_scan,
     "b21_ivfpq_probe": b21_ivfpq_probe,
     "b22_bpe_encode": b22_bpe_encode,
+    "b23_media_decode": b23_media_decode,
 }
 
 
