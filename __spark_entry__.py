@@ -1034,18 +1034,47 @@ def q_length_filter(spark, sf_dir):
     return out.select("doc_id", "lang", "w").join(capped, "doc_id", "left")
 
 
+_BM25_QUERY = "data pipeline quality model training"
+
+
 def q_top_terms(spark, sf_dir):
-    """Vocabulary building: top-50 corpus terms by total frequency with
-    document frequency; TakeOrderedAndProject (per-partition heaps), not
-    a global sort."""
+    """Merged vocabulary + retrieval gate, tagged union:
+
+    - 'terms': top-50 corpus terms by total frequency with document
+      frequency (TakeOrderedAndProject — per-partition heaps, no global
+      sort);
+    - 'bm25': Okapi BM25 scores for a fixed query over EVERY matching
+      document (no top-k cut — a LIMIT boundary could flip on sub-ulp
+      cross-engine float ordering; scoring all matches keeps the gate
+      order-free, the driver sorts by value before hashing). Scores
+      rounded to 6 places for cross-engine float safety, per the
+      tpch-gate convention."""
+    from spatialpandas_spark.operators.search import (
+        bm25_score,
+        build_postings,
+        corpus_stats,
+        doc_lengths,
+    )
     from spatialpandas_spark.operators.text import top_terms
 
-    out = top_terms(_t(spark, sf_dir, "documents"), k=50)
-    return out.select(
-        "term",
+    docs = _t(spark, sf_dir, "documents")
+    terms = top_terms(docs, k=50).select(
+        F.lit("terms").alias("variant"),
+        F.col("term").alias("k"),
         F.col("tf").cast("long").alias("tf"),
         F.col("df").cast("long").alias("df"),
+        F.lit(None).cast("double").alias("score"),
     )
+    postings = build_postings(docs)
+    stats = corpus_stats(postings, doc_lengths(docs))
+    bm = bm25_score(postings, stats, _BM25_QUERY, k=1_000_000_000).select(
+        F.lit("bm25").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+    return terms.unionByName(bm)
 
 
 def q_events_asof(spark, sf_dir):
@@ -2961,11 +2990,55 @@ def _base_oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, unnest({_TOKS}) AS term
               FROM documents WHERE trim(text) != ''
+            ),
+            posts AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t
+              WHERE term != '' GROUP BY doc_id, term
+            ),
+            dls AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len({_TOKS}) END AS dl
+              FROM documents
+            ),
+            consts AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+            ),
+            dfs AS (
+              SELECT term, COUNT(*) AS df FROM posts GROUP BY term
+            ),
+            q AS (
+              SELECT unnest(['data','pipeline','quality','model','training'])
+                     AS term, 1 AS qtf
+            ),
+            bm AS (
+              SELECT p.doc_id,
+                     SUM(
+                       ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * 2.2
+                       / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))
+                       * q.qtf
+                     ) AS score
+              FROM posts p
+              JOIN q ON p.term = q.term
+              JOIN dfs d ON p.term = d.term
+              JOIN dls l ON p.doc_id = l.doc_id
+              CROSS JOIN consts c
+              GROUP BY p.doc_id
             )
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
-                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-            FROM t WHERE term != ''
-            GROUP BY term ORDER BY tf DESC, term LIMIT 50
+            SELECT * FROM (
+              SELECT 'terms' AS variant, term AS k,
+                     CAST(COUNT(*) AS BIGINT) AS tf,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                     CAST(NULL AS DOUBLE) AS score
+              FROM t WHERE term != ''
+              GROUP BY term ORDER BY tf DESC, k LIMIT 50
+            )
+            UNION ALL
+            SELECT 'bm25' AS variant, CAST(doc_id AS VARCHAR) AS k,
+                   CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+                   ROUND(score, 6) AS score
+            FROM bm
         """,
         "events_asof": """
             SELECT l.event_id, l.user_id, r.event_id AS view_id,
