@@ -1001,7 +1001,43 @@ def q_scrub_normalize(spark, sf_dir):
     out = d.select(
         "doc_id", F.md5(normalize_text(scrub_pii(dirty))).alias("h")
     )
-    return out
+
+    # --- merged variant: URL/domain accounting. Each doc gets two URLs
+    # for its source host (n_refs = 2 x n_docs) and one for a
+    # doc_id%7-keyed host; host_counts must recover the closed-form
+    # counts through the real regexp-extract + parse_url path. The
+    # fixture text itself contains zero URLs (checked both SFs), so the
+    # synthesized ones are the complete population.
+    from spatialpandas_spark.operators.text import host_counts
+
+    url1 = F.concat(
+        F.lit("https://"), F.lower("source"), F.lit(".example.com/a?b=1")
+    )
+    url2 = F.concat(
+        F.lit("http://"), F.lower("source"), F.lit(".example.com/other")
+    )
+    url3 = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test/x")
+    )
+    linked = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), url1, url2, url3).alias("text"),
+    )
+    hosts = host_counts(linked).select(
+        F.lit("hosts").alias("variant"),
+        F.col("host").alias("k"),
+        F.lit(None).cast("string").alias("h"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_refs").cast("long").alias("n_refs"),
+    )
+    scrub = out.select(
+        F.lit("scrub").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("h"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_refs"),
+    )
+    return scrub.unionByName(hosts)
 
 
 def q_length_filter(spark, sf_dir):
@@ -2961,9 +2997,20 @@ def _base_oracle_sql() -> dict[str, str]:
                   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t
               FROM dirty
             )
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS h
+            SELECT 'scrub' AS variant, CAST(doc_id AS VARCHAR) AS k,
+                   md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS h,
+                   CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_refs
             FROM scrubbed
+            UNION ALL
+            SELECT 'hosts', lower(source) || '.example.com',
+                   CAST(NULL AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT), CAST(2 * COUNT(*) AS BIGINT)
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'hosts', 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
+                   CAST(NULL AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+            FROM documents GROUP BY doc_id % 7
         """,
         "length_filter": f"""
             WITH tc AS (SELECT doc_id, lang,
