@@ -1,0 +1,157 @@
+"""CorpusFrame: the curation-side facade, mirroring ``SpatialFrame``.
+
+One object wraps (DataFrame, id column, text column) and exposes the
+training-data pipeline surface as chainable methods, so a user composes
+the same flows the operators provide — profile, quality-filter, dedup,
+decontaminate, tokenize, search, shard — without importing a dozen
+modules. Every method delegates to the corresponding operator
+(each independently oracle-tested); the facade adds no logic of its
+own beyond column-name plumbing, so there is nothing here to get out of
+sync. ``df`` stays accessible as ``.df`` at every step.
+
+Typical flow::
+
+    c = CorpusFrame(spark.read.parquet(".../documents.parquet"))
+    stats = c.profile()                                # look first
+    clean = (
+        c.filter_quality(min_score=0.3)
+         .filter_blocklisted_hosts(["spam.example"])
+         .dedup_exact()
+    )
+    merges = clean.train_bpe(n_merges=32_000)
+    clean.write_training_shards(merges, "/data/shards", shard_tokens=2**20)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CorpusFrame:
+    """A DataFrame + (id column, text column) pair with the curation
+    method surface. ``df`` stays accessible as ``.df``."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------- util
+    def _wrap(self, df: DataFrame) -> CorpusFrame:
+        return CorpusFrame(df, self.id_col, self.text_col)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # ----------------------------------------------------------- report
+    def profile(self) -> DataFrame:
+        from spatialpandas_spark.operators.text import corpus_profile
+
+        return corpus_profile(self.df, self.id_col, self.text_col)
+
+    def host_counts(self) -> DataFrame:
+        from spatialpandas_spark.operators.text import host_counts
+
+        return host_counts(self.df, self.id_col, self.text_col)
+
+    # ---------------------------------------------------------- filters
+    def filter_quality(self, min_score: float = 0.3) -> CorpusFrame:
+        from spatialpandas_spark.operators.text import quality_score
+
+        return self._wrap(
+            self.df.filter(quality_score(F.col(self.text_col)) >= min_score)
+        )
+
+    def filter_language(self, langs) -> CorpusFrame:
+        from spatialpandas_spark.operators.text import lang_id
+
+        return self._wrap(
+            self.df.filter(lang_id(F.col(self.text_col)).isin(list(langs)))
+        )
+
+    def filter_blocklisted_hosts(self, blocklist) -> CorpusFrame:
+        from spatialpandas_spark.operators.text import (
+            filter_blocklisted_hosts,
+        )
+
+        return self._wrap(
+            filter_blocklisted_hosts(
+                self.df, blocklist, self.text_col, self.id_col
+            )
+        )
+
+    def scrub_pii(self) -> CorpusFrame:
+        from spatialpandas_spark.operators.text import scrub_pii
+
+        return self._wrap(
+            self.df.withColumn(self.text_col, scrub_pii(F.col(self.text_col)))
+        )
+
+    # ------------------------------------------------------------ dedup
+    def dedup_exact(self) -> CorpusFrame:
+        from spatialpandas_spark.operators.dedup import dedup_exact
+
+        return self._wrap(
+            dedup_exact(self.df, [self.text_col], id_col=self.id_col)
+        )
+
+    def near_dup_pairs(self, threshold: float = 0.5, **kw) -> DataFrame:
+        from spatialpandas_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            self.df, id_col=self.id_col, text_col=self.text_col,
+            threshold=threshold, **kw
+        )
+
+    def decontaminate(self, benchmark: DataFrame, max_overlap: float = 0.5, **kw):
+        from spatialpandas_spark.operators.contamination import ngram_overlap
+
+        scored = ngram_overlap(
+            self.df, benchmark, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+        keep = scored.filter(F.col("overlap") <= max_overlap).select(self.id_col)
+        return self._wrap(self.df.join(keep, self.id_col, "left_semi"))
+
+    # -------------------------------------------------------- tokenizer
+    def train_bpe(self, n_merges: int = 32_000, **kw):
+        from spatialpandas_spark.operators.bpe import train_bpe
+
+        return train_bpe(self.df, n_merges=n_merges, text_col=self.text_col, **kw)
+
+    def tokenize(self, merges, ids: bool = False) -> DataFrame:
+        from spatialpandas_spark.operators.bpe import bpe_encode, bpe_encode_ids
+
+        fn = bpe_encode_ids if ids else bpe_encode
+        return fn(self.df, merges, id_col=self.id_col, text_col=self.text_col)
+
+    # ----------------------------------------------------------- search
+    def bm25(self, query: str, k: int = 10, **kw) -> DataFrame:
+        from spatialpandas_spark.operators.search import bm25_search
+
+        return bm25_search(
+            self.df, query, k=k, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
+    def tfidf_vectors(self, dim: int = 256, **kw) -> DataFrame:
+        from spatialpandas_spark.operators.search import hashed_tfidf_vectors
+
+        return hashed_tfidf_vectors(
+            self.df, dim=dim, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
+    # ------------------------------------------------------------- sink
+    def write_training_shards(
+        self, merges, out_dir: str, shard_tokens: int = 1_000_000, **kw
+    ) -> dict:
+        from spatialpandas_spark.operators.shards import write_training_shards
+
+        return write_training_shards(
+            self.df, merges, out_dir, shard_tokens=shard_tokens,
+            id_col=self.id_col, text_col=self.text_col, **kw
+        )

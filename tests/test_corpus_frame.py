@@ -1,0 +1,83 @@
+"""CorpusFrame facade: every method must delegate exactly to its
+operator (same rows), and the chained end-to-end flow must run on real
+fixture data. The facade has no logic of its own, so the tests pin
+delegation equality, not re-derive operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.corpus import CorpusFrame
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near https://ok.org"),
+    (2, "the quick brown fox jumps over the lazy dog near https://ok.org"),
+    (3, "ein kleiner deutscher text und noch mehr und der hund"),
+    (4, "x"),
+    (5, "spam content here see http://bad.example/now"),
+]
+
+
+@pytest.fixture()
+def cf(spark):
+    return CorpusFrame(spark.createDataFrame(CORPUS, "doc_id long, text string"))
+
+
+def test_profile_and_host_counts_delegate(cf):
+    from spatialpandas_spark.operators.text import corpus_profile, host_counts
+
+    assert cf.profile().collect() == corpus_profile(cf.df).collect()
+    assert sorted(cf.host_counts().collect()) == sorted(host_counts(cf.df).collect())
+
+
+def test_filters_chain(cf):
+    out = (
+        cf.filter_language(["en"])
+        .filter_blocklisted_hosts(["bad.example"])
+        .dedup_exact()
+    )
+    kept = sorted(r["doc_id"] for r in out.df.collect())
+    # en docs: 1, 2, 5 ('x' and german drop); 5 blocked; 2 is an exact dup of 1
+    assert kept == [1]
+
+
+def test_scrub_changes_text(cf):
+    out = cf.scrub_pii().df.filter("doc_id = 1").first()["text"]
+    assert "<URL>" in out and "https://" not in out
+
+
+def test_tokenize_and_bm25_and_vectors(cf):
+    merges = cf.train_bpe(n_merges=10)
+    toks = cf.tokenize(merges).collect()
+    ids = cf.tokenize(merges, ids=True).collect()
+    assert {r["doc_id"] for r in toks} == {1, 2, 3, 4, 5}
+    assert all(isinstance(r["token_ids"][0], int) for r in ids if r["n_tokens"])
+    top = cf.bm25("quick fox", k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    vecs = cf.tfidf_vectors(dim=16).collect()
+    assert all(len(r["vector"]) == 16 for r in vecs)
+
+
+def test_decontaminate(cf, spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = cf.decontaminate(bench, max_overlap=0.3)
+    kept = {r["doc_id"] for r in out.df.collect()}
+    assert 1 not in kept and 2 not in kept  # heavy 5-gram overlap
+    assert 3 in kept
+
+
+def test_shard_sink(cf, tmp_path):
+    merges = cf.train_bpe(n_merges=5)
+    stats = cf.write_training_shards(merges, str(tmp_path / "s"), shard_tokens=20)
+    assert stats["n_docs"] == 5 and stats["total_tokens"] > 0
+
+
+def test_fixture_end_to_end(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = CorpusFrame(docs)
+    prof = c.profile().first()
+    assert prof["n_docs"] == docs.count()
+    filtered = c.filter_quality(0.2).dedup_exact()
+    assert 0 < filtered.count() <= prof["n_docs"]
