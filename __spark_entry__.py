@@ -1086,7 +1086,7 @@ def q_top_terms(spark, sf_dir):
       rounded to 6 places for cross-engine float safety, per the
       tpch-gate convention."""
     from spatialpandas_spark.operators.search import (
-        bm25_score,
+        bm25_score_all,
         build_postings,
         corpus_stats,
         doc_lengths,
@@ -1103,7 +1103,7 @@ def q_top_terms(spark, sf_dir):
     )
     postings = build_postings(docs)
     stats = corpus_stats(postings, doc_lengths(docs))
-    bm = bm25_score(postings, stats, _BM25_QUERY, k=1_000_000_000).select(
+    bm = bm25_score_all(postings, stats, _BM25_QUERY).select(
         F.lit("bm25").alias("variant"),
         F.col("doc_id").cast("string").alias("k"),
         F.lit(None).cast("long").alias("tf"),

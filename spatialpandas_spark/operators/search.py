@@ -83,18 +83,18 @@ def corpus_stats(
     return df_.crossJoin(F.broadcast(consts))
 
 
-def bm25_score(
+def bm25_score_all(
     postings: DataFrame,
     stats: DataFrame,
     query: str,
     k1: float = 1.2,
     b: float = 0.75,
-    k: int = 10,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top-k documents for ``query`` under BM25: ``(doc_id, score)``,
-    score descending, ties by id ascending. Duplicate query terms add
-    their occurrences (standard bag-of-words query semantics)."""
+    """BM25 scores for EVERY document matching at least one query term:
+    ``(doc_id, score)``, unordered. Duplicate query terms add their
+    occurrences (standard bag-of-words query semantics). Use
+    :func:`bm25_score` for the ranked top-k."""
     spark = postings.sparkSession
     terms = [t for t in query.lower().split() if t]
     if not terms:
@@ -118,7 +118,7 @@ def bm25_score(
             * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         postings.join(F.broadcast(qdf), "term", "inner")
         .join(F.broadcast(stats), "term", "inner")
         .select(
@@ -128,6 +128,27 @@ def bm25_score(
         .groupBy(id_col)
         .agg(F.sum("__s").alias("score"))
     )
+
+
+def bm25_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for ``query`` under BM25: ``(doc_id, score)``,
+    score descending, ties by id ascending.
+
+    ``k`` must be a genuinely small top-k: ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject, whose per-partition heaps
+    allocate O(k) — a "give me everything" k can OOM the JVM (learned
+    the hard way: a limit(1e9) variant killed a test session). For all
+    matching docs use :func:`bm25_score_all`, which has no ordering
+    stage at all."""
+    scored = bm25_score_all(postings, stats, query, k1, b, id_col)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
