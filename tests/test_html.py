@@ -1,0 +1,90 @@
+"""HTML-to-text extraction (operators/html.py): closed-form expectations
+on hand-written markup (the format is the spec), malformed-markup
+tolerance, entity decoding, and the full WARC -> HTML -> text ->
+curation chain."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.html import extract_text_from_html, html_to_text
+
+DOC = """<!DOCTYPE html><html><head>
+<title> The  Title </title>
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script>
+</head><body>
+<h1>Heading</h1>
+<p>First &amp; second &lt;paragraph&gt;.</p>
+<div>Block <b>with bold</b> inline.</div>
+<ul><li>one</li><li>two</li></ul>
+<noscript>hidden</noscript>
+</body></html>"""
+
+
+def test_html_to_text_closed_form():
+    text, title = html_to_text(DOC)
+    assert title == "The Title"
+    lines = text.split("\n")
+    assert lines[0] == "Heading"
+    assert lines[1] == "First & second <paragraph>."
+    assert lines[2] == "Block with bold inline."
+    assert lines[3:5] == ["one", "two"]
+    assert "color: red" not in text and "var x" not in text
+    assert "hidden" not in text
+
+
+def test_malformed_markup_tolerated():
+    text, title = html_to_text("<p>unclosed <b>bold <div>next</p> tail")
+    assert "unclosed bold" in text and "next" in text and "tail" in text
+    # script never closed: content after it is dropped (skip-depth holds)
+    text2, _ = html_to_text("before<script>junk")
+    assert text2 == "before"
+
+
+def test_empty_and_plain():
+    assert html_to_text("") == ("", None)
+    assert html_to_text("just plain text")[0] == "just plain text"
+
+
+def test_spark_string_and_binary(spark):
+    rows = [(1, DOC), (2, "<p>tiny</p>"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in extract_text_from_html(df).collect()}
+    assert got[1]["title"] == "The Title" and got[1]["parse_ok"] == "ok"
+    assert got[2]["text"] == "tiny"
+    assert got[3]["text"] is None and got[3]["parse_ok"].startswith("error")
+
+    bdf = spark.createDataFrame(
+        [(1, DOC.encode()), (2, b"\xff\xfe<p>odd bytes</p>")],
+        "doc_id long, html binary",
+    )
+    bgot = {r["doc_id"]: r for r in extract_text_from_html(bdf).collect()}
+    assert bgot[1]["text"] == got[1]["text"]
+    assert "odd bytes" in bgot[2]["text"]
+
+
+def test_warc_html_curation_chain(spark):
+    """The full ingestion story: WARC archive -> response bodies ->
+    HTML text -> BM25 over the extracted corpus."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_archives import _http, _warc_record
+
+    from spatialpandas_spark.corpus import CorpusFrame
+    from spatialpandas_spark.sources.archives import warc_records
+
+    pages = [
+        ("http://a.test/", "<html><title>A</title><p>spark engine documentation</p></html>"),
+        ("http://b.test/", "<html><title>B</title><p>cooking recipes and food</p></html>"),
+    ]
+    warc = b"".join(
+        _warc_record("response", url, _http(html.encode())) for url, html in pages
+    )
+    archives = spark.createDataFrame([(1, warc)], "archive_id long, payload binary")
+    recs = warc_records(archives).select(
+        F.col("record_idx").cast("long").alias("doc_id"), F.col("body").alias("html")
+    )
+    docs = extract_text_from_html(recs).select("doc_id", "text")
+    top = CorpusFrame(docs).bm25("spark engine", k=1).collect()
+    assert top[0]["doc_id"] == 0
