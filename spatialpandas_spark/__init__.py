@@ -52,6 +52,7 @@ from spatialpandas_spark.functions.geopandas_bridge import (
 from spatialpandas_spark.operators.cx import cx_filter, with_bounds
 from spatialpandas_spark.operators.sjoin import sjoin
 from spatialpandas_spark.operators.pack import pack_partitions
+from spatialpandas_spark.corpus import CorpusFrame
 from spatialpandas_spark.frame import SpatialFrame
 
 __all__ = [
@@ -77,6 +78,7 @@ __all__ = [
     "sjoin",
     "pack_partitions",
     "SpatialFrame",
+    "CorpusFrame",
 ]
 
 __version__ = "0.1.0"
