@@ -57,9 +57,11 @@ class _TextExtractor(HTMLParser):
             self.parts.append("\n")
 
     def handle_data(self, data):
-        if self._in_title:
+        if self._skip_depth > 0:
+            return  # skip wins: a <title> inside <svg>/<script> is not
+        if self._in_title:  # the document title
             self.title_parts.append(data)
-        elif self._skip_depth == 0:
+        else:
             self.parts.append(data)
 
 

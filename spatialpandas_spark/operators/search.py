@@ -98,9 +98,18 @@ def bm25_score_all(
     spark = postings.sparkSession
     terms = [t for t in query.lower().split() if t]
     if not terms:
-        return spark.createDataFrame(
-            [], f"{id_col} long, score double"
+        # empty-query schema mirrors the scoring path: id type comes
+        # from the postings, not a hardcoded long — string/int doc ids
+        # union cleanly with the normal path downstream
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        empty_schema = StructType(
+            [
+                StructField(id_col, postings.schema[id_col].dataType),
+                StructField("score", DoubleType()),
+            ]
         )
+        return spark.createDataFrame([], empty_schema)
     qdf = spark.createDataFrame(
         [(t,) for t in terms], "term string"
     ).groupBy("term").agg(F.count("*").alias("qtf"))

@@ -88,12 +88,22 @@ def write_training_shards(
     the partitioned write so each shard directory holds ONE file
     (the small-files rule in docs/SCALE.md).
 
-    Returns {"n_docs", "n_shards", "total_tokens"} gathered from the
-    written data (read back, trust the sink not the plan)."""
+    Zero-token documents are DROPPED by the ``n_tokens > 0`` gate —
+    and because the BPE pre-tokenizer is ASCII-alnum-only
+    (operators/bpe.py ``word_tokens``), that silently includes EVERY
+    all-non-ASCII document (CJK, pure-accented text) until a byte-level
+    pre-tokenizer lands. The drop is therefore REPORTED, not silent:
+    the returned stats include ``n_dropped_docs`` so a pipeline can
+    alert when the drop rate is not ~0.
+
+    Returns {"n_docs", "n_shards", "total_tokens", "n_dropped_docs"}
+    gathered from the written data (read back, trust the sink not the
+    plan; the drop count comes from the pre-filter frame)."""
     from spatialpandas_spark.operators.bpe import bpe_encode_ids
 
     toks = bpe_encode_ids(docs, merges, id_col=id_col, text_col=text_col)
     ordered_key = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
+    n_dropped = toks.filter(F.col("n_tokens") <= 0).count()
     packed = pack_shards(
         toks.withColumn("__ord", ordered_key).filter(F.col("n_tokens") > 0),
         weight_col="n_tokens",
@@ -113,4 +123,9 @@ def write_training_shards(
         F.count_distinct("shard").alias("s"),
         F.sum("n_tokens").alias("t"),
     ).first()
-    return {"n_docs": row["n"], "n_shards": row["s"], "total_tokens": row["t"]}
+    return {
+        "n_docs": row["n"],
+        "n_shards": row["s"],
+        "total_tokens": row["t"],
+        "n_dropped_docs": n_dropped,
+    }

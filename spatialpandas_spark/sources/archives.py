@@ -37,17 +37,39 @@ from pyspark.sql.types import (
 )
 
 
-def gunzip_members(data: bytes) -> bytes:
+def gunzip_members(
+    data: bytes, max_bytes: int = 1024 * 1024 * 1024
+) -> bytes:
     """Decompress CONCATENATED gzip members (the .warc.gz layout: one
     member per record) into one byte stream. Plain input passes
-    through; a corrupt member raises ``ValueError``."""
+    through; a corrupt member raises ``ValueError``.
+
+    ``max_bytes`` caps the TOTAL decompressed size (gzip-bomb guard —
+    the WARC analogue of ``archive_members``' ``max_member_bytes``):
+    decompression runs in bounded ``max_length`` chunks so a bomb is
+    rejected with ``ValueError`` before the output materializes, never
+    after executor memory is gone."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = []
+    total = 0
     while data:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        chunk_in = data
         try:
-            out.append(d.decompress(data))
+            while True:
+                chunk = d.decompress(chunk_in, 1 << 20)
+                chunk_in = b""
+                total += len(chunk)
+                if total > max_bytes:
+                    raise ValueError(
+                        f"gzip stream exceeds max_bytes={max_bytes} "
+                        "decompressed (possible gzip bomb)"
+                    )
+                out.append(chunk)
+                if d.eof or not d.unconsumed_tail:
+                    break
+                chunk_in = d.unconsumed_tail
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
@@ -56,12 +78,15 @@ def gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def iter_warc_records(payload: bytes):
+def iter_warc_records(
+    payload: bytes, max_bytes: int = 1024 * 1024 * 1024
+):
     """Iterate (headers dict, block bytes) over a WARC 1.x byte stream
     (gzipped or plain). Header keys are lowercased. Raises
-    ``ValueError`` on a malformed container; a stream that simply ends
-    cleanly between records terminates."""
-    data = gunzip_members(bytes(payload))
+    ``ValueError`` on a malformed container (including a gzip stream
+    whose decompressed size exceeds ``max_bytes``); a stream that
+    simply ends cleanly between records terminates."""
+    data = gunzip_members(bytes(payload), max_bytes=max_bytes)
     pos, n = 0, len(data)
     while pos < n:
         # skip the inter-record blank lines (spec: two CRLFs)
@@ -126,12 +151,14 @@ def warc_records(
     payload_col: str = "payload",
     id_col: str = "archive_id",
     types: tuple[str, ...] = ("response",),
+    max_bytes: int = 1024 * 1024 * 1024,
 ) -> DataFrame:
     """Explode WARC archive payloads to one row per record of the
     requested ``types``: (id, record_idx, warc_type, url, http_status,
     mime, body). ``http_status``/``mime``/``body`` come from the HTTP
     response envelope when present. Malformed archives contribute zero
-    rows; defective records are skipped."""
+    rows (including gzip bombs past ``max_bytes`` decompressed);
+    defective records are skipped."""
     out_schema = StructType(
         [StructField(id_col, df.schema[id_col].dataType)]
         + _WARC_SCHEMA_SUFFIX
@@ -144,7 +171,9 @@ def warc_records(
                 if p is None:
                     continue
                 try:
-                    records = list(iter_warc_records(bytes(p)))
+                    records = list(
+                        iter_warc_records(bytes(p), max_bytes=max_bytes)
+                    )
                 except ValueError:
                     continue
                 for i, (hdrs, block) in enumerate(records):

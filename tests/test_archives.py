@@ -156,3 +156,24 @@ def test_warc_to_documents_flow(spark):
     )
     prof = CorpusFrame(docs).profile().first()
     assert prof["n_docs"] == 2 and prof["total_tokens"] > 0
+
+
+def test_warc_gzip_bomb_guard(spark):
+    """The WARC analogue of the zip-bomb guard: a tiny gzip stream that
+    expands past max_bytes raises before the output materializes (unit
+    path) and contributes zero rows (Spark path)."""
+    bomb_block = _http(b"A" * 500_000)
+    bomb = gzip.compress(_warc_record("response", "http://bomb.test/", bomb_block))
+    assert len(bomb) < 5_000  # genuinely high expansion ratio
+    with pytest.raises(ValueError, match="max_bytes"):
+        gunzip_members(bomb, max_bytes=10_000)
+    with pytest.raises(ValueError, match="max_bytes"):
+        list(iter_warc_records(bomb, max_bytes=10_000))
+    # under the cap it still parses fine
+    assert len(list(iter_warc_records(bomb, max_bytes=10_000_000))) == 1
+
+    df = spark.createDataFrame(
+        [(1, bomb), (2, WARC)], "archive_id long, payload binary"
+    )
+    rows = warc_records(df, max_bytes=10_000).collect()
+    assert {r["archive_id"] for r in rows} == {2}  # bomb archive dropped whole

@@ -88,3 +88,19 @@ def test_warc_html_curation_chain(spark):
     docs = extract_text_from_html(recs).select("doc_id", "text")
     top = CorpusFrame(docs).bm25("spark engine", k=1).collect()
     assert top[0]["doc_id"] == 0
+
+
+def test_title_inside_skipped_subtree_does_not_leak():
+    """Skip wins over title: an <svg><title> (or script-embedded title)
+    is not the document title."""
+    doc = (
+        "<html><head><title>Real Title</title></head><body>"
+        "<svg><title>icon label</title><path/></svg>"
+        "<p>body text</p></body></html>"
+    )
+    text, title = html_to_text(doc)
+    assert title == "Real Title"
+    assert "icon label" not in text
+    # skipped-subtree title with NO real title -> no title at all
+    text2, title2 = html_to_text("<svg><title>only icon</title></svg><p>hi</p>")
+    assert title2 is None and text2 == "hi"

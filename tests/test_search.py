@@ -7,6 +7,7 @@ import pytest
 
 from spatialpandas_spark.operators.search import (
     bm25_score,
+    bm25_score_all,
     bm25_search,
     build_postings,
     corpus_stats,
@@ -144,3 +145,18 @@ def test_tfidf_vectors_feed_ann_surface(spark):
     ).collect()
     assert top[0]["vec_id"] == 1
     assert top[0]["sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_empty_query_id_type_matches_postings(spark):
+    """The empty-query result schema derives its id type from the
+    postings (string ids here), so it unions cleanly with the normal
+    scoring path instead of pinning 'long'."""
+    docs = spark.createDataFrame(
+        [("a", "dog runs"), ("b", "cat sits")], "doc_id string, text string"
+    )
+    postings = build_postings(docs)
+    stats = corpus_stats(postings, doc_lengths(docs))
+    empty = bm25_score_all(postings, stats, "   ")
+    scored = bm25_score_all(postings, stats, "dog")
+    assert empty.schema == scored.schema
+    assert empty.unionByName(scored).count() == scored.count()

@@ -77,13 +77,15 @@ def test_write_training_shards_end_to_end(spark, tmp_path):
 
     rows = [(i, f"doc number {i} has some repeated words words words") for i in range(60)]
     rows.append((99, ""))  # empty doc must not enter any shard
+    rows.append((98, "日本語のみ"))  # all-non-ASCII -> zero tokens -> dropped
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     merges = train_bpe(docs, n_merges=20)
     out = str(tmp_path / "shards")
     stats = write_training_shards(
         docs, merges, out, shard_tokens=200, seed=7
     )
-    assert stats["n_docs"] == 60  # empty doc excluded
+    assert stats["n_docs"] == 60  # empty + non-ASCII docs excluded
+    assert stats["n_dropped_docs"] == 2  # ...and the drop is REPORTED
     assert stats["n_shards"] >= 2
     back = spark.read.parquet(out)
     # every shard except at most one reaches the budget (straddler rule)
