@@ -180,6 +180,74 @@ def pq_encode(
     return c.mapInPandas(run, out_schema)
 
 
+def _adc_pair_scan(
+    pairs: DataFrame, B: np.ndarray, n_cand: int, out_schema: StructType
+) -> DataFrame:
+    """Distributed ADC over a PAIR frame (qid, __qv, vec_id, code): one
+    Arrow pass builds the per-distinct-query LUT inside each batch (the
+    IDENTICAL ``Q_sub @ B[j].T`` matmul the collected path uses, so a
+    given (query, code) pair scores bit-for-bit the same on either
+    path), fancy-indexes scores, and reduces to the per-partition
+    top-``n_cand`` per query. This is the fallback engine for oversized
+    query sides — no driver materialization anywhere."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    m_sub, n_codes, sub = B.shape
+
+    def _reduce(q, v, s):
+        idx = np.lexsort((v, -s, q))
+        q, v, s = q[idx], v[idx], s[idx]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < n_cand
+        return q[keep], v[keep], s[keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list = []
+        for pdf in batches:
+            ok = (pdf["code"].notna() & pdf["__qv"].notna()).to_numpy()
+            if not ok.any():
+                continue
+            pdf = pdf[ok]
+            inv, _uniq = pd.factorize(pdf["qid"], sort=False)
+            # first-occurrence row per distinct query: inv labels appear
+            # in first-seen order, so unique's return_index gives them
+            _, fidx = np.unique(inv, return_index=True)
+            Q = _l2_normalize(
+                np.asarray(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["__qv"].iloc[fidx]
+                    ]
+                )
+            )
+            _check_dims(Q.shape[1], m_sub)
+            lut = np.stack(
+                [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m_sub)],
+                axis=1,
+            )
+            C = np.frombuffer(
+                b"".join(bytes(b) for b in pdf["code"]), dtype=np.uint8
+            ).reshape(-1, m_sub)
+            scores = np.zeros(len(pdf))
+            for j in range(m_sub):
+                scores += lut[inv, j, C[:, j]]
+            acc.append(
+                _reduce(
+                    pdf["qid"].to_numpy(), pdf["vec_id"].to_numpy(), scores
+                )
+            )
+        if acc:
+            q, v, s = (np.concatenate([a[i] for a in acc]) for i in range(3))
+            q, v, s = _reduce(q, v, s)
+            yield pd.DataFrame({"qid": q, "vec_id": v, "sim": s})
+
+    return pairs.mapInPandas(run, out_schema)
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -207,8 +275,12 @@ def pq_topk(
     approximate (the standard IVFADC refinement step).
 
     The query side is bounded exactly like ``brute_force_topk``: a
-    ``limit(n+1)`` collect guards against oversized query frames.
-    Columns out: (qid, vec_id, sim, rank)."""
+    ``limit(n+1)`` collect guards the driver, and ABOVE
+    ``max_collected_queries`` the operator degrades to the fully
+    distributed pair formulation (:func:`_adc_pair_scan` — same ADC
+    arithmetic, candidates from a qid-grouped Arrow pair scan, no
+    driver materialization) instead of raising. Columns out:
+    (qid, vec_id, sim, rank)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -221,13 +293,36 @@ def pq_topk(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
     ).filter(F.col("__qv").isNotNull())
+    n_cand = k * rerank_factor if rerank is not None else k
+    cds = codes.select("vec_id", "code")
+    out_schema = StructType(
+        [
+            StructField("qid", q_sel.schema["qid"].dataType),
+            StructField("vec_id", cds.schema["vec_id"].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
     qrows = q_sel.limit(max_collected_queries + 1).collect()
     if len(qrows) > max_collected_queries:
-        raise ValueError(
-            f"pq_topk query side exceeds max_collected_queries="
-            f"{max_collected_queries}; split the query frame or raise the "
-            "bound explicitly"
+        # distributed fallback: O(|Q| x |C|) is inherent to scoring an
+        # oversized query set; put it on the cluster (brute_force_topk's
+        # discipline), with the rerank join NOT broadcasting the large
+        # query side
+        pairs = cds.crossJoin(q_sel).select("qid", "__qv", "vec_id", "code")
+        cand = _adc_pair_scan(pairs, B, n_cand, out_schema)
+        if rerank is None:
+            return _topk_rerank(cand, k)
+        cv = rerank.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
         )
+        rr = (
+            cand.select("qid", "vec_id")
+            .join(q_sel, "qid")
+            .join(cv, "vec_id")
+            .select("qid", "vec_id", "__qv", "__cv")
+        )
+        return _topk_rerank(pair_cosine_arrow(rr), k)
     if not qrows:
         return codes.sparkSession.createDataFrame(
             [],
@@ -247,16 +342,6 @@ def pq_topk(
     # per-query LUT: lut[q, j, c] = dot(Q[q] subspace j, codeword c)
     lut = np.stack(
         [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m_sub)], axis=1
-    )
-    n_cand = k * rerank_factor if rerank is not None else k
-
-    cds = codes.select("vec_id", "code")
-    out_schema = StructType(
-        [
-            StructField("qid", q_sel.schema["qid"].dataType),
-            StructField("vec_id", cds.schema["vec_id"].dataType),
-            StructField("sim", DoubleType()),
-        ]
     )
 
     def _reduce(q, v, s):

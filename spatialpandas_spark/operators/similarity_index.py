@@ -254,10 +254,16 @@ def query_ivfpq_index(
     ).filter(F.col("__qv").isNotNull())
     qrows = q_sel.limit(max_collected_queries + 1).collect()
     if len(qrows) > max_collected_queries:
-        raise ValueError(
-            f"query_ivfpq_index query side exceeds max_collected_queries="
-            f"{max_collected_queries}; split the query frame or raise the "
-            "bound explicitly"
+        # distributed fallback (brute_force_topk's discipline): degrade,
+        # don't raise. Probe assignment runs as an Arrow pass over the
+        # query frame; the DISTINCT probed-bucket set (<= n_centroids
+        # rows, bounded small) is still collected so the scan keeps its
+        # static partition filter; candidates come from a bucket
+        # equi-join + the shared ADC pair scan. Same arithmetic as the
+        # collected path per (query, code) pair.
+        return _query_ivfpq_distributed(
+            spark, path, meta, q_sel, k, n_probe, rerank, rerank_factor,
+            corpus_id, corpus_vec,
         )
     if not qrows:
         empty = StructType(
@@ -361,6 +367,123 @@ def query_ivfpq_index(
         .select("qid", "vec_id", "__qv", "__cv")
     )
     return _topk_rerank(pair_cosine_arrow(pairs), k)
+
+
+def _query_ivfpq_distributed(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    q_sel: DataFrame,
+    k: int,
+    n_probe: int,
+    rerank,
+    rerank_factor: int,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Oversized-query IVF-PQ probe, fully distributed:
+
+    1. probe assignment — an Arrow pass over the query frame ranks
+       centroids per query with the SAME stable argsort the collected
+       path uses and explodes to (qid, __qv, bucket) probe rows;
+    2. the DISTINCT probed buckets (<= n_centroids, bounded) are
+       collected and pushed as a static partition filter, keeping the
+       collected path's planning-time pruning;
+    3. a bucket equi-join builds the (query, code) pairs each query
+       actually probes, scored by the shared :func:`~spatialpandas_spark
+       .operators.pq._adc_pair_scan`;
+    4. optional exact rerank joins WITHOUT broadcasting the large query
+       side.
+
+    Same candidate set and ADC arithmetic as the collected path — the
+    over-threshold pytest pins row-identity across the boundary."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from spatialpandas_spark.operators.pq import (
+        _adc_pair_scan,
+        _books_array,
+        _l2_normalize,
+    )
+
+    cn = _l2_normalize(np.asarray(meta["centroids"], dtype=np.float64))
+    B = _books_array(meta["codebooks"])
+
+    probe_schema = StructType(
+        [
+            StructField("qid", q_sel.schema["qid"].dataType),
+            StructField("__qv", q_sel.schema["__qv"].dataType),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _l2_normalize(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__qv"]]
+                )
+            )
+            order = np.argsort(-(Q @ cn.T), axis=1, kind="stable")[:, :n_probe]
+            n_q, n_p = order.shape
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy().repeat(n_p),
+                    "__qv": pdf["__qv"].to_numpy().repeat(n_p),
+                    "bucket": order.ravel().astype("int32"),
+                }
+            )
+
+    probes = q_sel.mapInPandas(assign_probes, probe_schema)
+    # distinct probed buckets: bounded by n_centroids — tiny, safe collect
+    buckets = sorted(
+        r["bucket"] for r in probes.select("bucket").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    cds = idx.select("bucket", "vec_id", "code")
+    pairs = cds.join(probes, "bucket").select("qid", "__qv", "vec_id", "code")
+    out_schema = StructType(
+        [
+            StructField("qid", q_sel.schema["qid"].dataType),
+            StructField("vec_id", cds.schema["vec_id"].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    n_cand = k * rerank_factor if rerank is not None else k
+    cand = _adc_pair_scan(pairs, B, n_cand, out_schema)
+    if rerank is None:
+        return _topk_rerank(cand, k)
+    if isinstance(rerank, str):
+        if rerank != "stored":
+            raise ValueError(f"unknown rerank mode {rerank!r}")
+        if not meta.get("store_vectors"):
+            raise ValueError(
+                "rerank='stored' requires build_ivfpq_index(store_vectors=True)"
+            )
+        cv = idx.select("vec_id", F.col("vec").alias("__cv"))
+    else:
+        cv = rerank.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        )
+    rr = (
+        cand.select("qid", "vec_id")
+        .join(q_sel, "qid")
+        .join(cv, "vec_id")
+        .select("qid", "vec_id", "__qv", "__cv")
+    )
+    return _topk_rerank(pair_cosine_arrow(rr), k)
 
 
 def append_to_ivfpq_index(

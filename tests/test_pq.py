@@ -109,13 +109,29 @@ def test_pq_reconstruct_error_decreases_with_codes(spark):
     assert mse_big >= 0.0
 
 
-def test_pq_topk_query_guard(spark):
-    emb = _emb(spark, n=20, dim=8)
-    books = train_pq(emb, m_sub=2, n_codes=8, iters=2)
+def test_pq_topk_distributed_fallback_row_identical(spark):
+    """Above max_collected_queries the operator must DEGRADE to the
+    distributed pair formulation (brute_force_topk's contract, round-4
+    verdict item), not raise — identical rows on both sides of the
+    boundary, with and without exact rerank."""
+    emb = _emb(spark, n=40, dim=8, labels=8, seed=13)
+    books = train_pq(emb, m_sub=2, n_codes=16, iters=3)
     codes = pq_encode(emb, books)
-    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    with pytest.raises(ValueError, match="max_collected_queries"):
-        pq_topk(qs, codes, books, k=3, max_collected_queries=5)
+    qs = emb.limit(12).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    for rr in (None, emb):
+        fast = pq_topk(qs, codes, books, k=4, rerank=rr).collect()
+        dist = pq_topk(
+            qs, codes, books, k=4, rerank=rr, max_collected_queries=5
+        ).collect()
+        key = lambda r: (r["qid"], r["rank"])
+        fast_s, dist_s = sorted(fast, key=key), sorted(dist, key=key)
+        assert [(r["qid"], r["vec_id"], r["rank"]) for r in fast_s] == [
+            (r["qid"], r["vec_id"], r["rank"]) for r in dist_s
+        ]
+        for a, b in zip(fast_s, dist_s):
+            assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
 
 
 def test_pq_string_ids_pass_through(spark):

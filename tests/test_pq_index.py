@@ -153,11 +153,39 @@ def test_stored_rerank_requires_vectors(spark, emb, tmp_path):
         query_ivfpq_index(spark, path, _qs(emb), rerank="stored")
 
 
-def test_query_guard(spark, emb, index_path):
-    with pytest.raises(ValueError, match="max_collected_queries"):
-        query_ivfpq_index(
-            spark, index_path, _qs(emb, 6), max_collected_queries=2
-        )
+def test_query_fallback_row_identical(spark, emb, index_path):
+    """Above max_collected_queries the probe must DEGRADE to the
+    distributed formulation (probe-assignment Arrow pass + bucket
+    equi-join), not raise — identical rows on both sides of the
+    boundary for ADC-only, source-rerank, and stored-rerank modes."""
+    for rr in (None, emb, "stored"):
+        fast = query_ivfpq_index(
+            spark, index_path, _qs(emb, 6), k=4, n_probe=3, rerank=rr
+        ).collect()
+        dist = query_ivfpq_index(
+            spark, index_path, _qs(emb, 6), k=4, n_probe=3, rerank=rr,
+            max_collected_queries=2,
+        ).collect()
+        key = lambda r: (r["qid"], r["rank"])
+        fast_s, dist_s = sorted(fast, key=key), sorted(dist, key=key)
+        assert [(r["qid"], r["vec_id"], r["rank"]) for r in fast_s] == [
+            (r["qid"], r["vec_id"], r["rank"]) for r in dist_s
+        ], rr
+        for a, b in zip(fast_s, dist_s):
+            assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
+
+
+def test_query_fallback_keeps_static_pruning(spark, emb, index_path):
+    """The distributed fallback still pushes the probed-bucket set as a
+    static partition filter (the <=n_centroids distinct-bucket collect)."""
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    out = query_ivfpq_index(
+        spark, index_path, _qs(emb, 6), k=4, n_probe=2,
+        max_collected_queries=2,
+    )
+    plan = physical_plan(out)
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
 
 
 def test_compact_after_appends(spark, tmp_path):
