@@ -740,19 +740,117 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
+#: fixed BPE training corpus for the tokenizer gate: training runs
+#: driver-side on this histogram (deterministic by construction —
+#: operators/bpe.py lexicographic tie-break), so BOTH the Spark gate and
+#: the SQL oracle hold the identical merge list, and the gate hash pins
+#: the APPLY path (segmentation + vocab ids) over the real documents
+#: table. The training path itself is pinned by tests/test_bpe.py's
+#: independent recount-from-scratch reference trainer.
+_BPE_FIXTURE_CORPUS = (
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "data pipelines process large corpora of text for model training runs",
+    "the training data quality matters more than the model size in 2024",
+    "streaming systems shuffle partitions across the cluster every hour",
+    "tokenizers merge frequent byte pairs into subword units for text",
+    "documents with repeated words words words compress well under bpe",
+    "run 42 jobs over 100 terabytes and the shuffle stays bounded",
+    "the quick experiments confirm the merge list is deterministic",
+)
+_BPE_GATE_MERGES = 30
+
+
+def _bpe_fixture_merges():
+    import re
+    from collections import Counter
+
+    from spatialpandas_spark.operators.bpe import train_bpe_from_histogram
+
+    hist: Counter = Counter()
+    for s in _BPE_FIXTURE_CORPUS:
+        for w in re.split(r"[^a-z0-9]+", s.lower()):
+            if w:
+                hist[w] += 1
+    return train_bpe_from_histogram(dict(hist), _BPE_GATE_MERGES)
+
+
+def _bpe_oracle_sql() -> str:
+    """Independent DuckDB replay of ``bpe_encode_ids``: character-spaced
+    words, one ``replace(replace(...))`` pair per merge IN RANK ORDER
+    (two passes make consumed-delimiter skips impossible — after pass 1
+    no two unmerged occurrences are adjacent, so pass 2 catches the
+    rest; in-order replay equals the greedy lowest-rank-first segmenter
+    because a trained merge's operands always predate it), then a CASE
+    vocab lookup and a per-doc flatten in word order. Output matches the
+    'bpe' variant of the ``doc_chunks`` gate: per-doc token count + md5
+    of the comma-joined id sequence (hash covers every token id)."""
+    from spatialpandas_spark.operators.bpe import bpe_vocab_ids
+
+    merges = _bpe_fixture_merges()
+    vocab = bpe_vocab_ids(merges)
+    expr = "' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '"
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a + b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    case_items = " ".join(f"WHEN '{s}' THEN {i}" for s, i in vocab.items())
+    ids_expr = (
+        f"list_transform(list_filter(string_split({expr}, ' '), "
+        f"x -> x != ''), x -> CASE x {case_items} ELSE 0 END)"
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, u.i AS wi, wds[u.i] AS word
+          FROM (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x != '') AS wds
+                FROM documents) d,
+               UNNEST(range(1, len(wds) + 1)) AS u(i)
+        ),
+        seg AS (SELECT doc_id, wi, {ids_expr} AS ids FROM w),
+        agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS tid
+                FROM seg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(NULL AS BIGINT) AS chunk_id,
+               CAST(COALESCE(len(a.tid), 0) AS BIGINT) AS n_tokens,
+               md5(COALESCE(array_to_string(a.tid, ','), '')) AS chunk_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_doc_chunks(spark, sf_dir):
-    """Sliding-window document chunking (size 32, stride 24): every chunk
-    row with its token count and the md5 of its exact text."""
+    """Merged chunking + tokenizer gate, tagged union:
+
+    - 'chunk': sliding-window document chunking (size 32, stride 24),
+      every chunk row with its token count and the md5 of its exact
+      text;
+    - 'bpe': ``bpe_encode_ids`` (operators/bpe.py) over every document
+      with the fixture-trained merge list — per-doc token count and the
+      md5 of the full comma-joined token-id sequence, so the gate hash
+      covers every token id the Arrow segmenter emits."""
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
     from spatialpandas_spark.operators.chunk import chunk_documents
 
     d = _t(spark, sf_dir, "documents")
     ch = chunk_documents(d, size=32, stride=24)
-    return ch.select(
+    chunks = ch.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
+    enc = bpe_encode_ids(d, _bpe_fixture_merges())
+    bpe = enc.select(
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("chunk_md5"),
+    )
+    return _variant(chunks, "chunk").unionByName(_variant(bpe, "bpe"))
 
 
 def q_span_dedup(spark, sf_dir):
@@ -772,16 +870,50 @@ def q_span_dedup(spark, sf_dir):
 
 
 def q_events_json(spark, sf_dir):
-    """JSON property extraction over the events stream: parse the props
-    JSON payload JVM-side (get_json_object, no Python) and aggregate the
-    extracted metric per event type."""
+    """Merged JSON-extraction + PageRank gate, tagged union:
+
+    - 'json': parse the props JSON payload JVM-side (get_json_object,
+      no Python) and aggregate the extracted metric per event type;
+    - 'pr': 5-iteration damped PageRank (operators/graph.py — join-based
+      power iteration with dangling-mass redistribution) over the
+      user -> props.k interaction graph derived from the same events
+      (dst offset by 1e7 so the bipartite sides never collide). The
+      oracle replays the identical join algebra as 5 chained CTEs;
+      ranks rounded to 9 places (values O(1/n); cross-engine sum-order
+      noise is ~1e-19, far below the rounding grain).
+
+    Columns: (variant, k, n, sum_k, val)."""
+    from spatialpandas_spark.operators.graph import pagerank
+
     e = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(k).cast("long").alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+    kx = F.get_json_object(F.col("props"), "$.k").cast("long")
+    js = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(kx).cast("long").alias("sum_k"),
+            F.round(F.avg(kx), 6).alias("val"),
+        )
+        .select(
+            F.lit("json").alias("variant"),
+            F.col("event_type").alias("k"),
+            "n",
+            "sum_k",
+            "val",
+        )
     )
+    edges = e.select(
+        F.col("user_id").cast("long").alias("src"),
+        (kx + F.lit(10_000_000)).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pr = pagerank(edges, iters=5, damping=0.85).select(
+        F.lit("pr").alias("variant"),
+        F.col("node").cast("string").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.round(F.col("rank"), 9).alias("val"),
+    )
+    return js.unionByName(pr)
 
 
 def q_unigram_quality(spark, sf_dir):
@@ -1037,7 +1169,92 @@ def q_scrub_normalize(spark, sf_dir):
         F.lit(None).cast("long").alias("n_docs"),
         F.lit(None).cast("long").alias("n_refs"),
     )
-    return scrub.unionByName(hosts)
+
+    # --- merged variant: the crawl ingestion chain, end to end. Every
+    # doc_id % 5 == 0 document is wrapped in a closed-form HTML template
+    # (entity-escaped), enclosed in a spec-layout WARC response record
+    # (HTTP envelope + byte-exact Content-Length), and the records are
+    # concatenated into 4 multi-record archives — all with Catalyst
+    # expressions, the same synthesize-in-engine trick as the WAV gate.
+    # The REAL parsers then run: warc_records (sources/archives.py) ->
+    # extract_text_from_html (operators/html.py); the oracle replays the
+    # template's closed-form expectation (title 'Doc N'; text = the
+    # original text's lines whitespace-collapsed, entity round-trip is
+    # the identity). h = md5(title | text) pins both extractions;
+    # n_docs carries the parsed http_status (envelope check).
+    from spatialpandas_spark.operators.html import extract_text_from_html
+    from spatialpandas_spark.sources.archives import warc_records
+
+    sel = d.filter(F.col("doc_id") % 5 == 0)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    archives = (
+        sel.select("doc_id", rec.alias("__rec"))
+        .groupBy((F.col("doc_id") % 4).alias("archive_id"))
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("i"),
+                                    F.col("__rec").alias("r"),
+                                )
+                            )
+                        ),
+                        lambda s: s["r"],
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("payload")
+        )
+    )
+    parsed = warc_records(archives).select(
+        F.regexp_extract(F.col("url"), r"http://t/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status").cast("long").alias("status"),
+        F.col("body").alias("html"),
+    )
+    texts = extract_text_from_html(parsed, html_col="html")
+    crawl = texts.join(parsed.select("doc_id", "status"), "doc_id").select(
+        F.lit("crawl").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.md5(
+            F.concat_ws("|", F.col("title"), F.col("text"))
+        ).alias("h"),
+        F.col("status").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_refs"),
+    )
+    return scrub.unionByName(hosts).unionByName(crawl)
 
 
 def q_length_filter(spark, sf_dir):
@@ -1139,11 +1356,30 @@ def q_events_asof(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    """Language-balanced deterministic sampling: downsample dominant en,
-    keep all low-resource langs, default rate for the rest. Hash-mod
-    thresholding on md5-prefix — partition-invariant, rerun-stable, and
-    exactly reproducible in the SQL oracle."""
-    from spatialpandas_spark.operators.sampling import stratified_sample
+    """Merged deterministic-sampling + source-mixing gate, tagged union:
+
+    - 'sample': language-balanced hash-mod sampling (downsample dominant
+      en, keep low-resource langs) + the deterministic shuffle rank as a
+      VALUE column, so the driver's order-insensitive hash still
+      verifies the ordering;
+    - 'mix': ``mix_sources`` (operators/ordering.py) — the pretraining
+      mixture recipe: 2.4 epochs of the en corpus (two full passes + a
+      40% hash-sampled epoch 2) blended with a 50% sample of everything
+      else, every copy re-keyed per epoch, and the GLOBAL mix order
+      exposed as a rank value column. The oracle replays epochs with
+      UNNEST(range), the fractional epochs with the md5 threshold rule,
+      and the order with ROW_NUMBER over the same hash.
+
+    Columns: (variant, doc_id, grp, rnk) — grp is the language for
+    'sample' rows and 'source#epoch' for 'mix' rows."""
+    from spatialpandas_spark.operators.ordering import (
+        mix_sources,
+        with_shuffle_rank,
+    )
+    from spatialpandas_spark.operators.sampling import (
+        sample_hash,
+        stratified_sample,
+    )
 
     d = _t(spark, sf_dir, "documents")
     out = stratified_sample(
@@ -1154,16 +1390,40 @@ def q_stratified_sample(spark, sf_dir):
         default_rate=0.5,
         seed=42,
     )
-    # + deterministic training order over the sample (merged gate: the
-    # shuffle rank is a VALUE column, so the driver's order-insensitive
-    # hash still verifies the ordering; oracle replays ROW_NUMBER over
-    # the same md5-prefix hash)
-    from spatialpandas_spark.operators.ordering import with_shuffle_rank
-
     ranked = with_shuffle_rank(out.select("doc_id", "lang"), "doc_id", seed=42)
-    return ranked.select(
-        "doc_id", "lang", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
+    sample = ranked.select(
+        F.lit("sample").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.col("shuffle_rank").cast("long").alias("rnk"),
     )
+
+    en = d.filter(F.col("lang") == "en").select("doc_id")
+    rest = d.filter(F.col("lang") != "en").select("doc_id")
+    mixed = mix_sources(
+        {"en": en, "rest": rest},
+        {"en": 2.4, "rest": 0.5},
+        key_col="doc_id",
+        seed=7,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        sample_hash(
+            F.concat_ws("#", F.col("source"), F.col("epoch"), F.col("doc_id")),
+            7,
+        ).asc(),
+        F.col("source").asc(),
+        F.col("epoch").asc(),
+        F.col("doc_id").asc(),
+    )
+    mix = mixed.withColumn("rnk", F.row_number().over(w) - 1).select(
+        F.lit("mix").alias("variant"),
+        "doc_id",
+        F.concat_ws("#", F.col("source"), F.col("epoch")).alias("grp"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+    return sample.unionByName(mix)
 
 
 def q_shard_pack(spark, sf_dir):
@@ -2436,6 +2696,52 @@ def _embedding_near_dup_oracle_sql(
     """
 
 
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as a generated CTE chain — an
+    independent DuckDB replay of ``operators/graph.py pagerank`` (the
+    same precedent as ``_hilbert_oracle_sql``: a closed-form SQL replay
+    of an iterative operator). Edge derivation, out-degree weights,
+    per-round dangling-mass redistribution, and the damped update are
+    each one CTE per iteration; the literal ``(1.0 - d)`` matches the
+    Spark side's Python-computed ``(1.0 - damping)`` IEEE ops exactly."""
+    d = repr(damping)
+    ctes = [
+        """e AS (SELECT DISTINCT user_id AS src,
+                        CAST(json_extract(props, '$.k') AS BIGINT)
+                          + 10000000 AS dst
+                 FROM events
+                 WHERE json_extract(props, '$.k') IS NOT NULL)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src)",
+        "ew AS (SELECT src, dst, 1.0 / dg AS w FROM e JOIN deg USING (src))",
+        """dang AS (SELECT node FROM nodes LEFT JOIN deg ON node = src
+                    WHERE src IS NULL)""",
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm "
+            f"FROM r{i} JOIN dang USING (node))"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT dst AS node, SUM(rank * w) AS cin "
+            f"FROM r{i} JOIN ew ON r{i}.node = ew.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"(1.0 - {d}) / n + {d} * (COALESCE(cin, 0.0) + dm / n) AS rank "
+            f"FROM nodes LEFT JOIN c{i} USING (node) "
+            f"CROSS JOIN dm{i} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS VARCHAR) AS k, ROUND(rank, 9) AS val "
+        f"FROM r{iters}"
+    )
+
+
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
 # BPE pretokenizer pattern with SQL-escaped quotes (same regex the engine
@@ -2821,6 +3127,7 @@ def _base_oracle_sql() -> dict[str, str]:
                    md5(array_to_string(ct, ' ')) AS chunk_md5
             FROM ch
         """,
+        "bpe_ids": _bpe_oracle_sql(),
         "span_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
                        WHERE text IS NOT NULL AND trim(text) != ''),
@@ -2837,14 +3144,19 @@ def _base_oracle_sql() -> dict[str, str]:
                    md5(COALESCE(r.txt, '')) AS text_md5
             FROM documents d LEFT JOIN r USING (doc_id)
         """,
-        "events_json": """
-            SELECT event_type,
+        "events_json": f"""
+            SELECT 'json' AS variant, event_type AS k,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS INT))
                         AS BIGINT) AS sum_k,
                    ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6)
-                        AS avg_k
+                        AS val
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'pr' AS variant, k,
+                   CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_k,
+                   val
+            FROM ({_pagerank_oracle_sql()})
         """,
         "unigram_quality": f"""
             WITH tok AS (
@@ -3011,6 +3323,22 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR),
                    CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
             FROM documents GROUP BY doc_id % 7
+            UNION ALL
+            -- crawl chain replay: the WARC/HTML round trip is the
+            -- identity on the template, so the expectation is closed
+            -- form — title 'Doc N'; text = original lines with runs of
+            -- whitespace collapsed, trimmed, blanks dropped
+            SELECT 'crawl', CAST(doc_id AS VARCHAR),
+                   md5('Doc ' || CAST(doc_id AS VARCHAR) || '|' ||
+                       array_to_string(
+                         list_filter(
+                           list_transform(
+                             string_split(text, chr(10)),
+                             x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+                           x -> x != ''),
+                         chr(10))),
+                   CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM documents WHERE doc_id % 5 = 0
         """,
         "length_filter": f"""
             WITH tc AS (SELECT doc_id, lang,
@@ -3095,11 +3423,11 @@ def _base_oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "stratified_sample": """
-            SELECT doc_id, lang,
+            SELECT 'sample' AS variant, doc_id, lang AS grp,
                    CAST(ROW_NUMBER() OVER (
                      ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
                               doc_id
-                   ) - 1 AS BIGINT) AS shuffle_rank
+                   ) - 1 AS BIGINT) AS rnk
             FROM (
               SELECT doc_id, lang FROM documents
               WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -3108,6 +3436,33 @@ def _base_oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 1000000
                               WHEN 'de' THEN 1000000
                               ELSE 500000 END
+            )
+            UNION ALL
+            -- mix_sources replay: en x2.4 (epochs 0,1 full + 40% epoch
+            -- 2 by the 'en#2#key' hash), rest x0.5 (epoch 0 by the
+            -- 'rest#0#key' hash); global order = md5-prefix hash of
+            -- '7:source#epoch#key', ties (source, epoch, key)
+            SELECT 'mix' AS variant, doc_id,
+                   source || '#' || CAST(epoch AS VARCHAR) AS grp,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY ('0x' || substr(md5('7:' || source || '#'
+                                || CAST(epoch AS VARCHAR) || '#'
+                                || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                              source, epoch, doc_id
+                   ) - 1 AS BIGINT) AS rnk
+            FROM (
+              SELECT doc_id, 'en' AS source, u.e AS epoch
+              FROM documents, UNNEST([0, 1]) AS u(e) WHERE lang = 'en'
+              UNION ALL
+              SELECT doc_id, 'en', 2 FROM documents
+              WHERE lang = 'en'
+                AND ('0x' || substr(md5('7:en#2#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < 400000
+              UNION ALL
+              SELECT doc_id, 'rest', 0 FROM documents
+              WHERE lang != 'en'
+                AND ('0x' || substr(md5('7:rest#0#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < 500000
             )
         """,
         "shard_pack": f"""
@@ -3213,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
         "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
         "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
+        "doc_chunks": union("doc_chunks", "bpe_ids", "chunk", "bpe"),
         "area_by_group": join("area_by_group", "length_by_group", "brand"),
         "oriented_area": join("oriented_area", "centroid", "id"),
         "sjoin_counts": join("sjoin_counts", "boundary_length", "did"),
