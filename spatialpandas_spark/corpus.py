@@ -124,11 +124,13 @@ class CorpusFrame:
 
         return train_bpe(self.df, n_merges=n_merges, text_col=self.text_col, **kw)
 
-    def tokenize(self, merges, ids: bool = False) -> DataFrame:
+    def tokenize(self, merges, ids: bool = False, **kw) -> DataFrame:
         from spatialpandas_spark.operators.bpe import bpe_encode, bpe_encode_ids
 
         fn = bpe_encode_ids if ids else bpe_encode
-        return fn(self.df, merges, id_col=self.id_col, text_col=self.text_col)
+        return fn(
+            self.df, merges, id_col=self.id_col, text_col=self.text_col, **kw
+        )
 
     # ----------------------------------------------------------- search
     def bm25(self, query: str, k: int = 10, **kw) -> DataFrame:

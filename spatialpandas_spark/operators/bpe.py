@@ -45,20 +45,110 @@ END = "</w>"  # end-of-word marker, merged like any symbol
 
 
 def word_tokens(text):
-    """Pre-tokenization: lowercase words and standalone punctuation runs
-    (a deliberately simple, RE2-safe public-recipe splitter; swap for a
-    GPT-2 regex if byte-level fidelity is needed)."""
+    """ASCII-mode pre-tokenization: lowercase words and standalone
+    punctuation runs (a deliberately simple, RE2-safe public-recipe
+    splitter whose SQL twin is oracle-checkable). Non-ASCII text yields
+    zero tokens in this mode — use ``mode='bytes'`` for full coverage."""
     return F.expr(
         f"filter(split(lower({text}), '[^a-z0-9]+'), x -> x != '')"
     )
 
 
+# --- byte-level mode (GPT-2-style): every text tokenizes, no drops ----
+
+import re as _re
+
+#: unicode-aware word/punctuation splitter for byte mode. Runs in
+#: PYTHON on both the histogram and apply paths (never as a Spark
+#: regexp), so training and application can never disagree on word
+#: boundaries across engines/locales.
+_BYTE_WORD_RE = _re.compile(r"\w+|[^\w\s]+")
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The published GPT-2 byte-to-unicode alphabet: every byte 0-255
+    maps to a printable unicode char (printable ASCII + Latin-1 keep
+    their own codepoint; the 68 unprintables shift up by 256), so BPE
+    symbols stay plain strings and any UTF-8 text — CJK, emoji, broken
+    encodings — round-trips losslessly through the tokenizer."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+BYTE_ALPHABET = "".join(_B2U[b] for b in range(256))
+
+
+def _byte_words(text: str | None) -> list[str]:
+    """Byte-mode pre-tokenization: unicode word/punct runs, each mapped
+    through the byte alphabet (one symbol per UTF-8 byte)."""
+    if not text:
+        return []
+    return [
+        "".join(_B2U[b] for b in w.encode("utf-8"))
+        for w in _BYTE_WORD_RE.findall(text)
+    ]
+
+
+def byte_tokens_to_text(tokens: list[str]) -> str:
+    """Inverse of the byte mapping for a segmented word's tokens (the
+    lossless-round-trip guarantee byte mode exists for): strips ``END``
+    markers, maps symbols back to bytes, decodes UTF-8."""
+    data = bytes(
+        _U2B[ch]
+        for tok in tokens
+        for ch in tok.replace(END, "")
+        if ch in _U2B
+    )
+    return data.decode("utf-8", errors="replace")
+
+
 def word_histogram(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", mode: str = "ascii"
 ) -> DataFrame:
-    """Distributed word count: ``(word, n)``, one shuffle."""
+    """Distributed word count: ``(word, n)``, one shuffle. ``mode``:
+
+    - ``'ascii'`` (default): the Catalyst splitter (SQL-replayable;
+      non-ASCII text contributes nothing);
+    - ``'bytes'``: GPT-2-style byte-level words via an Arrow pass — the
+      same Python splitter + byte alphabet the apply path uses, so EVERY
+      document contributes and training/apply can never disagree."""
+    if mode == "ascii":
+        return (
+            docs.select(F.explode(word_tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+    if mode != "bytes":
+        raise ValueError(f"unknown BPE mode {mode!r}")
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = StructType([StructField("word", StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[str] = []
+            for text in pdf[text_col]:
+                out.extend(_byte_words(text))
+            yield pd.DataFrame({"word": out})
+
     return (
-        docs.select(F.explode(word_tokens(text_col)).alias("word"))
+        docs.select(text_col)
+        .mapInPandas(run, schema)
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -69,13 +159,15 @@ def train_bpe(
     n_merges: int = 200,
     text_col: str = "text",
     max_words: int = 1_000_000,
+    mode: str = "ascii",
 ) -> list[tuple[str, str]]:
     """Train BPE merges from a corpus. Returns the ordered merge list
     (earlier = higher priority). Driver memory is bounded by
     ``max_words`` histogram rows (kept most-frequent, ties by word, so
-    the cap is deterministic too)."""
+    the cap is deterministic too). ``mode='bytes'`` trains on the
+    byte-alphabet words (full unicode coverage, lossless)."""
     rows = (
-        word_histogram(docs, text_col)
+        word_histogram(docs, text_col, mode=mode)
         .orderBy(F.desc("n"), "word")
         .limit(max_words)
         .collect()
@@ -182,17 +274,34 @@ def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _prep_words(docs: DataFrame, id_col: str, text_col: str, mode: str):
+    """Shared encode prep: (prepped frame, per-row word-list getter).
+    ascii mode extracts words JVM-side (Catalyst split); bytes mode
+    ships the raw text and splits in Python with the SAME splitter the
+    byte histogram uses."""
+    if mode == "ascii":
+        prepped = docs.select(id_col, word_tokens(text_col).alias("__w"))
+        return prepped, lambda v: v if v is not None else []
+    if mode != "bytes":
+        raise ValueError(f"unknown BPE mode {mode!r}")
+    prepped = docs.select(id_col, F.col(text_col).alias("__w"))
+    return prepped, _byte_words
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "ascii",
 ) -> DataFrame:
     """Tokenize documents with a trained merge list: returns
     ``(id_col, tokens array<string>, n_tokens)``. Merges are broadcast
     once; segmentation runs in Arrow batches with a per-batch
     distinct-word cache (Zipf: the merge loop runs per distinct word,
-    not per token)."""
+    not per token). ``mode='bytes'`` tokenizes byte-alphabet words
+    (every text yields tokens; per-word byte sequences round-trip via
+    :func:`byte_tokens_to_text`)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -208,23 +317,21 @@ def bpe_encode(
             StructField("n_tokens", IntegerType()),
         ]
     )
-    words_expr = word_tokens(text_col)
-    prepped = docs.select(id_col, words_expr.alias("__words"))
+    prepped, words_of = _prep_words(docs, id_col, text_col, mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = bc.value
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             ids, toks, ns = [], [], []
-            for did, words in zip(pdf[id_col], pdf["__words"]):
+            for did, raw in zip(pdf[id_col], pdf["__w"]):
                 out: list[str] = []
-                if words is not None:
-                    for w in words:
-                        seg = cache.get(w)
-                        if seg is None:
-                            seg = segment_word(w, ranks)
-                            cache[w] = seg
-                        out.extend(seg)
+                for w in words_of(raw):
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = segment_word(w, ranks)
+                        cache[w] = seg
+                    out.extend(seg)
                 ids.append(did)
                 toks.append(out)
                 ns.append(len(out))
@@ -240,12 +347,21 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
 
 
 def bpe_vocab_ids(
-    merges: list[tuple[str, str]], alphabet: str = "abcdefghijklmnopqrstuvwxyz0123456789"
+    merges: list[tuple[str, str]],
+    alphabet: str | None = None,
+    mode: str = "ascii",
 ) -> dict[str, int]:
     """Stable symbol -> id mapping for training export: id 0 is UNK,
     1 is ``</w>``, then the base alphabet in order, then merged symbols
     in rank order. Deterministic for a given merge list — the property
-    a resumable training pipeline needs."""
+    a resumable training pipeline needs. In ``mode='bytes'`` the base
+    alphabet is all 256 byte symbols, so UNK is unreachable and every
+    id sequence decodes back to exact bytes."""
+    if alphabet is None:
+        alphabet = (
+            BYTE_ALPHABET if mode == "bytes"
+            else "abcdefghijklmnopqrstuvwxyz0123456789"
+        )
     vocab = {"<unk>": 0, END: 1}
     for ch in alphabet:
         vocab[ch] = len(vocab)
@@ -260,16 +376,18 @@ def bpe_encode_ids(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "ascii",
 ) -> DataFrame:
     """``bpe_encode`` + vocabulary lookup in one Arrow pass:
     ``(id_col, token_ids array<int>, n_tokens)``, unknown symbols -> 0
-    (UNK). The export shape a tokenized-dataset writer consumes."""
+    (UNK; unreachable in ``mode='bytes'``). The export shape a
+    tokenized-dataset writer consumes."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     spark = docs.sparkSession
-    vocab = bpe_vocab_ids(merges)
+    vocab = bpe_vocab_ids(merges, mode=mode)
     bc = spark.sparkContext.broadcast(
         ({tuple(m): i for i, m in enumerate(merges)}, vocab)
     )
@@ -280,24 +398,23 @@ def bpe_encode_ids(
             StructField("n_tokens", IntegerType()),
         ]
     )
-    prepped = docs.select(id_col, word_tokens(text_col).alias("__words"))
+    prepped, words_of = _prep_words(docs, id_col, text_col, mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks, voc = bc.value
         cache: dict[str, list[int]] = {}
         for pdf in batches:
             ids, toks, ns = [], [], []
-            for did, words in zip(pdf[id_col], pdf["__words"]):
+            for did, raw in zip(pdf[id_col], pdf["__w"]):
                 out: list[int] = []
-                if words is not None:
-                    for w in words:
-                        seg = cache.get(w)
-                        if seg is None:
-                            seg = [
-                                voc.get(s, 0) for s in segment_word(w, ranks)
-                            ]
-                            cache[w] = seg
-                        out.extend(seg)
+                for w in words_of(raw):
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = [
+                            voc.get(s, 0) for s in segment_word(w, ranks)
+                        ]
+                        cache[w] = seg
+                    out.extend(seg)
                 ids.append(did)
                 toks.append(out)
                 ns.append(len(out))

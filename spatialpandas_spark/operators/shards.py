@@ -75,6 +75,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
+    mode: str = "ascii",
 ) -> dict:
     """End-of-pipeline sink: tokenize (BPE ids), deterministically
     shuffle, pack into ~``shard_tokens``-token shards, and write
@@ -88,20 +89,24 @@ def write_training_shards(
     the partitioned write so each shard directory holds ONE file
     (the small-files rule in docs/SCALE.md).
 
-    Zero-token documents are DROPPED by the ``n_tokens > 0`` gate —
-    and because the BPE pre-tokenizer is ASCII-alnum-only
-    (operators/bpe.py ``word_tokens``), that silently includes EVERY
-    all-non-ASCII document (CJK, pure-accented text) until a byte-level
-    pre-tokenizer lands. The drop is therefore REPORTED, not silent:
-    the returned stats include ``n_dropped_docs`` so a pipeline can
-    alert when the drop rate is not ~0.
+    Zero-token documents are DROPPED by the ``n_tokens > 0`` gate — in
+    the default ``mode='ascii'`` (whose pre-tokenizer is ASCII-alnum-
+    only, operators/bpe.py ``word_tokens``) that includes EVERY
+    all-non-ASCII document (CJK, pure-accented text). The drop is
+    REPORTED, not silent: the returned stats include ``n_dropped_docs``
+    so a pipeline can alert when the rate is not ~0. For full-coverage
+    corpora pass ``mode='bytes'`` (train the merges in the same mode) —
+    byte-level words tokenize everything, so only truly empty docs
+    drop.
 
     Returns {"n_docs", "n_shards", "total_tokens", "n_dropped_docs"}
     gathered from the written data (read back, trust the sink not the
     plan; the drop count comes from the pre-filter frame)."""
     from spatialpandas_spark.operators.bpe import bpe_encode_ids
 
-    toks = bpe_encode_ids(docs, merges, id_col=id_col, text_col=text_col)
+    toks = bpe_encode_ids(
+        docs, merges, id_col=id_col, text_col=text_col, mode=mode
+    )
     ordered_key = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
     n_dropped = toks.filter(F.col("n_tokens") <= 0).count()
     packed = pack_shards(

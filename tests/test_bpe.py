@@ -186,3 +186,99 @@ def test_encode_scales_shape(spark):
         len(segment_word(w, ranks)) for _, t in rows for w in t.split()
     )
     assert got == exp
+
+
+# ------------------------------------------------------ byte-level mode
+
+def test_bytes_to_unicode_is_published_alphabet():
+    from spatialpandas_spark.operators.bpe import BYTE_ALPHABET, bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    # printable ASCII + Latin-1 keep their own codepoints
+    assert b2u[ord("a")] == "a" and b2u[0xE9] == "\xe9"
+    # unprintables shift past 255 (space is 0x20 -> U+0120)
+    assert ord(b2u[0x20]) == 0x20 + 256 and ord(b2u[0x00]) == 0x100
+    assert len(BYTE_ALPHABET) == 256
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_byte_words_round_trip_any_unicode(text):
+    """Per-word lossless round trip for ARBITRARY unicode input — the
+    property the ascii mode cannot give."""
+    from spatialpandas_spark.operators.bpe import (
+        _BYTE_WORD_RE,
+        _byte_words,
+        byte_tokens_to_text,
+        segment_word,
+        train_bpe_from_histogram,
+    )
+    from collections import Counter
+
+    words = _byte_words(text)
+    hist = Counter(words)
+    merges = train_bpe_from_histogram(dict(hist), 20)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    raw_words = _BYTE_WORD_RE.findall(text)
+    assert len(words) == len(raw_words)
+    for raw, w in zip(raw_words, words):
+        toks = segment_word(w, ranks)
+        assert byte_tokens_to_text(toks) == raw
+
+
+def test_bytes_mode_tokenizes_cjk_spark(spark):
+    """The ADVICE r4 gap closed: all-non-ASCII documents produce tokens
+    (and survive the shard sink) in mode='bytes'."""
+    from spatialpandas_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_vocab_ids,
+        byte_tokens_to_text,
+        train_bpe,
+    )
+
+    rows = [
+        (1, "日本語のテキストです。トークン化されます"),
+        (2, "mixed ascii and 中文 text with emoji 🙂 and café"),
+        (3, "plain ascii only"),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=40, mode="bytes")
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges, mode="bytes").collect()}
+    assert enc[1]["n_tokens"] > 0 and enc[2]["n_tokens"] > 0
+    assert enc[4]["n_tokens"] == 0 and enc[5]["n_tokens"] == 0
+    # tokens decode back to the concatenated word bytes (whitespace is
+    # the only thing the splitter discards)
+    got = byte_tokens_to_text(list(enc[3]["tokens"]))
+    assert got == "plainasciionly"
+    # id path: byte alphabet makes UNK unreachable
+    vocab = bpe_vocab_ids(merges, mode="bytes")
+    ids = {r["doc_id"]: r for r in bpe_encode_ids(docs, merges, mode="bytes").collect()}
+    assert ids[1]["n_tokens"] == enc[1]["n_tokens"]
+    assert 0 not in set(ids[1]["token_ids"]) | set(ids[2]["token_ids"])
+    rev = {v: k for k, v in vocab.items()}
+    assert byte_tokens_to_text([rev[i] for i in ids[1]["token_ids"]]) == \
+        "日本語のテキストです。トークン化されます"
+
+
+def test_bytes_mode_shard_sink_keeps_cjk(spark, tmp_path):
+    from spatialpandas_spark.operators.bpe import train_bpe
+    from spatialpandas_spark.operators.shards import write_training_shards
+
+    rows = [(i, f"doc {i} words words") for i in range(20)]
+    rows.append((98, "日本語のみのドキュメント"))
+    rows.append((99, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=20, mode="bytes")
+    stats = write_training_shards(
+        docs, merges, str(tmp_path / "s"), shard_tokens=100, mode="bytes"
+    )
+    assert stats["n_docs"] == 21          # CJK doc kept now
+    assert stats["n_dropped_docs"] == 1   # only the truly empty doc
