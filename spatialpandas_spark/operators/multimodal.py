@@ -29,9 +29,10 @@ JPEG for real too — Huffman entropy coding + 8x8 IDCT written from the
 public T.81 spec (:mod:`spatialpandas_spark.operators.jpeg`), verified
 against an independent spec-derived encoder. ``decoder="image"`` sniffs
 the payload magic per row and routes PPM/PNG/JPEG to the right real
-kernel — the mixed-crawl shape. Remaining codec-gated: progressive
-JPEG, and compressed audio/video (mp3/aac/h264), whose decoders are out
-of scope for a pure-numpy runtime.
+kernel — the mixed-crawl shape. JPEG covers BOTH baseline sequential
+and progressive (SOF2) profiles. Remaining codec-gated: compressed
+audio/video (mp3/aac/h264), whose decoders are out of scope for a
+pure-numpy runtime.
 """
 
 from __future__ import annotations

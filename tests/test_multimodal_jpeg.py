@@ -344,12 +344,24 @@ def test_malformed_raises(mutate):
         decode_jpeg(mutate(bytearray(encode_jpeg(img))))
 
 
-def test_progressive_rejected():
+def test_sof2_with_baseline_scan_header_rejected():
+    """SOF2 is SUPPORTED now (tests/test_jpeg_progressive.py), but a
+    baseline-shaped scan header (Ss=0, Se=63 — a full-band DC scan)
+    inside a progressive frame is malformed and must still raise."""
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     b = bytearray(encode_jpeg(img))
     i = b.find(b"\xff\xc0")
     b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+
+def test_arithmetic_coding_rejected():
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(bytes(b))
 
 
