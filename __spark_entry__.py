@@ -1516,21 +1516,30 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via random-hyperplane banding. The
-    hyperplanes are seeded numpy constants embedded as literal arrays in
-    the oracle SQL, so DuckDB recomputes the exact signatures, band
-    collisions, and cosine filter."""
+    """Merged embedding near-dup gate, tagged union of the two
+    candidate-generation strategies:
+
+    - 'rp': random-hyperplane banding (the LSH path) — seeded
+      hyperplanes embedded as literal arrays in the oracle SQL, so
+      DuckDB recomputes the exact signatures, band collisions, and
+      cosine filter;
+    - 'semantic': SemDeDup-style within-cluster pairs
+      (operators/semantic.py) with ``kmeans_iters=0`` so the
+      deterministic md5-sample centroid assignment is closed-form SQL
+      (the same ``asg`` replay the IVF gates use)."""
+    from spatialpandas_spark.operators.semantic import semantic_dedup_pairs
     from spatialpandas_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(
+    rp = embedding_near_dup_pairs(
         emb, threshold=0.3, dim=64, bits=16, bands=4, seed=42
-    )
-    return out.select(
-        "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
-    )
+    ).select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
+    sem = semantic_dedup_pairs(
+        emb, n_clusters=16, threshold=0.3, kmeans_iters=0
+    ).select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
+    return _variant(rp, "rp").unionByName(_variant(sem, "semantic"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -2696,6 +2705,46 @@ def _embedding_near_dup_oracle_sql(
     """
 
 
+def _semantic_pairs_oracle_sql(
+    n_clusters: int = 16, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of ``semantic_dedup_pairs`` at ``kmeans_iters=0``:
+    md5-ordered centroid sample + max-cosine assignment (the same
+    ``cent``/``asg`` replay as the IVF gates), then exact cosine over
+    same-cluster (id_a < id_b) pairs above the threshold."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+            f"AND sqrt(list_dot_product({b},{b})) > 0 "
+            f"THEN list_dot_product({a},{b}) / "
+            f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+            f"ELSE 0.0 END"
+        )
+
+    return f"""
+WITH e AS ({_ISO_E_SQL}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, cv FROM
+  (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS cv FROM e
+   ORDER BY 1, 2 LIMIT {n_clusters})
+),
+asg AS (
+  SELECT vec_id, ci FROM (
+    SELECT e.vec_id, c.ci,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.cv')} DESC, c.ci ASC) AS rk
+    FROM e CROSS JOIN cent c) WHERE rk = 1
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos('ea.v', 'eb.v')} AS sim
+  FROM asg a JOIN asg b ON a.ci = b.ci AND a.vec_id < b.vec_id
+  JOIN e ea ON a.vec_id = ea.vec_id
+  JOIN e eb ON b.vec_id = eb.vec_id
+) WHERE sim >= {threshold}
+"""
+
+
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Fixed-iteration PageRank as a generated CTE chain — an
     independent DuckDB replay of ``operators/graph.py pagerank`` (the
@@ -3483,6 +3532,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_index": _ivf_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "semantic_pairs": _semantic_pairs_oracle_sql(),
         "ann_topk": _bf_oracle_sql(),
         "label_centroid_sim": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3569,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
         "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
         "doc_chunks": union("doc_chunks", "bpe_ids", "chunk", "bpe"),
+        "embedding_near_dup": union(
+            "embedding_near_dup", "semantic_pairs", "rp", "semantic"
+        ),
         "area_by_group": join("area_by_group", "length_by_group", "brand"),
         "oriented_area": join("oriented_area", "centroid", "id"),
         "sjoin_counts": join("sjoin_counts", "boundary_length", "did"),

@@ -1,0 +1,127 @@
+"""SemDeDup-style semantic deduplication over an embedding column
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", 2023 — the published recipe large pretraining
+pipelines use to prune paraphrase-level duplicates that MinHash cannot
+see).
+
+Recipe: spherical k-means partitions the embedding space; candidate
+pairs are generated ONLY within a cluster (the published approximation
+— cross-cluster near-dups are missed by design, the accepted recall
+trade for making the pair volume sum(|cluster|^2) instead of n^2);
+pairs above the cosine threshold are closed transitively (similarity is
+not transitive) and each cluster keeps its smallest id, the same
+deterministic survivor rule as ``dedup_exact`` / ``dedup_near``.
+
+Everything composes existing scale shapes: deterministic md5-sample
+centroids + spherical Lloyd refinement (``similarity._centroids`` /
+``kmeans_refine`` — one scan per iteration), one Arrow
+``bucket_assign_arrow`` pass, a bucket-keyed self-join (AQE splits hot
+clusters; ``n_clusters`` must grow with corpus size to bound
+|cluster|), one Arrow cosine pass over candidates, and the
+alternating-star connected components of ``operators/graph.py``. With
+``kmeans_iters=0`` the whole pipeline is deterministic closed-form SQL
+(the IVF gate already replays centroid assignment), which is what the
+driver-gate variant uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "semantic_dedup_pairs",
+    "semantic_dedup_clusters",
+    "semantic_dedup",
+]
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: ``(id_a, id_b, sim)`` with
+    ``id_a < id_b`` and ``sim >= threshold`` (exact cosine, computed
+    only for same-cluster pairs). Null vectors are dropped at the
+    boundary (the ANN-surface contract)."""
+    from spatialpandas_spark.operators.similarity import (
+        _centroids,
+        bucket_assign_arrow,
+        kmeans_refine,
+        pair_cosine_arrow,
+    )
+
+    cents = _centroids(vectors, id_col, vec_col, n_clusters)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(vectors, cents, kmeans_iters, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).filter(F.col("__cv").isNotNull())
+    assigned = bucket_assign_arrow(v, cents, vec_col="__cv")
+    left = assigned.select(
+        F.col("__bucket").alias("__b"),
+        F.col("__id").alias("id_a"),
+        F.col("__cv").alias("__qv"),
+    )
+    right = assigned.select(
+        F.col("__bucket").alias("__b"),
+        F.col("__id").alias("id_b"),
+        F.col("__cv"),
+    )
+    cand = left.join(right, "__b").filter(F.col("id_a") < F.col("id_b"))
+    sims = pair_cosine_arrow(cand, keep_cols=("id_a", "id_b"))
+    return sims.filter(F.col("sim") >= F.lit(threshold))
+
+
+def semantic_dedup_clusters(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every row labeled with its semantic-duplicate ``cluster_id`` (the
+    smallest id in its transitive near-dup group; singletons keep their
+    own id) and the group size — the ``near_dup_clusters`` shape on the
+    embedding surface."""
+    from spatialpandas_spark.operators.graph import connected_components
+
+    pairs = semantic_dedup_pairs(
+        vectors, n_clusters, threshold, kmeans_iters, id_col, vec_col
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (
+        vectors.join(comp, vectors[id_col] == comp["node"], "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+        )
+        .drop("node", "component")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep one row per semantic-duplicate group (smallest id — the
+    deterministic survivor rule shared across the dedup family).
+    Columns pass through untouched."""
+    clustered = semantic_dedup_clusters(
+        vectors, n_clusters, threshold, kmeans_iters, id_col, vec_col
+    )
+    return clustered.filter(
+        F.col(id_col).cast("long") == F.col("cluster_id")
+    ).select(*vectors.columns)
