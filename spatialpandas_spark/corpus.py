@@ -132,6 +132,24 @@ class CorpusFrame:
             self.df, merges, id_col=self.id_col, text_col=self.text_col, **kw
         )
 
+    def train_unigram(self, vocab_size: int = 32_000, **kw):
+        from spatialpandas_spark.operators.unigram import train_unigram
+
+        return train_unigram(
+            self.df, vocab_size=vocab_size, text_col=self.text_col, **kw
+        )
+
+    def tokenize_unigram(self, table, ids: bool = False, **kw) -> DataFrame:
+        from spatialpandas_spark.operators.unigram import (
+            unigram_encode,
+            unigram_encode_ids,
+        )
+
+        fn = unigram_encode_ids if ids else unigram_encode
+        return fn(
+            self.df, table, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
     # ----------------------------------------------------------- search
     def bm25(self, query: str, k: int = 10, **kw) -> DataFrame:
         from spatialpandas_spark.operators.search import bm25_search
