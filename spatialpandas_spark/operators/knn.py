@@ -432,3 +432,47 @@ def sjoin_knn(
         F.col("__d2").alias("dist2"),
         F.col("__rk").cast("int").alias("rank"),
     )
+
+
+def sjoin_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    max_distance: float | None = None,
+    how: str = "inner",
+    distance_col: str = "dist",
+    left_id: str = "lid",
+    right_id: str = "rid",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    **knn_kwargs,
+) -> DataFrame:
+    """Nearest-neighbor spatial join — the ``geopandas.sjoin_nearest``
+    surface (ref analog: spatialpandas has no nearest join; this is
+    parity-plus for its geopandas-bridge audience) as a k=1 wrapper over
+    the exact grid kNN join (:func:`sjoin_knn`, so the 100 TB shape —
+    level-jump grid candidates, bounded residual sweep — comes free).
+
+    Each left row gains its single nearest right match (ties broken by
+    smallest ``right_id`` — deterministic, where geopandas returns ALL
+    ties) plus ``distance_col`` (euclidean). ``max_distance`` drops
+    matches beyond it BEFORE the join-back; ``how='left'`` keeps
+    unmatched left rows with nulls, ``'inner'`` drops them. Output:
+    every left column + (right_id, distance_col)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    nn = sjoin_knn(
+        left, right, k=1,
+        left_id=left_id, right_id=right_id,
+        left_geom=left_geom, right_geom=right_geom,
+        **knn_kwargs,
+    ).filter(F.col("rank") == 1)
+    if max_distance is not None:
+        nn = nn.filter(
+            F.col("dist2") <= F.lit(float(max_distance) ** 2)
+        )
+    matches = nn.select(
+        F.col(left_id),
+        F.col(right_id),
+        F.sqrt(F.col("dist2")).alias(distance_col),
+    )
+    return left.join(matches, left_id, how)

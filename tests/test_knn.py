@@ -94,3 +94,58 @@ def test_knn_tie_break_by_rid(spark):
     rpts = [(5, 1.0, 0.0), (2, -1.0, 0.0), (9, 0.0, 1.0)]  # all dist2 = 1
     got = _got(sjoin_knn(_mk(spark, lpts, "lid"), _mk(spark, rpts, "rid"), k=2, cell_size=1.0))
     assert got[0] == [(2, 1.0), (5, 1.0)]
+
+
+def test_sjoin_nearest_matches_bruteforce_oracle(spark):
+    """sjoin_nearest == python brute-force nearest (ties: min rid),
+    with max_distance and left-join semantics."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.knn import sjoin_nearest
+
+    rng = np.random.default_rng(17)
+    L = rng.uniform(0, 100, (80, 2))
+    R = rng.uniform(0, 100, (60, 2))
+    left = spark.createDataFrame(
+        [(i, {"x": float(x), "y": float(y)}) for i, (x, y) in enumerate(L)],
+        "lid long, geom struct<x:double,y:double>",
+    )
+    right = spark.createDataFrame(
+        [(j, {"x": float(x), "y": float(y)}) for j, (x, y) in enumerate(R)],
+        "rid long, geom struct<x:double,y:double>",
+    )
+
+    d2 = ((L[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    exp_nn = d2.argmin(1)  # numpy argmin = first min = smallest rid tie-break
+    exp_d = np.sqrt(d2[np.arange(len(L)), exp_nn])
+
+    got = {r["lid"]: r for r in sjoin_nearest(left, right).collect()}
+    assert len(got) == len(L)
+    for i in range(len(L)):
+        assert got[i]["rid"] == exp_nn[i], i
+        assert got[i]["dist"] == pytest.approx(exp_d[i], rel=1e-12)
+
+    # max_distance + inner drops far rows; left keeps them with nulls
+    cut = float(np.quantile(exp_d, 0.5))
+    inner = sjoin_nearest(left, right, max_distance=cut).collect()
+    kept = {r["lid"] for r in inner}
+    assert kept == {i for i in range(len(L)) if exp_d[i] <= cut}
+    lft = sjoin_nearest(left, right, max_distance=cut, how="left").collect()
+    assert len(lft) == len(L)
+    nulls = {r["lid"] for r in lft if r["rid"] is None}
+    assert nulls == set(range(len(L))) - kept
+
+
+def test_sjoin_nearest_tie_determinism(spark):
+    from spatialpandas_spark.operators.knn import sjoin_nearest
+
+    left = spark.createDataFrame(
+        [(0, {"x": 0.0, "y": 0.0})], "lid long, geom struct<x:double,y:double>"
+    )
+    # two equidistant right points: the smaller rid must win
+    right = spark.createDataFrame(
+        [(7, {"x": 1.0, "y": 0.0}), (3, {"x": -1.0, "y": 0.0})],
+        "rid long, geom struct<x:double,y:double>",
+    )
+    rows = sjoin_nearest(left, right).collect()
+    assert len(rows) == 1 and rows[0]["rid"] == 3
