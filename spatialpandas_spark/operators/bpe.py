@@ -423,3 +423,35 @@ def bpe_encode_ids(
             )
 
     return prepped.mapInPandas(run, out_schema)
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str, mode: str = "ascii",
+             filesystem=None) -> None:
+    """Persist a trained merge list as a JSON sidecar (via the
+    object-store fs layer, like every other model artifact): the
+    reproducibility anchor — a pipeline rerun loads the EXACT tokenizer
+    rather than retraining."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(
+        path,
+        json.dumps(
+            {"format": "bpe", "mode": mode, "merges": [list(m) for m in merges]}
+        ),
+        filesystem=filesystem,
+    )
+
+
+def load_bpe(path: str, filesystem=None) -> tuple[list[tuple[str, str]], str]:
+    """(merges, mode) from :func:`save_bpe` output. Rejects non-BPE
+    sidecars loudly."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    d = json.loads(_fs.read_text(path, filesystem=filesystem))
+    if d.get("format") != "bpe":
+        raise ValueError(f"not a BPE tokenizer sidecar: {path}")
+    return [tuple(m) for m in d["merges"]], d.get("mode", "ascii")

@@ -326,3 +326,36 @@ def unigram_encode_ids(
     return _encode_frame(
         docs, logp, id_col, text_col, mode, max_piece_len, ids=True
     )
+
+
+def save_unigram(logp: dict[str, float], path: str, mode: str = "ascii",
+                 filesystem=None) -> None:
+    """Persist a trained piece table as a JSON sidecar (object-store fs
+    layer) — full float repr, so the loaded table segments identically."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(
+        path,
+        json.dumps(
+            {
+                "format": "unigram",
+                "mode": mode,
+                "pieces": [[p, repr(lp)] for p, lp in sorted(logp.items())],
+            }
+        ),
+        filesystem=filesystem,
+    )
+
+
+def load_unigram(path: str, filesystem=None) -> tuple[dict[str, float], str]:
+    """(piece table, mode) from :func:`save_unigram` output."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    d = json.loads(_fs.read_text(path, filesystem=filesystem))
+    if d.get("format") != "unigram":
+        raise ValueError(f"not a unigram tokenizer sidecar: {path}")
+    return {p: float(lp) for p, lp in d["pieces"]}, d.get("mode", "ascii")

@@ -282,3 +282,27 @@ def test_bytes_mode_shard_sink_keeps_cjk(spark, tmp_path):
     )
     assert stats["n_docs"] == 21          # CJK doc kept now
     assert stats["n_dropped_docs"] == 1   # only the truly empty doc
+
+
+def test_save_load_round_trip(tmp_path, spark):
+    from spatialpandas_spark.operators.bpe import (
+        bpe_encode_ids,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} tokenize tokenize me") for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=15, mode="bytes")
+    p = str(tmp_path / "tok.json")
+    save_bpe(merges, p, mode="bytes")
+    loaded, mode = load_bpe(p)
+    assert loaded == merges and mode == "bytes"
+    a = {r["doc_id"]: r["token_ids"]
+         for r in bpe_encode_ids(docs, merges, mode="bytes").collect()}
+    b = {r["doc_id"]: r["token_ids"]
+         for r in bpe_encode_ids(docs, loaded, mode=mode).collect()}
+    assert a == b

@@ -175,3 +175,23 @@ def test_real_documents_table(spark):
     # compression sanity: multi-char pieces make tokens < characters
     chars = docs.selectExpr("sum(length(text))").first()[0]
     assert agg < chars
+
+
+def test_save_load_round_trip(tmp_path, spark):
+    from spatialpandas_spark.operators.unigram import load_unigram, save_unigram
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    table = train_unigram(docs, vocab_size=40)
+    p = str(tmp_path / "uni.json")
+    save_unigram(table, p)
+    loaded, mode = load_unigram(p)
+    assert mode == "ascii"
+    assert loaded == table  # repr round trip is float-exact
+    with pytest.raises(ValueError, match="unigram"):
+        save_bad = str(tmp_path / "bad.json")
+        import json, pathlib
+        pathlib.Path(save_bad).write_text(json.dumps({"format": "bpe"}))
+        load_unigram(save_bad)
