@@ -64,6 +64,23 @@ def _seq0(n: Column) -> Column:
     )
 
 
+def let_(col: Column, body) -> Column:
+    """Let-binding for expressions: evaluate ``col`` ONCE per row and
+    pass the resulting VALUE into ``body`` (a Column -> Column callable),
+    via the single-element-array ``transform`` trick.
+
+    Why this exists: Catalyst performs no common-subexpression
+    elimination inside higher-order-function lambdas, and HOFs evaluate
+    INTERPRETED (no codegen). An expensive expression (a ``split`` of
+    the whole document, a shingle array) referenced inside a per-element
+    lambda is therefore re-evaluated once per ELEMENT per row — the
+    difference between scan-speed and a single task pinned for hours at
+    100x scale (caught live by the round-5 sf1 rehearsal on
+    ``hash_buckets``/``top_ngram_fraction``). Binding the value first
+    makes every inner reference an O(1) variable load."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def _ring_length(ring: Column) -> Column:
     """Sum of segment lengths of one interleaved coord array, skipping
     segments with non-finite endpoints."""

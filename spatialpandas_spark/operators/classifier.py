@@ -56,22 +56,32 @@ def hash_buckets(
 ) -> Column:
     """array<long> of feature bucket ids: one per token plus one per
     word bigram (the fasttext recipe). Empty/whitespace text -> empty
-    array."""
-    toks = _tokens(text, lowercase)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    array.
+
+    The token array is LET-BOUND (``let_``) so the document split runs
+    once per row; the original ``element_at(toks, i)``-in-a-lambda
+    formulation re-ran the full split per bigram — O(tokens x chars)
+    interpreted per row, a single-task-for-hours scale bug caught by
+    the sf1 rehearsal. Bigrams pair two slices with ``zip_with``
+    (argument expressions evaluate once)."""
+    from spatialpandas_spark.functions.measures import let_
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+        return F.transform(grams, lambda g: _md5_bucket(g, n_features))
+
     # null text scores like empty text (intercept only), not as null
     return F.coalesce(
-        F.transform(grams, lambda g: _md5_bucket(g, n_features)),
+        let_(_tokens(text, lowercase), body),
         F.array().cast("array<long>"),
     )
 

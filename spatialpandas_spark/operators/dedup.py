@@ -73,13 +73,21 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = tokens(text)
-    cnt = F.size(toks) - F.lit(n - 1)
-    sh = F.transform(
-        _seq0(cnt), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(sh)
+    """Distinct word n-gram shingles of a document. The token array is
+    let-bound so the document split runs once per row, not once per
+    shingle (see ``functions.measures.let_``)."""
+    from spatialpandas_spark.functions.measures import let_
+
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        return F.array_distinct(
+            F.transform(
+                _seq0(cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+
+    return let_(tokens(text), body)
 
 
 _LONG_MAX = (1 << 63) - 1

@@ -191,23 +191,37 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     1.0 because overlapping occurrences can over-count). Doc-local and
     quadratic in the number of distinct n-grams — bounded by document
     length, which is bounded by ingest policy, so it stays a scan-speed
-    expression with no shuffle at any corpus size."""
-    toks = tokens(text)
-    cnt = F.size(toks) - F.lit(n - 1)
-    sh = F.transform(
-        _seq0(cnt), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    maxc = F.array_max(
-        F.transform(
-            F.array_distinct(sh),
-            lambda g: F.size(F.filter(sh, lambda x: x == g)),
+    expression with no shuffle at any corpus size.
+
+    Both the token array and the shingle array are LET-BOUND
+    (``let_``): without binding, every ``filter(sh, ...)`` inside the
+    per-distinct-gram lambda re-built the whole shingle array (which
+    itself re-split the document per shingle) — a multiplicative
+    interpreted blowup the sf1 rehearsal caught as a pinned task."""
+    from spatialpandas_spark.functions.measures import let_
+
+    def with_toks(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        sh_expr = F.transform(
+            _seq0(cnt), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
         )
-    )
-    ntok = F.size(toks)
-    return F.when(
-        (ntok > 0) & (F.size(sh) > 0),
-        F.least((maxc * F.lit(n)).cast("double") / ntok, F.lit(1.0)),
-    ).otherwise(F.lit(0.0))
+
+        def with_sh(sh: Column) -> Column:
+            maxc = F.array_max(
+                F.transform(
+                    F.array_distinct(sh),
+                    lambda g: F.size(F.filter(sh, lambda x: x == g)),
+                )
+            )
+            ntok = F.size(toks)
+            return F.when(
+                (ntok > 0) & (F.size(sh) > 0),
+                F.least((maxc * F.lit(n)).cast("double") / ntok, F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+
+        return let_(sh_expr, with_sh)
+
+    return let_(tokens(text), with_toks)
 
 
 def normalize_text(text: Column) -> Column:
@@ -251,11 +265,15 @@ def host_suffixes(host: Column) -> Column:
     matching into a plain EQUI-join key (suffix chains are <= ~6 long),
     so the blocklist join stays a broadcast hash join — never a
     nested-loop ``endswith`` scan."""
-    parts = F.split(host, "\\.")
-    n = F.size(parts)
-    return F.transform(
-        _seq0(n), lambda i: F.array_join(F.slice(parts, i + 1, n - i), ".")
-    )
+    from spatialpandas_spark.functions.measures import let_
+
+    def body(parts: Column) -> Column:
+        n = F.size(parts)
+        return F.transform(
+            _seq0(n), lambda i: F.array_join(F.slice(parts, i + 1, n - i), ".")
+        )
+
+    return let_(F.split(host, "\\."), body)
 
 
 def host_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
