@@ -66,13 +66,17 @@ def crawl_ingest_batch(
     batch: DataFrame,
     output_path: str | None = None,
     threshold: float = 0.5,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One crawl-ingestion step (also the foreachBatch body): extract
     documents from the archives, then run the standard index-backed
-    dedup ingestion (within-batch collapse -> probe -> append).
+    dedup ingestion (within-batch collapse -> probe -> append; the
+    curated output is retry-idempotent per ``batch_id``).
     Returns the surviving documents."""
     docs = extract_crawl_batch(batch)
-    return ingest_batch(spark, index_path, docs, output_path, threshold)
+    return ingest_batch(
+        spark, index_path, docs, output_path, threshold, batch_id=batch_id
+    )
 
 
 def stream_crawl_ingest(
@@ -89,7 +93,8 @@ def stream_crawl_ingest(
         if batch.isEmpty():
             return
         crawl_ingest_batch(
-            batch.sparkSession, index_path, batch, output_path, threshold
+            batch.sparkSession, index_path, batch, output_path, threshold,
+            batch_id=batch_id,
         )
 
     return (

@@ -21,12 +21,16 @@ Semantics per micro-batch b:
      matching the already-ingested corpus is dropped,
   3. the remainder appends to the index and to ``output_path``.
 
-Failure note (documented, inherent to parquet appends): a micro-batch
-retried AFTER its append committed can double-append; Spark's
-checkpointing makes this rare (batch ids replay only on crash between
-commit points). Idempotent retries need a transactional table format
-underneath — out of scope for a parquet-layout index, called out in
-SCALE.md rather than papered over.
+Failure note: the CURATED OUTPUT is retry-idempotent — each micro-batch
+writes its own ``ingest_batch=N`` partition via dynamic partition
+overwrite, so a replayed batch rewrites rather than double-appends (and
+the partition column is free batch provenance). The INDEX side remains
+at-least-once parquet appends: a replay can duplicate index rows, which
+is verdict-benign (`dedup_against_index` dropDuplicates the candidate
+pairs and `filter_against_index` is a left-anti — duplicates cost only
+storage and duplicate match-report rows) and removable by compaction.
+Exactly-once index appends would need a transactional table format —
+called out in SCALE.md rather than papered over.
 """
 
 from __future__ import annotations
@@ -64,16 +68,43 @@ def _drop_within_batch_dups(
     return batch.join(losers, p["id_col"], "left_anti")
 
 
+def _write_output(
+    df: DataFrame, output_path: str, batch_id: int | None
+) -> None:
+    """Curated-output write. With a ``batch_id`` (the streaming path),
+    rows land in an ``ingest_batch=N`` partition via DYNAMIC partition
+    overwrite — a replayed micro-batch rewrites its own partition
+    instead of appending a second copy, making the curated corpus
+    IDEMPOTENT under foreachBatch retries (the double-append caveat
+    documented in this module now applies only to the index side, where
+    duplicate rows are verdict-benign and compaction-removable). The
+    partition column doubles as batch provenance for lineage queries.
+    Without a batch id (the batch API), plain append as before."""
+    if batch_id is None:
+        df.write.mode("append").parquet(output_path)
+        return
+    (
+        df.withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(output_path)
+    )
+
+
 def ingest_batch(
     spark: SparkSession,
     index_path: str,
     batch: DataFrame,
     output_path: str | None = None,
     threshold: float = 0.5,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One ingestion step (also the foreachBatch body): within-batch
     collapse -> probe index -> append survivors to index (and to
-    ``output_path`` when given). Returns the surviving documents."""
+    ``output_path`` when given — idempotently per ``batch_id`` on the
+    streaming path, see :func:`_write_output`). Returns the surviving
+    documents."""
     p = load_minhash_params(index_path)
     survivors = filter_against_index(
         spark,
@@ -86,7 +117,7 @@ def ingest_batch(
     survivors = survivors.localCheckpoint(eager=True)
     append_to_minhash_index(survivors, index_path)
     if output_path is not None:
-        survivors.write.mode("append").parquet(output_path)
+        _write_output(survivors, output_path, batch_id)
     return survivors
 
 
@@ -105,7 +136,8 @@ def stream_dedup_ingest(
         if batch.isEmpty():
             return
         ingest_batch(
-            batch.sparkSession, index_path, batch, output_path, threshold
+            batch.sparkSession, index_path, batch, output_path, threshold,
+            batch_id=batch_id,
         )
 
     return (
@@ -130,9 +162,13 @@ def probe_matches_stream(
     def _step(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        dedup_against_index(
-            batch.sparkSession, index_path, batch, threshold
-        ).write.mode("append").parquet(output_path)
+        _write_output(
+            dedup_against_index(
+                batch.sparkSession, index_path, batch, threshold
+            ),
+            output_path,
+            batch_id,
+        )
 
     return (
         stream.writeStream.foreachBatch(_step)
@@ -161,6 +197,7 @@ def embedding_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One embedding-ingestion step (also the foreachBatch body):
 
@@ -208,7 +245,7 @@ def embedding_ingest_batch(
     surv = surv.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
     append_to_ivfpq_index(surv, index_path, corpus_id=id_col, corpus_vec=vec_col)
     if output_path is not None:
-        surv.write.mode("append").parquet(output_path)
+        _write_output(surv, output_path, batch_id)
     return surv
 
 
@@ -239,6 +276,7 @@ def stream_embedding_ingest(
             id_col,
             vec_col,
             dim,
+            batch_id=batch_id,
         )
 
     return (
@@ -280,7 +318,7 @@ def embedding_matches_stream(
         qs = batch.select(
             F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
         )
-        (
+        out = (
             query_ivfpq_index(
                 batch.sparkSession, index_path, qs, k=1,
                 n_probe=n_probe, rerank="stored",
@@ -291,9 +329,8 @@ def embedding_matches_stream(
                 F.col("vec_id").alias("dup_of"),
                 "sim",
             )
-            .write.mode("append")
-            .parquet(output_path)
         )
+        _write_output(out, output_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_step)

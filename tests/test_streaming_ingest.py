@@ -148,3 +148,35 @@ def test_probe_matches_stream_is_readonly(spark, fixture):
     # read-only: index unchanged, so per-file probes union to the
     # whole-batch probe
     assert got == want and len(want) > 0
+
+
+def test_output_write_is_retry_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id — the foreachBatch retry
+    contract) must rewrite its own ingest_batch partition, not append a
+    second copy; other batches' partitions stay untouched."""
+    cdf = spark.createDataFrame(
+        [(i, _doc()) for i in range(10)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    build_minhash_index(cdf, idx)
+    b1 = spark.createDataFrame(
+        [(100 + i, _doc()) for i in range(4)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(200 + i, _doc()) for i in range(3)], "doc_id long, text string"
+    )
+    ingest_batch(spark, idx, b1, out, batch_id=0)
+    ingest_batch(spark, idx, b2, out, batch_id=1)
+    before = sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # replay batch 1 (crash-after-commit scenario)
+    ingest_batch(spark, idx, b2, out, batch_id=1)
+    after = sorted(
+        (r["doc_id"], r["ingest_batch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before  # no duplicates, batch-0 partition untouched
+    assert {b for _, b in after} == {0, 1}
