@@ -1183,60 +1183,13 @@ def q_scrub_normalize(spark, sf_dir):
     # the identity). h = md5(title | text) pins both extractions;
     # n_docs carries the parsed http_status (envelope check).
     from spatialpandas_spark.operators.html import extract_text_from_html
-    from spatialpandas_spark.sources.archives import warc_records
+    from spatialpandas_spark.sources.archives import (
+        synth_warc_archives,
+        warc_records,
+    )
 
     sel = d.filter(F.col("doc_id") % 5 == 0)
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"),
-            F.lit("&lt;"),
-        ),
-        F.lit(">"),
-        F.lit("&gt;"),
-    )
-    html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</title></head><body><p>"),
-        esc,
-        F.lit("</p></body></html>"),
-    )
-    http = F.concat(
-        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
-    )
-    rec = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/"),
-        F.col("doc_id").cast("string"),
-        F.lit("\r\nContent-Length: "),
-        F.octet_length(http).cast("string"),
-        F.lit("\r\n\r\n"),
-        http,
-        F.lit("\r\n\r\n"),
-    )
-    archives = (
-        sel.select("doc_id", rec.alias("__rec"))
-        .groupBy((F.col("doc_id") % 4).alias("archive_id"))
-        .agg(
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("doc_id").alias("i"),
-                                    F.col("__rec").alias("r"),
-                                )
-                            )
-                        ),
-                        lambda s: s["r"],
-                    ),
-                    "",
-                ),
-                "UTF-8",
-            ).alias("payload")
-        )
-    )
+    archives = synth_warc_archives(sel, n_archives=4)
     parsed = warc_records(archives).select(
         F.regexp_extract(F.col("url"), r"http://t/(\d+)", 1)
         .cast("long")

@@ -541,63 +541,21 @@ _WARC_DF = None
 
 def b24_crawl_extract(spark):
     """Crawl ingestion chain: WARC archives (synthesized once from every
-    document via Catalyst expressions — spec-layout records, HTTP
-    envelopes, byte-exact Content-Length — then cached) exploded by the
-    real parser and HTML-extracted to text per run. Measures
-    sources/archives.py + operators/html.py end to end."""
+    document via the shared Catalyst generator ``synth_warc_archives``
+    — the SAME payload shape the scrub_normalize gate verifies — then
+    cached) exploded by the real parser and HTML-extracted to text per
+    run. Measures sources/archives.py + operators/html.py end to end."""
     from spatialpandas_spark.operators.html import extract_text_from_html
-    from spatialpandas_spark.sources.archives import warc_records
+    from spatialpandas_spark.sources.archives import (
+        synth_warc_archives,
+        warc_records,
+    )
 
     global _WARC_DF
     if _WARC_DF is None:
         d = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
-        esc = F.replace(
-            F.replace(
-                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-                F.lit("<"), F.lit("&lt;"),
-            ),
-            F.lit(">"), F.lit("&gt;"),
-        )
-        html = F.concat(
-            F.lit("<html><head><title>Doc "),
-            F.col("doc_id").cast("string"),
-            F.lit("</title></head><body><p>"), esc,
-            F.lit("</p></body></html>"),
-        )
-        http = F.concat(
-            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
-        )
-        rec = F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/"),
-            F.col("doc_id").cast("string"),
-            F.lit("\r\nContent-Length: "),
-            F.octet_length(http).cast("string"),
-            F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
-        )
         _WARC_DF = (
-            d.select("doc_id", rec.alias("__rec"))
-            .groupBy((F.col("doc_id") % 64).alias("archive_id"))
-            .agg(
-                F.encode(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct(
-                                        F.col("doc_id").alias("i"),
-                                        F.col("__rec").alias("r"),
-                                    )
-                                )
-                            ),
-                            lambda s: s["r"],
-                        ),
-                        "",
-                    ),
-                    "UTF-8",
-                ).alias("payload")
-            )
-            .repartition(32)
-            .cache()
+            synth_warc_archives(d, n_archives=64).repartition(32).cache()
         )
         _WARC_DF.count()
     recs = warc_records(_WARC_DF)

@@ -460,6 +460,13 @@ def sjoin_nearest(
     every left column + (right_id, distance_col)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    for col in (right_id, distance_col):
+        if col in left.columns and col != left_id:
+            raise ValueError(
+                f"left frame already has a column named {col!r}; pass a "
+                "different right_id/distance_col to avoid an ambiguous "
+                "duplicate in the joined output"
+            )
     nn = sjoin_knn(
         left, right, k=1,
         left_id=left_id, right_id=right_id,

@@ -180,6 +180,21 @@ def pq_encode(
     return c.mapInPandas(run, out_schema)
 
 
+def _group_topk(q, v, s, n: int):
+    """Keep the ``n`` best (sim desc, id asc) rows per query id, fully
+    vectorized — THE shared reducer of every two-phase top-k path (the
+    collected scans, the distributed pair fallbacks, the IVF-PQ probe).
+    One definition so tie-break/rank semantics cannot silently diverge
+    between paths whose bit-for-bit equivalence the tests pin."""
+    idx = np.lexsort((v, -s, q))
+    q, v, s = q[idx], v[idx], s[idx]
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    sizes = np.diff(np.r_[starts, len(q)])
+    rank = np.arange(len(q)) - np.repeat(starts, sizes)
+    keep = rank < n
+    return q[keep], v[keep], s[keep]
+
+
 def _adc_pair_scan(
     pairs: DataFrame, B: np.ndarray, n_cand: int, out_schema: StructType
 ) -> DataFrame:
@@ -197,13 +212,7 @@ def _adc_pair_scan(
     m_sub, n_codes, sub = B.shape
 
     def _reduce(q, v, s):
-        idx = np.lexsort((v, -s, q))
-        q, v, s = q[idx], v[idx], s[idx]
-        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
-        sizes = np.diff(np.r_[starts, len(q)])
-        rank = np.arange(len(q)) - np.repeat(starts, sizes)
-        keep = rank < n_cand
-        return q[keep], v[keep], s[keep]
+        return _group_topk(q, v, s, n_cand)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list = []
@@ -345,13 +354,7 @@ def pq_topk(
     )
 
     def _reduce(q, v, s):
-        idx = np.lexsort((v, -s, q))
-        q, v, s = q[idx], v[idx], s[idx]
-        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
-        sizes = np.diff(np.r_[starts, len(q)])
-        rank = np.arange(len(q)) - np.repeat(starts, sizes)
-        keep = rank < n_cand
-        return q[keep], v[keep], s[keep]
+        return _group_topk(q, v, s, n_cand)
 
     def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list = []

@@ -62,7 +62,12 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).filter(F.col("__cv").isNotNull())
-    assigned = bucket_assign_arrow(v, cents, vec_col="__cv")
+    # both join sides project from the assignment — checkpoint so the
+    # full-corpus centroid-assignment Arrow scan runs ONCE, not per side
+    # (the differing projections defeat exchange reuse)
+    assigned = bucket_assign_arrow(v, cents, vec_col="__cv").localCheckpoint(
+        eager=True
+    )
     left = assigned.select(
         F.col("__bucket").alias("__b"),
         F.col("__id").alias("id_a"),

@@ -108,7 +108,10 @@ def write_training_shards(
         docs, merges, id_col=id_col, text_col=text_col, mode=mode
     )
     ordered_key = F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string")))
-    n_dropped = toks.filter(F.col("n_tokens") <= 0).count()
+    # drop count = input rows minus written rows (read back below) —
+    # NOT a second tokenization pass over the corpus; counting the
+    # input is a plain scan, the expensive Arrow segmentation runs once
+    n_input = docs.count()
     packed = pack_shards(
         toks.withColumn("__ord", ordered_key).filter(F.col("n_tokens") > 0),
         weight_col="n_tokens",
@@ -132,5 +135,5 @@ def write_training_shards(
         "n_docs": row["n"],
         "n_shards": row["s"],
         "total_tokens": row["t"],
-        "n_dropped_docs": n_dropped,
+        "n_dropped_docs": n_input - row["n"],
     }

@@ -305,14 +305,10 @@ def query_ivfpq_index(
         ]
     )
 
+    from spatialpandas_spark.operators.pq import _group_topk
+
     def _reduce(q, v, s):
-        ix = np.lexsort((v, -s, q))
-        q, v, s = q[ix], v[ix], s[ix]
-        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
-        sizes = np.diff(np.r_[starts, len(q)])
-        rank = np.arange(len(q)) - np.repeat(starts, sizes)
-        keep = rank < n_cand
-        return q[keep], v[keep], s[keep]
+        return _group_topk(q, v, s, n_cand)
 
     def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list = []
@@ -445,7 +441,12 @@ def _query_ivfpq_distributed(
                 }
             )
 
-    probes = q_sel.mapInPandas(assign_probes, probe_schema)
+    # checkpoint: the probe frame feeds BOTH the distinct-bucket collect
+    # and the bucket equi-join — without it the Arrow assignment pass
+    # over the (by definition oversized) query frame runs twice
+    probes = q_sel.mapInPandas(assign_probes, probe_schema).localCheckpoint(
+        eager=True
+    )
     # distinct probed buckets: bounded by n_centroids — tiny, safe collect
     buckets = sorted(
         r["bucket"] for r in probes.select("bucket").distinct().collect()

@@ -135,9 +135,9 @@ def viterbi_segment(
     word: str, logp: dict[str, float], max_len: int = 8
 ) -> list[str]:
     """Max-probability segmentation (ties: the later split point wins,
-    i.e. longer FINAL piece — deterministic). Characters absent from the
-    vocabulary become single-char pieces at a floor score so any word
-    segments (the SentencePiece unk-coverage behavior)."""
+    i.e. the SHORTEST final piece — deterministic). Characters absent
+    from the vocabulary become single-char pieces at a floor score so
+    any word segments (the SentencePiece unk-coverage behavior)."""
     n = len(word)
     floor = min(logp.values(), default=0.0) - 10.0
     best = [_NEG_INF] * (n + 1)
@@ -177,6 +177,10 @@ def train_unigram_from_histogram(
     ``vocab_size``. Returns the piece -> log-prob table."""
     if not hist:
         raise ValueError("empty histogram")
+    if not 0.0 < prune_frac <= 1.0:
+        # prune_frac <= 0 would keep every piece each round and loop
+        # forever; fail loudly instead of hanging the driver
+        raise ValueError("prune_frac must be in (0, 1]")
     logp = _seed_vocab(hist, max_piece_len, seed_size)
     while True:
         for _ in range(em_iters):

@@ -258,3 +258,71 @@ def archive_members(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def synth_warc_archives(
+    docs: DataFrame,
+    n_archives: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Synthesize spec-layout WARC archives FROM a document frame with
+    pure Catalyst expressions — the fixture generator the correctness
+    gate and the bench share (one definition, so both always exercise
+    the identical payload shape): each document becomes an
+    entity-escaped HTML page inside an HTTP 200 envelope inside a WARC
+    response record with byte-exact Content-Length; records concatenate
+    id-sorted into ``n_archives`` archives keyed by ``id % n_archives``.
+    Returns (archive_id, payload binary). The ROUND TRIP through
+    ``warc_records`` + HTML extraction has the closed-form expectation
+    title='Doc {id}' / text = whitespace-collapsed original lines."""
+    from pyspark.sql import functions as F
+
+    sid = F.col(id_col).cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col(text_col), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title></head><body><p>"), esc,
+        F.lit("</p></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/"),
+        sid,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    return (
+        docs.select(F.col(id_col), rec.alias("__rec"))
+        .groupBy((F.col(id_col) % n_archives).alias("archive_id"))
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(id_col).alias("i"),
+                                    F.col("__rec").alias("r"),
+                                )
+                            )
+                        ),
+                        lambda s: s["r"],
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("payload")
+        )
+    )
