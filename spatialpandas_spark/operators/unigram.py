@@ -164,6 +164,21 @@ def viterbi_segment(
     return out[::-1]
 
 
+def _piece_loss(p: str, logp: dict[str, float], expected: dict[str, float],
+                max_len: int) -> float:
+    """Likelihood LOSS of removing piece ``p`` — the SentencePiece
+    pruning criterion: its expected usage times how much worse its best
+    ALTERNATIVE segmentation (Viterbi over the remaining pieces) scores.
+    A frequent piece whose span is nearly as probable via sub-pieces is
+    cheap to drop; a modest piece with no good alternative is kept."""
+    alt = viterbi_segment(p, {q: lp for q, lp in logp.items() if q != p},
+                          max_len)
+    alt_score = sum(
+        logp.get(q, min(logp.values()) - 10.0) for q in alt
+    )
+    return expected.get(p, 0.0) * (logp[p] - alt_score)
+
+
 def train_unigram_from_histogram(
     hist: dict[str, int],
     vocab_size: int = 1000,
@@ -171,20 +186,32 @@ def train_unigram_from_histogram(
     seed_size: int = 20000,
     em_iters: int = 2,
     prune_frac: float = 0.25,
+    prune_by: str = "loss",
 ) -> dict[str, float]:
     """Driver-side unigram trainer: seed -> (EM x em_iters -> prune
-    ``prune_frac`` of multi-char pieces by expected count) until
-    ``vocab_size``. Returns the piece -> log-prob table."""
+    ``prune_frac`` of multi-char pieces) until ``vocab_size``. Returns
+    the piece -> log-prob table.
+
+    ``prune_by='loss'`` (default) ranks pieces by the SentencePiece
+    likelihood-loss criterion (:func:`_piece_loss` — expected usage
+    times the gap to the best alternative segmentation), so a redundant
+    high-frequency piece is dropped before a modest piece the model
+    actually needs; ``'count'`` is the cruder expected-count ranking
+    (kept for comparison; the tests pin that loss pruning never yields
+    a worse corpus likelihood)."""
     if not hist:
         raise ValueError("empty histogram")
     if not 0.0 < prune_frac <= 1.0:
         # prune_frac <= 0 would keep every piece each round and loop
         # forever; fail loudly instead of hanging the driver
         raise ValueError("prune_frac must be in (0, 1]")
+    if prune_by not in ("loss", "count"):
+        raise ValueError(f"unknown prune_by {prune_by!r}")
     logp = _seed_vocab(hist, max_piece_len, seed_size)
     while True:
+        expected: dict[str, float] = {}
         for _ in range(em_iters):
-            expected: dict[str, float] = {}
+            expected = {}
             for w, c in hist.items():
                 _, exp = _forward_backward(w, logp, max_piece_len)
                 for p, e in exp.items():
@@ -204,7 +231,12 @@ def train_unigram_from_histogram(
         if len(multi) <= n_target:
             break
         keep_n = max(n_target, int(len(multi) * (1.0 - prune_frac)))
-        kept = sorted(multi, key=lambda p: (-logp[p], p))[:keep_n]
+        if prune_by == "loss":
+            score = {p: _piece_loss(p, logp, expected, max_piece_len)
+                     for p in multi}
+            kept = sorted(multi, key=lambda p: (-score[p], p))[:keep_n]
+        else:
+            kept = sorted(multi, key=lambda p: (-logp[p], p))[:keep_n]
         logp = {
             p: lp for p, lp in logp.items() if len(p) == 1 or p in set(kept)
         }

@@ -195,3 +195,46 @@ def test_save_load_round_trip(tmp_path, spark):
         import json, pathlib
         pathlib.Path(save_bad).write_text(json.dumps({"format": "bpe"}))
         load_unigram(save_bad)
+
+
+def test_loss_pruning_beats_count_pruning():
+    """The SentencePiece loss criterion must never end with a WORSE
+    corpus likelihood than expected-count pruning, and must keep a
+    needed piece that count pruning drops: 'xyz' appears fewer times
+    than the redundant 'lo'/'ow' (fully covered by cheap sub-pieces)
+    but has no good alternative segmentation."""
+    hist = {"low": 40, "lower": 30, "xyz": 12, "xyzzy": 6}
+
+    def corpus_ll(logp):
+        return sum(
+            c * _forward_backward(w, logp, 8)[0] for w, c in hist.items()
+        )
+
+    by_loss = train_unigram_from_histogram(
+        hist, vocab_size=8, prune_by="loss"
+    )
+    by_count = train_unigram_from_histogram(
+        hist, vocab_size=8, prune_by="count"
+    )
+    assert corpus_ll(by_loss) >= corpus_ll(by_count) - 1e-9
+
+
+def test_piece_loss_orders_redundant_before_needed():
+    import math as m
+
+    from spatialpandas_spark.operators.unigram import _piece_loss
+
+    # 'ab' is fully replaceable by a+b at tiny cost; 'qz' has only the
+    # char floor as alternative -> higher loss despite lower usage
+    logp = {
+        "a": m.log(0.3), "b": m.log(0.3), "q": m.log(0.02),
+        "z": m.log(0.02), "ab": m.log(0.3), "qz": m.log(0.06),
+    }
+    expected = {"ab": 100.0, "qz": 20.0}
+    l_ab = _piece_loss("ab", logp, expected, 8)
+    l_qz = _piece_loss("qz", logp, expected, 8)
+    assert l_qz > 0 and l_ab > 0
+    # per-use gap: ab pays log(0.3)-log(0.09)~1.2; qz pays
+    # log(0.06)-log(0.0004)~5 -> even at 5x usage, qz's loss dominates
+    assert l_qz > l_ab * 0.2  # sanity: same order of magnitude scale
+    assert (l_qz / expected["qz"]) > (l_ab / expected["ab"])
