@@ -806,9 +806,15 @@ def _bpe_oracle_sql() -> str:
                 FROM documents) d,
                UNNEST(range(1, len(wds) + 1)) AS u(i)
         ),
-        seg AS (SELECT doc_id, wi, {ids_expr} AS ids FROM w),
-        agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS tid
-                FROM seg GROUP BY doc_id)
+        -- segment each DISTINCT word once, then join back to the word
+        -- occurrences: the replace-chain cost becomes O(vocabulary),
+        -- not O(corpus tokens) — the same Zipf amortization the Spark
+        -- side's distinct-word cache uses, and what keeps this oracle
+        -- feasible at the sf1 rehearsal scale
+        dw AS (SELECT DISTINCT word FROM w),
+        seg AS (SELECT word, {ids_expr} AS ids FROM dw),
+        agg AS (SELECT w.doc_id, flatten(list(seg.ids ORDER BY w.wi)) AS tid
+                FROM w JOIN seg USING (word) GROUP BY w.doc_id)
         SELECT d.doc_id,
                CAST(NULL AS BIGINT) AS chunk_id,
                CAST(COALESCE(len(a.tid), 0) AS BIGINT) AS n_tokens,
