@@ -817,3 +817,104 @@ def resample_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ----------------------------------------------- header-only metadata probe
+
+def image_dimensions(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from the HEADER ONLY — no decode. The
+    scan-speed curation primitive: size/aspect filtering of a 100 TB
+    crawl reads a few dozen bytes per payload instead of running the
+    full entropy decoder (~1000x cheaper), and works on formats whose
+    full decode is gated (progressive JPEG dimensions come from the
+    SOFn marker regardless of coding process). Raises ``ValueError``
+    on unknown or malformed headers — the codec-family contract."""
+    import struct as _s
+
+    from spatialpandas_spark.operators.png import sniff_image
+
+    data = bytes(payload)
+    kind = sniff_image(data)
+    try:
+        if kind == "png":  # IHDR: 8 magic + 4 len + 4 type, then w/h u32be
+            w, h = _s.unpack(">II", data[16:24])
+        elif kind == "gif":  # logical screen descriptor, u16le
+            w, h = _s.unpack("<HH", data[6:10])
+        elif kind == "bmp":  # BITMAPINFOHEADER, i32le (height may be <0)
+            w, h = _s.unpack("<ii", data[18:26])
+            h = abs(h)
+        elif kind == "ppm":
+            w, h, _maxv, _pos = _parse_ppm_header(data)
+        elif kind == "jpeg":
+            # walk markers to any SOFn (0xC0-0xCF minus DHT C4 / DAC CC /
+            # DNL... C8 is JPG reserved): dims are in the frame header
+            # for every coding process, baseline or progressive
+            pos = 2
+            w = h = None
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    raise ValueError("JPEG marker sync lost")
+                marker = data[pos + 1]
+                pos += 2
+                if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                    continue
+                (seglen,) = _s.unpack(">H", data[pos : pos + 2])
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _s.unpack(">HH", data[pos + 3 : pos + 7])
+                    break
+                pos += seglen
+            if w is None:
+                raise ValueError("JPEG has no frame header")
+        else:
+            raise ValueError("unknown image format")
+    except (_s.error, IndexError) as exc:
+        raise ValueError(f"malformed {kind} header: {exc}") from exc
+    if not (0 < w and 0 < h):
+        raise ValueError(f"non-positive {kind} dimensions {w}x{h}")
+    return kind, int(w), int(h)
+
+
+def probe_image_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Header-only metadata pass over a binary image column: one Arrow
+    batch scan emitting (id, format, width, height, n_bytes, probe_ok)
+    — the cheap first stage of any multimodal curation pipeline (size /
+    aspect / format gating BEFORE paying for decode). Corrupt or
+    unknown payloads become tagged error rows, never job failures."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("probe_ok", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, nb, oks = [], [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                if p is None:
+                    fmts.append(None); ws.append(None); hs.append(None)
+                    nb.append(None); oks.append("error: null input")
+                    continue
+                nb.append(len(p))
+                try:
+                    kind, w, h = image_dimensions(bytes(p))
+                    fmts.append(kind); ws.append(w); hs.append(h)
+                    oks.append("ok")
+                except ValueError as exc:
+                    fmts.append(None); ws.append(None); hs.append(None)
+                    oks.append(f"error: {exc}"[:120])
+            yield pd.DataFrame(
+                {id_col: ids, "format": fmts, "width": ws, "height": hs,
+                 "n_bytes": nb, "probe_ok": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -435,3 +435,35 @@ def test_progressive_routes_through_spark_image_decoder(spark):
     row = extract_features(df, decoder="image").collect()[0]
     assert row["decode_ok"] == "ok"
     assert row["feature"][:3] == [64.0, 64.0, 64.0]
+
+
+def test_randomized_scan_configurations():
+    """Randomized sweep over scan shapes — image size, subsampling,
+    DC/AC successive-approximation depths, and random spectral band
+    splits — every configuration must decode identically to baseline
+    (the pure-reordering invariant), not just the hand-picked cases."""
+    rng = np.random.default_rng(41)
+    for trial in range(12):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sub = bool(rng.integers(0, 2))
+        dc_al = int(rng.integers(0, 3))
+        ac_al = int(rng.integers(0, 3))
+        # random band split points over 1..63
+        cuts = sorted(set(rng.integers(2, 63, size=int(rng.integers(0, 3)))))
+        edges = [1, *cuts, 64]
+        bands = tuple(
+            (edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)
+        )
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, subsample=sub, dc_al=dc_al, ac_al=ac_al, bands=bands
+            )
+        )
+        np.testing.assert_array_equal(
+            prog, base,
+            err_msg=f"trial {trial}: {h}x{w} sub={sub} "
+                    f"dc_al={dc_al} ac_al={ac_al} bands={bands}",
+        )
