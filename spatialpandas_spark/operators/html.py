@@ -37,6 +37,7 @@ class _TextExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self.title_parts: list[str] = []
+        self.links: list[str] = []
         self._skip_depth = 0
         self._in_title = False
 
@@ -45,6 +46,10 @@ class _TextExtractor(HTMLParser):
             self._skip_depth += 1
         elif tag == "title":
             self._in_title = True
+        elif tag == "a" and self._skip_depth == 0:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
@@ -124,3 +129,75 @@ def extract_text_from_html(
             )
 
     return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
+def extract_links_from_html(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Anchor hrefs per document: one row per (id, href) — the edge
+    material for a crawl link graph. Skipped subtrees (script/svg/...)
+    contribute no links; unparseable payloads contribute no rows (the
+    crawl zero-row contract). Same Arrow batch shape as
+    :func:`extract_text_from_html`."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("href", StringType()),
+        ]
+    )
+    is_binary = dict(df.dtypes)[html_col] == "binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hrefs = [], []
+            for did, h in zip(pdf[id_col], pdf[html_col]):
+                if h is None:
+                    continue
+                if is_binary:
+                    h = bytes(h).decode(encoding, errors="replace")
+                try:
+                    p = _TextExtractor()
+                    p.feed(h)
+                    p.close()
+                except Exception:  # noqa: BLE001 — crawl reality
+                    continue
+                for link in p.links:
+                    ids.append(did)
+                    hrefs.append(link)
+            yield pd.DataFrame({id_col: ids, "href": hrefs})
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
+def host_link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Distinct host-level link edges from crawled pages:
+    ``(src, dst)`` hostnames — the input :func:`~spatialpandas_spark
+    .operators.graph.pagerank` ranks for the host-quality prior.
+    Protocol-relative and absolute http(s) hrefs resolve to their own
+    host; relative hrefs resolve to the PAGE's host (self-edges are
+    dropped — they carry no cross-host endorsement). Pure Catalyst
+    after the link explode: one regexp per side + distinct."""
+    from pyspark.sql import functions as F
+
+    links = extract_links_from_html(
+        pages.select(F.col(url_col).alias("__u"), html_col),
+        html_col=html_col,
+        id_col="__u",
+    )
+    host = r"(?i)^(?:https?:)?//([^/:?#]+)"  # (?i): schemes may be uppercase
+    src = F.lower(F.regexp_extract(F.col("__u"), host, 1))
+    dst_abs = F.lower(F.regexp_extract(F.col("href"), host, 1))
+    dst = F.when(dst_abs != "", dst_abs).otherwise(src)
+    return (
+        links.select(src.alias("src"), dst.alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -104,3 +104,63 @@ def test_title_inside_skipped_subtree_does_not_leak():
     # skipped-subtree title with NO real title -> no title at all
     text2, title2 = html_to_text("<svg><title>only icon</title></svg><p>hi</p>")
     assert title2 is None and text2 == "hi"
+
+
+def test_extract_links_closed_form(spark):
+    from spatialpandas_spark.operators.html import extract_links_from_html
+
+    doc = (
+        '<html><body><a href="http://a.test/x">one</a>'
+        '<p><a href="/rel">two</a><a name="anchor">no href</a></p>'
+        '<svg><a href="http://hidden.test/">skipped</a></svg>'
+        '<a href="//proto.test/p">three</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, "<p>no links</p>"), (3, None)],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r["doc_id"], r["href"])
+        for r in extract_links_from_html(df).collect()
+    )
+    assert got == [
+        (1, "//proto.test/p"), (1, "/rel"), (1, "http://a.test/x"),
+    ]
+
+
+def test_host_link_edges_and_pagerank_chain(spark):
+    """The crawl-to-quality-prior composition: pages -> host edges ->
+    PageRank. Resolution rules pinned (absolute/protocol-relative to
+    their host, relative to the page host, self-edges dropped), then
+    the hub every host links to must out-rank the others."""
+    from spatialpandas_spark.operators.graph import pagerank
+    from spatialpandas_spark.operators.html import host_link_edges
+
+    def page(url, hrefs):
+        links = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return (url, f"<html><body>{links}</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("http://a.test/1", ["http://hub.test/x", "/local",
+                                     "http://b.test/"]),
+            page("http://b.test/1", ["//hub.test/y", "HTTP://a.test/"]),
+            page("http://c.test/1", ["http://hub.test/z"]),
+        ],
+        "url string, html string",
+    )
+    edges = {(r["src"], r["dst"]) for r in host_link_edges(pages).collect()}
+    # /local resolves to a.test itself -> self-edge dropped; hosts and
+    # schemes fold case (HTTP://a.test resolves absolutely)
+    assert edges == {
+        ("a.test", "hub.test"), ("b.test", "hub.test"),
+        ("c.test", "hub.test"), ("a.test", "b.test"),
+        ("b.test", "a.test"),
+    }
+
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(host_link_edges(pages), iters=10).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["hub.test"] == max(ranks.values())
