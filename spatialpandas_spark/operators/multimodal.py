@@ -918,3 +918,63 @@ def probe_image_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def probe_media_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Mixed-media metadata pass: the image probe plus RIFF/WAVE audio
+    (format, sample_rate, n_channels, n_samples — duration is
+    n_samples / sample_rate). One Arrow scan, no decode math; corrupt
+    payloads become tagged error rows. The superset schema lets one
+    pass profile a whole crawl media column before any decoder runs."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("probe_ok", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {f.name: [] for f in out_schema.fields}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                row = dict.fromkeys(cols)
+                row[id_col] = mid
+                if p is None:
+                    row["probe_ok"] = "error: null input"
+                else:
+                    data = bytes(p)
+                    row["n_bytes"] = len(data)
+                    try:
+                        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                            fmt, raw = _parse_wav(data)
+                            frame = fmt["n_channels"] * (fmt["bits"] // 8)
+                            row.update(
+                                format="wav",
+                                sample_rate=fmt["sample_rate"],
+                                n_channels=fmt["n_channels"],
+                                n_samples=len(raw) // max(frame, 1),
+                                probe_ok="ok",
+                            )
+                        else:
+                            kind, w, h = image_dimensions(data)
+                            row.update(
+                                format=kind, width=w, height=h, probe_ok="ok"
+                            )
+                    except ValueError as exc:
+                        row["probe_ok"] = f"error: {exc}"[:120]
+                for k, v in row.items():
+                    cols[k].append(v)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -79,3 +79,25 @@ def test_spark_probe_and_size_gating(spark):
         (F.col("probe_ok") == "ok") & (F.col("width") >= 20)
     )
     assert kept.count() == len(pls)
+
+
+def test_media_probe_mixes_audio_and_images(spark):
+    import struct as _s
+
+    from spatialpandas_spark.operators.multimodal import probe_media_metadata
+
+    # 16-bit stereo 8kHz WAV, 100 frames
+    raw = b"\x00\x00" * 200
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(raw)) + raw)
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    png = list(_payloads().values())[0]
+    df = spark.createDataFrame(
+        [(1, wav), (2, png), (3, b"junk")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in probe_media_metadata(df).collect()}
+    assert got[1]["format"] == "wav" and got[1]["probe_ok"] == "ok"
+    assert (got[1]["sample_rate"], got[1]["n_channels"], got[1]["n_samples"]) == (8000, 2, 100)
+    assert got[2]["format"] == "png" and (got[2]["width"], got[2]["height"]) == (29, 17)
+    assert got[3]["probe_ok"].startswith("error")
