@@ -823,18 +823,163 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+#: extra unigram-LM training lines: the BPE fixture plus sentences in the
+#: documents table's own word domain, so the trained piece table yields a
+#: healthy mix of whole-word / multi-char-subword / char-fallback Viterbi
+#: segmentations on the REAL data (at max_piece_len=4: 16 of the 31 pool
+#: words segment into true multi-char subwords, 9 stay whole, 7 fall back
+#: to chars — all three decoder paths under the gate hash).
+_UNIGRAM_FIXTURE_EXTRA = (
+    "the table values stream over windows while queries join rows",
+    "sorted batches group keys and hashes for merging columns",
+    "scanning filters parts of big small data vectors in order",
+    "customers query the streaming window tables for valued parts",
+    "a slow scan beats a fast hash when rows group by key",
+    "duplicate lines vector the batch agg under sorted order",
+)
+_UNIGRAM_VOCAB = 120
+_UNIGRAM_MAX_PIECE = 4
+_UNIGRAM_TABLE_CACHE: dict | None = None
+
+
+def _unigram_fixture_table() -> dict[str, float]:
+    """Deterministic fixture-trained unigram piece table (EM + loss
+    pruning run driver-side once per process; training itself is pinned
+    by tests/test_unigram.py's brute-force enumeration oracles)."""
+    global _UNIGRAM_TABLE_CACHE
+    if _UNIGRAM_TABLE_CACHE is None:
+        import re
+        from collections import Counter
+
+        from spatialpandas_spark.operators.unigram import (
+            train_unigram_from_histogram,
+        )
+
+        hist: Counter = Counter()
+        for s in _BPE_FIXTURE_CORPUS + _UNIGRAM_FIXTURE_EXTRA:
+            for w in re.split(r"[^a-z0-9]+", s.lower()):
+                if w:
+                    hist[w] += 1
+        _UNIGRAM_TABLE_CACHE = train_unigram_from_histogram(
+            dict(hist),
+            vocab_size=_UNIGRAM_VOCAB,
+            max_piece_len=_UNIGRAM_MAX_PIECE,
+            em_iters=2,
+        )
+    return _UNIGRAM_TABLE_CACHE
+
+
+def _unigram_oracle_sql() -> str:
+    """Independent DuckDB replay of ``unigram_encode_ids``
+    (operators/unigram.py viterbi_segment): the Viterbi DP as a
+    RECURSIVE CTE over character positions — best[j] carried as a
+    per-word list, each step picking argmax(best[i] + logp(piece)) with
+    the engine's exact tie rule (equal scores -> later split point, via
+    struct sort on (score DESC, i DESC)), unknown single chars at the
+    engine's floor score, then a second recursive CTE backtracking the
+    split points into vocab ids. Scores are repr-round-trip doubles and
+    every DP add is the same single IEEE op both sides, so the replay
+    is bit-exact, not approximate. Segments DISTINCT words once (the
+    Zipf amortization proven for the BPE oracle at the sf1 rehearsal),
+    then flattens per doc in word order. Output shape matches the
+    'unigram' variant of the ``doc_chunks`` gate: per-doc token count +
+    md5 of the comma-joined id sequence."""
+    from spatialpandas_spark.operators.unigram import unigram_vocab_ids
+
+    logp = _unigram_fixture_table()
+    floor = min(logp.values()) - 10.0
+    vocab = unigram_vocab_ids(logp)
+    ml = _UNIGRAM_MAX_PIECE
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    lp_case = (
+        "CASE __p "
+        + " ".join(
+            f"WHEN '{esc(p)}' THEN {lp!r}" for p, lp in sorted(logp.items())
+        )
+        + " END"
+    )
+    id_case = (
+        "CASE __p "
+        + " ".join(f"WHEN '{esc(p)}' THEN {i}" for p, i in vocab.items())
+        + " ELSE 0 END"
+    )
+    lp_piece = lp_case.replace("__p", "substr(word, i + 1, j + 1 - i)")
+    id_piece = id_case.replace(
+        "__p", "substr(word, back[j + 1] + 1, j - back[j + 1])"
+    )
+    return f"""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, u.i AS wi, wds[u.i] AS word
+          FROM (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x != '') AS wds
+                FROM documents) d,
+               UNNEST(range(1, len(wds) + 1)) AS u(i)
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        dp AS (
+          SELECT word, 0 AS j, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+          FROM dw
+          UNION ALL
+          SELECT word, j + 1,
+                 list_append(best, pick['s']),
+                 list_append(back, pick['i'])
+          FROM (
+            SELECT word, j, best, back,
+              list_reverse_sort(list_filter(
+                list_transform(range(greatest(0, j + 1 - {ml}), j + 1),
+                  i -> {{'s': best[i + 1] + COALESCE(
+                           {lp_piece},
+                           CASE WHEN j + 1 - i = 1 THEN {floor!r} END),
+                        'i': i}}),
+                c -> c['s'] IS NOT NULL))[1] AS pick
+            FROM dp WHERE j < length(word)
+          )
+        ),
+        bt AS (
+          SELECT word, back, length(word) AS j, CAST([] AS INTEGER[]) AS ids
+          FROM dp WHERE j = length(word)
+          UNION ALL
+          SELECT word, back, back[j + 1] AS j,
+                 list_prepend({id_piece}, ids)
+          FROM bt WHERE j > 0
+        ),
+        seg AS (SELECT word, ids FROM bt WHERE j = 0),
+        agg AS (SELECT w.doc_id, flatten(list(seg.ids ORDER BY w.wi)) AS tid
+                FROM w JOIN seg USING (word) GROUP BY w.doc_id)
+        SELECT d.doc_id,
+               CAST(NULL AS BIGINT) AS chunk_id,
+               CAST(COALESCE(len(a.tid), 0) AS BIGINT) AS n_tokens,
+               md5(COALESCE(array_to_string(a.tid, ','), '')) AS chunk_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_doc_chunks(spark, sf_dir):
     """Merged chunking + tokenizer gate, tagged union:
 
     - 'chunk': sliding-window document chunking (size 32, stride 24),
       every chunk row with its token count and the md5 of its exact
-      text;
+      text  [operators/chunk.py chunk_documents — tests/test_chunk.py];
     - 'bpe': ``bpe_encode_ids`` (operators/bpe.py) over every document
       with the fixture-trained merge list — per-doc token count and the
       md5 of the full comma-joined token-id sequence, so the gate hash
-      covers every token id the Arrow segmenter emits."""
+      covers every token id the Arrow segmenter emits
+      [operators/bpe.py bpe_encode_ids — tests/test_bpe.py];
+    - 'unigram': ``unigram_encode_ids`` (operators/unigram.py) with the
+      fixture-trained piece table (_unigram_fixture_table) — same
+      per-doc count + full-id-sequence md5 shape, pinning the Viterbi
+      segmenter + stable vocab ids against the recursive-CTE DP replay
+      in _unigram_oracle_sql
+      [operators/unigram.py viterbi_segment/unigram_encode_ids —
+      tests/test_unigram.py]."""
     from spatialpandas_spark.operators.bpe import bpe_encode_ids
     from spatialpandas_spark.operators.chunk import chunk_documents
+    from spatialpandas_spark.operators.unigram import unigram_encode_ids
 
     d = _t(spark, sf_dir, "documents")
     ch = chunk_documents(d, size=32, stride=24)
@@ -856,7 +1001,24 @@ def q_doc_chunks(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
-    return _variant(chunks, "chunk").unionByName(_variant(bpe, "bpe"))
+    uni = unigram_encode_ids(
+        d, _unigram_fixture_table(), max_piece_len=_UNIGRAM_MAX_PIECE
+    ).select(
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        _variant(chunks, "chunk")
+        .unionByName(_variant(bpe, "bpe"))
+        .unionByName(_variant(uni, "unigram"))
+    )
 
 
 def q_span_dedup(spark, sf_dir):
@@ -3136,6 +3298,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM ch
         """,
         "bpe_ids": _bpe_oracle_sql(),
+        "unigram_ids": _unigram_oracle_sql(),
         "span_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
                        WHERE text IS NOT NULL AND trim(text) != ''),
@@ -3577,7 +3740,11 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
         "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
         "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
-        "doc_chunks": union("doc_chunks", "bpe_ids", "chunk", "bpe"),
+        "doc_chunks": (
+            union("doc_chunks", "bpe_ids", "chunk", "bpe")
+            + f" UNION ALL SELECT z.*, 'unigram' AS variant "
+            f"FROM ({o['unigram_ids']}) z"
+        ),
         "embedding_near_dup": union(
             "embedding_near_dup", "semantic_pairs", "rp", "semantic"
         ),
