@@ -1234,13 +1234,14 @@ def q_jaccard_verify(spark, sf_dir):
     )
 
 
-def q_knn_join(spark, sf_dir):
-    """Exact kNN spatial join (customers' points to their 3 nearest
-    supplier points) via the level-doubling grid search; oracle is the
-    brute-force window over the cross product — results must agree
-    exactly, squared distances included."""
+#: sjoin_nearest gate cutoff: small enough that some customers have no
+#: supplier within reach at the driver SFs (exercising the left-join
+#: null path), large enough that most match.
+_NEAREST_CUT = 5.0
+
+
+def _knn_gate_frames(spark, sf_dir):
     from spatialpandas_spark import st_point
-    from spatialpandas_spark.operators.knn import sjoin_knn
 
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("lid"),
@@ -1256,10 +1257,43 @@ def q_knn_join(spark, sf_dir):
             (F.col("s_nationkey") * 3 % 80).cast("double"),
         ).alias("geom"),
     )
-    out = sjoin_knn(cust, supp, k=3, cell_size=8.0)
-    return out.select(
-        "lid", "rid", "dist2", F.col("rank").cast("long").alias("rank")
+    return cust, supp
+
+
+def q_knn_join(spark, sf_dir):
+    """Merged nearest-neighbor join gate, tagged union (d is the
+    distance column — SQUARED for 'knn' rows, euclidean for 'nearest'
+    rows, both bit-exact cross-engine since sqrt is correctly rounded):
+
+    - 'knn': exact kNN spatial join (customers' points to their 3
+      nearest supplier points) via the level-doubling grid search;
+      oracle is the brute-force window over the cross product — exact
+      agreement, squared distances included
+      [operators/knn.py sjoin_knn — tests/test_knn.py];
+    - 'nearest': ``sjoin_nearest`` (geopandas surface, k=1 wrapper)
+      with max_distance=_NEAREST_CUT and how='left' — matched rows
+      carry euclidean dist, out-of-reach customers survive with null
+      rid/d (the left-join contract); ties break to smallest rid
+      [operators/knn.py sjoin_nearest — tests/test_knn.py
+      test_sjoin_nearest_*]."""
+    from spatialpandas_spark.operators.knn import sjoin_knn, sjoin_nearest
+
+    cust, supp = _knn_gate_frames(spark, sf_dir)
+    knn = sjoin_knn(cust, supp, k=3, cell_size=8.0).select(
+        "lid",
+        "rid",
+        F.col("dist2").alias("d"),
+        F.col("rank").cast("long").alias("rank"),
     )
+    near = sjoin_nearest(
+        cust, supp, max_distance=_NEAREST_CUT, how="left", cell_size=8.0
+    ).select(
+        "lid",
+        "rid",
+        F.col("dist").alias("d"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    return _variant(knn, "knn").unionByName(_variant(near, "nearest"))
 
 
 def q_interval_join(spark, sf_dir):
@@ -3431,14 +3465,14 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "jaccard_verify": _jaccard_oracle_sql(),
-        "knn_join": """
+        "knn_join": f"""
             WITH l AS (SELECT c_custkey AS lid,
                         CAST(c_custkey % 97 AS DOUBLE) AS lx,
                         CAST(c_nationkey * 4 AS DOUBLE) AS ly FROM customer),
             r AS (SELECT s_suppkey AS rid,
                         CAST(s_suppkey * 7 % 90 AS DOUBLE) AS rx,
-                        CAST(s_nationkey * 3 % 80 AS DOUBLE) AS ry FROM supplier)
-            SELECT lid, rid, dist2, rank FROM (
+                        CAST(s_nationkey * 3 % 80 AS DOUBLE) AS ry FROM supplier),
+            bf AS (
               SELECT l.lid, r.rid,
                      (l.lx - r.rx) * (l.lx - r.rx)
                    + (l.ly - r.ry) * (l.ly - r.ry) AS dist2,
@@ -3448,7 +3482,16 @@ def _base_oracle_sql() -> dict[str, str]:
                               + (l.ly - r.ry) * (l.ly - r.ry), r.rid
                      ) AS BIGINT) AS rank
               FROM l CROSS JOIN r
-            ) WHERE rank <= 3
+            )
+            SELECT lid, rid, dist2 AS d, rank, 'knn' AS variant
+            FROM bf WHERE rank <= 3
+            UNION ALL
+            SELECT l.lid, n.rid, n.d, CAST(NULL AS BIGINT) AS rank,
+                   'nearest' AS variant
+            FROM l LEFT JOIN (
+              SELECT lid, rid, sqrt(dist2) AS d
+              FROM bf WHERE rank = 1 AND dist2 <= {_NEAREST_CUT**2!r}
+            ) n USING (lid)
         """,
         "interval_join": """
             SELECT n.n_nationkey AS band_id,
