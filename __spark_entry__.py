@@ -1041,17 +1041,33 @@ def q_events_json(spark, sf_dir):
     """Merged JSON-extraction + PageRank gate, tagged union:
 
     - 'json': parse the props JSON payload JVM-side (get_json_object,
-      no Python) and aggregate the extracted metric per event type;
+      no Python) and aggregate the extracted metric per event type
+      [operators/.. events surface — tests/test_events.py];
     - 'pr': 5-iteration damped PageRank (operators/graph.py — join-based
       power iteration with dangling-mass redistribution) over the
       user -> props.k interaction graph derived from the same events
       (dst offset by 1e7 so the bipartite sides never collide). The
       oracle replays the identical join algebra as 5 chained CTEs;
       ranks rounded to 9 places (values O(1/n); cross-engine sum-order
-      noise is ~1e-19, far below the rounding grain).
+      noise is ~1e-19, far below the rounding grain)
+      [operators/graph.py pagerank — tests/test_graph.py];
+    - 'linkpr': the crawl link-graph chain END TO END — closed-form
+      HTML pages synthesized JVM-side per document (absolute, UPPERCASE
+      -scheme, protocol-relative, relative-to-self, in-script, and
+      external-sink hrefs), parsed by the REAL extractor
+      (extract_links_from_html), host-resolved + self-edge-dropped
+      (host_link_edges), then ranked by the same 5-iter PageRank. The
+      sink host has no out-links, so the dangling-mass path runs on a
+      real link graph; the oracle recomputes the edge set from the
+      same doc_id formulas (the crawl gate's synthesize-in-engine
+      trick) and replays the rank algebra
+      [operators/html.py extract_links_from_html/host_link_edges +
+      operators/graph.py pagerank — tests/test_html_text.py,
+      tests/test_graph.py].
 
     Columns: (variant, k, n, sum_k, val)."""
     from spatialpandas_spark.operators.graph import pagerank
+    from spatialpandas_spark.operators.html import host_link_edges
 
     e = _events(spark, sf_dir)
     kx = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -1081,7 +1097,41 @@ def q_events_json(spark, sf_dir):
         F.lit(None).cast("long").alias("sum_k"),
         F.round(F.col("rank"), 9).alias("val"),
     )
-    return js.unionByName(pr)
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def host(expr):
+        return F.concat(F.lit("h"), expr.cast("string"), F.lit(".test"))
+
+    html = F.concat(
+        F.lit('<html><head><title>P</title><script>var x = \'<a href="'
+              'http://skip'),
+        (did % 7).cast("string"),
+        F.lit('.test/no">s</a>\';</script></head><body><p>doc</p>'
+              '<a href="http://'),
+        host((did * 3 + 1) % 7),
+        F.lit('/x">a</a><A HREF="HTTPS://H'),
+        ((did * 5 + 2) % 7).cast("string"),
+        F.lit('.TEST/Y">b</A><a href="//'),
+        host((did + 1) % 7),
+        F.lit('/pp">c</a><a href="/relative">d</a>'
+              '<a href="http://sink.test/z">e</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://"), host(did % 7), F.lit("/p"), did.cast("string")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    linkpr = pagerank(host_link_edges(pages), iters=5, damping=0.85).select(
+        F.lit("linkpr").alias("variant"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.round(F.col("rank"), 9).alias("val"),
+    )
+    return js.unionByName(pr).unionByName(linkpr)
 
 
 def q_unigram_quality(spark, sf_dir):
@@ -2900,21 +2950,54 @@ SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM (
 """
 
 
-def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
-    """Fixed-iteration PageRank as a generated CTE chain — an
-    independent DuckDB replay of ``operators/graph.py pagerank`` (the
-    same precedent as ``_hilbert_oracle_sql``: a closed-form SQL replay
-    of an iterative operator). Edge derivation, out-degree weights,
-    per-round dangling-mass redistribution, and the damped update are
-    each one CTE per iteration; the literal ``(1.0 - d)`` matches the
-    Spark side's Python-computed ``(1.0 - damping)`` IEEE ops exactly."""
-    d = repr(damping)
-    ctes = [
-        """e AS (SELECT DISTINCT user_id AS src,
+_EVENTS_EDGES_SQL = """SELECT DISTINCT user_id AS src,
                         CAST(json_extract(props, '$.k') AS BIGINT)
                           + 10000000 AS dst
                  FROM events
-                 WHERE json_extract(props, '$.k') IS NOT NULL)""",
+                 WHERE json_extract(props, '$.k') IS NOT NULL"""
+
+
+#: closed-form replay of the 'linkpr' gate's synthesized page links:
+#: each document's page on host h{doc_id%7}.test carries absolute,
+#: uppercase-scheme, and protocol-relative hrefs to the three formula
+#: hosts plus the sink; the relative href resolves to the page's own
+#: host (self-edge, dropped — matching host_link_edges) and the
+#: in-script href must NOT contribute (skip{...}.test never appears).
+_LINK_EDGES_SQL = """
+    SELECT DISTINCT src, dst FROM (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS src,
+             'h' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) || '.test' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
+             'h' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR) || '.test'
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
+             'h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.test'
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test', 'sink.test'
+      FROM documents
+    ) WHERE src != dst"""
+
+
+def _pagerank_oracle_sql(
+    edges_sql: str = _EVENTS_EDGES_SQL, iters: int = 5, damping: float = 0.85
+) -> str:
+    """Fixed-iteration PageRank as a generated CTE chain — an
+    independent DuckDB replay of ``operators/graph.py pagerank`` (the
+    same precedent as ``_hilbert_oracle_sql``: a closed-form SQL replay
+    of an iterative operator), parameterized by the edge derivation so
+    the events-interaction graph ('pr' variant) and the crawl host
+    link graph ('linkpr' variant) share one replay. Out-degree
+    weights, per-round dangling-mass redistribution, and the damped
+    update are each one CTE per iteration; the literal ``(1.0 - d)``
+    matches the Spark side's Python-computed ``(1.0 - damping)`` IEEE
+    ops exactly."""
+    d = repr(damping)
+    ctes = [
+        f"e AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src)",
@@ -3362,6 +3445,11 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_k,
                    val
             FROM ({_pagerank_oracle_sql()})
+            UNION ALL
+            SELECT 'linkpr' AS variant, k,
+                   CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_k,
+                   val
+            FROM ({_pagerank_oracle_sql(edges_sql=_LINK_EDGES_SQL)})
         """,
         "unigram_quality": f"""
             WITH tok AS (
