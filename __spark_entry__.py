@@ -1954,6 +1954,183 @@ def q_label_centroid_sim(spark, sf_dir):
     )
 
 
+#: constant-gray 8x8 JPEG payloads for the 'jpeg' gate variant: k < 4
+#: are BASELINE (SOF0) streams, k >= 4 PROGRESSIVE (SOF2) — both real
+#: entropy-coded scans through the full marker/Huffman/IDCT path. A
+#: constant image decodes bit-exactly (DC-only blocks, all-ones quant
+#: tables), so the closed-form oracle is exact — the WAV gate's trick
+#: on the JPEG surface. Bytes produced by the repo's own spec-written
+#: encoders (tests/test_multimodal_jpeg.py encode_jpeg,
+#: tests/test_jpeg_progressive.py encode_jpeg_progressive); pinned
+#: against them by tests/test_entry_jpeg_gate.py so they cannot drift.
+_JPEG_GATE_VALUES = (77, 106, 135, 164, 40, 95, 124, 20)
+_JPEG_GATE_HEX = (
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC00011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000009FFC40014010100000000000000000000000000000000FF"
+    "C40014100100000000000000000000000000000000FFC40014110100000000000000"
+    "000000000000000000FFDA000C03010002110311003F0019C1FFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC00011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000008FFC40014010100000000000000000000000000000000FF"
+    "C40014100100000000000000000000000000000000FFC40014110100000000000000"
+    "000000000000000000FFDA000C03010002110311003F002783FFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC00011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000006FFC40014010100000000000000000000000000000000FF"
+    "C40014100100000000000000000000000000000000FFC40014110100000000000000"
+    "000000000000000000FFDA000C03010002110311003F00700FFFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC00011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000009FFC40014010100000000000000000000000000000000FF"
+    "C40014100100000000000000000000000000000000FFC40014110100000000000000"
+    "000000000000000000FFDA000C03010002110311003F004801FFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC20011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000009FFC40014010100000000000000000000000000000000FF"
+    "DA000C0301000210031000000127CFFFDA000C030100020003000000101FFFC40014"
+    "100100000000000000000000000000000000FFDA00080101000105017FFFC4001410"
+    "0100000000000000000000000000000000FFDA00080101000105107FFFC400141001"
+    "00000000000000000000000000000000FFDA0008010100063F017FFFC40014100100"
+    "000000000000000000000000000000FFDA0008010100063F107FFFC4001410010000"
+    "0000000000000000000000000000FFDA00080102000105017FFFC400141001000000"
+    "00000000000000000000000000FFDA00080102000105107FFFC40014100100000000"
+    "000000000000000000000000FFDA0008010200063F017FFFC4001410010000000000"
+    "0000000000000000000000FFDA0008010200063F107FFFC400141001000000000000"
+    "00000000000000000000FFDA00080103000105017FFFC40014100100000000000000"
+    "000000000000000000FFDA00080103000105107FFFC4001410010000000000000000"
+    "0000000000000000FFDA0008010300063F017FFFC400141001000000000000000000"
+    "00000000000000FFDA0008010300063F107FFFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC20011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000008FFC40014010100000000000000000000000000000000FF"
+    "DA000C030100021003100000013D9FFFDA000C030100020003000000101FFFC40014"
+    "100100000000000000000000000000000000FFDA00080101000105017FFFC4001410"
+    "0100000000000000000000000000000000FFDA00080101000105107FFFC400141001"
+    "00000000000000000000000000000000FFDA0008010100063F017FFFC40014100100"
+    "000000000000000000000000000000FFDA0008010100063F107FFFC4001410010000"
+    "0000000000000000000000000000FFDA00080102000105017FFFC400141001000000"
+    "00000000000000000000000000FFDA00080102000105107FFFC40014100100000000"
+    "000000000000000000000000FFDA0008010200063F017FFFC4001410010000000000"
+    "0000000000000000000000FFDA0008010200063F107FFFC400141001000000000000"
+    "00000000000000000000FFDA00080103000105017FFFC40014100100000000000000"
+    "000000000000000000FFDA00080103000105107FFFC4001410010000000000000000"
+    "0000000000000000FFDA0008010300063F017FFFC400141001000000000000000000"
+    "00000000000000FFDA0008010300063F107FFFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC20011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000005FFC40014010100000000000000000000000000000000FF"
+    "DA000C030100021003100000013CFFDA000C030100020003000000101FFFC4001410"
+    "0100000000000000000000000000000000FFDA00080101000105017FFFC400141001"
+    "00000000000000000000000000000000FFDA00080101000105107FFFC40014100100"
+    "000000000000000000000000000000FFDA0008010100063F017FFFC4001410010000"
+    "0000000000000000000000000000FFDA0008010100063F107FFFC400141001000000"
+    "00000000000000000000000000FFDA00080102000105017FFFC40014100100000000"
+    "000000000000000000000000FFDA00080102000105107FFFC4001410010000000000"
+    "0000000000000000000000FFDA0008010200063F017FFFC400141001000000000000"
+    "00000000000000000000FFDA0008010200063F107FFFC40014100100000000000000"
+    "000000000000000000FFDA00080103000105017FFFC4001410010000000000000000"
+    "0000000000000000FFDA00080103000105107FFFC400141001000000000000000000"
+    "00000000000000FFDA0008010300063F017FFFC40014100100000000000000000000"
+    "000000000000FFDA0008010300063F107FFFD9",
+    "FFD8FFDB004300010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101FFDB0043010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101FFC20011080008000803011100021101031101FFC4001400010000000000"
+    "0000000000000000000009FFC40014010100000000000000000000000000000000FF"
+    "DA000C0301000210031000000113CFFFDA000C030100020003000000101FFFC40014"
+    "100100000000000000000000000000000000FFDA00080101000105017FFFC4001410"
+    "0100000000000000000000000000000000FFDA00080101000105107FFFC400141001"
+    "00000000000000000000000000000000FFDA0008010100063F017FFFC40014100100"
+    "000000000000000000000000000000FFDA0008010100063F107FFFC4001410010000"
+    "0000000000000000000000000000FFDA00080102000105017FFFC400141001000000"
+    "00000000000000000000000000FFDA00080102000105107FFFC40014100100000000"
+    "000000000000000000000000FFDA0008010200063F017FFFC4001410010000000000"
+    "0000000000000000000000FFDA0008010200063F107FFFC400141001000000000000"
+    "00000000000000000000FFDA00080103000105017FFFC40014100100000000000000"
+    "000000000000000000FFDA00080103000105107FFFC4001410010000000000000000"
+    "0000000000000000FFDA0008010300063F017FFFC400141001000000000000000000"
+    "00000000000000FFDA0008010300063F107FFFD9",
+)
+
+
+def _ppm_payload_expr():
+    """4x4 P6 payload from part keys (bytes 1..127: UTF-8 identity)."""
+    pieces = [
+        F.expr(f"chr((p_partkey*7 + {i}*5 + {c}*11) % 127 + 1)")
+        for i in range(16)
+        for c in range(3)
+    ]
+    return F.encode(F.concat(F.lit("P6\n4 4\n127\n"), *pieces), "UTF-8")
+
+
+def _wav_payload_expr():
+    """16-sample 8-bit PCM RIFF/WAVE payload from part keys via unhex."""
+    pieces = [
+        F.expr(f"lpad(hex((p_partkey*13 + {i}*7) % 256), 2, '0')")
+        for i in range(16)
+    ]
+    return F.unhex(F.concat(F.lit(_WAV_HDR_HEX), *pieces))
+
+
+_PNG_GATE_HEX_CACHE = None
+
+
+def _png_gate_hexes() -> list:
+    """The 8 distinct 4x4 PNGs of the 'png' variant, encoded once per
+    process with the pure-stdlib encoder (pixel (k*7+i*5+c*11)%127+1)."""
+    global _PNG_GATE_HEX_CACHE
+    if _PNG_GATE_HEX_CACHE is None:
+        import numpy as np
+
+        from spatialpandas_spark.operators.png import encode_png
+
+        hexes = []
+        for k in range(8):
+            img = np.array(
+                [
+                    [(k * 7 + i * 5 + c * 11) % 127 + 1 for c in range(3)]
+                    for i in range(16)
+                ],
+                dtype=np.uint8,
+            ).reshape(4, 4, 3)
+            hexes.append(encode_png(img).hex().upper())
+        _PNG_GATE_HEX_CACHE = hexes
+    return _PNG_GATE_HEX_CACHE
+
+
+def _pick_by_key_expr(hexes, key_mod: int):
+    """payload = unhex(hexes[p_partkey % key_mod]) as a Catalyst expr."""
+    return F.unhex(
+        F.element_at(
+            F.array(*[F.lit(h) for h in hexes]),
+            (F.col("p_partkey") % key_mod + 1).cast("int"),
+        )
+    )
+
+
 def q_extract_features(spark, sf_dir):
     """Multimodal decode on REAL pixels: 4x4 binary-PPM (P6) payloads are
     synthesized JVM-side from part keys (header + 48 raster bytes via
@@ -1965,14 +2142,9 @@ def q_extract_features(spark, sf_dir):
     from spatialpandas_spark.operators.multimodal import extract_features
 
     part = _t(spark, sf_dir, "part")
-    pieces = [
-        F.expr(f"chr((p_partkey*7 + {i}*5 + {c}*11) % 127 + 1)")
-        for i in range(16)
-        for c in range(3)
-    ]
-    payload = F.encode(F.concat(F.lit("P6\n4 4\n127\n"), *pieces), "UTF-8")
     media = part.select(
-        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+        F.col("p_partkey").alias("media_id"),
+        _ppm_payload_expr().alias("payload"),
     )
     out = extract_features(media, decoder="ppm")
     names = [
@@ -2010,13 +2182,9 @@ def q_extract_features_audio(spark, sf_dir):
     from spatialpandas_spark.operators.multimodal import extract_features
 
     part = _t(spark, sf_dir, "part")
-    pieces = [
-        F.expr(f"lpad(hex((p_partkey*13 + {i}*7) % 256), 2, '0')")
-        for i in range(16)
-    ]
-    payload = F.unhex(F.concat(F.lit(_WAV_HDR_HEX), *pieces))
     media = part.select(
-        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+        F.col("p_partkey").alias("media_id"),
+        _wav_payload_expr().alias("payload"),
     )
     out = extract_features(media, decoder="wav")
     names = [
@@ -2046,31 +2214,12 @@ def q_extract_features_png(spark, sf_dir):
     inflate, filter reconstruction — inside the Arrow-batched
     extract_features stage. Stats are ratios of small integers over 16,
     so the closed-form oracle (same formula on k) is bit-exact."""
-    import numpy as np
-
     from spatialpandas_spark.operators.multimodal import extract_features
-    from spatialpandas_spark.operators.png import encode_png
-
-    hexes = []
-    for k in range(8):
-        img = np.array(
-            [
-                [(k * 7 + i * 5 + c * 11) % 127 + 1 for c in range(3)]
-                for i in range(16)
-            ],
-            dtype=np.uint8,
-        ).reshape(4, 4, 3)
-        hexes.append(encode_png(img).hex().upper())
 
     part = _t(spark, sf_dir, "part")
-    payload = F.unhex(
-        F.element_at(
-            F.array(*[F.lit(h) for h in hexes]),
-            (F.col("p_partkey") % 8 + 1).cast("int"),
-        )
-    )
     media = part.select(
-        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+        F.col("p_partkey").alias("media_id"),
+        _pick_by_key_expr(_png_gate_hexes(), 8).alias("payload"),
     )
     out = extract_features(media, decoder="image")
     names = [
@@ -2089,14 +2238,110 @@ def q_extract_features_png(spark, sf_dir):
     )
 
 
+def q_extract_features_jpeg(spark, sf_dir):
+    """Multimodal decode through the REAL JPEG path: 8 constant-gray
+    8x8 payloads (4 BASELINE SOF0 + 4 PROGRESSIVE SOF2, see
+    _JPEG_GATE_HEX) picked by part key, magic-sniffed and decoded —
+    marker walk, Huffman entropy decode (sequential and
+    spectral-selection/successive-approximation progressive scans),
+    dequant, IDCT, YCbCr. Constant images decode bit-exactly, so the
+    closed-form oracle (value table keyed on p_partkey % 8) is exact."""
+    from spatialpandas_spark.operators.multimodal import extract_features
+
+    part = _t(spark, sf_dir, "part")
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        _pick_by_key_expr(_JPEG_GATE_HEX, 8).alias("payload"),
+    )
+    out = extract_features(media, decoder="image")
+    names = [
+        "mean_r", "mean_g", "mean_b",
+        "min_r", "min_g", "min_b",
+        "max_r", "max_g", "max_b",
+        "fgt_r", "fgt_g", "fgt_b",
+    ]
+    return out.select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), j).cast("double").alias(nm)
+            for j, nm in enumerate(names)
+        ],
+        "decode_ok",
+    )
+
+
+def q_extract_features_probe(spark, sf_dir):
+    """Header-only metadata probes over a MIXED media column — one
+    probe_media_metadata pass profiling four formats (p_partkey % 4:
+    PPM / WAV / PNG / JPEG-incl-progressive) with no decoder run.
+    Header fields are mapped into the media gate's 12-slot layout
+    (mean_r=width, mean_g=height, mean_b=sample_rate,
+    min_r=n_channels, min_g=n_samples, min_b=n_bytes, rest 0.0;
+    decode_ok carries 'probe_ok:format') so the probe unions with the
+    decode variants; the oracle is closed-form from the same payload
+    constructions. Probe agreement with full decode is additionally
+    pinned by tests/test_image_probe.py."""
+    from spatialpandas_spark.operators.multimodal import (
+        probe_media_metadata,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    m4 = F.col("p_partkey") % 4
+    payload = (
+        F.when(m4 == 0, _ppm_payload_expr())
+        .when(m4 == 1, _wav_payload_expr())
+        .when(m4 == 2, _pick_by_key_expr(_png_gate_hexes(), 8))
+        .otherwise(_pick_by_key_expr(_JPEG_GATE_HEX, 8))
+    )
+    media = part.select(
+        F.col("p_partkey").alias("media_id"), payload.alias("payload")
+    )
+    out = probe_media_metadata(media)
+
+    def slot(c):
+        return F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+
+    return out.select(
+        "media_id",
+        slot("width").alias("mean_r"),
+        slot("height").alias("mean_g"),
+        slot("sample_rate").alias("mean_b"),
+        slot("n_channels").alias("min_r"),
+        slot("n_samples").alias("min_g"),
+        slot("n_bytes").alias("min_b"),
+        F.lit(0.0).alias("max_r"),
+        F.lit(0.0).alias("max_g"),
+        F.lit(0.0).alias("max_b"),
+        F.lit(0.0).alias("fgt_r"),
+        F.lit(0.0).alias("fgt_g"),
+        F.lit(0.0).alias("fgt_b"),
+        F.concat_ws(":", "probe_ok", "format").alias("decode_ok"),
+    )
+
+
 def q_extract_features_media(spark, sf_dir):
-    """Merged multimodal gate: image (PPM) + audio (WAV) + compressed
-    (PNG, magic-sniffed) variants through the same extract_features
-    operator, tagged union."""
+    """Merged multimodal gate, tagged union through the same
+    extract_features / probe surface:
+
+    - 'image': 4x4 binary PPM, real pixel decode
+      [operators/multimodal.py decode_ppm — tests/test_multimodal.py];
+    - 'audio': 16-sample 8-bit PCM RIFF/WAVE
+      [operators/multimodal.py decode_wav — tests/test_audio.py];
+    - 'png': real DEFLATE/CRC/filter decode, magic-sniffed
+      [operators/png.py — tests/test_png.py];
+    - 'jpeg': constant-gray baseline SOF0 + progressive SOF2 entropy
+      decode, bit-exact [operators/jpeg.py —
+      tests/test_multimodal_jpeg.py, tests/test_jpeg_progressive.py,
+      tests/test_entry_jpeg_gate.py];
+    - 'probe': header-only metadata over the mixed column
+      [operators/multimodal.py probe_media_metadata —
+      tests/test_image_probe.py]."""
     return (
         _variant(q_extract_features(spark, sf_dir), "image")
         .unionByName(_variant(q_extract_features_audio(spark, sf_dir), "audio"))
         .unionByName(_variant(q_extract_features_png(spark, sf_dir), "png"))
+        .unionByName(_variant(q_extract_features_jpeg(spark, sf_dir), "jpeg"))
+        .unionByName(_variant(q_extract_features_probe(spark, sf_dir), "probe"))
     )
 
 
@@ -2957,6 +3202,60 @@ _EVENTS_EDGES_SQL = """SELECT DISTINCT user_id AS src,
                  WHERE json_extract(props, '$.k') IS NOT NULL"""
 
 
+def _jpeg_probe_oracle_sql() -> str:
+    """Closed-form oracle blocks for the 'jpeg' and 'probe' variants of
+    the media gate. 'jpeg': constant-gray payloads decode to their pixel
+    value exactly (DC-only blocks, unit quant tables). 'probe': header
+    fields derived from the payload constructions themselves — PPM/PNG
+    are 4x4, JPEG 8x8, WAV mono 8-bit 8 kHz 16 samples; byte lengths
+    come from the very hex blobs / builders the Spark side embeds."""
+    vals = "[" + ", ".join(f"{v}.0" for v in _JPEG_GATE_VALUES) + "]"
+    jpeg_lens = "[" + ", ".join(
+        str(len(h) // 2) for h in _JPEG_GATE_HEX
+    ) + "]"
+    png_lens = "[" + ", ".join(
+        str(len(h) // 2) for h in _png_gate_hexes()
+    ) + "]"
+    return f"""
+            SELECT media_id,
+                   v AS mean_r, v AS mean_g, v AS mean_b,
+                   v AS min_r, v AS min_g, v AS min_b,
+                   v AS max_r, v AS max_g, v AS max_b,
+                   gt AS fgt_r, gt AS fgt_g, gt AS fgt_b,
+                   'ok' AS decode_ok, 'jpeg' AS variant
+            FROM (
+              SELECT p_partkey AS media_id,
+                     ({vals})[p_partkey % 8 + 1] AS v,
+                     CASE WHEN ({vals})[p_partkey % 8 + 1] > 64
+                          THEN 1.0 ELSE 0.0 END AS gt
+              FROM part)
+            UNION ALL
+            SELECT p_partkey AS media_id,
+                   CASE p_partkey % 4 WHEN 1 THEN 0.0
+                        WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_r,
+                   CASE p_partkey % 4 WHEN 1 THEN 0.0
+                        WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_g,
+                   CASE p_partkey % 4 WHEN 1 THEN 8000.0
+                        ELSE 0.0 END AS mean_b,
+                   CASE p_partkey % 4 WHEN 1 THEN 1.0
+                        ELSE 0.0 END AS min_r,
+                   CASE p_partkey % 4 WHEN 1 THEN 16.0
+                        ELSE 0.0 END AS min_g,
+                   CASE p_partkey % 4
+                        WHEN 0 THEN 59.0
+                        WHEN 1 THEN 60.0
+                        WHEN 2 THEN CAST(({png_lens})[p_partkey % 8 + 1]
+                                         AS DOUBLE)
+                        ELSE CAST(({jpeg_lens})[p_partkey % 8 + 1]
+                                  AS DOUBLE) END AS min_b,
+                   0.0 AS max_r, 0.0 AS max_g, 0.0 AS max_b,
+                   0.0 AS fgt_r, 0.0 AS fgt_g, 0.0 AS fgt_b,
+                   'ok:' || (['ppm', 'wav', 'png', 'jpeg'])
+                            [p_partkey % 4 + 1] AS decode_ok,
+                   'probe' AS variant
+            FROM part"""
+
+
 #: closed-form replay of the 'linkpr' gate's synthesized page links:
 #: each document's page on host h{doc_id%7}.test carries absolute,
 #: uppercase-scheme, and protocol-relative hrefs to the three formula
@@ -3162,7 +3461,7 @@ def _base_oracle_sql() -> dict[str, str]:
                               ELSE CAST(c_nationkey * 4 AS DOUBLE) END AS y
                   FROM customer)
         """,
-        "extract_features": """
+        "extract_features": f"""
             WITH px AS (
               SELECT p_partkey AS media_id,
                      CAST((p_partkey*7 + u.i*5 + 0)  % 127 + 1 AS DOUBLE) AS r,
@@ -3208,6 +3507,8 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(((p_partkey % 8)*7 + u.i*5 + 22) % 127 + 1 AS DOUBLE) AS b
               FROM part, UNNEST(range(0, 16)) AS u(i)
             ) GROUP BY media_id
+            UNION ALL
+            {_jpeg_probe_oracle_sql()}
         """,
         "hilbert_pack": _hilbert_oracle_sql(p=10),
         "geom_sort": """
