@@ -30,15 +30,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "auto_n_clusters",
     "semantic_dedup_pairs",
     "semantic_dedup_clusters",
     "semantic_dedup",
 ]
 
+#: auto-scaling target: mean |cluster| the default aims for. Within-
+#: cluster pair volume is then ~ n * TARGET/2 — LINEAR in corpus size
+#: with a constant multiplier — instead of the n^2/k degeneration a
+#: fixed cluster count hits as the corpus grows.
+_TARGET_MEAN_CLUSTER = 1024
+_MAX_AUTO_CLUSTERS = 1 << 20
+
+
+def auto_n_clusters(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    target_mean_cluster: int = _TARGET_MEAN_CLUSTER,
+    n: int | None = None,
+) -> int:
+    """Cluster count that keeps the MEAN cluster size ~constant as the
+    corpus grows (the ``estimate_knn_cell_size`` auto-tune discipline
+    applied to SemDeDup): one column-pruned count (pass ``n`` to skip
+    it when the caller already knows), then ``ceil(n / target)``
+    clamped to [1, 2^20]. At 100 TB this is what keeps the
+    within-cluster self-join linear; a fixed ``n_clusters`` must
+    instead be revisited every time the corpus grows 10x."""
+    if target_mean_cluster <= 0:
+        raise ValueError("target_mean_cluster must be positive")
+    if n is None:
+        n = vectors.select(id_col).count()
+    return max(1, min(_MAX_AUTO_CLUSTERS, -(-n // target_mean_cluster)))
+
 
 def semantic_dedup_pairs(
     vectors: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
@@ -47,7 +75,13 @@ def semantic_dedup_pairs(
     """Within-cluster near-duplicate pairs: ``(id_a, id_b, sim)`` with
     ``id_a < id_b`` and ``sim >= threshold`` (exact cosine, computed
     only for same-cluster pairs). Null vectors are dropped at the
-    boundary (the ANN-surface contract)."""
+    boundary (the ANN-surface contract).
+
+    ``n_clusters=None`` (default) auto-scales via
+    :func:`auto_n_clusters` so the mean cluster size — and with it the
+    per-row candidate-pair volume — stays ~constant as the corpus
+    grows; pass an explicit count to pin it (the driver gate does, for
+    a deterministic oracle)."""
     from spatialpandas_spark.operators.similarity import (
         _centroids,
         bucket_assign_arrow,
@@ -55,6 +89,8 @@ def semantic_dedup_pairs(
         pair_cosine_arrow,
     )
 
+    if n_clusters is None:
+        n_clusters = auto_n_clusters(vectors, id_col)
     cents = _centroids(vectors, id_col, vec_col, n_clusters)
     if kmeans_iters > 0:
         cents = kmeans_refine(vectors, cents, kmeans_iters, id_col, vec_col)
@@ -85,7 +121,7 @@ def semantic_dedup_pairs(
 
 def semantic_dedup_clusters(
     vectors: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
@@ -115,7 +151,7 @@ def semantic_dedup_clusters(
 
 def semantic_dedup(
     vectors: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",

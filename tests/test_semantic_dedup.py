@@ -140,3 +140,55 @@ def test_real_embeddings_table(spark):
     n = emb.count()
     assert out.count() == n
     assert out.select("vec_id").distinct().count() == n
+
+
+# ---------------------------------------------------------- auto scaling
+def test_auto_n_clusters_formula():
+    """ceil(n/target) with clamps — pure math when n is supplied."""
+    from spatialpandas_spark.operators.semantic import auto_n_clusters
+
+    assert auto_n_clusters(None, n=0) == 1
+    assert auto_n_clusters(None, n=1023) == 1
+    assert auto_n_clusters(None, n=1025) == 2
+    assert auto_n_clusters(None, n=5_000_000) == 4883  # ceil(5e6/1024)
+    # 100 TB-ish corpus stays under the clamp until ~1e9 vectors
+    assert auto_n_clusters(None, n=10**9) == 976_563
+    assert auto_n_clusters(None, n=10**13) == 1 << 20  # clamped
+    assert auto_n_clusters(None, n=300, target_mean_cluster=64) == 5
+    with pytest.raises(ValueError):
+        auto_n_clusters(None, n=10, target_mean_cluster=0)
+
+
+def test_auto_default_matches_explicit(spark):
+    """n_clusters=None resolves through auto_n_clusters: below one
+    target's worth of vectors that is exactly one cluster, so the
+    pair set must equal the explicit n_clusters=1 run."""
+    df, _ = _emb(spark, n=60, dups=5)
+    auto = semantic_dedup_pairs(df, threshold=0.9, kmeans_iters=0)
+    pinned = semantic_dedup_pairs(
+        df, n_clusters=1, threshold=0.9, kmeans_iters=0
+    )
+    assert sorted(map(tuple, auto.select("id_a", "id_b").collect())) == sorted(
+        map(tuple, pinned.select("id_a", "id_b").collect())
+    )
+
+
+def test_auto_pair_volume_stays_linear(spark):
+    """At a fixed target mean cluster size, the within-cluster candidate
+    volume grows ~linearly in n, not quadratically: doubling n must not
+    quadruple the all-pairs count (threshold=-1 keeps every candidate)."""
+    from spatialpandas_spark.operators.semantic import auto_n_clusters
+
+    counts = {}
+    for n in (256, 512, 1024):
+        df, _ = _emb(spark, n=n, dups=0, labels=8)
+        k = auto_n_clusters(df, target_mean_cluster=64, n=n)
+        assert k == -(-n // 64)
+        pairs = semantic_dedup_pairs(
+            df, n_clusters=k, threshold=-1.0, kmeans_iters=0
+        )
+        counts[n] = pairs.count()
+    # quadratic would give 4x per doubling; linear-with-constant-mean
+    # gives ~2x (cluster-size skew allows some slack)
+    assert counts[512] < 3.0 * counts[256]
+    assert counts[1024] < 3.0 * counts[512]
