@@ -594,20 +594,34 @@ def q_wkb_roundtrip(spark, sf_dir):
 
 # ---------------------------------------------------------------- relational
 def q_tpch_q1(spark, sf_dir):
-    """TPC-H Q1 pricing summary (relational shell: scan→filter→agg)."""
+    """TPC-H Q1 pricing summary (relational shell: scan→filter→agg).
+
+    Sums and averages accumulate in DECIMAL(38,6): each double rounds
+    to 6 decimals ONCE per row (deterministic — the same input double
+    both engines), then the aggregation is exact integer arithmetic,
+    immune to summation order. This is what keeps the gate hash-exact
+    at the sf1 rehearsal, where double-sum float associativity over
+    ~6M rows flips the 15th significant digit between engines."""
     li = _t(spark, sf_dir, "lineitem")
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 4).alias(
+                "sum_base_price"
+            ),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").cast("long").alias("count_order"),
+            F.round(dsum(F.col("l_quantity")) / cnt, 4).alias("avg_qty"),
+            F.round(dsum(F.col("l_discount")) / cnt, 6).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
         )
     )
 
@@ -1042,7 +1056,7 @@ def q_events_json(spark, sf_dir):
 
     - 'json': parse the props JSON payload JVM-side (get_json_object,
       no Python) and aggregate the extracted metric per event type
-      [operators/.. events surface — tests/test_events.py];
+      [operators/.. events surface — tests/test_events_json.py];
     - 'pr': 5-iteration damped PageRank (operators/graph.py — join-based
       power iteration with dangling-mass redistribution) over the
       user -> props.k interaction graph derived from the same events
@@ -1062,7 +1076,7 @@ def q_events_json(spark, sf_dir):
       same doc_id formulas (the crawl gate's synthesize-in-engine
       trick) and replays the rank algebra
       [operators/html.py extract_links_from_html/host_link_edges +
-      operators/graph.py pagerank — tests/test_html_text.py,
+      operators/graph.py pagerank — tests/test_html.py,
       tests/test_graph.py].
 
     Columns: (variant, k, n, sum_k, val)."""
@@ -1367,11 +1381,20 @@ def q_interval_join(spark, sf_dir):
 
 
 def q_scrub_normalize(spark, sf_dir):
-    """PII scrub + normalization: synthetic contact lines (email, URL, IP,
-    phone derived from doc_id) are appended to each document, scrubbed to
-    placeholder tokens, then normalized; output is the md5 of the result
-    so the oracle verifies the exact transformed string. All regexes stay
-    in the RE2-compatible subset so Java and RE2 agree."""
+    """Merged text-hygiene gate, tagged union. Variant breadcrumbs:
+    'scrub' -> operators/text.py scrub_pii/normalize_text
+    (tests/test_scrub.py); 'hosts' -> operators/text.py
+    host_counts (tests/test_scrub.py); 'crawl' ->
+    sources/archives.py warc_records + operators/html.py
+    extract_text_from_html (tests/test_archives.py,
+    tests/test_html.py).
+
+    'scrub': synthetic contact lines (email, URL, IP, phone derived
+    from doc_id) are appended to each document, scrubbed to
+    placeholder tokens, then normalized; output is the md5 of the
+    result so the oracle verifies the exact transformed string. All
+    regexes stay in the RE2-compatible subset so Java and RE2
+    agree."""
     from spatialpandas_spark.operators.text import normalize_text, scrub_pii
 
     d = _t(spark, sf_dir, "documents")
@@ -1506,7 +1529,11 @@ def q_top_terms(spark, sf_dir):
       cross-engine float ordering; scoring all matches keeps the gate
       order-free, the driver sorts by value before hashing). Scores
       rounded to 6 places for cross-engine float safety, per the
-      tpch-gate convention."""
+      tpch-gate convention.
+
+    Breadcrumbs: 'terms' -> operators/text.py top_terms
+    (tests/test_search.py); 'bm25' -> operators/search.py bm25_score_all
+    (tests/test_search.py)."""
     from spatialpandas_spark.operators.search import (
         bm25_score_all,
         build_postings,
@@ -1576,7 +1603,11 @@ def q_stratified_sample(spark, sf_dir):
       and the order with ROW_NUMBER over the same hash.
 
     Columns: (variant, doc_id, grp, rnk) — grp is the language for
-    'sample' rows and 'source#epoch' for 'mix' rows."""
+    'sample' rows and 'source#epoch' for 'mix' rows.
+
+    Breadcrumbs: 'sample' -> operators/sampling.py stratified_sample
+    (tests/test_sampling.py); 'mix' -> operators/ordering.py
+    mix_sources (tests/test_ordering.py)."""
     from spatialpandas_spark.operators.ordering import (
         mix_sources,
         with_shuffle_rank,
@@ -1731,7 +1762,12 @@ def q_embedding_near_dup(spark, sf_dir):
     - 'semantic': SemDeDup-style within-cluster pairs
       (operators/semantic.py) with ``kmeans_iters=0`` so the
       deterministic md5-sample centroid assignment is closed-form SQL
-      (the same ``asg`` replay the IVF gates use)."""
+      (the same ``asg`` replay the IVF gates use).
+
+    Breadcrumbs: 'rp' -> operators/similarity.py
+    embedding_near_dup_pairs (tests/test_similarity.py);
+    'semantic' -> operators/semantic.py semantic_dedup_pairs
+    (tests/test_semantic_dedup.py)."""
     from spatialpandas_spark.operators.semantic import semantic_dedup_pairs
     from spatialpandas_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -1787,7 +1823,11 @@ def q_ann_pq_exact(spark, sf_dir):
 
 def q_ann_topk_merged(spark, sf_dir):
     """Merged ANN gate: brute force over the full table + the PQ
-    pipeline in its exact-reconstruction limit, tagged union."""
+    pipeline in its exact-reconstruction limit, tagged union.
+    Variant breadcrumbs: 'bf' -> operators/similarity.py
+    brute_force_topk (tests/test_similarity.py); 'pq_exact' ->
+    operators/pq.py lossless-config PQ pipeline
+    (tests/test_pq.py)."""
     return _variant(q_ann_topk(spark, sf_dir), "bf").unionByName(
         _variant(q_ann_pq_exact(spark, sf_dir), "pq_exact")
     )
@@ -1859,7 +1899,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     sample is the exact cross-engine twin the DuckDB oracle replays
     (bucketing, probing, re-ranking AND recall@5 vs brute force).
     The library default is kmeans_iters=2 (FP-order-dependent means have
-    no exact SQL twin; its recall lift is pytest-asserted instead)."""
+    no exact SQL twin; its recall lift is pytest-asserted instead).
+
+    Breadcrumbs: both variants -> operators/similarity.py ivf_topk
+    (tests/test_similarity.py); 'clustered' fixture ->
+    _clustered_vecs."""
     from spatialpandas_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -1896,7 +1940,10 @@ def q_ann_ivf_index(spark, sf_dir):
     (recall ~ scan fraction, the bound for structureless vectors);
     'clustered' = the deterministic twin where the PERSISTENT index's
     quality is driver-verified at 1.0. Probe scans are partition-pruned
-    (plan-asserted in tests)."""
+    (plan-asserted in tests).
+
+    Breadcrumbs: operators/similarity_index.py build/query
+    (tests/test_similarity_index.py); variants as in q_ann_ivf_topk."""
     import tempfile
 
     from spatialpandas_spark.operators.similarity import brute_force_topk
@@ -2324,11 +2371,11 @@ def q_extract_features_media(spark, sf_dir):
     extract_features / probe surface:
 
     - 'image': 4x4 binary PPM, real pixel decode
-      [operators/multimodal.py decode_ppm — tests/test_multimodal.py];
+      [operators/multimodal.py decode_ppm — tests/test_multimodal_ppm.py];
     - 'audio': 16-sample 8-bit PCM RIFF/WAVE
-      [operators/multimodal.py decode_wav — tests/test_audio.py];
+      [operators/multimodal.py decode_wav — tests/test_multimodal_wav.py];
     - 'png': real DEFLATE/CRC/filter decode, magic-sniffed
-      [operators/png.py — tests/test_png.py];
+      [operators/png.py — tests/test_multimodal_png.py];
     - 'jpeg': constant-gray baseline SOF0 + progressive SOF2 entropy
       decode, bit-exact [operators/jpeg.py —
       tests/test_multimodal_jpeg.py, tests/test_jpeg_progressive.py,
@@ -2355,14 +2402,18 @@ def _variant(df: DataFrame, v: str) -> DataFrame:
 
 
 def q_cx_bbox_merged(spark, sf_dir):
-    """P1/P2 .cx selection, regular + inverted-slice variants."""
+    """P1/P2 .cx selection, regular + inverted-slice variants.
+    Breadcrumbs: both -> operators/cx.py cx_filter
+    (tests/test_predicates_cx.py; 'inverted' pins the slice-inversion path)."""
     return _variant(q_cx_bbox(spark, sf_dir), "select").unionByName(
         _variant(q_cx_bbox_inverted(spark, sf_dir), "inverted")
     )
 
 
 def q_cx_refine_merged(spark, sf_dir):
-    """P5 exact cx refinement for line + polygon geometry types."""
+    """P5 exact cx refinement for line + polygon geometry types.
+    Breadcrumbs: both -> functions/predicates.py intersects_bounds
+    refinement (tests/test_predicates_cx.py, tests/test_concave_battery.py)."""
     return _variant(q_cx_lines(spark, sf_dir), "line").unionByName(
         _variant(q_cx_diamonds(spark, sf_dir), "diamond")
     )
@@ -2370,21 +2421,28 @@ def q_cx_refine_merged(spark, sf_dir):
 
 def q_sjoin_inner_merged(spark, sf_dir):
     """J1/J2 inner sjoin through both physical strategies (broadcast
-    filter-refine vs grid-cell shuffle) — identical results by contract."""
+    filter-refine vs grid-cell shuffle) — identical results by contract.
+    Breadcrumbs: 'broadcast'/'grid' -> operators/sjoin.py sjoin
+    strategy='broadcast'/'grid' (tests/test_sjoin.py,
+    tests/test_plans.py)."""
     return _variant(q_sjoin_inner(spark, sf_dir), "broadcast").unionByName(
         _variant(q_sjoin_grid(spark, sf_dir), "grid")
     )
 
 
 def q_sjoin_left_merged(spark, sf_dir):
-    """J1/J2 left-outer sjoin, broadcast vs grid strategies."""
+    """J1/J2 left-outer sjoin, broadcast vs grid strategies.
+    Breadcrumbs: as q_sjoin_inner_merged, how='left'
+    (tests/test_sjoin.py)."""
     return _variant(q_sjoin_left(spark, sf_dir), "broadcast").unionByName(
         _variant(q_sjoin_grid_left(spark, sf_dir), "grid")
     )
 
 
 def q_fillna_merged(spark, sf_dir):
-    """P8 missing-data handling: constant fill + pad (ffill) variants."""
+    """P8 missing-data handling: constant fill + pad (ffill) variants.
+    Breadcrumbs: 'value' -> functions/transforms.py fillna_geom;
+    'pad' -> pad_geom two-phase ffill (tests/test_transforms.py)."""
     return _variant(q_fillna_points(spark, sf_dir), "value").unionByName(
         _variant(q_fillna_pad(spark, sf_dir), "pad")
     )
@@ -2392,19 +2450,28 @@ def q_fillna_merged(spark, sf_dir):
 
 def q_area_length_by_group(spark, sf_dir):
     """F1/F2 grouped measures: shoelace area + perimeter length, one row
-    per brand."""
+    per brand.
+    Breadcrumbs: join of area (functions/measures.py area, F2) +
+    length (measures.py length, F1) per brand
+    (tests/test_measures.py, tests/test_arrow_bitexact.py)."""
     return q_area_by_group(spark, sf_dir).join(
         q_length_by_group(spark, sf_dir), "brand"
     )
 
 
 def q_poly_measures(spark, sf_dir):
-    """F2/F6 signed area + st_centroid per polygon, keyed by id."""
+    """F2/F6 signed area + st_centroid per polygon, keyed by id.
+    Breadcrumbs: oriented_area (functions/transforms.py oriented +
+    measures.py signed area) + st_centroid (measures.py)
+    (tests/test_centroid.py)."""
     return q_oriented_area(spark, sf_dir).join(q_centroid(spark, sf_dir), "id")
 
 
 def q_diamond_stats(spark, sf_dir):
-    """A5 sjoin counts + F8 boundary length per diamond, keyed by did."""
+    """A5 sjoin counts + F8 boundary length per diamond, keyed by did.
+    Breadcrumbs: sjoin counts (operators/sjoin.py, A5/A6) + boundary
+    length (functions/transforms.py boundary, F8)
+    (tests/test_sjoin.py, tests/test_transforms.py)."""
     return q_sjoin_counts(spark, sf_dir).join(
         q_boundary_length(spark, sf_dir), "did"
     )
@@ -2441,7 +2508,11 @@ def q_quality_margin(spark, sf_dir):
 
 def q_doc_stats_merged(spark, sf_dir):
     """Text stats: whitespace tokens/chars/avg-word-len + BPE token
-    count + classifier quality margin (fixed dyadic gate model)."""
+    count + classifier quality margin (fixed dyadic gate model).
+    Breadcrumbs: doc_stats -> operators/text.py token_count/char_count/avg_word_length
+    (tests/test_repetition.py); bpe_tokens -> operators/bpe.py
+    (tests/test_bpe.py); quality_margin -> operators/classifier.py
+    score_documents (tests/test_classifier.py)."""
     return (
         q_doc_stats(spark, sf_dir)
         .join(q_bpe_tokens(spark, sf_dir), "doc_id")
@@ -2450,12 +2521,18 @@ def q_doc_stats_merged(spark, sf_dir):
 
 
 def q_text_signals(spark, sf_dir):
-    """Language-ID + quality score per document."""
+    """Language-ID + quality score per document.
+    Breadcrumbs: lang_id -> operators/text.py lang_id;
+    quality_score -> operators/text.py quality_score
+    (tests/test_repetition.py)."""
     return q_lang_id(spark, sf_dir).join(q_quality_score(spark, sf_dir), "doc_id")
 
 
 def q_doc_quality_signals(spark, sf_dir):
-    """Repetition signals + unigram-LM quality per document."""
+    """Repetition signals + unigram-LM quality per document.
+    Breadcrumbs: repetition_signals -> operators/text.py
+    duplicate_line_fraction/top_ngram_fraction (tests/test_repetition.py); unigram_quality ->
+    operators/lm.py unigram_fit/logprob (tests/test_bigram_lm.py)."""
     return q_repetition_signals(spark, sf_dir).join(
         q_unigram_quality(spark, sf_dir), "doc_id"
     )
@@ -2492,7 +2569,11 @@ def q_minhash_merged(spark, sf_dir):
     """MinHash-LSH candidate pairs + exact Jaccard verification + the
     persistent-index probe variant (src marks which formulation each row
     came from; the probe's jaccard column is the signature ESTIMATE, the
-    pairs rows carry the exact value)."""
+    pairs rows carry the exact value).
+
+    Breadcrumbs: src='pairs' -> operators/dedup.py minhash_lsh_pairs +
+    ngram_jaccard_pairs (tests/test_dedup_text.py); src='index' ->
+    operators/dedup_index.py build/probe (tests/test_dedup_index.py)."""
     pairs = (
         q_minhash_pairs(spark, sf_dir)
         .join(q_jaccard_verify(spark, sf_dir), ["id_a", "id_b"])
@@ -2505,7 +2586,10 @@ def q_minhash_merged(spark, sf_dir):
 
 
 def q_user_journeys(spark, sf_dir):
-    """Sessionization + conversion funnel per user."""
+    """Sessionization + conversion funnel per user.
+    Breadcrumbs: user_sessions -> streaming/events.py sessionize
+    batch twin (tests/test_sessionization.py); event_funnel ->
+    conversion funnel over events (tests/test_events_json.py)."""
     return q_user_sessions(spark, sf_dir).join(
         q_event_funnel(spark, sf_dir), "user_id"
     )
@@ -3586,11 +3670,17 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                              AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                              AS DOUBLE), 4) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,6)))
+                              AS DOUBLE), 4) AS sum_disc_price,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                              AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
