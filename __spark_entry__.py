@@ -1663,22 +1663,42 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_shard_pack(spark, sf_dir):
-    """Token-budget shard packing: documents in doc_id order packed into
-    2000-BPE-token shards via the two-phase running sum (no global
-    window); per-shard doc count + token total. Oracle reproduces the
-    start-offset rule with a SQL window."""
-    from spatialpandas_spark.operators.shards import shard_summary
+    """Merged training-layout gate, tagged union over (k1, k2, v1, v2):
+
+    - 'shard': token-budget shard packing — documents in doc_id order
+      packed into 2000-BPE-token shards via the two-phase running sum
+      (no global window); k1=shard, v1=doc count, v2=token total
+      [operators/shards.py pack_shards/shard_summary —
+      tests/test_shards.py];
+    - 'seq': GPT-style concat-and-chunk sequence formation — every
+      (doc, 512-token training sequence) overlap with its in-doc
+      offset and slice length; k1=doc_id, k2=seq_id, v1=doc_offset,
+      v2=n_tokens_in_seq [operators/shards.py pack_token_sequences —
+      tests/test_shards.py test_pack_token_sequences_*].
+
+    Both replay the same SQL running-sum window in the oracle."""
+    from spatialpandas_spark.operators.shards import (
+        pack_token_sequences,
+        shard_summary,
+    )
     from spatialpandas_spark.operators.text import bpe_token_count
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", bpe_token_count(F.col("text")).cast("long").alias("w")
     )
-    out = shard_summary(d, "w", ["doc_id"], budget=2000)
-    return out.select(
-        F.col("shard").cast("long").alias("shard"),
-        F.col("n_rows").cast("long").alias("n_docs"),
-        F.col("total_weight").cast("long").alias("sum_tokens"),
+    shards = shard_summary(d, "w", ["doc_id"], budget=2000).select(
+        F.col("shard").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n_rows").cast("long").alias("v1"),
+        F.col("total_weight").cast("long").alias("v2"),
     )
+    seqs = pack_token_sequences(d, "w", ["doc_id"], 512).select(
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("seq_id").cast("long").alias("k2"),
+        F.col("doc_offset").cast("long").alias("v1"),
+        F.col("n_tokens_in_seq").cast("long").alias("v2"),
+    )
+    return _variant(shards, "shard").unionByName(_variant(seqs, "seq"))
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -4165,10 +4185,22 @@ def _base_oracle_sql() -> dict[str, str]:
             rs AS (SELECT doc_id, w,
                    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
                  FROM tc)
-            SELECT CAST((s - w) // 2000 AS BIGINT) AS shard,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(w) AS BIGINT) AS sum_tokens
-            FROM rs GROUP BY 1
+            SELECT 'shard' AS variant,
+                   CAST((s - w) // 2000 AS BIGINT) AS k1,
+                   CAST(NULL AS BIGINT) AS k2,
+                   CAST(COUNT(*) AS BIGINT) AS v1,
+                   CAST(SUM(w) AS BIGINT) AS v2
+            FROM rs GROUP BY 2
+            UNION ALL
+            SELECT 'seq', rs.doc_id,
+                   CAST(u.q AS BIGINT),
+                   CAST(greatest(s - w, u.q * 512) - (s - w) AS BIGINT),
+                   CAST(least(s, (u.q + 1) * 512)
+                        - greatest(s - w, u.q * 512) AS BIGINT)
+            FROM rs,
+                 UNNEST(range(CAST((s - w) // 512 AS BIGINT),
+                              CAST((s - 1) // 512 + 1 AS BIGINT))) AS u(q)
+            WHERE w > 0
         """,
         "curation_pipeline": _curation_oracle_sql(),
         "dedup_clusters": _cluster_oracle_sql(),

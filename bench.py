@@ -585,6 +585,53 @@ def b25_semantic_dedup(spark):
     ).count()
 
 
+_UNIGRAM_TABLE = None
+
+
+def b26_unigram_encode(spark):
+    """Unigram-LM tokenization of the documents table: piece table
+    trained once (EM driver-side over the capped word histogram —
+    amortized, the persisted-model serving shape) then Viterbi-applied
+    per run through the Arrow batch path with the distinct-word cache."""
+    from spatialpandas_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_ids,
+    )
+
+    global _UNIGRAM_TABLE
+    d = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    if _UNIGRAM_TABLE is None:
+        _UNIGRAM_TABLE = train_unigram(d, vocab_size=200, text_col="text")
+    return (
+        unigram_encode_ids(d, _UNIGRAM_TABLE)
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+
+
+def b27_sjoin_nearest(spark):
+    """Nearest-neighbor join (~19k query points -> 1 nearest of 600k
+    corpus points, max_distance cutoff, left join): the geopandas
+    sjoin_nearest surface through the k=1 grid-kNN plan."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.operators.knn import sjoin_nearest
+
+    corpus = make_points(spark)
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    qs = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("qid"),
+        st_point(
+            (F.col("o_orderkey") * 6007 % 500).cast("double"),
+            (F.col("o_custkey") * 9973 % 500).cast("double"),
+        ).alias("geom"),
+    )
+    j = sjoin_nearest(
+        qs, corpus, max_distance=2.0, how="left", left_id="qid",
+        right_id="id",
+    )
+    return j.count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -611,6 +658,8 @@ BENCHES = {
     "b23_media_decode": b23_media_decode,
     "b24_crawl_extract": b24_crawl_extract,
     "b25_semantic_dedup": b25_semantic_dedup,
+    "b26_unigram_encode": b26_unigram_encode,
+    "b27_sjoin_nearest": b27_sjoin_nearest,
 }
 
 

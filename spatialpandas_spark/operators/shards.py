@@ -137,3 +137,67 @@ def write_training_shards(
         "total_tokens": row["t"],
         "n_dropped_docs": n_input - row["n"],
     }
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list,
+    seq_len: int,
+    seq_col: str = "seq_id",
+    offset_col: str = "doc_offset",
+    len_col: str = "n_tokens_in_seq",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk training-row formation (the step after
+    tokenization in every published decoder-pretraining recipe: the
+    corpus token stream is concatenated in a deterministic order and cut
+    into fixed ``seq_len`` blocks, documents spanning block boundaries).
+    No reference analog — spatialpandas has no training surface; this is
+    the LLM-pipeline extension beside :func:`pack_shards`.
+
+    A document occupying global token span ``[s, s + w)`` (``s`` = the
+    exclusive running sum of ``weight_col`` in ``order_cols`` order)
+    emits ONE ROW PER OVERLAPPED SEQUENCE: ``seq_col`` = the sequence
+    index, ``offset_col`` = where that sequence's slice starts INSIDE
+    the document, ``len_col`` = the slice length. Zero-weight documents
+    emit nothing. Invariants (pinned by tests): per-doc slice lengths
+    sum to ``w``; every sequence except the last sums to exactly
+    ``seq_len``; slices tile both the doc and the sequence contiguously.
+
+    Scale shape: the two-phase global running sum (range shuffle +
+    partition-local window + broadcast prefix offsets — no single-task
+    window) followed by a Catalyst ``sequence()`` explode whose
+    fan-out per row is ``ceil(w / seq_len) + 1`` — proportional to the
+    document's own length, never the corpus. Integer arithmetic
+    throughout (``div``), exact beyond 2^53 total tokens."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    L = int(seq_len)
+    rs = with_running_sum(df, order_cols, weight_col, "__rsum", npartitions)
+    out = (
+        rs.withColumn(
+            "__excl", (F.col("__rsum") - F.col(weight_col)).cast("long")
+        )
+        .withColumn("__w", F.col(weight_col).cast("long"))
+        .filter(F.col("__w") > 0)
+        .withColumn(
+            seq_col,
+            F.explode(
+                F.sequence(
+                    F.expr(f"__excl div {L}"),
+                    F.expr(f"(__excl + __w - 1) div {L}"),
+                )
+            ),
+        )
+    )
+    seq_start = F.col(seq_col) * F.lit(L)
+    slice_start = F.greatest(F.col("__excl"), seq_start)
+    slice_end = F.least(
+        F.col("__excl") + F.col("__w"), seq_start + F.lit(L)
+    )
+    return (
+        out.withColumn(offset_col, slice_start - F.col("__excl"))
+        .withColumn(len_col, slice_end - slice_start)
+        .drop("__rsum", "__excl", "__w")
+    )

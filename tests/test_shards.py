@@ -113,3 +113,81 @@ def test_write_training_shards_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
     }
     assert a == b
+
+
+# ------------------------------------------------ pack_token_sequences
+def _py_pack_sequences(rows, L):
+    """Independent reference: concatenate, chunk, record every
+    (doc, seq, in-doc offset, slice length) overlap."""
+    out = []
+    s = 0
+    for i, w in rows:
+        if w > 0:
+            for seq in range(s // L, (s + w - 1) // L + 1):
+                a, b = max(s, seq * L), min(s + w, (seq + 1) * L)
+                out.append((i, seq, a - s, b - a))
+        s += w
+    return sorted(out)
+
+
+def test_pack_token_sequences_matches_reference(spark):
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+
+    df, rows = _fixture(spark)
+    got = sorted(
+        (r["id"], r["seq_id"], r["doc_offset"], r["n_tokens_in_seq"])
+        for r in pack_token_sequences(df, "w", ["id"], 128).collect()
+    )
+    assert got == _py_pack_sequences(sorted(rows), 128)
+
+
+def test_pack_token_sequences_invariants(spark):
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+
+    df, rows = _fixture(spark, seed=11)
+    L = 200
+    out = pack_token_sequences(df, "w", ["id"], L).collect()
+    total = sum(w for _, w in rows)
+    # per-doc slices sum to the doc weight
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc[r["id"]] = per_doc.get(r["id"], 0) + r["n_tokens_in_seq"]
+        per_seq[r["seq_id"]] = (
+            per_seq.get(r["seq_id"], 0) + r["n_tokens_in_seq"]
+        )
+        assert 0 < r["n_tokens_in_seq"] <= L
+        assert 0 <= r["doc_offset"]
+    assert per_doc == {i: w for i, w in rows if w > 0}
+    # every sequence except the last is exactly full
+    last = max(per_seq)
+    for sid, tot in per_seq.items():
+        assert tot == (L if sid != last else total - last * L) or (
+            sid == last and tot == L
+        )
+    assert set(per_seq) == set(range(last + 1))
+
+
+def test_pack_token_sequences_long_doc_spans_many(spark):
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 1000), (2, 3)], "id long, w long"
+    )
+    out = sorted(
+        (r["id"], r["seq_id"], r["doc_offset"], r["n_tokens_in_seq"])
+        for r in pack_token_sequences(df, "w", ["id"], 64).collect()
+    )
+    assert out == _py_pack_sequences([(0, 5), (1, 1000), (2, 3)], 64)
+    # doc 1 spans ceil((5+1000)/64) - 0 sequences: 16 rows
+    assert sum(1 for i, *_ in out if i == 1) == 16
+
+
+def test_pack_token_sequences_validates(spark):
+    import pytest as _pytest
+
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+
+    df = spark.createDataFrame([(0, 5)], "id long, w long")
+    with _pytest.raises(ValueError):
+        pack_token_sequences(df, "w", ["id"], 0)
