@@ -201,6 +201,7 @@ def sjoin_knn(
     extent: float | None = None,
     residual_bf_rows: int = 65536,
     residual_bf_budget: float = 5e9,
+    max_radius: float | None = None,
 ) -> DataFrame:
     """Exact kNN join of two point frames (struct<x,y> geometry columns).
 
@@ -210,9 +211,22 @@ def sjoin_knn(
     pick ~ the expected k-th neighbor distance, or omit it to have it
     estimated from a bounded sample (``estimate_knn_cell_size``).
     ``extent`` (max of the data's x/y span) bounds the level count;
-    computed from the right side when omitted (one tiny agg job)."""
+    computed from the right side when omitted (one tiny agg job).
+
+    ``max_radius`` bounds the search: the result becomes "the k nearest
+    within ``max_radius``" (possibly fewer than k rows per left row,
+    none for isolated rows) and — the scale point — the level-doubling
+    loop STOPS once the cell width reaches the radius, because a 3x3
+    neighborhood at width >= r provably contains every point within r.
+    Without it, a single isolated left row forces expansion to the full
+    extent; with it, sparse-region queries cost a constant number of
+    rounds regardless of how empty their neighborhood is. Exactness is
+    unchanged: candidates beyond the radius are filtered, candidates
+    within it are guaranteed found."""
     if k <= 0:
         raise ValueError("k must be positive")
+    if max_radius is not None and not max_radius > 0:
+        raise ValueError("max_radius must be positive")
 
     l0 = left.select(
         F.col(left_id).alias("__lid"),
@@ -269,6 +283,14 @@ def sjoin_knn(
         extent = max(x1 - x0, y1 - y0, cell_size)
 
     max_lvl = max(0, math.ceil(math.log2(extent / cell_size)) + 1)
+    if max_radius is not None:
+        # smallest level whose cell width covers the radius: at
+        # width >= max_radius the 3x3 neighborhood contains every point
+        # within max_radius, so searching wider proves nothing more
+        cutoff_lvl = max(
+            0, math.ceil(math.log2(max(max_radius, 1e-300) / cell_size))
+        )
+        max_lvl = min(max_lvl, cutoff_lvl)
 
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     # every row carries its OWN grid level. Round 0 runs everyone at
@@ -426,6 +448,13 @@ def sjoin_knn(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if max_radius is not None:
+        # the cutoff-resolved rows may carry neighbors beyond the radius
+        # (found inside their covering 3x3); per lid the kept rows are a
+        # d2-ordered PREFIX of the ranks, so ranks stay dense — no
+        # re-rank shuffle needed
+        m2 = float(max_radius) * float(max_radius)
+        out = out.filter(F.col("__d2") <= F.lit(m2))
     return out.select(
         F.col("__lid").alias(left_id),
         F.col("__rid").alias(right_id),
@@ -467,16 +496,17 @@ def sjoin_nearest(
                 "different right_id/distance_col to avoid an ambiguous "
                 "duplicate in the joined output"
             )
+    if max_distance is not None:
+        # push the cutoff INTO the grid search (bounds the level loop —
+        # an isolated left row stops at the radius instead of expanding
+        # to the full extent); sjoin_knn also applies the dist2 filter
+        knn_kwargs.setdefault("max_radius", float(max_distance))
     nn = sjoin_knn(
         left, right, k=1,
         left_id=left_id, right_id=right_id,
         left_geom=left_geom, right_geom=right_geom,
         **knn_kwargs,
     ).filter(F.col("rank") == 1)
-    if max_distance is not None:
-        nn = nn.filter(
-            F.col("dist2") <= F.lit(float(max_distance) ** 2)
-        )
     matches = nn.select(
         F.col(left_id),
         F.col(right_id),

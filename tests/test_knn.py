@@ -149,3 +149,51 @@ def test_sjoin_nearest_tie_determinism(spark):
     )
     rows = sjoin_nearest(left, right).collect()
     assert len(rows) == 1 and rows[0]["rid"] == 3
+
+
+def test_sjoin_knn_max_radius_matches_filtered_bruteforce(spark):
+    """sjoin_knn(max_radius=r) == brute-force kNN restricted to d <= r:
+    same rows, same dense ranks, for k>1 and sparse/isolated lefts."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.knn import sjoin_knn
+
+    rng = np.random.default_rng(5)
+    L = rng.uniform(0, 100, (60, 2))
+    L[:5] += 500.0  # isolated cluster far outside the corpus
+    R = rng.uniform(0, 100, (80, 2))
+    left = spark.createDataFrame(
+        [(i, {"x": float(x), "y": float(y)}) for i, (x, y) in enumerate(L)],
+        "lid long, geom struct<x:double,y:double>",
+    )
+    right = spark.createDataFrame(
+        [(j, {"x": float(x), "y": float(y)}) for j, (x, y) in enumerate(R)],
+        "rid long, geom struct<x:double,y:double>",
+    )
+    r, k = 12.0, 3
+    got = sorted(
+        (x["lid"], x["rank"], x["rid"], x["dist2"])
+        for x in sjoin_knn(left, right, k=k, max_radius=r).collect()
+    )
+    d2 = ((L[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    exp = []
+    for i in range(len(L)):
+        order = sorted(range(len(R)), key=lambda j: (d2[i, j], j))
+        kept = [j for j in order if d2[i, j] <= r * r][:k]
+        exp.extend(
+            (i, rk + 1, j, d2[i, j]) for rk, j in enumerate(kept)
+        )
+    assert got == sorted(exp)
+    # the isolated rows must contribute nothing (not k far matches)
+    assert not any(lid < 5 for lid, *_ in got)
+
+
+def test_sjoin_knn_max_radius_validates(spark):
+    from spatialpandas_spark.operators.knn import sjoin_knn
+
+    left = spark.createDataFrame(
+        [(0, {"x": 0.0, "y": 0.0})], "lid long, geom struct<x:double,y:double>"
+    )
+    with pytest.raises(ValueError):
+        sjoin_knn(left, left.selectExpr("lid as rid", "geom"), k=1,
+                  max_radius=0.0)
