@@ -165,6 +165,30 @@ class CorpusFrame:
             self.df, dim=dim, id_col=self.id_col, text_col=self.text_col, **kw
         )
 
+    def pack_sequences(
+        self, seq_len: int, weight_col: str | None = None, **kw
+    ) -> DataFrame:
+        """(document, fixed-length training sequence) layout via
+        :func:`~spatialpandas_spark.operators.shards
+        .pack_token_sequences` — the GPT-style concat-and-chunk step.
+        With ``weight_col=None`` each document's weight is its
+        BPE-pretokenizer token count (the same counter the shard sink
+        uses), computed inline."""
+        from pyspark.sql import functions as F
+
+        from spatialpandas_spark.operators.shards import (
+            pack_token_sequences,
+        )
+        from spatialpandas_spark.operators.text import bpe_token_count
+
+        df, wc = self.df, weight_col
+        if wc is None:
+            wc = "__w"
+            df = df.withColumn(
+                wc, bpe_token_count(F.col(self.text_col)).cast("long")
+            )
+        return pack_token_sequences(df, wc, [self.id_col], seq_len, **kw)
+
     # ------------------------------------------------------------- sink
     def write_training_shards(
         self, merges, out_dir: str, shard_tokens: int = 1_000_000, **kw

@@ -58,6 +58,38 @@ def with_shuffle_rank(
     return df.withColumn(rank_col, F.row_number().over(w) - 1)
 
 
+def temperature_weights(
+    sizes: dict[str, float],
+    temperature: float = 1.0,
+    budget: float | None = None,
+) -> dict[str, float]:
+    """Per-source epoch weights implementing temperature-based source
+    sampling (the published multilingual/multi-corpus pretraining
+    recipe: sampling proportion ``q_s ∝ p_s^(1/T)`` where ``p_s`` is a
+    source's natural share) — feed the result straight into
+    :func:`mix_sources`.
+
+    ``sizes`` are per-source row (or token) counts; ``budget`` is the
+    total expected output size (default: the natural total, so T=1
+    returns weight 1.0 for every source — one natural epoch each).
+    T > 1 flattens the distribution (upsamples small sources: their
+    weight exceeds 1 = multiple epochs, the known repetition trade);
+    T -> inf approaches uniform shares per source. Weights are exact
+    closed-form: ``w_s = budget * q_s / n_s``."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("every source size must be positive")
+    total = float(sum(sizes.values()))
+    if budget is None:
+        budget = total
+    shares = {s: (n / total) ** (1.0 / temperature) for s, n in sizes.items()}
+    z = sum(shares.values())
+    return {s: budget * shares[s] / z / sizes[s] for s in sizes}
+
+
 def mix_sources(
     sources: dict[str, DataFrame],
     weights: dict[str, float],

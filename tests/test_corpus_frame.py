@@ -81,3 +81,32 @@ def test_fixture_end_to_end(spark):
     assert prof["n_docs"] == docs.count()
     filtered = c.filter_quality(0.2).dedup_exact()
     assert 0 < filtered.count() <= prof["n_docs"]
+
+
+def test_pack_sequences_delegates(spark):
+    """Facade == direct operator with inline BPE-count weights."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.corpus import CorpusFrame
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 7)) for i in range(40)], "doc_id long, text string"
+    )
+    via_facade = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_offset"], r["n_tokens_in_seq"])
+        for r in CorpusFrame(df).pack_sequences(16).collect()
+    )
+    direct = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_offset"], r["n_tokens_in_seq"])
+        for r in pack_token_sequences(
+            df.withColumn(
+                "__w", bpe_token_count(F.col("text")).cast("long")
+            ),
+            "__w",
+            ["doc_id"],
+            16,
+        ).collect()
+    )
+    assert via_facade == direct and len(direct) > 0

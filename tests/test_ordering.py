@@ -101,3 +101,66 @@ def test_mix_sources_validation(spark, docs):
         mix_sources({"a": docs}, {"b": 1.0}, key_col="doc_id")
     with pytest.raises(ValueError):
         mix_sources({"a": docs}, {"a": -1.0}, key_col="doc_id")
+
+
+# ---------------------------------------------------- temperature mixing
+def test_temperature_weights_t1_is_natural():
+    from spatialpandas_spark.operators.ordering import temperature_weights
+
+    w = temperature_weights({"a": 1000, "b": 50, "c": 10})
+    assert all(abs(v - 1.0) < 1e-12 for v in w.values())
+
+
+def test_temperature_weights_flattens_and_budgets():
+    from spatialpandas_spark.operators.ordering import temperature_weights
+
+    sizes = {"big": 10000, "small": 100}
+    w = temperature_weights(sizes, temperature=2.0)
+    # expected output size preserved at the natural total
+    assert abs(sum(w[s] * sizes[s] for s in sizes) - 10100) < 1e-6
+    # T>1 upsamples the small source, downsamples the big one
+    assert w["small"] > 1.0 > w["big"]
+    # closed form: q ∝ p^(1/2)
+    import math
+
+    p_big, p_small = 10000 / 10100, 100 / 10100
+    z = math.sqrt(p_big) + math.sqrt(p_small)
+    assert abs(w["small"] - 10100 * math.sqrt(p_small) / z / 100) < 1e-9
+    # very high T approaches uniform shares: each source gets ~budget/2
+    w_inf = temperature_weights(sizes, temperature=1e9, budget=2000)
+    assert abs(w_inf["small"] * 100 - 1000) < 1.0
+    assert abs(w_inf["big"] * 10000 - 1000) < 1.0
+
+
+def test_temperature_weights_validates():
+    import pytest as _pytest
+
+    from spatialpandas_spark.operators.ordering import temperature_weights
+
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 10}, temperature=0.0)
+    with _pytest.raises(ValueError):
+        temperature_weights({})
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0})
+
+
+def test_temperature_weights_feed_mix_sources(spark):
+    """End-to-end: T-weighted mixture through mix_sources — the small
+    source appears with epoch replication, expected counts within the
+    hash-sampling tolerance."""
+    from spatialpandas_spark.operators.ordering import (
+        mix_sources,
+        temperature_weights,
+    )
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = spark.range(0, 100).withColumnRenamed("id", "k")
+    w = temperature_weights({"big": 2000, "small": 100}, temperature=3.0)
+    out = mix_sources(
+        {"big": big, "small": small}, w, key_col="k"
+    ).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    for name, n in (("big", 2000), ("small", 100)):
+        exp = w[name] * n
+        assert abs(got[name] - exp) < 0.15 * exp + 20, (name, got[name], exp)
