@@ -191,3 +191,15 @@ def test_pack_token_sequences_validates(spark):
     df = spark.createDataFrame([(0, 5)], "id long, w long")
     with _pytest.raises(ValueError):
         pack_token_sequences(df, "w", ["id"], 0)
+
+
+def test_pack_token_sequences_no_single_partition_exchange(spark):
+    """The sequence layout inherits the two-phase running sum's plan
+    shape: range shuffle + local window + broadcast offsets, never a
+    global single-task window."""
+    from spatialpandas_spark.operators.shards import pack_token_sequences
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    df, _ = _fixture(spark)
+    plan = physical_plan(pack_token_sequences(df, "w", ["id"], 128))
+    assert "Exchange SinglePartition" not in plan
