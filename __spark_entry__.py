@@ -2188,6 +2188,40 @@ def _png_gate_hexes() -> list:
     return _PNG_GATE_HEX_CACHE
 
 
+_BMP_GATE_HEX_CACHE = None
+
+
+def _bmp_gate_hexes() -> list:
+    """8 distinct 4x4 BMPs (same pixel formula as the PNG gate),
+    encoded once per process with the in-package BITMAPINFOHEADER
+    encoder — probe-side fixture (dims + byte length closed-form)."""
+    global _BMP_GATE_HEX_CACHE
+    if _BMP_GATE_HEX_CACHE is None:
+        import numpy as np
+
+        from spatialpandas_spark.operators.bmp import encode_bmp
+
+        hexes = []
+        for k in range(8):
+            img = np.array(
+                [
+                    [(k * 7 + i * 5 + c * 11) % 127 + 1 for c in range(3)]
+                    for i in range(16)
+                ],
+                dtype=np.uint8,
+            ).reshape(4, 4, 3)
+            hexes.append(encode_bmp(img).hex().upper())
+        _BMP_GATE_HEX_CACHE = hexes
+    return _BMP_GATE_HEX_CACHE
+
+
+#: 13-byte GIF89a header (4x4 logical screen, no global color table, no
+#: image data): the probe variant's demonstration that metadata passes
+#: read HEADERS ONLY — this payload probes fine (format/dims) while any
+#: full decode would fail. Layout: magic + w/h u16le + flags/bg/aspect.
+_GIF_PROBE_HEX = "474946383961" + "0400" + "0400" + "000000"
+
+
 def _pick_by_key_expr(hexes, key_mod: int):
     """payload = unhex(hexes[p_partkey % key_mod]) as a Catalyst expr."""
     return F.unhex(
@@ -2347,18 +2381,25 @@ def q_extract_features_probe(spark, sf_dir):
     decode_ok carries 'probe_ok:format') so the probe unions with the
     decode variants; the oracle is closed-form from the same payload
     constructions. Probe agreement with full decode is additionally
-    pinned by tests/test_image_probe.py."""
+    pinned by tests/test_image_probe.py.
+
+    Six formats by p_partkey % 6: PPM / WAV / PNG / JPEG(+SOF2) / BMP /
+    GIF — the GIF payload is a HEADER-ONLY 13-byte stream (no image
+    data at all), pinning that the probe reads headers and never
+    decodes."""
     from spatialpandas_spark.operators.multimodal import (
         probe_media_metadata,
     )
 
     part = _t(spark, sf_dir, "part")
-    m4 = F.col("p_partkey") % 4
+    m4 = F.col("p_partkey") % 6
     payload = (
         F.when(m4 == 0, _ppm_payload_expr())
         .when(m4 == 1, _wav_payload_expr())
         .when(m4 == 2, _pick_by_key_expr(_png_gate_hexes(), 8))
-        .otherwise(_pick_by_key_expr(_JPEG_GATE_HEX, 8))
+        .when(m4 == 3, _pick_by_key_expr(_JPEG_GATE_HEX, 8))
+        .when(m4 == 4, _pick_by_key_expr(_bmp_gate_hexes(), 8))
+        .otherwise(F.unhex(F.lit(_GIF_PROBE_HEX)))
     )
     media = part.select(
         F.col("p_partkey").alias("media_id"), payload.alias("payload")
@@ -3320,6 +3361,9 @@ def _jpeg_probe_oracle_sql() -> str:
     png_lens = "[" + ", ".join(
         str(len(h) // 2) for h in _png_gate_hexes()
     ) + "]"
+    bmp_lens = "[" + ", ".join(
+        str(len(h) // 2) for h in _bmp_gate_hexes()
+    ) + "]"
     return f"""
             SELECT media_id,
                    v AS mean_r, v AS mean_g, v AS mean_b,
@@ -3335,27 +3379,30 @@ def _jpeg_probe_oracle_sql() -> str:
               FROM part)
             UNION ALL
             SELECT p_partkey AS media_id,
-                   CASE p_partkey % 4 WHEN 1 THEN 0.0
+                   CASE p_partkey % 6 WHEN 1 THEN 0.0
                         WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_r,
-                   CASE p_partkey % 4 WHEN 1 THEN 0.0
+                   CASE p_partkey % 6 WHEN 1 THEN 0.0
                         WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_g,
-                   CASE p_partkey % 4 WHEN 1 THEN 8000.0
+                   CASE p_partkey % 6 WHEN 1 THEN 8000.0
                         ELSE 0.0 END AS mean_b,
-                   CASE p_partkey % 4 WHEN 1 THEN 1.0
+                   CASE p_partkey % 6 WHEN 1 THEN 1.0
                         ELSE 0.0 END AS min_r,
-                   CASE p_partkey % 4 WHEN 1 THEN 16.0
+                   CASE p_partkey % 6 WHEN 1 THEN 16.0
                         ELSE 0.0 END AS min_g,
-                   CASE p_partkey % 4
+                   CASE p_partkey % 6
                         WHEN 0 THEN 59.0
                         WHEN 1 THEN 60.0
                         WHEN 2 THEN CAST(({png_lens})[p_partkey % 8 + 1]
                                          AS DOUBLE)
-                        ELSE CAST(({jpeg_lens})[p_partkey % 8 + 1]
-                                  AS DOUBLE) END AS min_b,
+                        WHEN 3 THEN CAST(({jpeg_lens})[p_partkey % 8 + 1]
+                                         AS DOUBLE)
+                        WHEN 4 THEN CAST(({bmp_lens})[p_partkey % 8 + 1]
+                                         AS DOUBLE)
+                        ELSE 13.0 END AS min_b,
                    0.0 AS max_r, 0.0 AS max_g, 0.0 AS max_b,
                    0.0 AS fgt_r, 0.0 AS fgt_g, 0.0 AS fgt_b,
-                   'ok:' || (['ppm', 'wav', 'png', 'jpeg'])
-                            [p_partkey % 4 + 1] AS decode_ok,
+                   'ok:' || (['ppm', 'wav', 'png', 'jpeg', 'bmp', 'gif'])
+                            [p_partkey % 6 + 1] AS decode_ok,
                    'probe' AS variant
             FROM part"""
 
