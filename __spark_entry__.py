@@ -1339,8 +1339,17 @@ def q_knn_join(spark, sf_dir):
       carry euclidean dist, out-of-reach customers survive with null
       rid/d (the left-join contract); ties break to smallest rid
       [operators/knn.py sjoin_nearest — tests/test_knn.py
-      test_sjoin_nearest_*]."""
-    from spatialpandas_spark.operators.knn import sjoin_knn, sjoin_nearest
+      test_sjoin_nearest_*];
+    - 'dwithin': ``sjoin_dwithin`` distance join — ALL pairs within
+      _NEAREST_CUT, each exactly once, squared distances (one hash
+      equi-join, report-once by construction)
+      [operators/knn.py sjoin_dwithin — tests/test_knn.py
+      test_sjoin_dwithin_*]."""
+    from spatialpandas_spark.operators.knn import (
+        sjoin_dwithin,
+        sjoin_knn,
+        sjoin_nearest,
+    )
 
     cust, supp = _knn_gate_frames(spark, sf_dir)
     knn = sjoin_knn(cust, supp, k=3, cell_size=8.0).select(
@@ -1357,7 +1366,17 @@ def q_knn_join(spark, sf_dir):
         F.col("dist").alias("d"),
         F.lit(None).cast("long").alias("rank"),
     )
-    return _variant(knn, "knn").unionByName(_variant(near, "nearest"))
+    dwithin = sjoin_dwithin(cust, supp, _NEAREST_CUT).select(
+        "lid",
+        "rid",
+        F.col("dist2").alias("d"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    return (
+        _variant(knn, "knn")
+        .unionByName(_variant(near, "nearest"))
+        .unionByName(_variant(dwithin, "dwithin"))
+    )
 
 
 def q_interval_join(spark, sf_dir):
@@ -4038,6 +4057,10 @@ def _base_oracle_sql() -> dict[str, str]:
               SELECT lid, rid, sqrt(dist2) AS d
               FROM bf WHERE rank = 1 AND dist2 <= {_NEAREST_CUT**2!r}
             ) n USING (lid)
+            UNION ALL
+            SELECT lid, rid, dist2 AS d, CAST(NULL AS BIGINT) AS rank,
+                   'dwithin' AS variant
+            FROM bf WHERE dist2 <= {_NEAREST_CUT**2!r}
         """,
         "interval_join": """
             SELECT n.n_nationkey AS band_id,

@@ -553,3 +553,80 @@ def sjoin_nearest(
         F.sqrt(F.col("dist2")).alias(distance_col),
     )
     return left.join(matches, left_id, how)
+
+
+def sjoin_dwithin(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_id: str = "lid",
+    right_id: str = "rid",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Distance join: every (left, right) pair within euclidean
+    ``radius`` — the PostGIS ``ST_DWithin`` / geopandas
+    ``sjoin(predicate='dwithin')`` surface for point frames (ref
+    analog: spatialpandas has no distance join; parity-plus beside
+    :func:`sjoin_nearest`).
+
+    Scale shape: ONE hash equi-join. Both sides bucket into cells of
+    width = ``radius``; each RIGHT point lands in exactly one cell,
+    each LEFT point probes its 3x3 neighborhood (constant fan-out 9).
+    Any pair within the radius shares that neighborhood, so the join
+    is exact; each qualifying pair is produced exactly once (the right
+    side is not replicated — no dedup pass), and the ``d2`` filter
+    runs inside the join stage. No windows, no driver loop, no
+    collect; skewed cells are AQE's standard skew-join case.
+
+    Output: ``(left_id, right_id, dist2)`` — squared distance, the
+    family's exact-arithmetic convention (same IEEE op order as
+    ``sjoin_knn``, so oracles replay it bit-exactly)."""
+    if not radius > 0:
+        raise ValueError("radius must be positive")
+    w = float(radius)
+    l0 = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_geom)["x"].alias("__lx"),
+        F.col(left_geom)["y"].alias("__ly"),
+    )
+    r0 = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_geom)["x"].alias("__rx"),
+        F.col(right_geom)["y"].alias("__ry"),
+    )
+    rj = r0.select(
+        "__rid", "__rx", "__ry",
+        F.struct(
+            F.floor(F.col("__rx") / F.lit(w)).alias("cx"),
+            F.floor(F.col("__ry") / F.lit(w)).alias("cy"),
+        ).alias("__cell"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    lj = l0.select(
+        "__lid", "__lx", "__ly",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("__lx") / F.lit(w)) + dx).alias("cx"),
+                        (F.floor(F.col("__ly") / F.lit(w)) + dy).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("__cell"),
+    )
+    ddx = F.col("__lx") - F.col("__rx")
+    ddy = F.col("__ly") - F.col("__ry")
+    d2 = ddx * ddx + ddy * ddy
+    return (
+        lj.join(rj, "__cell")
+        .withColumn("__d2", d2)
+        .filter(F.col("__d2") <= F.lit(w * w))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__d2").alias("dist2"),
+        )
+    )

@@ -197,3 +197,55 @@ def test_sjoin_knn_max_radius_validates(spark):
     with pytest.raises(ValueError):
         sjoin_knn(left, left.selectExpr("lid as rid", "geom"), k=1,
                   max_radius=0.0)
+
+
+def test_sjoin_dwithin_matches_bruteforce(spark):
+    """Every within-radius pair exactly once, squared distances exact,
+    including pairs straddling cell boundaries and boundary-equal
+    distances (d == r kept: <=)."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.knn import sjoin_dwithin
+
+    rng = np.random.default_rng(23)
+    L = rng.uniform(0, 50, (70, 2))
+    R = rng.uniform(0, 50, (90, 2))
+    left = spark.createDataFrame(
+        [(i, {"x": float(x), "y": float(y)}) for i, (x, y) in enumerate(L)],
+        "lid long, geom struct<x:double,y:double>",
+    )
+    right = spark.createDataFrame(
+        [(j, {"x": float(x), "y": float(y)}) for j, (x, y) in enumerate(R)],
+        "rid long, geom struct<x:double,y:double>",
+    )
+    r = 4.0
+    got = sorted(
+        (x["lid"], x["rid"], x["dist2"])
+        for x in sjoin_dwithin(left, right, r).collect()
+    )
+    d2 = ((L[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    exp = sorted(
+        (i, j, d2[i, j])
+        for i in range(len(L))
+        for j in range(len(R))
+        if d2[i, j] <= r * r
+    )
+    assert got == exp and len(exp) > 100
+    # no duplicate pairs (report-once by construction)
+    assert len({(a, b) for a, b, _ in got}) == len(got)
+
+
+def test_sjoin_dwithin_boundary_and_validation(spark):
+    from spatialpandas_spark.operators.knn import sjoin_dwithin
+
+    left = spark.createDataFrame(
+        [(0, {"x": 0.0, "y": 0.0})], "lid long, geom struct<x:double,y:double>"
+    )
+    right = spark.createDataFrame(
+        [(1, {"x": 3.0, "y": 4.0}), (2, {"x": 3.0, "y": 4.001})],
+        "rid long, geom struct<x:double,y:double>",
+    )
+    rows = sjoin_dwithin(left, right, 5.0).collect()  # d=5 exactly kept
+    assert [(r["rid"], r["dist2"]) for r in rows] == [(1, 25.0)]
+    with pytest.raises(ValueError):
+        sjoin_dwithin(left, right, 0.0)
