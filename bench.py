@@ -632,6 +632,24 @@ def b27_sjoin_nearest(spark):
     return j.count()
 
 
+def b28_dwithin(spark):
+    """All-pairs distance join (~19k query points x 600k corpus,
+    radius 2): one report-once hash equi-join at radius-width cells."""
+    from spatialpandas_spark import st_point
+    from spatialpandas_spark.operators.knn import sjoin_dwithin
+
+    corpus = make_points(spark)
+    o = _spread(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    qs = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("qid"),
+        st_point(
+            (F.col("o_orderkey") * 6007 % 500).cast("double"),
+            (F.col("o_custkey") * 9973 % 500).cast("double"),
+        ).alias("geom"),
+    )
+    return sjoin_dwithin(qs, corpus, 2.0, left_id="qid", right_id="id").count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -660,6 +678,7 @@ BENCHES = {
     "b25_semantic_dedup": b25_semantic_dedup,
     "b26_unigram_encode": b26_unigram_encode,
     "b27_sjoin_nearest": b27_sjoin_nearest,
+    "b28_dwithin": b28_dwithin,
 }
 
 
