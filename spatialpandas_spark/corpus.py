@@ -189,6 +189,21 @@ class CorpusFrame:
             )
         return pack_token_sequences(df, wc, [self.id_col], seq_len, **kw)
 
+    def training_sequences(
+        self, merges, seq_len: int, **kw
+    ) -> DataFrame:
+        """Actual fixed-length training rows in one chain: BPE-id
+        tokenization -> concat-and-chunk layout -> per-sequence token
+        assembly. Returns ``(seq_id, token_ids, n_tokens)``."""
+        from spatialpandas_spark.operators.shards import (
+            materialize_token_sequences,
+        )
+
+        toks = self.tokenize(merges, ids=True, **kw)
+        return materialize_token_sequences(
+            toks, seq_len, id_col=self.id_col
+        )
+
     # ------------------------------------------------------------- sink
     def write_training_shards(
         self, merges, out_dir: str, shard_tokens: int = 1_000_000, **kw

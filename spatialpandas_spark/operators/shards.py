@@ -201,3 +201,58 @@ def pack_token_sequences(
         .withColumn(len_col, slice_end - slice_start)
         .drop("__rsum", "__excl", "__w")
     )
+
+
+def materialize_token_sequences(
+    tokens: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+    weight_col: str = "n_tokens",
+    seq_col: str = "seq_id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Emit actual fixed-length TRAINING ROWS: given per-document token
+    arrays (the output shape of ``bpe_encode_ids`` /
+    ``unigram_encode_ids``), lay the corpus out with
+    :func:`pack_token_sequences` and assemble each sequence's token ids
+    by slicing every overlapped document and concatenating the slices
+    in stream order. Output: ``(seq_col, tokens_col, n_tokens)`` — one
+    row per training sequence; every sequence except the last holds
+    exactly ``seq_len`` ids (invariant-tested).
+
+    Scale shape: the layout's two-phase running sum, one equi-join of
+    the layout to the token arrays ON THE DOC KEY (co-partitioned,
+    Catalyst's choice), per-row ``slice`` (no explode of individual
+    tokens — slices move as arrays), then ONE ``groupBy(seq)`` whose
+    per-group payload is ~``seq_len`` ids in ≤ a handful of slices.
+    Token data crosses the shuffle once."""
+    layout = pack_token_sequences(
+        tokens.select(id_col, weight_col),
+        weight_col,
+        [id_col],
+        seq_len,
+        seq_col=seq_col,
+        npartitions=npartitions,
+    )
+    j = layout.join(tokens.select(id_col, tokens_col), id_col)
+    sliced = F.slice(
+        F.col(tokens_col),
+        (F.col("doc_offset") + 1).cast("int"),
+        F.col("n_tokens_in_seq").cast("int"),
+    )
+    parts = j.select(
+        seq_col,
+        F.struct(F.col(id_col).alias("o"), sliced.alias("p")).alias("__sp"),
+    )
+    return (
+        parts.groupBy(seq_col)
+        .agg(F.array_sort(F.collect_list("__sp")).alias("__ps"))
+        .select(
+            seq_col,
+            F.flatten(
+                F.transform(F.col("__ps"), lambda s: s["p"])
+            ).alias(tokens_col),
+        )
+        .withColumn("n_tokens", F.size(F.col(tokens_col)))
+    )

@@ -110,3 +110,27 @@ def test_pack_sequences_delegates(spark):
         ).collect()
     )
     assert via_facade == direct and len(direct) > 0
+
+
+def test_training_sequences_end_to_end(spark):
+    """tokenize -> layout -> materialize through the facade: sequences
+    reassemble the exact tokenized stream in doc order."""
+    from spatialpandas_spark.corpus import CorpusFrame
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+
+    df = spark.createDataFrame(
+        [(i, ("alpha beta gamma " * (i % 5 + 1)).strip())
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = [("a", "l"), ("b", "e"), ("g", "a")]
+    L = 32
+    rows = CorpusFrame(df).training_sequences(merges, L).collect()
+    toks = bpe_encode_ids(df, merges).orderBy("doc_id").collect()
+    stream = [t for r in toks for t in r["token_ids"]]
+    got = {r["seq_id"]: list(r["token_ids"]) for r in rows}
+    exp = {
+        s: stream[s * L : (s + 1) * L]
+        for s in range((len(stream) + L - 1) // L)
+    }
+    assert got == exp

@@ -203,3 +203,49 @@ def test_pack_token_sequences_no_single_partition_exchange(spark):
     df, _ = _fixture(spark)
     plan = physical_plan(pack_token_sequences(df, "w", ["id"], 128))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_materialize_token_sequences_reference(spark):
+    """materialize == python concat-and-chunk of the same token stream;
+    every sequence but the last exactly full."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 40))
+        docs.append((i, [int(x) for x in rng.integers(0, 5000, n)], n))
+    df = spark.createDataFrame(
+        docs, "doc_id long, token_ids array<int>, n_tokens long"
+    )
+    from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
+    )
+
+    L = 64
+    got = {
+        r["seq_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in materialize_token_sequences(df, L).collect()
+    }
+    stream = [t for _, ids, _ in docs for t in ids]
+    exp = {
+        s: (stream[s * L : (s + 1) * L], len(stream[s * L : (s + 1) * L]))
+        for s in range((len(stream) + L - 1) // L)
+    }
+    assert got == exp
+    last = max(exp)
+    assert all(n == L for s, (_, n) in got.items() if s != last)
+
+
+def test_materialize_token_sequences_no_single_partition_exchange(spark):
+    from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
+    )
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, [1, 2, 3], 3) for i in range(10)],
+        "doc_id long, token_ids array<int>, n_tokens long",
+    )
+    plan = physical_plan(materialize_token_sequences(df, 8))
+    assert "Exchange SinglePartition" not in plan
