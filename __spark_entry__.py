@@ -788,16 +788,16 @@ def _bpe_fixture_merges():
     return train_bpe_from_histogram(dict(hist), _BPE_GATE_MERGES)
 
 
-def _bpe_oracle_sql() -> str:
-    """Independent DuckDB replay of ``bpe_encode_ids``: character-spaced
-    words, one ``replace(replace(...))`` pair per merge IN RANK ORDER
-    (two passes make consumed-delimiter skips impossible — after pass 1
-    no two unmerged occurrences are adjacent, so pass 2 catches the
-    rest; in-order replay equals the greedy lowest-rank-first segmenter
+def _bpe_ids_ctes() -> str:
+    """Shared CTE chain producing per-doc BPE token-id lists
+    (``agg`` = (doc_id, tid)): character-spaced words, one
+    ``replace(replace(...))`` pair per merge IN RANK ORDER (two passes
+    make consumed-delimiter skips impossible — after pass 1 no two
+    unmerged occurrences are adjacent, so pass 2 catches the rest;
+    in-order replay equals the greedy lowest-rank-first segmenter
     because a trained merge's operands always predate it), then a CASE
-    vocab lookup and a per-doc flatten in word order. Output matches the
-    'bpe' variant of the ``doc_chunks`` gate: per-doc token count + md5
-    of the comma-joined id sequence (hash covers every token id)."""
+    vocab lookup and a per-doc flatten in word order. Used by both the
+    doc_chunks 'bpe' oracle and the shard_pack 'mseq' oracle."""
     from spatialpandas_spark.operators.bpe import bpe_vocab_ids
 
     merges = _bpe_fixture_merges()
@@ -811,8 +811,7 @@ def _bpe_oracle_sql() -> str:
         f"list_transform(list_filter(string_split({expr}, ' '), "
         f"x -> x != ''), x -> CASE x {case_items} ELSE 0 END)"
     )
-    return f"""
-        WITH w AS (
+    return f"""w AS (
           SELECT doc_id, u.i AS wi, wds[u.i] AS word
           FROM (SELECT doc_id,
                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -828,7 +827,16 @@ def _bpe_oracle_sql() -> str:
         dw AS (SELECT DISTINCT word FROM w),
         seg AS (SELECT word, {ids_expr} AS ids FROM dw),
         agg AS (SELECT w.doc_id, flatten(list(seg.ids ORDER BY w.wi)) AS tid
-                FROM w JOIN seg USING (word) GROUP BY w.doc_id)
+                FROM w JOIN seg USING (word) GROUP BY w.doc_id)"""
+
+
+def _bpe_oracle_sql() -> str:
+    """Independent DuckDB replay of ``bpe_encode_ids`` (see
+    :func:`_bpe_ids_ctes`). Output matches the 'bpe' variant of the
+    ``doc_chunks`` gate: per-doc token count + md5 of the comma-joined
+    id sequence (hash covers every token id)."""
+    return f"""
+        WITH {_bpe_ids_ctes()}
         SELECT d.doc_id,
                CAST(NULL AS BIGINT) AS chunk_id,
                CAST(COALESCE(len(a.tid), 0) AS BIGINT) AS n_tokens,
@@ -1693,10 +1701,19 @@ def q_shard_pack(spark, sf_dir):
       (doc, 512-token training sequence) overlap with its in-doc
       offset and slice length; k1=doc_id, k2=seq_id, v1=doc_offset,
       v2=n_tokens_in_seq [operators/shards.py pack_token_sequences —
-      tests/test_shards.py test_pack_token_sequences_*].
+      tests/test_shards.py test_pack_token_sequences_*];
+    - 'mseq': MATERIALIZED training rows — fixture-merge BPE ids
+      through materialize_token_sequences at seq_len 128; k1=seq_id,
+      v1=n_tokens, h=md5 of the sequence's full comma-joined id
+      list, so the gate hash covers every token id of every training
+      row [operators/shards.py materialize_token_sequences —
+      tests/test_shards.py test_materialize_token_sequences_*].
 
-    Both replay the same SQL running-sum window in the oracle."""
+    All replay the same SQL running-sum window in the oracle; 'mseq'
+    composes it with the BPE id replay (_bpe_ids_ctes) + list_slice."""
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
     from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
         pack_token_sequences,
         shard_summary,
     )
@@ -1710,14 +1727,35 @@ def q_shard_pack(spark, sf_dir):
         F.lit(None).cast("long").alias("k2"),
         F.col("n_rows").cast("long").alias("v1"),
         F.col("total_weight").cast("long").alias("v2"),
+        F.lit(None).cast("string").alias("h"),
     )
     seqs = pack_token_sequences(d, "w", ["doc_id"], 512).select(
         F.col("doc_id").cast("long").alias("k1"),
         F.col("seq_id").cast("long").alias("k2"),
         F.col("doc_offset").cast("long").alias("v1"),
         F.col("n_tokens_in_seq").cast("long").alias("v2"),
+        F.lit(None).cast("string").alias("h"),
     )
-    return _variant(shards, "shard").unionByName(_variant(seqs, "seq"))
+    enc = bpe_encode_ids(
+        _t(spark, sf_dir, "documents"), _bpe_fixture_merges()
+    )
+    mseq = materialize_token_sequences(enc, 128).select(
+        F.col("seq_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("h"),
+    )
+    return (
+        _variant(shards, "shard")
+        .unionByName(_variant(seqs, "seq"))
+        .unionByName(_variant(mseq, "mseq"))
+    )
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -4249,28 +4287,56 @@ def _base_oracle_sql() -> dict[str, str]:
             )
         """,
         "shard_pack": f"""
-            WITH tc AS (SELECT doc_id,
+            WITH {_bpe_ids_ctes()},
+            tc AS (SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
                  FROM documents),
             rs AS (SELECT doc_id, w,
                    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
-                 FROM tc)
+                 FROM tc),
+            b AS (SELECT d.doc_id, COALESCE(a.tid, []) AS tid
+                  FROM documents d LEFT JOIN agg a USING (doc_id)),
+            brs AS (SELECT doc_id, tid, len(tid) AS bw,
+                    SUM(len(tid)) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS bs
+                    FROM b),
+            sl AS (SELECT u.q AS seq_id, brs.doc_id,
+                     list_slice(tid,
+                       CAST(greatest(bs - bw, u.q * 128)
+                            - (bs - bw) + 1 AS BIGINT),
+                       CAST(least(bs, (u.q + 1) * 128)
+                            - (bs - bw) AS BIGINT)) AS part
+                   FROM brs,
+                        UNNEST(range(CAST((bs - bw) // 128 AS BIGINT),
+                                     CAST((bs - 1) // 128 + 1 AS BIGINT)))
+                          AS u(q)
+                   WHERE bw > 0),
+            ms AS (SELECT seq_id,
+                          flatten(list(part ORDER BY doc_id)) AS ids
+                   FROM sl GROUP BY seq_id)
             SELECT 'shard' AS variant,
                    CAST((s - w) // 2000 AS BIGINT) AS k1,
                    CAST(NULL AS BIGINT) AS k2,
                    CAST(COUNT(*) AS BIGINT) AS v1,
-                   CAST(SUM(w) AS BIGINT) AS v2
+                   CAST(SUM(w) AS BIGINT) AS v2,
+                   CAST(NULL AS VARCHAR) AS h
             FROM rs GROUP BY 2
             UNION ALL
             SELECT 'seq', rs.doc_id,
                    CAST(u.q AS BIGINT),
                    CAST(greatest(s - w, u.q * 512) - (s - w) AS BIGINT),
                    CAST(least(s, (u.q + 1) * 512)
-                        - greatest(s - w, u.q * 512) AS BIGINT)
+                        - greatest(s - w, u.q * 512) AS BIGINT),
+                   CAST(NULL AS VARCHAR)
             FROM rs,
                  UNNEST(range(CAST((s - w) // 512 AS BIGINT),
                               CAST((s - 1) // 512 + 1 AS BIGINT))) AS u(q)
             WHERE w > 0
+            UNION ALL
+            SELECT 'mseq', CAST(seq_id AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(len(ids) AS BIGINT), CAST(NULL AS BIGINT),
+                   md5(array_to_string(ids, ','))
+            FROM ms
         """,
         "curation_pipeline": _curation_oracle_sql(),
         "dedup_clusters": _cluster_oracle_sql(),
