@@ -276,7 +276,21 @@ def sjoin_knn(
     if cell_size <= 0:
         raise ValueError("cell_size must be positive")
 
-    if extent is None:
+    cutoff_lvl = None
+    if max_radius is not None:
+        # smallest level whose cell width covers the radius: at
+        # width >= max_radius the 3x3 neighborhood contains every point
+        # within max_radius, so searching wider proves nothing more
+        cutoff_lvl = max(
+            0, math.ceil(math.log2(max(max_radius, 1e-300) / cell_size))
+        )
+
+    if extent is None and cutoff_lvl == 0:
+        # the radius-covering level is 0: the loop can never expand, so
+        # the union-bounds aggregations (one scan per side) would only
+        # feed a max_lvl that is already pinned at 0 — skip them
+        extent = cell_size
+    elif extent is None:
         # the last level's 3x3 must cover the farthest possible (left,
         # right) pair, so the extent spans the UNION of both point sets
         lb = l0.agg(
@@ -292,13 +306,7 @@ def sjoin_knn(
         extent = max(x1 - x0, y1 - y0, cell_size)
 
     max_lvl = max(0, math.ceil(math.log2(extent / cell_size)) + 1)
-    if max_radius is not None:
-        # smallest level whose cell width covers the radius: at
-        # width >= max_radius the 3x3 neighborhood contains every point
-        # within max_radius, so searching wider proves nothing more
-        cutoff_lvl = max(
-            0, math.ceil(math.log2(max(max_radius, 1e-300) / cell_size))
-        )
+    if cutoff_lvl is not None:
         max_lvl = min(max_lvl, cutoff_lvl)
 
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
