@@ -13,9 +13,17 @@ layout (ref ``dask.py:177-205``) — is:
    prefix offsets with a triangular self-join — never a single-partition
    exchange — and broadcast back.
 
-Everything happens in ONE query plan, so Catalyst reuses the range
-exchange between the rank branch and the count branch and the partition
-ids are consistent by construction.
+The ranked frame is ``localCheckpoint``-ed at the fork point: the rank
+branch and the count/offset branch BOTH consume the materialized
+partitioning, so the partition ids they see are identical by
+construction. This is load-bearing, not an optimization —
+``repartitionByRange`` picks its split points by reservoir sampling
+with a per-execution seed, so if Catalyst re-executes the exchange for
+each branch (exchange REUSE is an optimizer choice, and a cached or
+AQE-replanned input can defeat it) the two branches can see DIFFERENT
+partition assignments and the offsets silently corrupt the ranks.
+Caught by the round-6 seqpack crossover study on a cached input;
+regression-tested in tests/test_shards.py.
 """
 
 from __future__ import annotations
@@ -45,7 +53,11 @@ def with_rank(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
-    local = ranged.withColumn("__lrk", F.row_number().over(w_local))
+    # materialize at the fork: both consumers must observe ONE partition
+    # assignment (see module docstring — range sampling is per-execution)
+    local = ranged.withColumn(
+        "__lrk", F.row_number().over(w_local)
+    ).localCheckpoint(eager=True)
 
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     # prefix-sum via triangular join on the tiny counts table: offset(p) =
@@ -93,7 +105,10 @@ def with_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("__lsum", F.sum(F.col(value_col)).over(w_local))
+    # materialize at the fork — same reasoning as with_rank
+    local = ranged.withColumn(
+        "__lsum", F.sum(F.col(value_col)).over(w_local)
+    ).localCheckpoint(eager=True)
 
     totals = local.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("__tot"))
     offs = (

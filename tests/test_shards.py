@@ -249,3 +249,41 @@ def test_materialize_token_sequences_no_single_partition_exchange(spark):
     )
     plan = physical_plan(materialize_token_sequences(df, 8))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_running_sum_fork_consistency_on_cached_input(spark):
+    """Regression (round 6): the range exchange's reservoir sampling is
+    seeded PER EXECUTION, so if the rank/offset branches re-execute it
+    independently (exchange reuse is an optimizer choice — a cached
+    input defeated it) they can observe different partition
+    assignments and corrupt the prefix offsets. The fork point is now
+    localCheckpoint-ed; this reproduces the original failure shape:
+    cached wide corpus through materialize_token_sequences vs the
+    literal python concat-and-chunk."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
+    )
+
+    rng = np.random.default_rng(9)
+    docs = [
+        (i, [int(x) for x in rng.integers(0, 100, int(rng.integers(0, 30)))])
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(
+        [(d, ids, len(ids)) for d, ids in docs],
+        "doc_id long, token_ids array<int>, n_tokens long",
+    ).cache()
+    df.count()
+    L = 2048
+    got = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in materialize_token_sequences(df, L).collect()
+    }
+    stream = [t for _, ids in docs for t in ids]
+    exp = {
+        s // L: stream[s : s + L] for s in range(0, len(stream), L)
+    }
+    df.unpersist()
+    assert got == exp
