@@ -593,34 +593,67 @@ def q_wkb_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- relational
-def q_tpch_q1(spark, sf_dir):
+def q_tpch_q1(spark, sf_dir, exact=True):
     """TPC-H Q1 pricing summary (relational shell: scan→filter→agg).
 
-    Sums and averages accumulate in DECIMAL(38,6): each double rounds
-    to 6 decimals ONCE per row (deterministic — the same input double
-    both engines), then the aggregation is exact integer arithmetic,
-    immune to summation order. This is what keeps the gate hash-exact
-    at the sf1 rehearsal, where double-sum float associativity over
-    ~6M rows flips the 15th significant digit between engines."""
+    exact=True (the gate path): SUM columns accumulate in DECIMAL(38,6)
+    — each double rounds to 6 decimals ONCE per row (deterministic, the
+    same input double both engines), then the aggregation is exact
+    integer arithmetic, immune to summation order — and are compared as
+    scale-pinned DECIMAL(38,6) STRINGS so no decimal→double conversion
+    sits before the compared value (DuckDB's decimal→double cast is not
+    correctly rounded; at sf1 sum magnitudes ~1e12 the double ULP
+    ~1.2e-4 reaches the ROUND(.,4) grain, so a one-ulp conversion
+    disagreement could flip the hash — both engines round decimals
+    half-up for positives and print the full pinned scale, verified
+    empirically). AVG columns stay double: the pre-division conversion
+    error is divided by COUNT (~2e-11 at sf1), far below their rounding
+    grain.
+
+    exact=False (the bench b10 path): plain double sums — the
+    production-speed formulation; DECIMAL accumulation costs ~+40% at
+    sf0.1 (BASELINE.md round-6/7 notes) and the order-exactness only
+    matters to the cross-engine hash gate."""
     li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+
+    if not exact:
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                cnt.cast("long").alias("count_order"),
+            )
+        )
 
     def dsum(col):
-        return F.sum(col.cast("decimal(38,6)")).cast("double")
+        return F.sum(col.cast("decimal(38,6)"))
 
-    cnt = F.count("*")
+    def dstr(agg, scale):
+        return F.round(agg, scale).cast("decimal(38,6)").cast("string")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
-            F.round(dsum(F.col("l_extendedprice")), 4).alias(
-                "sum_base_price"
-            ),
-            F.round(
+            dstr(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            dstr(dsum(F.col("l_extendedprice")), 4).alias("sum_base_price"),
+            dstr(
                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(dsum(F.col("l_quantity")) / cnt, 4).alias("avg_qty"),
-            F.round(dsum(F.col("l_discount")) / cnt, 6).alias("avg_disc"),
+            F.round(
+                dsum(F.col("l_quantity")).cast("double") / cnt, 4
+            ).alias("avg_qty"),
+            F.round(
+                dsum(F.col("l_discount")).cast("double") / cnt, 6
+            ).alias("avg_disc"),
             cnt.cast("long").alias("count_order"),
         )
     )
@@ -2430,8 +2463,9 @@ def q_extract_features_jpeg(spark, sf_dir):
 
 def q_extract_features_probe(spark, sf_dir):
     """Header-only metadata probes over a MIXED media column — one
-    probe_media_metadata pass profiling four formats (p_partkey % 4:
-    PPM / WAV / PNG / JPEG-incl-progressive) with no decoder run.
+    probe_media_metadata pass profiling six formats (p_partkey % 6:
+    PPM / WAV / PNG / JPEG-incl-progressive / BMP / GIF) with no
+    decoder run.
     Header fields are mapped into the media gate's 12-slot layout
     (mean_r=width, mean_g=height, mean_b=sample_rate,
     min_r=n_channels, min_g=n_samples, min_b=n_bytes, rest 0.0;
@@ -2449,13 +2483,13 @@ def q_extract_features_probe(spark, sf_dir):
     )
 
     part = _t(spark, sf_dir, "part")
-    m4 = F.col("p_partkey") % 6
+    m6 = F.col("p_partkey") % 6
     payload = (
-        F.when(m4 == 0, _ppm_payload_expr())
-        .when(m4 == 1, _wav_payload_expr())
-        .when(m4 == 2, _pick_by_key_expr(_png_gate_hexes(), 8))
-        .when(m4 == 3, _pick_by_key_expr(_JPEG_GATE_HEX, 8))
-        .when(m4 == 4, _pick_by_key_expr(_bmp_gate_hexes(), 8))
+        F.when(m6 == 0, _ppm_payload_expr())
+        .when(m6 == 1, _wav_payload_expr())
+        .when(m6 == 2, _pick_by_key_expr(_png_gate_hexes(), 8))
+        .when(m6 == 3, _pick_by_key_expr(_JPEG_GATE_HEX, 8))
+        .when(m6 == 4, _pick_by_key_expr(_bmp_gate_hexes(), 8))
         .otherwise(F.unhex(F.lit(_GIF_PROBE_HEX)))
     )
     media = part.select(
@@ -3794,13 +3828,14 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                              AS DOUBLE), 2) AS sum_qty,
-                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-                              AS DOUBLE), 4) AS sum_base_price,
-                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                       AS DECIMAL(38,6)))
-                              AS DOUBLE), 4) AS sum_disc_price,
+                   CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2)
+                             AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+                   CAST(CAST(ROUND(SUM(CAST(l_extendedprice
+                                            AS DECIMAL(38,6))), 4)
+                             AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+                   CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(38,6))), 4)
+                             AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
                    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
                               AS DOUBLE) / COUNT(*), 4) AS avg_qty,
                    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6)))

@@ -216,7 +216,7 @@ def b11_grid_sjoin(spark):
 def b10_tpch_q1(spark):
     import __spark_entry__ as entrymod
 
-    return entrymod.q_tpch_q1(spark, SF_DIR).count()
+    return entrymod.q_tpch_q1(spark, SF_DIR, exact=False).count()
 
 
 def b13_cx_lines(spark):

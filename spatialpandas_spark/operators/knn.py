@@ -547,8 +547,16 @@ def sjoin_nearest(
     if max_distance is not None:
         # push the cutoff INTO the grid search (bounds the level loop —
         # an isolated left row stops at the radius instead of expanding
-        # to the full extent); sjoin_knn also applies the dist2 filter
-        knn_kwargs.setdefault("max_radius", float(max_distance))
+        # to the full extent); sjoin_knn also applies the dist2 filter.
+        # A caller-supplied max_radius may TIGHTEN but never widen the
+        # documented max_distance cutoff (min, not setdefault — a larger
+        # explicit max_radius would silently return matches beyond it).
+        caller_r = knn_kwargs.get("max_radius")
+        knn_kwargs["max_radius"] = (
+            float(max_distance)
+            if caller_r is None
+            else min(float(caller_r), float(max_distance))
+        )
     nn = sjoin_knn(
         left, right, k=1,
         left_id=left_id, right_id=right_id,
