@@ -27,7 +27,16 @@ MIN_PARTITIONS = 8
 def partition_bounds(df: DataFrame, bounds_col: str = "bounds") -> DataFrame:
     """Per-partition bbox table (ref ``dask.py:53-62``): one row per Spark
     partition with its NaN-skipping bounds. After ``pack_partitions`` these
-    ranges are spatially tight — the in-memory analog of the manifest."""
+    ranges are spatially tight — the in-memory analog of the manifest.
+
+    Determinism caveat (round-7 sampled-exchange audit): if ``df``'s
+    lineage contains a sampled exchange (``repartitionByRange`` seeds its
+    reservoir per execution), this table reflects the partition
+    assignment of THIS execution only — do not use it to prune a
+    *separate* execution of the same lazy frame. The durable pruning
+    path is the file manifest, which ``to_parquet`` rebuilds from the
+    parquet footers actually written (``sources/spatial_parquet.py``),
+    never from a forked lineage."""
 
     def skipnan(c):
         return F.when(~F.isnan(c), c)

@@ -288,7 +288,19 @@ def _grid_join(
         # extra shuffle of the preserved side keyed by that id — the
         # documented price of outer semantics without a broadcastable side.
         preserved, other = (left, right) if how == "left" else (right, left)
-        pid = preserved.withColumn("__rowid", F.monotonically_increasing_id())
+        # materialize at the fork: __rowid is partition-layout-dependent
+        # (monotonically_increasing_id = pid << 33 | offset) and the
+        # stamped frame is consumed by TWO plans (the inner join and the
+        # anti-join recovery). If `preserved` carries a sampled exchange
+        # (repartitionByRange seeds its reservoir per execution — e.g. a
+        # pack_partitions output) the two executions could stamp DIFFERENT
+        # ids and the recovery would silently emit matched rows as missing
+        # (or drop unmatched ones). Same bug class as the round-6 rank
+        # fork (operators/rank.py module docstring); one in-memory
+        # materialization of a side that was about to shuffle anyway.
+        pid = preserved.withColumn(
+            "__rowid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
         inner = _grid_join(
             pid if how == "left" else left,
             pid if how == "right" else right,
@@ -312,7 +324,13 @@ def _grid_join(
             missing_rows = missing.select(
                 *null_other, *[missing[c] for c in preserved.columns]
             )
-        return inner.drop("__rowid").unionByName(missing_rows)
+        # positional union, NOT unionByName: when both sides share a
+        # geometry column name the joined frame legitimately carries
+        # duplicate names until sjoin()'s suffixing toDF — by-name
+        # resolution would raise COLUMN_ALREADY_EXISTS. Column order is
+        # identical by construction (preserved/other columns in join
+        # order on both branches).
+        return inner.drop("__rowid").union(missing_rows)
     cs = float(cell_size)
     lx = left.withColumn("__cell", F.explode(_cells(F.col(lb), cs)))
     rx = right.withColumn("__cell", F.explode(_cells(F.col(rb), cs)))
