@@ -23,6 +23,7 @@ per-operator base SQL in ``oracle_sql()``.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -1014,6 +1015,132 @@ def _unigram_oracle_sql() -> str:
     """
 
 
+def _mseq_oracle_sql(seq_len: int = 128) -> str:
+    """Standalone replay of ``materialize_token_sequences`` over the BPE
+    id replay (``_bpe_ids_ctes``): per-doc exclusive running sum in
+    doc_id order, one list_slice per overlapped sequence, flatten in
+    stream order — the ``training_sequences`` gate oracle (promoted
+    from the shard_pack union in round 7)."""
+    L = int(seq_len)
+    return f"""
+        WITH {_bpe_ids_ctes()},
+        b AS (SELECT d.doc_id, COALESCE(a.tid, []) AS tid
+              FROM documents d LEFT JOIN agg a USING (doc_id)),
+        brs AS (SELECT doc_id, tid, len(tid) AS bw,
+                SUM(len(tid)) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS bs
+                FROM b),
+        sl AS (SELECT u.q AS seq_id, brs.doc_id,
+                 list_slice(tid,
+                   CAST(greatest(bs - bw, u.q * {L})
+                        - (bs - bw) + 1 AS BIGINT),
+                   CAST(least(bs, (u.q + 1) * {L})
+                        - (bs - bw) AS BIGINT)) AS part
+               FROM brs,
+                    UNNEST(range(CAST((bs - bw) // {L} AS BIGINT),
+                                 CAST((bs - 1) // {L} + 1 AS BIGINT)))
+                      AS u(q)
+               WHERE bw > 0),
+        ms AS (SELECT seq_id,
+                      flatten(list(part ORDER BY doc_id)) AS ids
+               FROM sl GROUP BY seq_id)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(len(ids) AS BIGINT) AS n_tokens,
+               md5(array_to_string(ids, ',')) AS ids_md5
+        FROM ms
+    """
+
+
+def _training_mix_oracle_sql() -> str:
+    """Replay of the whole ``training_mix`` recipe in SQL, stage by
+    stage (see q_training_mix):
+
+    1. T=1/2 temperature weights in integer millis — the single double
+       division of exact integers is bit-identical to the Python side
+       (same IEEE op, same operands; no pow());
+    2. mix_sources epochs: UNNEST(range(full)) replication + the
+       md5-threshold fractional epoch with mix_sources' exact
+       'source#full#key' hash input and thr = (millis % 1000) * 1000
+       (exactly int(round(frac * 1e6)) for 3-decimal weights);
+    3. the shuffle order key rebuilt character-for-character
+       (zero-padded 60-bit hash # source # epoch # zero-padded doc_id);
+    4. running sum over that key + list_slice sequence assembly — the
+       same CTE shape as ``_mseq_oracle_sql``."""
+    seed, L = _MIX_SEED, _MIX_SEQ_LEN
+
+    def mdhash(s: str) -> str:
+        return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+    frac_branch = (
+        lambda src, w, langcond: f"""
+          SELECT d.doc_id, '{src}' AS source,
+                 CAST({w} // 1000 AS INT) AS epoch
+          FROM documents d, wm
+          WHERE {langcond} AND {w} % 1000 > 0
+            AND {mdhash(f"'{seed}:{src}#' || CAST({w} // 1000 AS VARCHAR)"
+                        f" || '#' || CAST(d.doc_id AS VARCHAR)")}
+                % 1000000 < {w} % 1000 * 1000"""
+    )
+    return f"""
+        WITH {_bpe_ids_ctes()},
+        cnt AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ne,
+                       CAST(SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nr
+                FROM documents),
+        wm AS (SELECT CAST(FLOOR((ne + nr) * ne / (ne*ne + nr*nr) * 1000
+                                 + 0.5) AS BIGINT) AS wen,
+                      CAST(FLOOR((ne + nr) * nr / (ne*ne + nr*nr) * 1000
+                                 + 0.5) AS BIGINT) AS wrt
+               FROM cnt),
+        mx AS (
+          SELECT d.doc_id, 'en' AS source, CAST(u.e AS INT) AS epoch
+          FROM documents d, wm, UNNEST(range(wm.wen // 1000)) AS u(e)
+          WHERE d.lang = 'en'
+          UNION ALL
+          {frac_branch("en", "wm.wen", "d.lang = 'en'")}
+          UNION ALL
+          SELECT d.doc_id, 'rest', CAST(u.e AS INT)
+          FROM documents d, wm, UNNEST(range(wm.wrt // 1000)) AS u(e)
+          WHERE d.lang != 'en'
+          UNION ALL
+          {frac_branch("rest", "wm.wrt", "d.lang != 'en'")}
+        ),
+        ok AS (
+          SELECT lpad(CAST({mdhash(f"'{seed}:' || source || '#' "
+                                   f"|| CAST(epoch AS VARCHAR) || '#' "
+                                   f"|| CAST(doc_id AS VARCHAR)")}
+                           AS VARCHAR), 19, '0')
+                 || '#' || source || '#' || CAST(epoch AS VARCHAR)
+                 || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+                 doc_id
+          FROM mx
+        ),
+        bt AS (SELECT ok.k, a.tid, len(a.tid) AS bw
+               FROM ok JOIN agg a USING (doc_id)),
+        brs AS (SELECT k, tid, bw,
+                SUM(bw) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS bs
+                FROM bt),
+        sl AS (SELECT u.q AS seq_id, brs.k,
+                 list_slice(tid,
+                   CAST(greatest(bs - bw, u.q * {L})
+                        - (bs - bw) + 1 AS BIGINT),
+                   CAST(least(bs, (u.q + 1) * {L})
+                        - (bs - bw) AS BIGINT)) AS part
+               FROM brs,
+                    UNNEST(range(CAST((bs - bw) // {L} AS BIGINT),
+                                 CAST((bs - 1) // {L} + 1 AS BIGINT)))
+                      AS u(q)
+               WHERE bw > 0),
+        ms AS (SELECT seq_id, flatten(list(part ORDER BY k)) AS ids
+               FROM sl GROUP BY seq_id)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(len(ids) AS BIGINT) AS n_tokens,
+               md5(array_to_string(ids, ',')) AS ids_md5
+        FROM ms
+    """
+
+
 def q_doc_chunks(spark, sf_dir):
     """Merged chunking + tokenizer gate, tagged union:
 
@@ -1025,16 +1152,11 @@ def q_doc_chunks(spark, sf_dir):
       md5 of the full comma-joined token-id sequence, so the gate hash
       covers every token id the Arrow segmenter emits
       [operators/bpe.py bpe_encode_ids — tests/test_bpe.py];
-    - 'unigram': ``unigram_encode_ids`` (operators/unigram.py) with the
-      fixture-trained piece table (_unigram_fixture_table) — same
-      per-doc count + full-id-sequence md5 shape, pinning the Viterbi
-      segmenter + stable vocab ids against the recursive-CTE DP replay
-      in _unigram_oracle_sql
-      [operators/unigram.py viterbi_segment/unigram_encode_ids —
-      tests/test_unigram.py]."""
+    The 'unigram' variant was promoted to its own ``unigram_encode``
+    gate in round 7 (densest-union split) so a Viterbi-segmenter
+    regression reads as its own red row."""
     from spatialpandas_spark.operators.bpe import bpe_encode_ids
     from spatialpandas_spark.operators.chunk import chunk_documents
-    from spatialpandas_spark.operators.unigram import unigram_encode_ids
 
     d = _t(spark, sf_dir, "documents")
     ch = chunk_documents(d, size=32, stride=24)
@@ -1056,23 +1178,33 @@ def q_doc_chunks(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
-    uni = unigram_encode_ids(
+    return _variant(chunks, "chunk").unionByName(_variant(bpe, "bpe"))
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer gate — promoted from
+    the ``doc_chunks`` union in round 7: ``unigram_encode_ids`` with the
+    fixture-trained piece table (_unigram_fixture_table) over every
+    document; per-doc token count + md5 of the full comma-joined id
+    sequence, so the hash covers every piece id the Viterbi segmenter
+    emits, checked against the recursive-CTE DP replay in
+    _unigram_oracle_sql (bit-exact scores, engine tie rule)
+    [operators/unigram.py viterbi_segment/unigram_encode_ids —
+    tests/test_unigram.py]."""
+    from spatialpandas_spark.operators.unigram import unigram_encode_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_encode_ids(
         d, _unigram_fixture_table(), max_piece_len=_UNIGRAM_MAX_PIECE
     ).select(
         "doc_id",
-        F.lit(None).cast("long").alias("chunk_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5(
             F.array_join(
                 F.transform(F.col("token_ids"), lambda x: x.cast("string")),
                 ",",
             )
-        ).alias("chunk_md5"),
-    )
-    return (
-        _variant(chunks, "chunk")
-        .unionByName(_variant(bpe, "bpe"))
-        .unionByName(_variant(uni, "unigram"))
+        ).alias("ids_md5"),
     )
 
 
@@ -1735,18 +1867,10 @@ def q_shard_pack(spark, sf_dir):
       offset and slice length; k1=doc_id, k2=seq_id, v1=doc_offset,
       v2=n_tokens_in_seq [operators/shards.py pack_token_sequences —
       tests/test_shards.py test_pack_token_sequences_*];
-    - 'mseq': MATERIALIZED training rows — fixture-merge BPE ids
-      through materialize_token_sequences at seq_len 128; k1=seq_id,
-      v1=n_tokens, h=md5 of the sequence's full comma-joined id
-      list, so the gate hash covers every token id of every training
-      row [operators/shards.py materialize_token_sequences —
-      tests/test_shards.py test_materialize_token_sequences_*].
-
-    All replay the same SQL running-sum window in the oracle; 'mseq'
-    composes it with the BPE id replay (_bpe_ids_ctes) + list_slice."""
-    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+    Both replay the same SQL running-sum window in the oracle. The
+    'mseq' materialized-rows variant was promoted to its own
+    ``training_sequences`` gate in round 7 (densest-union split)."""
     from spatialpandas_spark.operators.shards import (
-        materialize_token_sequences,
         pack_token_sequences,
         shard_summary,
     )
@@ -1769,25 +1893,140 @@ def q_shard_pack(spark, sf_dir):
         F.col("n_tokens_in_seq").cast("long").alias("v2"),
         F.lit(None).cast("string").alias("h"),
     )
+    return _variant(shards, "shard").unionByName(_variant(seqs, "seq"))
+
+
+def _ids_md5(col=None):
+    """md5 of a comma-joined int-array column — the token-id hash rule
+    every training-row gate shares."""
+    c = F.col("token_ids") if col is None else col
+    return F.md5(
+        F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    )
+
+
+def q_training_sequences(spark, sf_dir):
+    """Materialized GPT-style training rows — promoted from the
+    ``shard_pack`` union in round 7: fixture-merge BPE ids through
+    ``materialize_token_sequences`` at seq_len 128; one row per
+    training sequence with its length and the md5 of the full
+    comma-joined id list, so the gate hash covers EVERY token id of
+    EVERY training row. Oracle replays the running-sum layout +
+    list_slice assembly over the BPE id replay (_bpe_ids_ctes)
+    [operators/shards.py materialize_token_sequences —
+    tests/test_shards.py test_materialize_token_sequences_*]."""
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+    from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
+    )
+
     enc = bpe_encode_ids(
         _t(spark, sf_dir, "documents"), _bpe_fixture_merges()
     )
-    mseq = materialize_token_sequences(enc, 128).select(
-        F.col("seq_id").cast("long").alias("k1"),
-        F.lit(None).cast("long").alias("k2"),
-        F.col("n_tokens").cast("long").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.md5(
-            F.array_join(
-                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
-                ",",
-            )
-        ).alias("h"),
+    return materialize_token_sequences(enc, 128).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _ids_md5().alias("ids_md5"),
     )
-    return (
-        _variant(shards, "shard")
-        .unionByName(_variant(seqs, "seq"))
-        .unionByName(_variant(mseq, "mseq"))
+
+
+#: training_mix recipe constants (shared by the Spark gate and its oracle)
+_MIX_SEED = 11
+_MIX_SEQ_LEN = 256
+
+
+def _t05_weights_millis(n_en: int, n_rest: int) -> dict[str, int]:
+    """Temperature-sampling source weights at T=1/2, in integer millis.
+
+    At T=1/2 the published recipe q_s ∝ p_s^(1/T) = p_s^2 collapses to
+    the integer-exact closed form w_s = total * n_s / (n_en² + n_rest²)
+    (w_s = budget·q_s/z/n_s with budget=total). Both factors are exact
+    integers ≤ 2^53, so the single double division — and therefore the
+    half-up millis quantization — is bit-identical in Python and DuckDB
+    (no pow(), no multi-op float drift). tests/test_entry.py pins this
+    against operators/ordering.py temperature_weights(temperature=0.5).
+    """
+    total, s2 = n_en + n_rest, n_en * n_en + n_rest * n_rest
+    return {
+        "en": math.floor(total * n_en / s2 * 1000 + 0.5),
+        "rest": math.floor(total * n_rest / s2 * 1000 + 0.5),
+    }
+
+
+def q_training_mix(spark, sf_dir):
+    """The full multi-epoch training-data layout, end-to-end in ONE gate
+    (round-7 addition — the "sample sources → tokenize → pack →
+    shuffle" recipe a real pretraining pipeline runs):
+
+    1. temperature-derived source weights (T=1/2 integer-exact closed
+       form, _t05_weights_millis — the en/rest split of ``documents``);
+    2. ``mix_sources`` epochs: full passes + the md5-threshold
+       fractional epoch, every copy re-keyed per epoch
+       [operators/ordering.py mix_sources — tests/test_ordering.py];
+    3. ``deterministic_shuffle`` semantics as the packing order: the
+       global order key is (sample_hash(source#epoch#doc_id, seed),
+       source, epoch, doc_id) — zero-padded into one sortable string
+       [operators/ordering.py — same hash family, engine-replayable];
+    4. fixture-merge BPE ids joined per mixed copy, then
+       ``materialize_token_sequences`` at seq_len 256 cuts the shuffled
+       multi-epoch token stream into training rows
+       [operators/shards.py — tests/test_shards.py].
+
+    Output: (seq_id, n_tokens, ids_md5) — the hash covers every token
+    id of every training row ACROSS EPOCHS AND SOURCES, so a regression
+    in any stage (weights, epoch replication, shuffle order, packing)
+    flips the row hash. The oracle replays all four stages in SQL."""
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+    from spatialpandas_spark.operators.ordering import mix_sources
+    from spatialpandas_spark.operators.sampling import sample_hash
+    from spatialpandas_spark.operators.shards import (
+        materialize_token_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_en = d.filter(F.col("lang") == "en").count()
+    n_rest = d.filter(F.col("lang") != "en").count()
+    wm = _t05_weights_millis(n_en, n_rest)
+
+    en = d.filter(F.col("lang") == "en").select("doc_id")
+    rest = d.filter(F.col("lang") != "en").select("doc_id")
+    mixed = mix_sources(
+        {"en": en, "rest": rest},
+        {s: m / 1000 for s, m in wm.items()},
+        key_col="doc_id",
+        seed=_MIX_SEED,
+    )
+
+    # deterministic_shuffle order as ONE sortable string key: zero-padded
+    # 60-bit hash, then the tie chain (source, epoch, doc_id) — string
+    # order == the shuffle's multi-column order, and the key doubles as
+    # the unique doc key materialize_token_sequences slices/sorts by
+    ord_key = F.concat_ws(
+        "#",
+        F.lpad(
+            sample_hash(
+                F.concat_ws(
+                    "#", F.col("source"), F.col("epoch"), F.col("doc_id")
+                ),
+                _MIX_SEED,
+            ).cast("string"),
+            19,
+            "0",
+        ),
+        F.col("source"),
+        F.col("epoch").cast("string"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    enc = bpe_encode_ids(d, _bpe_fixture_merges())
+    toks = mixed.join(enc, "doc_id").select(
+        ord_key.alias("k"), "token_ids", "n_tokens"
+    )
+    return materialize_token_sequences(
+        toks, _MIX_SEQ_LEN, id_col="k"
+    ).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _ids_md5().alias("ids_md5"),
     )
 
 
@@ -2528,20 +2767,50 @@ def q_extract_features_media(spark, sf_dir):
       [operators/multimodal.py decode_wav — tests/test_multimodal_wav.py];
     - 'png': real DEFLATE/CRC/filter decode, magic-sniffed
       [operators/png.py — tests/test_multimodal_png.py];
-    - 'jpeg': constant-gray baseline SOF0 + progressive SOF2 entropy
-      decode, bit-exact [operators/jpeg.py —
-      tests/test_multimodal_jpeg.py, tests/test_jpeg_progressive.py,
-      tests/test_entry_jpeg_gate.py];
-    - 'probe': header-only metadata over the mixed column
-      [operators/multimodal.py probe_media_metadata —
-      tests/test_image_probe.py]."""
+    The 'jpeg' and 'probe' variants were promoted to the ``media_probe``
+    gate in round 7 (densest-union split) so entropy-decoder and
+    header-probe regressions localize to their own row."""
     return (
         _variant(q_extract_features(spark, sf_dir), "image")
         .unionByName(_variant(q_extract_features_audio(spark, sf_dir), "audio"))
         .unionByName(_variant(q_extract_features_png(spark, sf_dir), "png"))
-        .unionByName(_variant(q_extract_features_jpeg(spark, sf_dir), "jpeg"))
-        .unionByName(_variant(q_extract_features_probe(spark, sf_dir), "probe"))
     )
+
+
+def q_media_probe(spark, sf_dir):
+    """JPEG entropy decode + header-only probes — promoted from the
+    ``extract_features`` union in round 7, tagged union:
+
+    - 'jpeg': constant-gray baseline SOF0 + progressive SOF2 entropy
+      decode, bit-exact [operators/jpeg.py —
+      tests/test_multimodal_jpeg.py, tests/test_jpeg_progressive.py,
+      tests/test_entry_jpeg_gate.py];
+    - 'probe': header-only metadata over a six-format mixed column
+      (PPM/WAV/PNG/JPEG/BMP/GIF by p_partkey % 6 — the GIF payload is
+      header-only 13 bytes, pinning that no decoder runs)
+      [operators/multimodal.py probe_media_metadata —
+      tests/test_image_probe.py]."""
+    return _variant(q_extract_features_jpeg(spark, sf_dir), "jpeg").unionByName(
+        _variant(q_extract_features_probe(spark, sf_dir), "probe")
+    )
+
+
+def q_tpch_joins(spark, sf_dir):
+    """Merged relational-join gate (round 7: Q3 + Q5 were single-purpose
+    J3 evidence rows; merging freed a slot for the new operator wave),
+    tagged union on (variant, k, revenue):
+
+    - 'q3': TPC-H Q3-ish shipping priority — broadcast dim join + hash
+      agg by order key (k = o_orderkey as string);
+    - 'q5': TPC-H Q5-ish local-supplier revenue — six-table join with
+      broadcast dims + time-range scan filter (k = n_name)."""
+    q3 = q_tpch_q3(spark, sf_dir).select(
+        F.col("o_orderkey").cast("string").alias("k"), "revenue"
+    )
+    q5 = q_tpch_q5(spark, sf_dir).select(
+        F.col("n_name").alias("k"), "revenue"
+    )
+    return _variant(q3, "q3").unionByName(_variant(q5, "q5"))
 
 
 # ----------------------------------------------------- consolidated gates
@@ -2758,6 +3027,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries (the driver verifies at most 50 per round, in order);
     # the queries with the least prior driver evidence come first.
     return {
+        # --- round-7 new/promoted gates, least driver evidence first
+        "training_mix": q_training_mix,
+        "training_sequences": q_training_sequences,
+        "unigram_encode": q_unigram_encode,
+        "media_probe": q_media_probe,
+        "tpch_joins": q_tpch_joins,
         # --- round-2 unchecked tail, promoted to the front
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
@@ -2788,7 +3063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_doc_quality_signals,
         "scrub_normalize": q_scrub_normalize,
         "length_filter": q_length_filter,
-        "corpus_pipeline": q_corpus_pipeline,
         "knn_join": q_knn_join,
         # --- spatial core
         "cx_bbox": q_cx_bbox_merged,
@@ -2797,7 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_interop": q_ref_interop,
         "area_by_group": q_area_length_by_group,
         "bounds_multipoint": q_bounds_multipoint,
-        "total_bounds": q_total_bounds,
         "oriented_area": q_poly_measures,
         "sjoin_inner": q_sjoin_inner_merged,
         "sjoin_left": q_sjoin_left_merged,
@@ -2805,15 +3078,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_poly_poly": q_sjoin_poly_poly,
         "hilbert_pack": q_hilbert_pack,
         "geom_sort": q_geom_sort,
-        "geom_groupby": q_geom_groupby,
         "wkb_roundtrip": q_wkb_roundtrip,
         "fillna_points": q_fillna_merged,
         # --- relational shell
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "top_orders_per_priority": q_top_orders_per_priority,
     }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates retired from the 50-slot driver registry in round 7 to free
+    slots for the promoted/new rows (VERDICT r6 'What's missing' #1):
+    low-information singletons (geom_groupby/total_bounds, 1 row each;
+    corpus_pipeline overlaps its constituent gates) and the Q3/Q5 pair
+    (merged into ``tpch_joins``). Their oracle SQL stays in
+    ``_base_oracle_sql`` and tests/test_retired_gates.py contract-checks
+    every one of them each CI run, so no operator lost oracle-checked
+    coverage — only the driver slot moved."""
+    return {
+        "total_bounds": q_total_bounds,
+        "geom_groupby": q_geom_groupby,
+        "corpus_pipeline": q_corpus_pipeline,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Oracle twins for :func:`retired_queries` (same base SQL the driver
+    used through round 6)."""
+    o = _base_oracle_sql()
+    return {k: o[k] for k in retired_queries()}
 
 
 def _hilbert_oracle_sql(p: int = 10) -> str:
@@ -3749,9 +4044,8 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(((p_partkey % 8)*7 + u.i*5 + 22) % 127 + 1 AS DOUBLE) AS b
               FROM part, UNNEST(range(0, 16)) AS u(i)
             ) GROUP BY media_id
-            UNION ALL
-            {_jpeg_probe_oracle_sql()}
         """,
+        "media_probe": _jpeg_probe_oracle_sql(),
         "hilbert_pack": _hilbert_oracle_sql(p=10),
         "geom_sort": """
             SELECT id, ROW_NUMBER() OVER (ORDER BY cx + r, cy, cx, id) AS rk
@@ -4322,33 +4616,12 @@ def _base_oracle_sql() -> dict[str, str]:
             )
         """,
         "shard_pack": f"""
-            WITH {_bpe_ids_ctes()},
-            tc AS (SELECT doc_id,
+            WITH tc AS (SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
                  FROM documents),
             rs AS (SELECT doc_id, w,
                    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
-                 FROM tc),
-            b AS (SELECT d.doc_id, COALESCE(a.tid, []) AS tid
-                  FROM documents d LEFT JOIN agg a USING (doc_id)),
-            brs AS (SELECT doc_id, tid, len(tid) AS bw,
-                    SUM(len(tid)) OVER (ORDER BY doc_id
-                                        ROWS UNBOUNDED PRECEDING) AS bs
-                    FROM b),
-            sl AS (SELECT u.q AS seq_id, brs.doc_id,
-                     list_slice(tid,
-                       CAST(greatest(bs - bw, u.q * 128)
-                            - (bs - bw) + 1 AS BIGINT),
-                       CAST(least(bs, (u.q + 1) * 128)
-                            - (bs - bw) AS BIGINT)) AS part
-                   FROM brs,
-                        UNNEST(range(CAST((bs - bw) // 128 AS BIGINT),
-                                     CAST((bs - 1) // 128 + 1 AS BIGINT)))
-                          AS u(q)
-                   WHERE bw > 0),
-            ms AS (SELECT seq_id,
-                          flatten(list(part ORDER BY doc_id)) AS ids
-                   FROM sl GROUP BY seq_id)
+                 FROM tc)
             SELECT 'shard' AS variant,
                    CAST((s - w) // 2000 AS BIGINT) AS k1,
                    CAST(NULL AS BIGINT) AS k2,
@@ -4367,12 +4640,9 @@ def _base_oracle_sql() -> dict[str, str]:
                  UNNEST(range(CAST((s - w) // 512 AS BIGINT),
                               CAST((s - 1) // 512 + 1 AS BIGINT))) AS u(q)
             WHERE w > 0
-            UNION ALL
-            SELECT 'mseq', CAST(seq_id AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(len(ids) AS BIGINT), CAST(NULL AS BIGINT),
-                   md5(array_to_string(ids, ','))
-            FROM ms
         """,
+        "training_sequences": _mseq_oracle_sql(),
+        "training_mix": _training_mix_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
         "dedup_clusters": _cluster_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
@@ -4465,10 +4735,16 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
         "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
         "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
-        "doc_chunks": (
-            union("doc_chunks", "bpe_ids", "chunk", "bpe")
-            + f" UNION ALL SELECT z.*, 'unigram' AS variant "
-            f"FROM ({o['unigram_ids']}) z"
+        "doc_chunks": union("doc_chunks", "bpe_ids", "chunk", "bpe"),
+        "unigram_encode": (
+            "SELECT doc_id, n_tokens, chunk_md5 AS ids_md5 FROM ("
+            + o["unigram_ids"]
+            + ")"
+        ),
+        "tpch_joins": (
+            f"SELECT 'q3' AS variant, CAST(o_orderkey AS VARCHAR) AS k, "
+            f"revenue FROM ({o['tpch_q3']}) "
+            f"UNION ALL SELECT 'q5', n_name, revenue FROM ({o['tpch_q5']})"
         ),
         "embedding_near_dup": union(
             "embedding_near_dup", "semantic_pairs", "rp", "semantic"

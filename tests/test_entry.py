@@ -27,3 +27,29 @@ def test_oracle_coverage():
     assert oracles <= qs
     # every declared query has an exact SQL oracle (round-1 verdict item 1b)
     assert qs - oracles == set()
+
+
+def test_registry_at_cap():
+    # the driver checks at most 50 queries; round 7 restructured to stay
+    # exactly at the cap (retired singletons -> promoted dense-union
+    # variants + training_mix)
+    assert len(entrymod.queries()) == 50
+
+
+def test_t05_weights_are_temperature_weights():
+    """The training_mix gate's integer-exact closed form IS
+    temperature_weights at T=1/2 (docstring promise): w_s =
+    total * n_s / (n_en^2 + n_rest^2), quantized half-up to millis."""
+    import math
+
+    from spatialpandas_spark.operators.ordering import temperature_weights
+
+    for n_en, n_rest in [(300, 200), (450, 50), (7, 993), (123457, 765431)]:
+        wm = entrymod._t05_weights_millis(n_en, n_rest)
+        tw = temperature_weights(
+            {"en": n_en, "rest": n_rest}, temperature=0.5
+        )
+        for s in ("en", "rest"):
+            assert wm[s] == pytest.approx(
+                math.floor(tw[s] * 1000 + 0.5), abs=1
+            ), (s, n_en, n_rest)
