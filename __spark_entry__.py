@@ -1867,10 +1867,19 @@ def q_shard_pack(spark, sf_dir):
       offset and slice length; k1=doc_id, k2=seq_id, v1=doc_offset,
       v2=n_tokens_in_seq [operators/shards.py pack_token_sequences —
       tests/test_shards.py test_pack_token_sequences_*];
-    Both replay the same SQL running-sum window in the oracle. The
-    'mseq' materialized-rows variant was promoted to its own
+    - 'nf' (round 7): NO-SPLIT next-fit document packing at budget 500,
+      group_size 64 — one row per BIN with k1=grp, k2=global bin id,
+      v1=doc count, v2=token total, h=md5 of the comma-joined doc ids
+      in rank order, so the hash pins the exact doc→bin assignment.
+      Oracle replays the sequential next-fit scan as a recursive CTE
+      over in-group positions [operators/shards.py
+      pack_documents_nextfit — tests/test_shards.py].
+
+    'shard'/'seq' replay the same SQL running-sum window in the oracle.
+    The 'mseq' materialized-rows variant was promoted to its own
     ``training_sequences`` gate in round 7 (densest-union split)."""
     from spatialpandas_spark.operators.shards import (
+        pack_documents_nextfit,
         pack_token_sequences,
         shard_summary,
     )
@@ -1893,7 +1902,39 @@ def q_shard_pack(spark, sf_dir):
         F.col("n_tokens_in_seq").cast("long").alias("v2"),
         F.lit(None).cast("string").alias("h"),
     )
-    return _variant(shards, "shard").unionByName(_variant(seqs, "seq"))
+    packed = pack_documents_nextfit(
+        d, "w", ["doc_id"], budget=500, group_size=64
+    )
+    nf = (
+        packed.groupBy("grp", "bin")
+        .agg(
+            F.count("*").cast("long").alias("v1"),
+            F.sum("w").cast("long").alias("v2"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("h"),
+        )
+        .select(
+            F.col("grp").cast("long").alias("k1"),
+            F.col("bin").cast("long").alias("k2"),
+            "v1",
+            "v2",
+            "h",
+        )
+    )
+    return (
+        _variant(shards, "shard")
+        .unionByName(_variant(seqs, "seq"))
+        .unionByName(_variant(nf, "nf"))
+    )
 
 
 def _ids_md5(col=None):
@@ -4616,12 +4657,40 @@ def _base_oracle_sql() -> dict[str, str]:
             )
         """,
         "shard_pack": f"""
-            WITH tc AS (SELECT doc_id,
+            WITH RECURSIVE tc AS (SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS w
                  FROM documents),
             rs AS (SELECT doc_id, w,
                    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
-                 FROM tc)
+                 FROM tc),
+            -- 'nf' replay: sequential next-fit as a recursive CTE over
+            -- in-group positions (rank groups of 64, budget 500)
+            p AS (SELECT doc_id, w,
+                         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r
+                  FROM tc WHERE w > 0),
+            gg AS (SELECT doc_id, w, r // 64 AS grp, r % 64 AS pos FROM p),
+            nf AS (
+              SELECT grp, pos, doc_id, w,
+                     CAST(0 AS BIGINT) AS lb, w AS fill
+              FROM gg WHERE pos = 0
+              UNION ALL
+              SELECT g.grp, g.pos, g.doc_id, g.w,
+                     CASE WHEN nf.fill + g.w > 500
+                          THEN nf.lb + 1 ELSE nf.lb END,
+                     CASE WHEN nf.fill + g.w > 500
+                          THEN g.w ELSE nf.fill + g.w END
+              FROM nf JOIN gg g ON g.grp = nf.grp AND g.pos = nf.pos + 1
+            ),
+            nfb AS (SELECT grp, grp * 64 + lb AS bin,
+                           COUNT(*) AS v1, SUM(w) AS v2,
+                           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                          ORDER BY pos)) AS h
+                    FROM nf GROUP BY grp, lb)
+            SELECT 'nf' AS variant, CAST(grp AS BIGINT) AS k1,
+                   CAST(bin AS BIGINT) AS k2,
+                   CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2, h
+            FROM nfb
+            UNION ALL
             SELECT 'shard' AS variant,
                    CAST((s - w) // 2000 AS BIGINT) AS k1,
                    CAST(NULL AS BIGINT) AS k2,

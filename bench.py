@@ -650,6 +650,18 @@ def b28_dwithin(spark):
     return sjoin_dwithin(qs, corpus, 2.0, left_id="qid", right_id="id").count()
 
 
+def b29_training_mix(spark):
+    """The full multi-epoch training-layout recipe (round-7 gate
+    training_mix): temperature-weighted source mixing (T=1/2 closed
+    form), epoch replication + fractional hash epoch, deterministic
+    shuffle order, BPE ids, materialize_token_sequences at seq_len 256.
+    Exercises mix explode + one content-hash sort key + the two-phase
+    running-sum layout + the single token-array shuffle end to end."""
+    import __spark_entry__ as entrymod
+
+    return entrymod.q_training_mix(spark, SF_DIR).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -679,6 +691,7 @@ BENCHES = {
     "b26_unigram_encode": b26_unigram_encode,
     "b27_sjoin_nearest": b27_sjoin_nearest,
     "b28_dwithin": b28_dwithin,
+    "b29_training_mix": b29_training_mix,
 }
 
 

@@ -287,3 +287,61 @@ def test_running_sum_fork_consistency_on_cached_input(spark):
     }
     df.unpersist()
     assert got == exp
+
+
+def test_nextfit_packing_matches_python_twin(spark):
+    """pack_documents_nextfit == the literal sequential next-fit scan
+    over rank groups, on a cached input (the fork-bug posture)."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.shards import pack_documents_nextfit
+
+    rng = np.random.default_rng(17)
+    B, G = 100, 16
+    docs = [(i, int(w)) for i, w in enumerate(rng.integers(0, 140, 500))]
+    df = spark.createDataFrame(docs, "doc_id long, w long").cache()
+    df.count()
+    got = {
+        r["doc_id"]: (r["grp"], r["bin"], r["oversized"])
+        for r in pack_documents_nextfit(
+            df, "w", ["doc_id"], budget=B, group_size=G
+        ).collect()
+    }
+    df.unpersist()
+
+    # literal twin: filter w>0, rank by doc_id, groups of G, next-fit
+    live = [(d, w) for d, w in docs if w > 0]
+    want = {}
+    for gi in range(0, len(live), G):
+        grp = gi // G
+        cur_bin, fill = -1, 0
+        for d, w in live[gi : gi + G]:
+            if cur_bin < 0 or fill + w > B:
+                cur_bin += 1
+                fill = 0
+            fill += w
+            want[d] = (grp, grp * G + cur_bin, w > B)
+    assert got == want
+    # invariants: every bin's fill <= B unless it is a single oversized
+    # doc; zero-weight docs dropped
+    fills, members = {}, {}
+    for d, (g, b, ov) in got.items():
+        fills[b] = fills.get(b, 0) + dict(docs)[d]
+        members.setdefault(b, []).append(d)
+    for b, f in fills.items():
+        if f > B:
+            assert len(members[b]) == 1 and dict(docs)[members[b][0]] > B
+    assert set(got) == {d for d, w in docs if w > 0}
+
+
+def test_nextfit_no_single_partition_exchange(spark):
+    from spatialpandas_spark.operators.shards import pack_documents_nextfit
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50 + 1) for i in range(200)], "doc_id long, w long"
+    )
+    plan = physical_plan(
+        pack_documents_nextfit(df, "w", ["doc_id"], budget=64, group_size=32)
+    )
+    assert "Exchange SinglePartition" not in plan
