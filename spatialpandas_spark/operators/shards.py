@@ -294,7 +294,7 @@ def pack_documents_nextfit(
 
     Bins never span groups, so the distributed layout wastes at most one
     partial bin per group versus the single-machine scan — bounded,
-    documented slack (fill efficiency loss < budget/(group_size *
+    documented waste (fill efficiency loss < budget/(group_size *
     E[w]) per group), in exchange for a plan whose only data-sized
     movements are the rank's range shuffle and one hash shuffle on
     ``group_col``. Zero-weight docs are dropped (they contribute no
