@@ -204,6 +204,31 @@ class CorpusFrame:
             toks, seq_len, id_col=self.id_col
         )
 
+    def pack_examples(
+        self, budget: int, weight_col: str | None = None, **kw
+    ) -> DataFrame:
+        """NO-SPLIT example packing via
+        :func:`~spatialpandas_spark.operators.shards
+        .pack_documents_nextfit` — whole documents into token-budget
+        bins (the SFT/attention-masked layout; contrast
+        :meth:`pack_sequences`, which splits docs across boundaries).
+        With ``weight_col=None`` the BPE-pretokenizer count is computed
+        inline, same as :meth:`pack_sequences`."""
+        from pyspark.sql import functions as F
+
+        from spatialpandas_spark.operators.shards import (
+            pack_documents_nextfit,
+        )
+        from spatialpandas_spark.operators.text import bpe_token_count
+
+        df, wc = self.df, weight_col
+        if wc is None:
+            wc = "__w"
+            df = df.withColumn(
+                wc, bpe_token_count(F.col(self.text_col)).cast("long")
+            )
+        return pack_documents_nextfit(df, wc, [self.id_col], budget, **kw)
+
     # ------------------------------------------------------------- sink
     def write_training_shards(
         self, merges, out_dir: str, shard_tokens: int = 1_000_000, **kw

@@ -134,3 +134,33 @@ def test_training_sequences_end_to_end(spark):
         for s in range((len(stream) + L - 1) // L)
     }
     assert got == exp
+
+
+def test_pack_examples_delegates(spark):
+    """Facade == direct pack_documents_nextfit with inline BPE weights."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.corpus import CorpusFrame
+    from spatialpandas_spark.operators.shards import pack_documents_nextfit
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 9)) for i in range(60)], "doc_id long, text string"
+    )
+    via_facade = sorted(
+        (r["doc_id"], r["grp"], r["bin"], r["oversized"])
+        for r in CorpusFrame(df).pack_examples(12, group_size=16).collect()
+    )
+    direct = sorted(
+        (r["doc_id"], r["grp"], r["bin"], r["oversized"])
+        for r in pack_documents_nextfit(
+            df.withColumn(
+                "__w", bpe_token_count(F.col("text")).cast("long")
+            ),
+            "__w",
+            ["doc_id"],
+            12,
+            group_size=16,
+        ).collect()
+    )
+    assert via_facade == direct and len(direct) > 0
