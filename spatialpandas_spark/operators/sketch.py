@@ -1,0 +1,309 @@
+"""K-minimum-values (KMV) set sketches for cross-corpus overlap.
+
+Decontamination (``operators/contamination.py``) answers "which training
+documents overlap THIS benchmark" with a broadcast join — exact, but it
+assumes one side is broadcast-sized. The questions a 100 TB curation
+pipeline asks *first* are corpus-level: how many distinct n-grams does
+each source contribute, how much do two crawls overlap, is a new dump
+worth ingesting at all. Joining two 100 TB corpora to answer that is
+absurd; the public answer is a distinct-value synopsis.
+
+KMV — Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+stream"), multiset/overlap form in Beyer et al., SIGMOD 2007 ("On
+synopses for distinct value estimation under multiset operations") —
+keeps the ``k`` smallest values of a uniform hash over the set:
+
+- the k-th smallest hash estimates the distinct count as
+  ``(k-1) * H / h_k`` (``H`` = hash-space size); fewer than ``k``
+  distinct values means the sketch IS the set (exact);
+- sketches are mergeable: the bottom-k of a union is the bottom-k of
+  the concatenated sketches, so union / intersection / Jaccard /
+  containment across corpora are computed from two k-row frames —
+  constant work, **no cross-corpus shuffle of any kind**;
+- with a content hash (the md5-prefix ``sample_hash``), the sketch is
+  deterministic: reruns, backfills, and a SQL engine replaying the same
+  hash agree bit-for-bit. This is the same engine-portable hash the
+  sampling/mix oracles use.
+
+Spark shape, designed so the 100 TB side is scanned exactly once:
+
+1. per-group HLL cardinality estimate (``approx_count_distinct`` —
+   map-side partial, tiny result) picks a hash threshold ``thr ≈
+   H * oversample*k / est``, so only ~``oversample*k`` rows per group
+   survive the scan-stage filter — bottom-k is invariant under
+   dropping values above the k-th minimum;
+2. distinct + a per-group window rank over the survivors (each group is
+   now a few thousand rows, so the sort is trivial);
+3. a declarative safety net: any group left with fewer than ``k``
+   survivors while its threshold was actually filtering is recomputed
+   unfiltered (bottom-k over that group's full hash set). With
+   ``oversample=8`` this branch fires with probability ~exp(-k) — it
+   exists so the result is *exact* bottom-k by construction, never
+   "probably".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spatialpandas_spark.operators.dedup import word_shingles
+from spatialpandas_spark.operators.sampling import sample_hash
+
+#: size of the sample_hash space: 15 hex chars = 60 bits.
+HSPACE = 1 << 60
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str | Column,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+    oversample: int = 8,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Bottom-``k`` sketch of the distinct ``key`` values (per group).
+
+    Returns ``(*group_cols, rank, h)`` with ``rank`` 1-based in
+    ascending-hash order and ``h`` the 60-bit ``sample_hash`` of the
+    key — at most ``k`` rows per group (fewer iff the group has fewer
+    distinct keys, in which case the sketch is exact). The result is a
+    pure function of the key SET: partition layout, input order, and
+    ``prefilter`` never change it.
+
+    ``prefilter=True`` is the at-scale path (HLL-thresholded scan-stage
+    filter, see module docstring); ``prefilter=False`` ranks the full
+    distinct hash set — same result, used by tests as the oracle twin.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    groups = list(group_cols or [])
+    pairs = df.filter(_as_col(key).isNotNull()).select(
+        *groups, sample_hash(_as_col(key), seed).alias("h")
+    )
+
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col("h").asc()
+    )
+
+    def bottom_k(p: DataFrame) -> DataFrame:
+        return (
+            p.distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*groups, "rank", "h")
+        )
+
+    if not prefilter:
+        return bottom_k(pairs)
+
+    # HLL estimate -> per-group threshold. est <= oversample*k means the
+    # filter would be a no-op; encode that as thr = HSPACE (keep all).
+    est = pairs.groupBy(*groups).agg(
+        F.approx_count_distinct("h").alias("__est")
+    )
+    thr = F.when(
+        F.col("__est") <= F.lit(oversample * k), F.lit(HSPACE)
+    ).otherwise(
+        (
+            F.lit(float(HSPACE))
+            * F.lit(float(oversample * k))
+            / F.col("__est").cast("double")
+        ).cast("long")
+    )
+    bounds = est.select(*groups, thr.alias("__thr"))
+
+    if groups:
+        survivors = pairs.join(F.broadcast(bounds), groups, "inner").filter(
+            F.col("h") < F.col("__thr")
+        )
+    else:
+        survivors = pairs.crossJoin(F.broadcast(bounds)).filter(
+            F.col("h") < F.col("__thr")
+        )
+    sk = bottom_k(survivors.select(*groups, "h"))
+
+    # Safety net: a group whose filter was active (thr < HSPACE) but kept
+    # fewer than k distinct hashes is ambiguous (can't tell "few distinct
+    # values" from "over-aggressive threshold") -> recompute it from the
+    # unfiltered pairs. bad is bounded by the group count, broadcast-safe.
+    counts = sk.groupBy(*groups).agg(F.count("*").alias("__n"))
+    bad = (
+        counts.join(F.broadcast(bounds), groups)
+        if groups
+        else counts.crossJoin(F.broadcast(bounds))
+    ).filter(
+        (F.col("__n") < F.lit(k)) & (F.col("__thr") < F.lit(HSPACE))
+    ).select(*groups)
+    if not groups:
+        # ungrouped: bad is empty or a single marker row; a driver-side
+        # emptiness probe would defeat laziness, so express the patch
+        # declaratively with the same join shape as the grouped path
+        bad = bad.select(F.lit(1).alias("__one"))
+        good = sk.join(
+            F.broadcast(bad), sk["rank"].isNotNull() & (F.lit(1) == bad["__one"]), "left_anti"
+        )
+        patch = bottom_k(
+            pairs.join(
+                F.broadcast(bad),
+                F.lit(1) == bad["__one"],
+                "left_semi",
+            )
+        )
+        return good.unionByName(patch)
+    good = sk.join(F.broadcast(bad), groups, "left_anti")
+    patch = bottom_k(pairs.join(F.broadcast(bad), groups, "left_semi"))
+    return good.unionByName(patch)
+
+
+def kmv_summary(
+    sketch: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group from a :func:`kmv_sketch` frame:
+    ``(*group_cols, n_hashes, kth_hash, distinct_est)``. A sketch with
+    fewer than ``k`` rows is the exact set (est = row count); a full
+    sketch uses the unbiased KMV estimator ``(k-1) * H / h_k``."""
+    groups = list(group_cols or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").alias("n_hashes"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HSPACE)) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(*groups, "n_hashes", "kth_hash", est.alias("distinct_est"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Sketch of the union of two (ungrouped) sketches: bottom-``k`` of
+    the concatenated hash sets — the KMV merge rule. Constant work:
+    both inputs are ≤ k rows."""
+    merged = a.select("h").unionByName(b.select("h")).distinct()
+    w = Window.orderBy(F.col("h").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "h")
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Set-overlap estimates between two (ungrouped) sketches of the same
+    ``(key domain, seed, k)``: one row with
+
+    ``(k_used, n_both, jaccard, union_est, intersection_est,
+    distinct_a_est, distinct_b_est, containment_a, containment_b)``
+
+    where ``jaccard = |L ∩ A ∩ B| / |L|`` over the union's bottom-k
+    ``L`` (Beyer et al. 2007), ``intersection_est = jaccard *
+    union_est`` and ``containment_a = intersection_est /
+    distinct_a_est`` (the "what fraction of corpus A is also in B"
+    screening number). Everything is a deterministic function of the
+    two k-row frames — no corpus is touched."""
+    u = kmv_union(a, b, k)
+    flagged = (
+        u.join(
+            F.broadcast(a.select(F.col("h"), F.lit(1).alias("__a"))),
+            "h",
+            "left",
+        )
+        .join(
+            F.broadcast(b.select(F.col("h"), F.lit(1).alias("__b"))),
+            "h",
+            "left",
+        )
+        .select(
+            "h",
+            "rank",
+            F.coalesce(F.col("__a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("__b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    stats = flagged.agg(
+        F.count("*").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth_hash"),
+    )
+    sa = kmv_summary(a, k).select(
+        F.col("distinct_est").alias("distinct_a_est")
+    )
+    sb = kmv_summary(b, k).select(
+        F.col("distinct_est").alias("distinct_b_est")
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HSPACE)) / F.col("kth_hash").cast("double")
+    )
+    jacc = F.when(F.col("k_used") > 0,
+                  F.col("n_both").cast("double") / F.col("k_used")
+                  ).otherwise(F.lit(0.0))
+    out = (
+        stats.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "k_used",
+            F.col("n_both").cast("long").alias("n_both"),
+            jacc.alias("jaccard"),
+            union_est.alias("union_est"),
+            (jacc * union_est).alias("intersection_est"),
+            "distinct_a_est",
+            "distinct_b_est",
+            F.when(
+                F.col("distinct_a_est") > 0,
+                jacc * union_est / F.col("distinct_a_est"),
+            ).otherwise(F.lit(0.0)).alias("containment_a"),
+            F.when(
+                F.col("distinct_b_est") > 0,
+                jacc * union_est / F.col("distinct_b_est"),
+            ).otherwise(F.lit(0.0)).alias("containment_b"),
+        )
+    )
+    return out
+
+
+def shingle_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 256,
+    seed: int = 42,
+    prefilter: bool = True,
+) -> DataFrame:
+    """KMV sketch of a corpus's distinct word-``n``-gram set — the
+    standard contamination-screening domain (same shingles as
+    ``operators/contamination.py``). One scan of the corpus."""
+    grams = docs.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    return kmv_sketch(
+        grams, "s", k=k, seed=seed, prefilter=prefilter
+    )
+
+
+def corpus_overlap(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-level n-gram overlap screen between two corpora: each side
+    is scanned once into a k-row sketch; the comparison itself touches
+    no corpus data. Use this to decide whether the exact per-document
+    ``ngram_overlap`` pass (which needs a broadcast-sized benchmark) is
+    worth running, or to dedupe whole crawl dumps against each other."""
+    return kmv_overlap(
+        shingle_sketch(docs_a, text_col, n, k, seed),
+        shingle_sketch(docs_b, text_col, n, k, seed),
+        k,
+    )
