@@ -132,14 +132,23 @@ def kmv_sketch(
     # Safety net: a group whose filter was active (thr < HSPACE) but kept
     # fewer than k distinct hashes is ambiguous (can't tell "few distinct
     # values" from "over-aggressive threshold") -> recompute it from the
-    # unfiltered pairs. bad is bounded by the group count, broadcast-safe.
+    # unfiltered pairs. Built from bounds (which has EVERY group) left-
+    # joined to the survivor counts, so a group whose threshold filtered
+    # out ALL rows (zero survivors, absent from counts) is still flagged
+    # rather than silently dropped — the exactness guarantee needs the
+    # net to cover the zero-survivor case too. bad is bounded by the
+    # group count, broadcast-safe.
     counts = sk.groupBy(*groups).agg(F.count("*").alias("__n"))
     bad = (
-        counts.join(F.broadcast(bounds), groups)
+        bounds.join(counts, groups, "left")
         if groups
-        else counts.crossJoin(F.broadcast(bounds))
+        # ungrouped: counts is EMPTY (not a zero row) when no survivor
+        # exists; a left join on a constant-true condition keeps the
+        # single bounds row with __n null so coalesce() can flag it
+        else bounds.join(counts, F.lit(True), "left")
     ).filter(
-        (F.col("__n") < F.lit(k)) & (F.col("__thr") < F.lit(HSPACE))
+        (F.coalesce(F.col("__n"), F.lit(0)) < F.lit(k))
+        & (F.col("__thr") < F.lit(HSPACE))
     ).select(*groups)
     if not groups:
         # ungrouped: bad is empty or a single marker row; a driver-side
