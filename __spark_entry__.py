@@ -768,6 +768,105 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+#: KMV gate parameters: k small enough that sf0.01's ~13k distinct
+#: 5-gram sides overflow the sketch (exercising the estimator + the
+#: HLL prefilter), large enough that the overlap stats are stable.
+_KMV_K = 128
+
+
+def q_corpus_kmv(spark, sf_dir):
+    """KMV corpus-overlap screen (operators/sketch.py): split documents
+    into corpus A (doc_id % 2 = 0) and corpus B (odd), sketch each
+    side's distinct word-5-gram set with the HLL-prefiltered scan path
+    (prefilter=True — the at-scale formulation the gate must pin), then
+    compute the sketch-only overlap stats. Long-format tagged rows:
+
+    - src='kmv:sketch_a'/'kmv:sketch_b': doc_id = sketch rank (1..k),
+      total_ngrams = the 60-bit bottom-k hash — the exact bottom-k rows,
+      so the gate hash pins the full sketch content;
+    - src='kmv:k_used'/'kmv:n_both': doc_id = the discrete overlap
+      counters;
+    - src='kmv:jaccard'/... : overlap = the estimator outputs rounded
+      to 6 (one IEEE multiply/divide chain, engine-portable).
+
+    Oracle: exact bottom-k via ROW_NUMBER over the distinct md5-prefix
+    hash set per side + the same estimator arithmetic — DuckDB replays
+    the whole screen because the sketch is a pure function of the key
+    set (reference has no sketch surface; KMV per Bar-Yossef 2002 /
+    Beyer SIGMOD 2007). Breadcrumbs: kmv_sketch/kmv_overlap ->
+    operators/sketch.py (tests/test_sketch.py python twins)."""
+    from spatialpandas_spark.operators.sketch import kmv_overlap, shingle_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    k = _KMV_K
+    ska = shingle_sketch(docs.filter(F.col("doc_id") % 2 == 0), n=5, k=k)
+    skb = shingle_sketch(docs.filter(F.col("doc_id") % 2 == 1), n=5, k=k)
+    nul = F.lit(None)
+
+    def sketch_rows(sk, tag):
+        return sk.select(
+            F.lit(tag).alias("src"),
+            F.col("rank").cast("long").alias("doc_id"),
+            F.col("h").cast("long").alias("total_ngrams"),
+            nul.cast("long").alias("matched_ngrams"),
+            nul.cast("double").alias("overlap"),
+        )
+
+    ov = kmv_overlap(ska, skb, k)
+    counts = ov.selectExpr(
+        "stack(2, 'kmv:k_used', k_used, 'kmv:n_both', n_both) AS (src, doc_id)"
+    ).select(
+        "src",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nul.cast("long").alias("total_ngrams"),
+        nul.cast("long").alias("matched_ngrams"),
+        nul.cast("double").alias("overlap"),
+    )
+    ests = ov.selectExpr(
+        """stack(7,
+           'kmv:jaccard', round(jaccard, 6),
+           'kmv:union_est', round(union_est, 6),
+           'kmv:intersection_est', round(intersection_est, 6),
+           'kmv:distinct_a_est', round(distinct_a_est, 6),
+           'kmv:distinct_b_est', round(distinct_b_est, 6),
+           'kmv:containment_a', round(containment_a, 6),
+           'kmv:containment_b', round(containment_b, 6)) AS (src, overlap)"""
+    ).select(
+        "src",
+        nul.cast("long").alias("doc_id"),
+        nul.cast("long").alias("total_ngrams"),
+        nul.cast("long").alias("matched_ngrams"),
+        "overlap",
+    )
+    return (
+        sketch_rows(ska, "kmv:sketch_a")
+        .unionByName(sketch_rows(skb, "kmv:sketch_b"))
+        .unionByName(counts)
+        .unionByName(ests)
+    )
+
+
+def q_decontamination_merged(spark, sf_dir):
+    """Merged contamination-screening gate, tagged union (columns are
+    reinterpreted per variant, knn-gate style):
+
+    - src='decon': exact per-doc benchmark 5-gram overlap
+      (doc_id/total_ngrams/matched_ngrams/overlap as in the standalone
+      row) [operators/contamination.py ngram_overlap —
+      tests/test_contamination.py];
+    - src='kmv:*': the corpus-level KMV screen that DECIDES whether the
+      exact pass is worth running — see :func:`q_corpus_kmv`
+      [operators/sketch.py — tests/test_sketch.py]."""
+    decon = q_decontamination(spark, sf_dir).select(
+        F.lit("decon").alias("src"),
+        "doc_id",
+        "total_ngrams",
+        "matched_ngrams",
+        "overlap",
+    )
+    return decon.unionByName(q_corpus_kmv(spark, sf_dir))
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals: token-level duplicate
     fraction (duplicate_line_fraction over one-token-per-line text) and
@@ -3068,7 +3167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries (the driver verifies at most 50 per round, in order);
     # the queries with the least prior driver evidence come first.
     return {
-        # --- round-7 new/promoted gates, least driver evidence first
+        # --- round-8 new variant (kmv corpus screen), least evidence first
+        "decontamination": q_decontamination_merged,
+        # --- round-7 new/promoted gates
         "training_mix": q_training_mix,
         "training_sequences": q_training_sequences,
         "unigram_encode": q_unigram_encode,
@@ -3097,7 +3198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_merged,
         "dedup_exact": q_dedup_exact,
         "span_dedup": q_span_dedup,
-        "decontamination": q_decontamination,
         "doc_chunks": q_doc_chunks,
         "doc_stats": q_doc_stats_merged,
         "lang_id": q_text_signals,
@@ -3219,6 +3319,95 @@ sh AS (
   FROM (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) != '') t,
        UNNEST(range(1, len(tk) - {shingle_n - 2})) AS u(i)
 )"""
+
+
+def _kmv_oracle_sql(k: int, shingle_n: int = 5, seed: int = 42) -> str:
+    """SQL replay of the KMV corpus-overlap screen (the 'kmv:*' rows of
+    the merged decontamination gate): the sketch is a pure function of
+    the distinct shingle-hash set, so the oracle computes the EXACT
+    bottom-k per side with ROW_NUMBER over the same md5-prefix hash —
+    which is precisely what the engine's HLL-prefiltered path must
+    equal. Estimator arithmetic mirrors operators/sketch.py op-for-op:
+    est = (k-1)*H/h_k with the numerator inlined as one double literal
+    (Spark constant-folds F.lit((k-1.0)) * F.lit(float(H)) the same
+    way), jaccard = n_both/k_used, intersection = jaccard*union_est,
+    containment = jaccard*union_est/side_est; all rounded to 6.
+    Returns ``(ctes, select)`` so the caller can splice the chain into
+    a WITH-bearing union (DuckDB forbids WITH after UNION ALL)."""
+    from spatialpandas_spark.operators.sketch import HSPACE
+
+    num = repr(float(k - 1) * float(HSPACE))
+    n = shingle_n
+    ctes = f"""ksh AS (
+  SELECT DISTINCT doc_id % 2 AS side,
+         array_to_string(tk[u.i:u.i+{n - 1}], ' ') AS s
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents
+        WHERE trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+khv AS (SELECT DISTINCT side,
+               ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT AS h
+        FROM ksh),
+krk AS (SELECT side, h,
+               ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rank
+        FROM khv),
+ska AS (SELECT CAST(rank AS BIGINT) AS rank, h FROM krk
+        WHERE side = 0 AND rank <= {k}),
+skb AS (SELECT CAST(rank AS BIGINT) AS rank, h FROM krk
+        WHERE side = 1 AND rank <= {k}),
+sa AS (SELECT COUNT(*) AS n, MAX(CASE WHEN rank = {k} THEN h END) AS kth
+       FROM ska),
+sb AS (SELECT COUNT(*) AS n, MAX(CASE WHEN rank = {k} THEN h END) AS kth
+       FROM skb),
+ku AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rank
+       FROM (SELECT DISTINCT h FROM
+              (SELECT h FROM ska UNION ALL SELECT h FROM skb))),
+ukk AS (SELECT h, rank FROM ku WHERE rank <= {k}),
+fl AS (SELECT ukk.rank, ukk.h,
+              CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+              CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+       FROM ukk LEFT JOIN ska a ON ukk.h = a.h
+                LEFT JOIN skb b ON ukk.h = b.h),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+              CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+              MAX(CASE WHEN rank = {k} THEN h END) AS kth
+       FROM fl),
+est AS (SELECT st.k_used, st.n_both,
+          CASE WHEN st.k_used > 0
+               THEN CAST(st.n_both AS DOUBLE) / st.k_used
+               ELSE 0.0 END AS jacc,
+          CASE WHEN st.k_used < {k} THEN CAST(st.k_used AS DOUBLE)
+               ELSE {num} / CAST(st.kth AS DOUBLE) END AS uest,
+          CASE WHEN sa.n < {k} THEN CAST(sa.n AS DOUBLE)
+               ELSE {num} / CAST(sa.kth AS DOUBLE) END AS da,
+          CASE WHEN sb.n < {k} THEN CAST(sb.n AS DOUBLE)
+               ELSE {num} / CAST(sb.kth AS DOUBLE) END AS db
+        FROM st, sa, sb)"""
+    select = f"""
+SELECT 'kmv:sketch_a' AS src, rank AS doc_id, h AS total_ngrams,
+       CAST(NULL AS BIGINT) AS matched_ngrams,
+       CAST(NULL AS DOUBLE) AS overlap
+FROM ska
+UNION ALL
+SELECT 'kmv:sketch_b', rank, h, NULL, NULL FROM skb
+UNION ALL SELECT 'kmv:k_used', k_used, NULL, NULL, NULL FROM est
+UNION ALL SELECT 'kmv:n_both', n_both, NULL, NULL, NULL FROM est
+UNION ALL SELECT 'kmv:jaccard', NULL, NULL, NULL, ROUND(jacc, 6) FROM est
+UNION ALL SELECT 'kmv:union_est', NULL, NULL, NULL, ROUND(uest, 6) FROM est
+UNION ALL SELECT 'kmv:intersection_est', NULL, NULL, NULL,
+                 ROUND(jacc * uest, 6) FROM est
+UNION ALL SELECT 'kmv:distinct_a_est', NULL, NULL, NULL, ROUND(da, 6)
+          FROM est
+UNION ALL SELECT 'kmv:distinct_b_est', NULL, NULL, NULL, ROUND(db, 6)
+          FROM est
+UNION ALL SELECT 'kmv:containment_a', NULL, NULL, NULL,
+                 ROUND(CASE WHEN da > 0 THEN jacc * uest / da
+                            ELSE 0.0 END, 6) FROM est
+UNION ALL SELECT 'kmv:containment_b', NULL, NULL, NULL,
+                 ROUND(CASE WHEN db > 0 THEN jacc * uest / db
+                            ELSE 0.0 END, 6) FROM est
+"""
+    return ctes, select
 
 
 def _minhash_oracle_sql(
@@ -4224,6 +4413,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "decontamination": f"""
+            SELECT 'decon' AS src, * FROM (
             WITH bench AS (
               SELECT DISTINCT array_to_string(tk[u.i:u.i+4], ' ') AS s
               FROM (SELECT {_TOKS} AS tk FROM documents
@@ -4245,6 +4435,11 @@ def _base_oracle_sql() -> dict[str, str]:
                         THEN CAST(m.matched AS DOUBLE) / m.total
                         ELSE 0.0 END AS overlap
             FROM train t LEFT JOIN m USING (doc_id)
+            )
+            UNION ALL
+            SELECT * FROM (
+              WITH {"%s %s" % _kmv_oracle_sql(_KMV_K)}
+            )
         """,
         "repetition_signals": f"""
             WITH lt AS (
