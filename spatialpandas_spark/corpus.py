@@ -118,6 +118,70 @@ class CorpusFrame:
         keep = scored.filter(F.col("overlap") <= max_overlap).select(self.id_col)
         return self._wrap(self.df.join(keep, self.id_col, "left_semi"))
 
+    # --------------------------------------------- corpus-level sketches
+    def sketch(self, n: int = 5, k: int = 256, **kw) -> DataFrame:
+        """KMV bottom-``k`` sketch of this corpus's distinct word-``n``-
+        gram set (one corpus scan, ≤ k rows out) — reusable across every
+        :meth:`overlap` comparison, so sketch each corpus once and
+        compare many."""
+        from spatialpandas_spark.operators.sketch import shingle_sketch
+
+        return shingle_sketch(
+            self.df, text_col=self.text_col, n=n, k=k, **kw
+        )
+
+    def overlap(
+        self, other: "CorpusFrame | DataFrame", n: int = 5, k: int = 256,
+        seed: int = 42,
+    ) -> DataFrame:
+        """Corpus-level n-gram overlap SCREEN against another corpus:
+        one row of (jaccard, union/intersection estimates, containment
+        both ways) from two KMV sketches — each corpus is scanned once,
+        nothing is joined across corpora. The cheap first question
+        before any exact pass: is a new dump worth ingesting, how much
+        do two crawls share, could this benchmark be contaminated.
+        ``other`` may carry a different text column — each side is
+        sketched under its own."""
+        from spatialpandas_spark.operators.sketch import (
+            kmv_overlap,
+            shingle_sketch,
+        )
+
+        o = other if isinstance(other, CorpusFrame) else CorpusFrame(other)
+        return kmv_overlap(
+            shingle_sketch(self.df, self.text_col, n=n, k=k, seed=seed),
+            shingle_sketch(o.df, o.text_col, n=n, k=k, seed=seed),
+            k,
+        )
+
+    def decontaminate_screened(
+        self,
+        benchmark: DataFrame,
+        max_overlap: float = 0.5,
+        screen_threshold: float = 1e-3,
+        screen_k: int = 1024,
+        n: int = 5,
+        **kw,
+    ):
+        """Screen-then-exact decontamination: run the KMV screen first
+        and the exact per-document :meth:`decontaminate` pass ONLY when
+        the screen says the benchmark plausibly appears in the corpus
+        (``containment_b`` — the estimated fraction of the benchmark's
+        n-grams present in the corpus — above ``screen_threshold``).
+
+        At 100 TB the exact pass broadcasts the benchmark shingle set
+        and rescans the corpus per benchmark; a curation pipeline
+        holding dozens of eval sets skips that entire scan for every
+        benchmark the screen clears. The screen itself is one bounded
+        single-row collect of two k-row sketches. With the default
+        ``screen_k=1024`` the containment estimate's error is ~3%
+        relative, so ``screen_threshold`` should stay well below the
+        contamination level worth acting on (default 0.1%)."""
+        row = self.overlap(benchmark, n=n, k=screen_k).collect()[0]
+        if row["containment_b"] <= screen_threshold:
+            return self
+        return self.decontaminate(benchmark, max_overlap=max_overlap, n=n, **kw)
+
     # -------------------------------------------------------- tokenizer
     def train_bpe(self, n_merges: int = 32_000, **kw):
         from spatialpandas_spark.operators.bpe import train_bpe

@@ -164,3 +164,60 @@ def test_pack_examples_delegates(spark):
         ).collect()
     )
     assert via_facade == direct and len(direct) > 0
+
+
+def test_sketch_and_overlap_delegate(spark):
+    """Facade sketch/overlap == direct operator calls, including a
+    different text column name on the other side."""
+    from spatialpandas_spark.operators.sketch import (
+        kmv_overlap,
+        shingle_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(i, " ".join(f"a{i}_{j}" for j in range(10))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, " ".join(f"a{i}_{j}" for j in range(10))) for i in range(15)]
+        + [(i, " ".join(f"b{i}_{j}" for j in range(10))) for i in range(15, 30)],
+        "doc_id long, body string",
+    )
+    ca = CorpusFrame(a)
+    cb = CorpusFrame(b, text_col="body")
+    k = 64
+    assert sorted(map(tuple, ca.sketch(k=k).collect())) == sorted(
+        map(tuple, shingle_sketch(a, "text", n=5, k=k).collect())
+    )
+    via = ca.overlap(cb, k=k).collect()[0]
+    direct = kmv_overlap(
+        shingle_sketch(a, "text", n=5, k=k),
+        shingle_sketch(b, "body", n=5, k=k),
+        k,
+    ).collect()[0]
+    assert via == direct
+    # half of b's docs share a's text -> containment_b around 0.5
+    assert 0.3 < via["containment_b"] < 0.7
+
+
+def test_decontaminate_screened(cf, spark):
+    """Clean benchmark -> screen clears it and the frame is returned
+    UNCHANGED (same object: the exact pass never ran); contaminated
+    benchmark -> result equals the plain exact pass."""
+    clean_bench = spark.createDataFrame(
+        [(200, "völlig anderes material ohne gemeinsame fünfgramme hier drin")],
+        "doc_id long, text string",
+    )
+    out = cf.decontaminate_screened(clean_bench, max_overlap=0.3)
+    assert out is cf
+
+    dirty_bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    screened = cf.decontaminate_screened(dirty_bench, max_overlap=0.3)
+    exact = cf.decontaminate(dirty_bench, max_overlap=0.3)
+    assert screened is not cf
+    assert sorted(r["doc_id"] for r in screened.df.collect()) == sorted(
+        r["doc_id"] for r in exact.df.collect()
+    )
