@@ -17,9 +17,11 @@ ids). Each micro-batch:
 3. emits every COMPLETE sequence with its global ``seq_id``, holds the
    new trailing partial back as the next carry.
 
-Stream order is (micro-batch order, ``id_col`` order within the batch) —
-the same contract as sequential calls to :func:`sequence_batch` on the
-same frames in order, which is what the twin test asserts.
+Stream order is (micro-batch order, then length-then-lexicographic
+order of the stringified ``id_col`` within the batch — numeric order
+for the usual digit ids, injective for string ids of any length) — the
+same contract as sequential calls to :func:`sequence_batch` on the same
+frames in order, which is what the twin test asserts.
 
 Exactly-once: both sides of the state are keyed by ``batch_id``. The
 emitted rows land in a ``seq_batch=N`` partition via dynamic partition
@@ -104,10 +106,17 @@ def sequence_batch(
     L = int(seq_len)
     next_seq, carry = _read_state(spark, state_path, batch_id)
 
-    # virtual key: carry sorts first (empty string), batch rows in id
-    # order via zero-padding — the batch operator orders by this key
+    # virtual key: carry sorts first (empty string < any length-prefixed
+    # key), batch rows in LENGTH-THEN-LEXICOGRAPHIC id order — injective
+    # for ids of ANY length (a fixed-width lpad would TRUNCATE long ids,
+    # colliding ordering/join keys and silently duplicating token data)
+    # and equal to numeric order for the usual digit ids. The 8-digit
+    # length prefix covers ids up to 10^8-1 chars; longer is rejected.
+    sid = F.col(id_col).cast("string")
     keyed = batch.select(
-        F.lpad(F.col(id_col).cast("string"), 20, "0").alias("__k"),
+        F.concat(
+            F.lpad(F.length(sid).cast("string"), 8, "0"), sid
+        ).alias("__k"),
         F.col(tokens_col).cast("array<int>").alias("token_ids"),
     )
     if carry:
