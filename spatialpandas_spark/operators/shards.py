@@ -267,6 +267,7 @@ def pack_documents_nextfit(
     group_col: str = "grp",
     bin_col: str = "bin",
     npartitions: int | None = None,
+    strategy: str = "nf",
 ) -> DataFrame:
     """NO-SPLIT sequence packing (the SFT/instruction-tuning layout):
     documents are packed WHOLE into bins of at most ``budget`` tokens —
@@ -304,11 +305,29 @@ def pack_documents_nextfit(
     id ``grp * group_size + local_bin`` — unique because a group of
     ``group_size`` docs opens at most ``group_size`` bins; ids are
     sparse across groups by construction), ``oversized``.
+
+    ``strategy``: the within-group packing rule — identical plan shape
+    (same rank, same group scan), different bin assignment:
+
+    - ``'nf'`` (default): next-fit in rank order — the gate default
+      because its sequential replay is a trivial SQL oracle, and it
+      PRESERVES stream order within bins (a bin is a contiguous rank
+      run), which matters when the order_cols encode a curriculum;
+    - ``'ffd'``: first-fit-decreasing — sort the group by weight
+      descending (rank-ascending tie-break, deterministic), place each
+      doc in the FIRST bin with room. The classic bin-packing
+      approximation (≤ 11/9·OPT + 6/9 bins, Dósa 2007): measurably
+      higher fill on heavy-tailed token-count distributions (see
+      docs/SCALE.md for the measured comparison) at the cost of
+      shuffling rank order inside the group. Same bounded waste
+      argument across groups.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     if group_size <= 0:
         raise ValueError("group_size must be positive")
+    if strategy not in ("nf", "ffd"):
+        raise ValueError("strategy must be 'nf' or 'ffd'")
     from spatialpandas_spark.operators.rank import with_rank
 
     B, G = int(budget), int(group_size)
@@ -328,16 +347,36 @@ def pack_documents_nextfit(
 
         pdf = pdf.sort_values("__rk", kind="mergesort").reset_index(drop=True)
         grp = int(pdf[group_col].iloc[0])
-        bins, fills, over = [], 0, []
-        cur_bin, cur_fill = -1, 0
-        for w in pdf[weight_col].astype("int64"):
-            w = int(w)
-            if cur_bin < 0 or cur_fill + w > B:
-                cur_bin += 1
-                cur_fill = 0
-            cur_fill += w
-            bins.append(grp * G + cur_bin)
-            over.append(w > B)
+        bins, over = [], []
+        if strategy == "nf":
+            cur_bin, cur_fill = -1, 0
+            for w in pdf[weight_col].astype("int64"):
+                w = int(w)
+                if cur_bin < 0 or cur_fill + w > B:
+                    cur_bin += 1
+                    cur_fill = 0
+                cur_fill += w
+                bins.append(grp * G + cur_bin)
+                over.append(w > B)
+        else:  # ffd: weight desc, rank asc tie-break; first bin with room
+            order = sorted(
+                range(len(pdf)),
+                key=lambda i: (-int(pdf[weight_col].iloc[i]), i),
+            )
+            fills: list = []
+            bins = [0] * len(pdf)
+            over = [False] * len(pdf)
+            for i in order:
+                w = int(pdf[weight_col].iloc[i])
+                for j, f in enumerate(fills):
+                    if f + w <= B:
+                        fills[j] = f + w
+                        bins[i] = grp * G + j
+                        break
+                else:
+                    fills.append(w)
+                    bins[i] = grp * G + len(fills) - 1
+                over[i] = w > B
         pdf[bin_col] = pd.Series(bins, dtype="int64")
         pdf["oversized"] = pd.Series(over, dtype="bool")
         return pdf

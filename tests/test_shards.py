@@ -345,3 +345,86 @@ def test_nextfit_no_single_partition_exchange(spark):
         pack_documents_nextfit(df, "w", ["doc_id"], budget=64, group_size=32)
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ffd_packing_matches_python_twin(spark):
+    """strategy='ffd' == the literal first-fit-decreasing scan within
+    each rank group (weight desc, rank-asc tie-break), and beats
+    next-fit's bin count on a heavy-tailed weight mix."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.shards import pack_documents_nextfit
+
+    rng = np.random.default_rng(23)
+    B, G = 100, 32
+    # heavy-tailed: many small docs + a few near-budget ones (the regime
+    # where next-fit strands capacity behind big docs)
+    ws = np.concatenate(
+        [rng.integers(5, 25, 400), rng.integers(60, 95, 100), [0, 130]]
+    )
+    rng.shuffle(ws)
+    docs = [(i, int(w)) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(docs, "doc_id long, w long").cache()
+    df.count()
+
+    def run(strategy):
+        return {
+            r["doc_id"]: (r["grp"], r["bin"], r["oversized"])
+            for r in pack_documents_nextfit(
+                df, "w", ["doc_id"], budget=B, group_size=G,
+                strategy=strategy,
+            ).collect()
+        }
+
+    got = run("ffd")
+    nf = run("nf")
+    df.unpersist()
+
+    # literal FFD twin over the same rank groups
+    live = [(d, w) for d, w in docs if w > 0]
+    want = {}
+    for gi in range(0, len(live), G):
+        grp = gi // G
+        order = sorted(
+            range(len(live[gi : gi + G])),
+            key=lambda i: (-live[gi + i][1], i),
+        )
+        fills = []
+        for i in order:
+            d, w = live[gi + i]
+            for j, f in enumerate(fills):
+                if f + w <= B:
+                    fills[j] = f + w
+                    want[d] = (grp, grp * G + j, w > B)
+                    break
+            else:
+                fills.append(w)
+                want[d] = (grp, grp * G + len(fills) - 1, w > B)
+    assert got == want
+
+    # invariants shared with 'nf': fills bounded, oversized singleton,
+    # zero-weight dropped, same doc set
+    wts = dict(docs)
+    fills, members = {}, {}
+    for d, (g, b, ov) in got.items():
+        fills[b] = fills.get(b, 0) + wts[d]
+        members.setdefault(b, []).append(d)
+    for b, f in fills.items():
+        if f > B:
+            assert len(members[b]) == 1 and wts[members[b][0]] > B
+    assert set(got) == set(nf) == {d for d, w in docs if w > 0}
+
+    # FFD fill efficiency strictly better on this mix
+    assert len(set(b for _, b, _ in got.values())) < len(
+        set(b for _, b, _ in nf.values())
+    )
+
+
+def test_pack_strategy_validation(spark):
+    import pytest as _pytest
+
+    from spatialpandas_spark.operators.shards import pack_documents_nextfit
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, w long")
+    with _pytest.raises(ValueError):
+        pack_documents_nextfit(df, "w", ["doc_id"], 10, strategy="best")
