@@ -695,16 +695,27 @@ BENCHES = {
 }
 
 
+#: committed canonical isolated-per-query medians; see --write-baseline
+BASELINE_ISOLATED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_isolated.json"
+)
+
+
 def _main_isolated() -> None:
     """``bench.py --isolated``: run EVERY query in its own subprocess
     (fresh JVM, cold code cache) — the measurement mode behind
     BASELINE.md's isolated-re-run noise discipline. ~20x slower wall
     clock than the in-suite mode (one JVM start per query), so the
     driver's per-round run stays in-suite; use this by hand when an
-    in-suite number moves >20%."""
+    in-suite number moves >20%. With ``--write-baseline`` the medians,
+    min/max bands, date, and tree SHA are persisted to
+    BASELINE_isolated.json — the committed canonical values that make
+    drift adjudication mechanical (three consecutive rounds of ±20%
+    environment lockstep drift needed manual forensics before this)."""
     import subprocess
 
     results: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in BENCHES:
         proc = subprocess.run(
@@ -715,7 +726,10 @@ def _main_isolated() -> None:
         )
         line = (proc.stdout.strip().splitlines() or [""])[-1]
         try:
-            results[name] = json.loads(line)["sec"]
+            rec = json.loads(line)
+            results[name] = rec["sec"]
+            ts = rec.get("times", [rec["sec"]])
+            bands[name] = [min(ts), max(ts)]
         except Exception:
             errors[name] = (proc.stderr or line)[-300:]
     out = {
@@ -728,11 +742,33 @@ def _main_isolated() -> None:
     }
     if errors:
         out["errors"] = errors
+    if "--write-baseline" in sys.argv and not errors:
+        import datetime
+        import subprocess as sp
+
+        sha = sp.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        doc = {
+            "date": datetime.date.today().isoformat(),
+            "sha": sha,
+            "sf": _sf(),
+            "queries": {
+                q: {"median": results[q], "band": bands[q]}
+                for q in results
+            },
+        }
+        with open(BASELINE_ISOLATED, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        out["baseline_written"] = True
     print(json.dumps(out))
 
 
 def _main_one(name: str) -> None:
-    """Run a single query (fresh session) and print {"sec": median}."""
+    """Run a single query (fresh session); print median + raw times."""
     from spatialpandas_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench_{name}")
@@ -744,8 +780,37 @@ def _main_one(name: str) -> None:
         t0 = time.time()
         fn(spark)
         times.append(time.time() - t0)
-    print(json.dumps({"sec": round(statistics.median(times), 3)}))
+    print(json.dumps({
+        "sec": round(statistics.median(times), 3),
+        "times": [round(t, 3) for t in times],
+    }))
     spark.stop()
+
+
+def _isolated_deltas(results: dict[str, float]) -> dict | None:
+    """In-suite medians vs the committed canonical isolated values:
+    per-query ratio (in-suite / canonical median) so a >20% mover is
+    classified against a RECORDED number, not a remembered one. The
+    definitive drift-vs-regression call is tools/bench_ab.py's
+    interleaved A/B; this flags which queries need it."""
+    try:
+        with open(BASELINE_ISOLATED) as f:
+            base = json.load(f)
+    except Exception:  # noqa: BLE001 - baseline not yet written
+        return None
+    ratios = {
+        q: round(results[q] / base["queries"][q]["median"], 2)
+        for q in results
+        if q in base["queries"] and base["queries"][q]["median"] > 0
+    }
+    return {
+        "baseline_sha": base.get("sha"),
+        "baseline_date": base.get("date"),
+        "ratio_vs_isolated": ratios,
+        "flagged_over_1p2x": sorted(
+            q for q, r in ratios.items() if r > 1.2
+        ),
+    }
 
 
 def main() -> None:
@@ -784,6 +849,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    deltas = _isolated_deltas(results)
+    if deltas is not None:
+        out["isolated_baseline"] = deltas
     print(json.dumps(out))
     spark.stop()
 
