@@ -130,6 +130,26 @@ class CorpusFrame:
             self.df, text_col=self.text_col, n=n, k=k, **kw
         )
 
+    def distinct_ngrams(
+        self, by: "str | list[str] | None" = None, n: int = 5,
+        k: int = 256, **kw,
+    ) -> DataFrame:
+        """Estimated distinct word-``n``-gram count (per ``by`` group —
+        e.g. ``by='source'`` profiles vocabulary diversity per source
+        in ONE corpus scan): ``(*by, n_hashes, kth_hash,
+        distinct_est)``; groups with fewer than ``k`` distinct grams
+        report the exact count."""
+        from spatialpandas_spark.operators.sketch import (
+            kmv_summary,
+            shingle_sketch,
+        )
+
+        groups = [by] if isinstance(by, str) else list(by or [])
+        sk = shingle_sketch(
+            self.df, self.text_col, n=n, k=k, group_cols=groups, **kw
+        )
+        return kmv_summary(sk, k, group_cols=groups)
+
     def overlap(
         self, other: "CorpusFrame | DataFrame", n: int = 5, k: int = 256,
         seed: int = 42,

@@ -286,15 +286,19 @@ def shingle_sketch(
     k: int = 256,
     seed: int = 42,
     prefilter: bool = True,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """KMV sketch of a corpus's distinct word-``n``-gram set — the
     standard contamination-screening domain (same shingles as
-    ``operators/contamination.py``). One scan of the corpus."""
+    ``operators/contamination.py``). One scan of the corpus.
+    ``group_cols`` sketches each group separately (e.g. per ``source``:
+    one scan, one k-row synopsis per source)."""
+    groups = list(group_cols or [])
     grams = docs.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("s")
+        *groups, F.explode(word_shingles(F.col(text_col), n)).alias("s")
     )
     return kmv_sketch(
-        grams, "s", k=k, seed=seed, prefilter=prefilter
+        grams, "s", k=k, group_cols=groups, seed=seed, prefilter=prefilter
     )
 
 

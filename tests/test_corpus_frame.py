@@ -221,3 +221,37 @@ def test_decontaminate_screened(cf, spark):
     assert sorted(r["doc_id"] for r in screened.df.collect()) == sorted(
         r["doc_id"] for r in exact.df.collect()
     )
+
+
+def test_distinct_ngrams_per_source(spark):
+    """Facade == kmv_summary over the grouped shingle sketch; small
+    groups report exact counts."""
+    from spatialpandas_spark.operators.sketch import (
+        kmv_summary,
+        shingle_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, "web" if i % 2 else "code",
+             " ".join(f"t{i}_{j}" for j in range(7)))
+            for i in range(40)
+        ],
+        "doc_id long, source string, text string",
+    )
+    cf = CorpusFrame(df)
+    got = sorted(map(tuple, cf.distinct_ngrams(by="source", n=3, k=256).collect()))
+    want = sorted(
+        map(
+            tuple,
+            kmv_summary(
+                shingle_sketch(df, "text", n=3, k=256, group_cols=["source"]),
+                256,
+                group_cols=["source"],
+            ).collect(),
+        )
+    )
+    assert got == want
+    # 20 docs x 5 trigrams per doc, all distinct -> exact counts of 100
+    for src, n_hashes, kth, est in got:
+        assert n_hashes == 100 and est == 100.0

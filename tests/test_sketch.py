@@ -227,3 +227,32 @@ def test_k_validation(spark):
     df = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(ValueError):
         kmv_sketch(df, "s", k=0)
+
+
+def test_grouped_shingle_sketch_equals_per_group_standalone(spark):
+    """group_cols sketching in ONE scan == filtering each group and
+    sketching it alone (the sketch is a pure function of each group's
+    shingle set)."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(8)))
+            for i in range(45)
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            shingle_sketch(
+                docs, "text", n=3, k=32, group_cols=["source"]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        (src, r["rank"], r["h"])
+        for src in ("s0", "s1", "s2")
+        for r in shingle_sketch(
+            docs.filter(F.col("source") == src), "text", n=3, k=32
+        ).collect()
+    )
+    assert got == want
