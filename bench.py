@@ -662,6 +662,19 @@ def b29_training_mix(spark):
     return entrymod.q_training_mix(spark, SF_DIR).count()
 
 
+def b30_kmv_overlap(spark):
+    """Corpus-overlap screen between the documents table's halves: two
+    HLL-prefiltered shingle scans -> k-row KMV sketches -> one overlap
+    row. The number that matters at scale: the whole comparison is two
+    single scans; nothing joins across the corpora."""
+    from spatialpandas_spark.operators.sketch import corpus_overlap
+
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus_overlap(a, b, k=1024).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -692,6 +705,7 @@ BENCHES = {
     "b27_sjoin_nearest": b27_sjoin_nearest,
     "b28_dwithin": b28_dwithin,
     "b29_training_mix": b29_training_mix,
+    "b30_kmv_overlap": b30_kmv_overlap,
 }
 
 

@@ -109,6 +109,19 @@ class CorpusFrame:
             threshold=threshold, **kw
         )
 
+    def dedup_near(self, threshold: float = 0.5, **kw) -> CorpusFrame:
+        """Near-duplicate dedup end to end (MinHash-LSH pairs ->
+        connected components -> keep the smallest id per cluster) —
+        the chainable form of :meth:`near_dup_pairs` + cluster-drop."""
+        from spatialpandas_spark.operators.dedup import dedup_near
+
+        return self._wrap(
+            dedup_near(
+                self.df, id_col=self.id_col, text_col=self.text_col,
+                threshold=threshold, **kw
+            )
+        )
+
     def decontaminate(self, benchmark: DataFrame, max_overlap: float = 0.5, **kw):
         from spatialpandas_spark.operators.contamination import ngram_overlap
 

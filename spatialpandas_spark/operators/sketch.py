@@ -216,7 +216,16 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     union_est`` and ``containment_a = intersection_est /
     distinct_a_est`` (the "what fraction of corpus A is also in B"
     screening number). Everything is a deterministic function of the
-    two k-row frames — no corpus is touched."""
+    two k-row frames — no corpus is touched.
+
+    Each input is consumed three times (union, membership flags,
+    summary); a lazy local checkpoint pins the ≤ k-row sketch so a
+    sketch built from a corpus scan runs that scan ONCE, not three
+    times. (Purely a recompute saver: the sketch is a deterministic
+    function of the key set, so this is not in the fork-determinism
+    class rank.py pins.)"""
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     u = kmv_union(a, b, k)
     flagged = (
         u.join(

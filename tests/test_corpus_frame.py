@@ -255,3 +255,20 @@ def test_distinct_ngrams_per_source(spark):
     # 20 docs x 5 trigrams per doc, all distinct -> exact counts of 100
     for src, n_hashes, kth, est in got:
         assert n_hashes == 100 and est == 100.0
+
+
+def test_dedup_near_delegates(spark):
+    """Facade == direct operator; the duplicated doc collapses to the
+    smallest id while distinct docs survive."""
+    from spatialpandas_spark.operators.dedup import dedup_near
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different material about spark pipelines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via = sorted(r["doc_id"] for r in CorpusFrame(df).dedup_near().df.collect())
+    direct = sorted(r["doc_id"] for r in dedup_near(df).collect())
+    assert via == direct
+    assert 1 in via and 2 not in via and 3 in via
