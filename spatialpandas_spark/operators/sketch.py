@@ -191,17 +191,33 @@ def kmv_summary(
     return agg.select(*groups, "n_hashes", "kth_hash", est.alias("distinct_est"))
 
 
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two sketch frames per group: bottom-``k`` of the
+    concatenated hash sets — the KMV merge rule, the reason sketches
+    compose across shards/batches/corpora. Constant work per group
+    (each input holds ≤ k rows per group). Groups present in only one
+    input pass through (union semantics)."""
+    groups = list(group_cols or [])
+    merged = (
+        a.select(*groups, "h").unionByName(b.select(*groups, "h")).distinct()
+    )
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col("h").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*groups, "rank", "h")
+    )
+
+
 def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     """Sketch of the union of two (ungrouped) sketches: bottom-``k`` of
     the concatenated hash sets — the KMV merge rule. Constant work:
     both inputs are ≤ k rows."""
-    merged = a.select("h").unionByName(b.select("h")).distinct()
-    w = Window.orderBy(F.col("h").asc())
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "h")
-    )
+    return kmv_merge(a, b, k).select("rank", "h")
 
 
 def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
@@ -256,6 +272,16 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     sb = kmv_summary(b, k).select(
         F.col("distinct_est").alias("distinct_b_est")
     )
+    return _overlap_estimates(
+        stats.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb)), k, []
+    )
+
+
+def _overlap_estimates(df, k: int, id_cols: list[str]) -> DataFrame:
+    """Shared estimator tail: from (``*id_cols``, k_used, n_both,
+    kth_hash, distinct_a_est, distinct_b_est) to the full overlap-stats
+    row. One IEEE multiply/divide chain — the exact op order the gate's
+    SQL oracle mirrors."""
     union_est = F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")
     ).otherwise(
@@ -264,28 +290,83 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     jacc = F.when(F.col("k_used") > 0,
                   F.col("n_both").cast("double") / F.col("k_used")
                   ).otherwise(F.lit(0.0))
-    out = (
-        stats.crossJoin(F.broadcast(sa))
-        .crossJoin(F.broadcast(sb))
-        .select(
-            "k_used",
-            F.col("n_both").cast("long").alias("n_both"),
-            jacc.alias("jaccard"),
-            union_est.alias("union_est"),
-            (jacc * union_est).alias("intersection_est"),
-            "distinct_a_est",
-            "distinct_b_est",
-            F.when(
-                F.col("distinct_a_est") > 0,
-                jacc * union_est / F.col("distinct_a_est"),
-            ).otherwise(F.lit(0.0)).alias("containment_a"),
-            F.when(
-                F.col("distinct_b_est") > 0,
-                jacc * union_est / F.col("distinct_b_est"),
-            ).otherwise(F.lit(0.0)).alias("containment_b"),
+    return df.select(
+        *id_cols,
+        "k_used",
+        F.col("n_both").cast("long").alias("n_both"),
+        jacc.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jacc * union_est).alias("intersection_est"),
+        "distinct_a_est",
+        "distinct_b_est",
+        F.when(
+            F.col("distinct_a_est") > 0,
+            jacc * union_est / F.col("distinct_a_est"),
+        ).otherwise(F.lit(0.0)).alias("containment_a"),
+        F.when(
+            F.col("distinct_b_est") > 0,
+            jacc * union_est / F.col("distinct_b_est"),
+        ).otherwise(F.lit(0.0)).alias("containment_b"),
+    )
+
+
+def kmv_overlap_matrix(
+    sk: DataFrame, k: int, group_col: str = "source"
+) -> DataFrame:
+    """ALL-PAIRS overlap screen across the N groups of one grouped
+    sketch frame (``kmv_sketch(..., group_cols=[group_col])`` /
+    ``shingle_sketch(..., group_cols=...)``): one row per unordered
+    group pair (``g_a < g_b``) with the same stats as
+    :func:`kmv_overlap`. The dedup-planning report — which sources
+    repeat each other, which dumps to drop — for the cost of N·k rows
+    in, N²/2 tiny rows out; NO source corpus is touched, so screening
+    500 sources is ~125k k-row comparisons on sketches, not 125k
+    corpus joins."""
+    e = sk.select(F.col(group_col).alias("__g"), "h")
+    gs = e.select("__g").distinct()
+    pairs = (
+        gs.select(F.col("__g").alias("g_a"))
+        .crossJoin(gs.select(F.col("__g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    ua = pairs.join(e, F.col("g_a") == F.col("__g")).select("g_a", "g_b", "h")
+    ub = pairs.join(e, F.col("g_b") == F.col("__g")).select("g_a", "g_b", "h")
+    u = ua.unionByName(ub).distinct()
+    w = Window.partitionBy("g_a", "g_b").orderBy(F.col("h").asc())
+    uk = (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    memb_a = e.select(
+        F.col("__g").alias("g_a"), "h", F.lit(1).alias("__ia")
+    )
+    memb_b = e.select(
+        F.col("__g").alias("g_b"), "h", F.lit(1).alias("__ib")
+    )
+    st = (
+        uk.join(memb_a, ["g_a", "h"], "left")
+        .join(memb_b, ["g_b", "h"], "left")
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.coalesce(F.col("__ia"), F.lit(0))
+                * F.coalesce(F.col("__ib"), F.lit(0))
+            ).cast("long").alias("n_both"),
+            F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth_hash"),
         )
     )
-    return out
+    summ = kmv_summary(sk, k, group_cols=[group_col])
+    sa = summ.select(
+        F.col(group_col).alias("g_a"),
+        F.col("distinct_est").alias("distinct_a_est"),
+    )
+    sb = summ.select(
+        F.col(group_col).alias("g_b"),
+        F.col("distinct_est").alias("distinct_b_est"),
+    )
+    joined = st.join(F.broadcast(sa), "g_a").join(F.broadcast(sb), "g_b")
+    return _overlap_estimates(joined, k, ["g_a", "g_b"])
 
 
 def shingle_sketch(

@@ -256,3 +256,74 @@ def test_grouped_shingle_sketch_equals_per_group_standalone(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_kmv_merge_grouped_equals_union_sketch(spark):
+    """Merge-of-bottom-k == bottom-k-of-union per group — the mergeable
+    property streaming maintenance relies on."""
+    from spatialpandas_spark.operators.sketch import kmv_merge
+
+    rows_a = [(f"g{i % 2}", f"a{i}") for i in range(1200)]
+    rows_b = [(f"g{i % 2}", f"b{i}") for i in range(1200)]
+    rows_b += rows_a[:300]  # overlap
+    da = spark.createDataFrame(rows_a, "g string, s string")
+    db = spark.createDataFrame(rows_b, "g string, s string")
+    k = 40
+    got = _rows(
+        kmv_merge(
+            kmv_sketch(da, "s", k=k, group_cols=["g"]),
+            kmv_sketch(db, "s", k=k, group_cols=["g"]),
+            k,
+            ["g"],
+        ),
+        "g", "rank", "h",
+    )
+    both = rows_a + rows_b
+    want = sorted(
+        (g, r, h)
+        for g in ("g0", "g1")
+        for r, h in _py_sketch({s for gg, s in both if gg == g}, k)
+    )
+    assert got == want
+
+
+def test_overlap_matrix_equals_pairwise_overlap(spark):
+    """kmv_overlap_matrix row (A, B) == kmv_overlap of the two group
+    sketches, for every pair of three sources with engineered overlap."""
+    from spatialpandas_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        shingle_sketch,
+    )
+
+    def corpus(tag, shared_frac):
+        rows = []
+        for i in range(30):
+            words = [
+                (f"c_{i}_{j}" if i < 30 * shared_frac else f"{tag}_{i}_{j}")
+                for j in range(8)
+            ]
+            rows.append((i, tag, " ".join(words)))
+        return rows
+
+    rows = corpus("s0", 0.5) + corpus("s1", 0.3) + corpus("s2", 0.0)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    k = 64
+    sk = shingle_sketch(docs, n=3, k=k, group_cols=["source"])
+    mat = {
+        (r["g_a"], r["g_b"]): r.asDict()
+        for r in kmv_overlap_matrix(sk, k, "source").collect()
+    }
+    assert set(mat) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    for ga, gb in mat:
+        a = shingle_sketch(
+            docs.filter(F.col("source") == ga), n=3, k=k
+        )
+        b = shingle_sketch(
+            docs.filter(F.col("source") == gb), n=3, k=k
+        )
+        want = kmv_overlap(a, b, k).collect()[0].asDict()
+        got = {kk: v for kk, v in mat[(ga, gb)].items() if kk not in ("g_a", "g_b")}
+        assert got == want, (ga, gb)
+    # engineered structure: s0-s1 share the 'c_' grams, s2 shares none
+    assert mat[("s0", "s1")]["n_both"] > 0
+    assert mat[("s0", "s2")]["jaccard"] == mat[("s1", "s2")]["jaccard"] == 0.0
