@@ -163,6 +163,23 @@ class CorpusFrame:
         )
         return kmv_summary(sk, k, group_cols=groups)
 
+    def overlap_matrix(
+        self, by: str = "source", n: int = 5, k: int = 256, **kw
+    ) -> DataFrame:
+        """All-pairs overlap screen across the corpus's own ``by``
+        groups (one row per unordered source pair) — the dedup-planning
+        report: one corpus scan into grouped sketches, then N²/2 k-row
+        comparisons, no corpus joins."""
+        from spatialpandas_spark.operators.sketch import (
+            kmv_overlap_matrix,
+            shingle_sketch,
+        )
+
+        sk = shingle_sketch(
+            self.df, self.text_col, n=n, k=k, group_cols=[by], **kw
+        )
+        return kmv_overlap_matrix(sk, k, by)
+
     def overlap(
         self, other: "CorpusFrame | DataFrame", n: int = 5, k: int = 256,
         seed: int = 42,

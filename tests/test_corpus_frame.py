@@ -272,3 +272,32 @@ def test_dedup_near_delegates(spark):
     direct = sorted(r["doc_id"] for r in dedup_near(df).collect())
     assert via == direct
     assert 1 in via and 2 not in via and 3 in via
+
+
+def test_overlap_matrix_delegates(spark):
+    from spatialpandas_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        shingle_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"s{i % 3}", " ".join(f"m{i}_{j}" for j in range(7)))
+            for i in range(30)
+        ],
+        "doc_id long, source string, text string",
+    )
+    via = sorted(
+        map(tuple, CorpusFrame(df).overlap_matrix(n=3, k=32).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            kmv_overlap_matrix(
+                shingle_sketch(df, "text", n=3, k=32, group_cols=["source"]),
+                32,
+                "source",
+            ).collect(),
+        )
+    )
+    assert via == direct and len(via) == 3
