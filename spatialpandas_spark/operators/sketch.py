@@ -25,7 +25,10 @@ keeps the ``k`` smallest values of a uniform hash over the set:
   hash agree bit-for-bit. This is the same engine-portable hash the
   sampling/mix oracles use.
 
-Spark shape, designed so the 100 TB side is scanned exactly once:
+Spark shape, designed so the 100 TB side never feeds a shuffle wider
+than ~``oversample*k`` rows per group (the corpus is read twice — a
+map-side HLL pass and the filtered pass; both are scan-speed, and
+nothing data-sized ever crosses the wire):
 
 1. per-group HLL cardinality estimate (``approx_count_distinct`` —
    map-side partial, tiny result) picks a hash threshold ``thr ≈
