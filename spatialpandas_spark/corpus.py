@@ -246,6 +246,24 @@ class CorpusFrame:
             self.df, merges, id_col=self.id_col, text_col=self.text_col, **kw
         )
 
+    def train_wordpiece(self, vocab_size: int = 32_000, **kw):
+        from spatialpandas_spark.operators.wordpiece import train_wordpiece
+
+        return train_wordpiece(
+            self.df, vocab_size=vocab_size, text_col=self.text_col, **kw
+        )
+
+    def tokenize_wordpiece(self, vocab, ids: bool = False, **kw) -> DataFrame:
+        from spatialpandas_spark.operators.wordpiece import (
+            wordpiece_encode,
+            wordpiece_encode_ids,
+        )
+
+        fn = wordpiece_encode_ids if ids else wordpiece_encode
+        return fn(
+            self.df, vocab, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
     def train_unigram(self, vocab_size: int = 32_000, **kw):
         from spatialpandas_spark.operators.unigram import train_unigram
 

@@ -1,0 +1,190 @@
+"""WordPiece tokenizer (operators/wordpiece.py) vs independent oracles.
+
+Evidence shape mirrors tests/test_bpe.py: an INDEPENDENT reference
+trainer (expanded corpus list, recount per round — no shared code with
+the histogram trainer) must produce the identical vocab; a reference
+greedy longest-match segmenter the identical segmentation; round-trip,
+UNK, id-mapping, partition-invariance, and sidecar save/load pinned.
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.wordpiece import (
+    CONT,
+    UNK,
+    load_wordpiece,
+    save_wordpiece,
+    segment_word_wp,
+    train_wordpiece,
+    train_wordpiece_from_histogram,
+    wordpiece_encode,
+    wordpiece_encode_ids,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quicker they run the quickest they tire over rough banks",
+    "running water runs over the river rocks quickly",
+    "banks and rivers and dogs and foxes run over and over",
+]
+
+
+def _words():
+    out = []
+    for s in CORPUS:
+        out.extend(w for w in s.lower().split() if w)
+    return out
+
+
+def ref_train(corpus_words, vocab_size):
+    """Independent recount trainer over the EXPANDED word list."""
+    seqs = [[w[0]] + [CONT + c for c in w[1:]] for w in corpus_words]
+    base = sorted({s for seq in seqs for s in seq})
+    vocab = [UNK] + base
+    if len(vocab) >= vocab_size:  # documented contract: cap includes base
+        return vocab[:vocab_size]
+    while len(vocab) < vocab_size:
+        pair_n, sym_n = Counter(), Counter()
+        for seq in seqs:
+            sym_n.update(seq)
+            pair_n.update(zip(seq, seq[1:]))
+        scored = [
+            (c / (sym_n[a] * sym_n[b]), (a, b))
+            for (a, b), c in pair_n.items()
+            if c >= 2
+        ]
+        if not scored:
+            break
+        top = max(s for s, _ in scored)
+        a, b = min(p for s, p in scored if s == top)
+        merged = a + b[len(CONT):]
+        vocab.append(merged)
+        new_seqs = []
+        for seq in seqs:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+    return vocab
+
+
+def ref_segment(word, vocab):
+    """Independent greedy longest-match (scans candidate lengths by
+    explicit enumeration rather than decrementing end)."""
+    pieces, pos = [], 0
+    while pos < len(word):
+        cands = []
+        for end in range(pos + 1, len(word) + 1):
+            sub = word[pos:end]
+            if pos > 0:
+                sub = CONT + sub
+            if sub in vocab:
+                cands.append((end, sub))
+        if not cands:
+            return [UNK]
+        end, piece = max(cands)
+        pieces.append(piece)
+        pos = end
+    return pieces
+
+
+def test_trainer_matches_reference():
+    words = _words()
+    hist = dict(Counter(words))
+    for size in (30, 60, 120):
+        assert train_wordpiece_from_histogram(hist, size) == ref_train(
+            words, size
+        )
+
+
+def test_trainer_stops_when_dry():
+    v = train_wordpiece_from_histogram({"ab": 1, "cd": 1}, 1000)
+    # no pair occurs twice -> base vocab only
+    assert v == [UNK, "##b", "##d", "a", "c"]
+
+
+def test_segmenter_matches_reference_and_roundtrips():
+    vocab = train_wordpiece_from_histogram(dict(Counter(_words())), 80)
+    vs = set(vocab)
+    for w in set(_words()) | {"quickestest", "riverbankdog"}:
+        got = segment_word_wp(w, vs)
+        assert got == ref_segment(w, vs), w
+        if got != [UNK]:
+            assert "".join(
+                p[len(CONT):] if p.startswith(CONT) else p for p in got
+            ) == w
+    # char outside the alphabet -> whole-word UNK
+    assert segment_word_wp("zebra?", vs) == [UNK]
+
+
+def test_encode_end_to_end(spark, tmp_path):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    vocab = train_wordpiece(docs, vocab_size=80)
+    assert vocab == train_wordpiece_from_histogram(
+        dict(Counter(_words())), 80
+    )
+
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in wordpiece_encode(docs, vocab).collect()
+    }
+    vs = set(vocab)
+    for i, s in enumerate(CORPUS):
+        want = [p for w in s.lower().split() for p in segment_word_wp(w, vs)]
+        assert enc[i] == want
+        assert UNK not in enc[i]  # training corpus == apply corpus
+
+    # ids path: same segmentation mapped through vocab indices
+    ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in wordpiece_encode_ids(docs, vocab).collect()
+    }
+    vi = {s: j for j, s in enumerate(vocab)}
+    assert ids == {i: [vi[p] for p in toks] for i, toks in enc.items()}
+
+    # partition invariance
+    enc2 = {
+        r["doc_id"]: list(r["tokens"])
+        for r in wordpiece_encode(docs.repartition(7), vocab).collect()
+    }
+    assert enc2 == enc
+
+    # sidecar round trip + loud rejection of foreign sidecars
+    p = str(tmp_path / "wp.json")
+    save_wordpiece(vocab, p)
+    assert load_wordpiece(p) == vocab
+    from spatialpandas_spark.operators.bpe import save_bpe
+
+    p2 = str(tmp_path / "bpe.json")
+    save_bpe([("a", "b")], p2)
+    with pytest.raises(ValueError):
+        load_wordpiece(p2)
+
+
+def test_unk_id_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "der fluss läuft"), (1, "the dog")], "doc_id long, text string"
+    )
+    vocab = train_wordpiece_from_histogram(
+        {"the": 3, "dog": 2, "thedog": 2}, 60
+    )
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in wordpiece_encode_ids(docs, vocab).collect()
+    }
+    # 'der'/'fluss' contain chars outside the tiny vocab -> UNK id 0;
+    # 'läuft' is non-ascii so the pre-tokenizer splits it — its ascii
+    # fragments also miss the vocab
+    assert 0 in out[0]
+    assert 0 not in out[1]

@@ -102,7 +102,13 @@ def main() -> None:
 
     out = {"python": {}, "spark": {}, "distinct_est": {}, "k": K}
     for s, path in paths.items():
-        docs = spark.read.parquet(path)
+        # the replica files are single-row-group; spread so the scan
+        # parallelizes the way a real multi-file corpus layout would
+        # (same convention as bench.py _spread — measured 50.6 -> 7.5 s
+        # at x32 on local[32])
+        docs = spark.read.parquet(path).repartition(
+            spark.sparkContext.defaultParallelism
+        )
 
         def engine():
             return sorted(
