@@ -1024,6 +1024,106 @@ def _unigram_fixture_table() -> dict[str, float]:
     return _UNIGRAM_TABLE_CACHE
 
 
+def _wordpiece_fixture_vocab():
+    """Fixture WordPiece vocab for the 'wp' gate variant: trained
+    driver-side on the same histogram as the BPE fixture (deterministic
+    by construction — likelihood-score ties break lexicographically),
+    so BOTH the Spark gate and the SQL oracle hold the identical vocab
+    and the gate hash pins the APPLY path (greedy longest-match) over
+    the real documents. The training path itself is pinned by
+    tests/test_wordpiece.py's independent expanded-corpus trainer."""
+    import re
+    from collections import Counter
+
+    from spatialpandas_spark.operators.wordpiece import (
+        train_wordpiece_from_histogram,
+    )
+
+    hist: Counter = Counter()
+    for s in _BPE_FIXTURE_CORPUS:
+        for w in re.split(r"[^a-z0-9]+", s.lower()):
+            if w:
+                hist[w] += 1
+    return train_wordpiece_from_histogram(dict(hist), 120)
+
+
+def _wordpiece_oracle_sql() -> str:
+    """Independent DuckDB replay of ``wordpiece_encode_ids``
+    (operators/wordpiece.py segment_word_wp): greedy longest-match as a
+    RECURSIVE CTE walking each DISTINCT word left to right — per step a
+    list_transform over candidate lengths looks every substring up in a
+    CASE vocab table (the ``##`` continuation prefix applied via the
+    key, so position-1 and continuation pieces can never cross-match),
+    keeps the matches, and list_reverse_sort picks the LONGEST; no
+    match -> the whole word collapses to ``[UNK]`` (id 0), exactly the
+    engine rule. Distinct-word amortization as in the unigram oracle.
+    Output shape matches the 'wp' variant of ``doc_chunks``: per-doc
+    token count + md5 of the comma-joined id sequence."""
+    vocab = _wordpiece_fixture_vocab()
+    from spatialpandas_spark.operators.wordpiece import CONT, UNK
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    maxlen = max(
+        len(p) - len(CONT) if p.startswith(CONT) else len(p)
+        for p in vocab
+        if p != UNK
+    )
+    id_case = (
+        "CASE __key "
+        + " ".join(
+            f"WHEN '{esc(p)}' THEN {i}"
+            for i, p in enumerate(vocab)
+            if p != UNK
+        )
+        + " END"
+    )
+    keyed = id_case.replace(
+        "__key",
+        "CASE WHEN pos = 1 THEN substr(word, pos, c_l) "
+        f"ELSE '{CONT}' || substr(word, pos, c_l) END",
+    )
+    return f"""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, u.i AS wi, wds[u.i] AS word
+          FROM (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x != '') AS wds
+                FROM documents) d,
+               UNNEST(range(1, len(wds) + 1)) AS u(i)
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        sg AS (
+          SELECT word, 1 AS pos, CAST([] AS INTEGER[]) AS ids FROM dw
+          UNION ALL
+          SELECT word,
+                 CASE WHEN pick IS NULL THEN length(word) + 1
+                      ELSE pos + pick['l'] END,
+                 CASE WHEN pick IS NULL THEN [0]
+                      ELSE list_append(ids, pick['id']) END
+          FROM (
+            SELECT word, pos, ids,
+              list_reverse_sort(list_filter(
+                list_transform(
+                  range(1, least({maxlen}, length(word) - pos + 1) + 1),
+                  c_l -> {{'l': c_l, 'id': {keyed}}}),
+                c -> c['id'] IS NOT NULL))[1] AS pick
+            FROM sg WHERE pos <= length(word)
+          )
+        ),
+        seg AS (SELECT word, ids FROM sg WHERE pos > length(word)),
+        agg AS (SELECT w.doc_id, flatten(list(seg.ids ORDER BY w.wi)) AS tid
+                FROM w JOIN seg USING (word) GROUP BY w.doc_id)
+        SELECT d.doc_id,
+               CAST(NULL AS BIGINT) AS chunk_id,
+               CAST(COALESCE(len(a.tid), 0) AS BIGINT) AS n_tokens,
+               md5(COALESCE(array_to_string(a.tid, ','), '')) AS chunk_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _unigram_oracle_sql() -> str:
     """Independent DuckDB replay of ``unigram_encode_ids``
     (operators/unigram.py viterbi_segment): the Viterbi DP as a
@@ -1251,11 +1351,18 @@ def q_doc_chunks(spark, sf_dir):
       md5 of the full comma-joined token-id sequence, so the gate hash
       covers every token id the Arrow segmenter emits
       [operators/bpe.py bpe_encode_ids — tests/test_bpe.py];
+    - 'wp' (round 8): ``wordpiece_encode_ids`` with the fixture-trained
+      vocab (_wordpiece_fixture_vocab) — same per-doc count + full-id-
+      sequence md5 shape, so the hash covers every id the greedy
+      longest-match segmenter emits; oracle is the recursive-CTE
+      longest-match replay (_wordpiece_oracle_sql)
+      [operators/wordpiece.py — tests/test_wordpiece.py];
     The 'unigram' variant was promoted to its own ``unigram_encode``
     gate in round 7 (densest-union split) so a Viterbi-segmenter
     regression reads as its own red row."""
     from spatialpandas_spark.operators.bpe import bpe_encode_ids
     from spatialpandas_spark.operators.chunk import chunk_documents
+    from spatialpandas_spark.operators.wordpiece import wordpiece_encode_ids
 
     d = _t(spark, sf_dir, "documents")
     ch = chunk_documents(d, size=32, stride=24)
@@ -1277,7 +1384,22 @@ def q_doc_chunks(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
-    return _variant(chunks, "chunk").unionByName(_variant(bpe, "bpe"))
+    wp = wordpiece_encode_ids(d, _wordpiece_fixture_vocab()).select(
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        _variant(chunks, "chunk")
+        .unionByName(_variant(bpe, "bpe"))
+        .unionByName(_variant(wp, "wp"))
+    )
 
 
 def q_unigram_encode(spark, sf_dir):
@@ -3167,8 +3289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries (the driver verifies at most 50 per round, in order);
     # the queries with the least prior driver evidence come first.
     return {
-        # --- round-8 new variant (kmv corpus screen), least evidence first
+        # --- round-8 new variants (kmv screen, wordpiece), least evidence first
         "decontamination": q_decontamination_merged,
+        "doc_chunks": q_doc_chunks,
         # --- round-7 new/promoted gates
         "training_mix": q_training_mix,
         "training_sequences": q_training_sequences,
@@ -3198,7 +3321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_merged,
         "dedup_exact": q_dedup_exact,
         "span_dedup": q_span_dedup,
-        "doc_chunks": q_doc_chunks,
         "doc_stats": q_doc_stats_merged,
         "lang_id": q_text_signals,
         "repetition_signals": q_doc_quality_signals,
@@ -4495,6 +4617,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM ch
         """,
         "bpe_ids": _bpe_oracle_sql(),
+        "wp_ids": _wordpiece_oracle_sql(),
         "unigram_ids": _unigram_oracle_sql(),
         "span_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
@@ -4999,7 +5122,10 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_inner": union("sjoin_inner", "sjoin_grid", "broadcast", "grid"),
         "sjoin_left": union("sjoin_left", "sjoin_grid_left", "broadcast", "grid"),
         "fillna_points": union("fillna_points", "fillna_pad", "value", "pad"),
-        "doc_chunks": union("doc_chunks", "bpe_ids", "chunk", "bpe"),
+        "doc_chunks": (
+            union("doc_chunks", "bpe_ids", "chunk", "bpe")
+            + f" UNION ALL SELECT z.*, 'wp' AS variant FROM ({o['wp_ids']}) z"
+        ),
         "unigram_encode": (
             "SELECT doc_id, n_tokens, chunk_md5 AS ids_md5 FROM ("
             + o["unigram_ids"]
