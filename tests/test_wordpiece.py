@@ -188,3 +188,47 @@ def test_unk_id_is_zero(spark):
     # fragments also miss the vocab
     assert 0 in out[0]
     assert 0 not in out[1]
+
+
+# ------------------------- hypothesis battery (pure python, no Spark)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcdez01", min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=40), st.integers(10, 80))
+def test_property_trainer_identity(words, size):
+    """Histogram trainer == expanded-corpus reference trainer on random
+    corpora — including degenerate ones (single repeated word, unary
+    alphabets, base vocab bigger than the cap)."""
+    assert train_wordpiece_from_histogram(
+        dict(Counter(words)), size
+    ) == ref_train(words, size)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_word, min_size=1, max_size=25),
+    st.lists(_word, min_size=1, max_size=10),
+    st.integers(15, 60),
+)
+def test_property_segmenter_roundtrip_and_identity(train_words, apply_words, size):
+    """On any trained vocab: segmenter == reference on arbitrary apply
+    words (in- and out-of-corpus); non-UNK output rejoins to the word;
+    every emitted piece is in the vocab; continuation prefixes appear
+    exactly on non-initial pieces."""
+    vocab = train_wordpiece_from_histogram(dict(Counter(train_words)), size)
+    vs = set(vocab)
+    for w in apply_words:
+        got = segment_word_wp(w, vs)
+        assert got == ref_segment(w, vs)
+        if got == [UNK]:
+            continue
+        assert all(p in vs for p in got)
+        assert not got[0].startswith(CONT)
+        assert all(p.startswith(CONT) for p in got[1:])
+        assert "".join(
+            p[len(CONT):] if p.startswith(CONT) else p for p in got
+        ) == w
