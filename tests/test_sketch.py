@@ -327,3 +327,30 @@ def test_overlap_matrix_equals_pairwise_overlap(spark):
     # engineered structure: s0-s1 share the 'c_' grams, s2 shares none
     assert mat[("s0", "s1")]["n_both"] > 0
     assert mat[("s0", "s2")]["jaccard"] == mat[("s1", "s2")]["jaccard"] == 0.0
+
+
+def test_plan_shapes(spark):
+    """Codified plan audit (round 8): the overlap comparison must not
+    re-scan corpus data (checkpoint-pinned sketches cut the lineage;
+    each side's scan runs once at pin time), must contain no cartesian
+    product, and the grouped sketch must not funnel corpus rows through
+    a single-partition exchange."""
+    from spatialpandas_spark.plans import physical_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", " ".join(f"p{i}_{j}" for j in range(8)))
+         for i in range(200)],
+        "doc_id long, src string, text string",
+    )
+    a = shingle_sketch(docs.filter(F.col("doc_id") % 2 == 0), k=32)
+    b = shingle_sketch(docs.filter(F.col("doc_id") % 2 == 1), k=32)
+    plan = physical_plan(kmv_overlap(a, b, 32))
+    assert "CartesianProduct" not in plan
+    # the lazy checkpoint replaces the corpus lineage in the comparison
+    assert "Scan ExistingRDD" in plan
+
+    grouped = kmv_sketch(
+        docs.selectExpr("src", "text as s"), "s", k=16, group_cols=["src"]
+    )
+    gplan = physical_plan(grouped)
+    assert "Exchange SinglePartition" not in gplan
