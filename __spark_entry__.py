@@ -2432,15 +2432,49 @@ def q_ann_pq_exact(spark, sf_dir):
     )
 
 
+def q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantization pipeline end to end on the clustered
+    fixture (_clustered_vecs — bit-identical doubles in any engine):
+    train per-dim lo/hi -> int8 encode -> ADC top-5 for 5 queries. The
+    whole chain is exactly SQL-replayable by construction: sequential-
+    fold normalization (x / sqrt(list_dot_product)), order-free MIN/MAX,
+    floor(x+0.5) half-up codes, lo + c*scale dequant, sequential-fold
+    ADC sims — so the gate hash pins the lossy pipeline itself, not an
+    exactness limit. Breadcrumbs: operators/sq.py train_sq8/sq8_encode/
+    sq8_topk (tests/test_sq.py bit-exact twins)."""
+    from spatialpandas_spark.operators.sq import (
+        sq8_encode,
+        sq8_topk,
+        train_sq8,
+    )
+
+    cv = _clustered_vecs(_t(spark, sf_dir, "embeddings"))
+    params = train_sq8(cv, corpus_vec="cvec")
+    codes = sq8_encode(cv, params, corpus_vec="cvec")
+    qs = cv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    return sq8_topk(qs, codes, params, k=5).select(
+        "qid",
+        "vec_id",
+        F.round(F.col("sim"), 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_topk_merged(spark, sf_dir):
     """Merged ANN gate: brute force over the full table + the PQ
-    pipeline in its exact-reconstruction limit, tagged union.
+    pipeline in its exact-reconstruction limit + the SQ8 pipeline in
+    its ordinary LOSSY configuration (its arithmetic is exactly
+    replayable, no limit needed), tagged union.
     Variant breadcrumbs: 'bf' -> operators/similarity.py
     brute_force_topk (tests/test_similarity.py); 'pq_exact' ->
-    operators/pq.py lossless-config PQ pipeline
-    (tests/test_pq.py)."""
-    return _variant(q_ann_topk(spark, sf_dir), "bf").unionByName(
-        _variant(q_ann_pq_exact(spark, sf_dir), "pq_exact")
+    operators/pq.py lossless-config PQ pipeline (tests/test_pq.py);
+    'sq8' -> :func:`q_ann_sq8` (operators/sq.py, tests/test_sq.py)."""
+    return (
+        _variant(q_ann_topk(spark, sf_dir), "bf")
+        .unionByName(_variant(q_ann_pq_exact(spark, sf_dir), "pq_exact"))
+        .unionByName(_variant(q_ann_sq8(spark, sf_dir), "sq8"))
     )
 
 
@@ -3289,9 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries (the driver verifies at most 50 per round, in order);
     # the queries with the least prior driver evidence come first.
     return {
-        # --- round-8 new variants (kmv screen, wordpiece), least evidence first
+        # --- round-8 new variants (kmv, wordpiece, sq8), least evidence first
         "decontamination": q_decontamination_merged,
         "doc_chunks": q_doc_chunks,
+        "ann_topk": q_ann_topk_merged,
         # --- round-7 new/promoted gates
         "training_mix": q_training_mix,
         "training_sequences": q_training_sequences,
@@ -3301,7 +3336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 unchecked tail, promoted to the front
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk_merged,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3911,6 +3945,45 @@ SELECT vec_id,
                 % 2000001)/1000000.0 - 1.0)
   ) AS v
 FROM embeddings"""
+
+
+def _sq8_oracle_sql(k: int = 5) -> str:
+    """SQL replay of the FULL SQ8 pipeline on the clustered twin:
+    sequential-fold normalization, per-dim MIN/MAX, half-up codes via
+    floor(x+0.5), dequantize, sequential-fold ADC sims, rank. Every op
+    mirrors operators/sq.py one-for-one (the engine's numpy kernels use
+    the _seq_dot fold and floor(x+0.5) precisely so this replay is
+    bit-exact on the lossy path)."""
+    d = _CLUSTER_DIM
+    return f"""
+        WITH cvx AS ({_CLUSTERED_E_SQL}),
+        nrm AS (SELECT vec_id,
+                       list_transform(v, x ->
+                         x / sqrt(list_dot_product(v, v))) AS vn
+                FROM cvx),
+        dmm AS (SELECT u.i AS j, MIN(vn[u.i]) AS lo, MAX(vn[u.i]) AS hi
+                FROM nrm, UNNEST(range(1, {d} + 1)) AS u(i)
+                GROUP BY u.i),
+        prm AS (SELECT list(lo ORDER BY j) AS lo,
+                       list(CASE WHEN hi = lo THEN 1.0
+                                 ELSE (hi - lo) / 255.0 END ORDER BY j)
+                         AS sc
+                FROM dmm),
+        xh AS (SELECT vec_id,
+                      list_transform(range(1, {d} + 1), j ->
+                        prm.lo[j] + LEAST(255.0, GREATEST(0.0,
+                          floor((vn[j] - prm.lo[j]) / prm.sc[j] + 0.5)))
+                        * prm.sc[j]) AS xhat
+               FROM nrm, prm),
+        qv AS (SELECT vec_id AS qid, vn AS qn FROM nrm WHERE vec_id < 5)
+        SELECT qid, vec_id, ROUND(sim, 6) AS sim, rk AS rank FROM (
+          SELECT qv.qid, xh.vec_id,
+                 list_dot_product(xh.xhat, qv.qn) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY qv.qid
+                                    ORDER BY sim DESC, xh.vec_id) AS rk
+          FROM qv CROSS JOIN xh
+        ) WHERE rk <= {k}
+    """
 
 
 def _bf_oracle_sql(e_sql: str = _ISO_E_SQL, k: int = 5) -> str:
@@ -5115,7 +5188,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": (
             f"SELECT x.*, 'bf' AS variant FROM ({o['ann_topk']}) x "
             f"UNION ALL SELECT y.*, 'pq_exact' AS variant FROM ("
-            f"{_bf_oracle_sql(e_sql=_ISO_E_SQL + ' WHERE vec_id < 200')}) y"
+            f"{_bf_oracle_sql(e_sql=_ISO_E_SQL + ' WHERE vec_id < 200')}) y "
+            f"UNION ALL SELECT z.*, 'sq8' AS variant FROM ("
+            f"{_sq8_oracle_sql()}) z"
         ),
         "cx_bbox": union("cx_bbox", "cx_bbox_inverted", "select", "inverted"),
         "cx_refine": union("cx_lines", "cx_diamonds", "line", "diamond"),

@@ -5,7 +5,8 @@ surface; this is LLM-pipeline extension surface beside
 operators/similarity.py.
 
 Per-dimension affine quantization of the UNIT-NORMALIZED corpus:
-``code_j = clip(round((x_j - lo_j) / scale_j), 0, 255)`` with
+``code_j = clip(floor((x_j - lo_j) / scale_j + 0.5), 0, 255)``
+(round-half-up — the one-op SQL-replayable form) with
 ``scale_j = (hi_j - lo_j) / 255`` from a one-scan per-dimension
 min/max. Asymmetric distance (ADC): queries stay float, corpus rows
 dequantize to ``lo_j + code_j * scale_j`` inside the scan — recall is
@@ -44,7 +45,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from spatialpandas_spark.operators.pq import _group_topk, _l2_normalize
+from spatialpandas_spark.operators.pq import _group_topk
+from spatialpandas_spark.operators.similarity import _seq_pair_dot
+
+
+def _seq_normalize(X: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows with the norm computed as a SEQUENTIAL
+    left-to-right fold (similarity.py ``_seq_dot`` discipline) — bit-
+    identical to ``x / sqrt(list_dot_product(v, v))`` in the SQL
+    oracle, where numpy's pairwise ``(X*X).sum`` would drift ~1 ulp.
+    Zero rows stay zero."""
+    n = np.sqrt(_seq_pair_dot(X, X))[:, None]
+    return np.divide(X, n, out=np.zeros_like(X), where=n > 0)
 
 
 def train_sq8(
@@ -73,7 +85,7 @@ def train_sq8(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = _l2_normalize(
+            X = _seq_normalize(
                 np.asarray([np.asarray(v, np.float64) for v in pdf["__cv"]])
             )
             bl, bh = X.min(0), X.max(0)
@@ -141,7 +153,7 @@ def sq8_encode(
             mask = pdf["__cv"].notna().to_numpy()
             codes: list = [None] * len(pdf)
             if mask.any():
-                X = _l2_normalize(
+                X = _seq_normalize(
                     np.asarray(
                         [np.asarray(v, np.float64) for v in pdf["__cv"][mask]]
                     )
@@ -150,8 +162,12 @@ def sq8_encode(
                     raise ValueError(
                         f"vector dim {X.shape[1]} != params dim {dim}"
                     )
+                # floor(x + 0.5) = round-half-UP: the form SQL
+                # replays exactly (np.rint is half-even, which DuckDB
+                # cannot express as one op)
                 q = np.clip(
-                    np.rint((X - lo[None, :]) / scale[None, :]), 0, 255
+                    np.floor((X - lo[None, :]) / scale[None, :] + 0.5),
+                    0, 255,
                 ).astype(np.uint8)
                 enc = [r.tobytes() for r in q]
                 it = iter(enc)
@@ -191,7 +207,7 @@ def sq8_topk(
         )
     qids = np.asarray([r["qid"] for r in qrows])
     Q = np.asarray([np.asarray(r["__qv"], np.float64) for r in qrows])
-    Q = _l2_normalize(Q)
+    Q = _seq_normalize(Q)
 
     out_schema = StructType(
         [

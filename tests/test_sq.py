@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from spatialpandas_spark.operators.pq import _l2_normalize
+from spatialpandas_spark.operators.sq import _seq_normalize
 from spatialpandas_spark.operators.sq import (
     _scales,
     sq8_encode,
@@ -44,7 +44,7 @@ def corpus(spark):
 def test_train_matches_numpy(corpus):
     X, df = corpus
     params = train_sq8(df)
-    Xn = _l2_normalize(X)
+    Xn = _seq_normalize(X)
     assert params["dim"] == D
     assert np.array_equal(params["lo"], Xn.min(0))
     assert np.array_equal(params["hi"], Xn.max(0))
@@ -58,9 +58,9 @@ def test_encode_matches_numpy_and_error_bound(corpus):
         r["vec_id"]: np.frombuffer(r["code"], np.uint8)
         for r in sq8_encode(df, params).collect()
     }
-    Xn = _l2_normalize(X)
+    Xn = _seq_normalize(X)
     want = np.clip(
-        np.rint((Xn - lo[None, :]) / scale[None, :]), 0, 255
+        np.floor((Xn - lo[None, :]) / scale[None, :] + 0.5), 0, 255
     ).astype(np.uint8)
     assert all(np.array_equal(got[i], want[i]) for i in range(N))
     # dequantization error <= scale/2 per dim (round-to-nearest, and
@@ -87,12 +87,12 @@ def test_topk_matches_numpy_adc_replay(spark, corpus):
     }
     codes.unpersist()
 
-    Xn = _l2_normalize(X)
+    Xn = _seq_normalize(X)
     C = np.clip(
-        np.rint((Xn - lo[None, :]) / scale[None, :]), 0, 255
+        np.floor((Xn - lo[None, :]) / scale[None, :] + 0.5), 0, 255
     ).astype(np.uint8)
     Xhat = lo[None, :] + C.astype(np.float64) * scale[None, :]
-    Qn = _l2_normalize(Qraw)
+    Qn = _seq_normalize(Qraw)
     S = np.zeros((N, 7))
     for j in range(D):
         S = S + Xhat[:, j : j + 1] * Qn[None, :, j]
