@@ -54,6 +54,7 @@ from spatialpandas_spark.operators.sjoin import sjoin
 from spatialpandas_spark.operators.pack import pack_partitions
 from spatialpandas_spark.corpus import CorpusFrame
 from spatialpandas_spark.frame import SpatialFrame
+from spatialpandas_spark.vectors import VectorFrame
 
 __all__ = [
     "st_point",
@@ -79,6 +80,7 @@ __all__ = [
     "pack_partitions",
     "SpatialFrame",
     "CorpusFrame",
+    "VectorFrame",
 ]
 
 __version__ = "0.1.0"

@@ -177,6 +177,46 @@ def sq8_encode(
     return c.mapInPandas(run, out_schema)
 
 
+def save_sq8(params: dict, path: str, filesystem=None) -> None:
+    """Persist trained SQ8 params as a JSON sidecar via the object-store
+    fs layer (same convention as the tokenizer/index sidecars): the
+    reproducibility anchor — re-encoding and probing load the EXACT
+    quantizer. Floats round-trip via repr (exact for IEEE doubles)."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(
+        path,
+        json.dumps(
+            {
+                "format": "sq8",
+                "dim": int(params["dim"]),
+                "lo": [repr(float(x)) for x in params["lo"]],
+                "hi": [repr(float(x)) for x in params["hi"]],
+            }
+        ),
+        filesystem=filesystem,
+    )
+
+
+def load_sq8(path: str, filesystem=None) -> dict:
+    """Params from :func:`save_sq8` output; rejects non-SQ8 sidecars
+    loudly."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    d = json.loads(_fs.read_text(path, filesystem=filesystem))
+    if d.get("format") != "sq8":
+        raise ValueError(f"not an SQ8 sidecar: {path}")
+    return {
+        "dim": int(d["dim"]),
+        "lo": [float(x) for x in d["lo"]],
+        "hi": [float(x) for x in d["hi"]],
+    }
+
+
 def sq8_topk(
     queries: DataFrame,
     codes: DataFrame,
