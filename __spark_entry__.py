@@ -2000,8 +2000,23 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+#: PPS gate lattice step over the n_chars weight line (off-round prime;
+#: selects ~1/3 of sf0.01's ~500 docs at their ~600-char average)
+_PPS_STEP = 991
+
+
+def _pps_offset() -> int:
+    """The operator's deterministic default offset for seed=42 —
+    recomputed here so the SQL oracle inlines the identical lattice."""
+    import hashlib
+
+    return int(hashlib.md5(b"42:pps").hexdigest()[:15], 16) % _PPS_STEP
+
+
 def q_stratified_sample(spark, sf_dir):
-    """Merged deterministic-sampling + source-mixing gate, tagged union:
+    """Merged deterministic-sampling + source-mixing + PPS gate, tagged
+    union ('pps' rows: rnk = lattice-hit multiplicity; see inline
+    breadcrumb):
 
     - 'sample': language-balanced hash-mod sampling (downsample dominant
       en, keep low-resource langs) + the deterministic shuffle rank as a
@@ -2072,7 +2087,26 @@ def q_stratified_sample(spark, sf_dir):
         F.concat_ws("#", F.col("source"), F.col("epoch")).alias("grp"),
         F.col("rnk").cast("long").alias("rnk"),
     )
-    return sample.unionByName(mix)
+
+    # 'pps' (round 8): weight-proportional systematic sampling on the
+    # n_chars weight line — exact integer lattice arithmetic, rnk = the
+    # PPS multiplicity. Breadcrumbs: operators/sampling.py
+    # systematic_sample (tests/test_sampling.py python twin).
+    from spatialpandas_spark.operators.sampling import systematic_sample
+
+    pps = systematic_sample(
+        d.select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        ["doc_id"],
+        step=_PPS_STEP,
+        seed=42,
+    ).select(
+        F.lit("pps").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.col("n_hits").cast("long").alias("rnk"),
+    )
+    return sample.unionByName(mix).unionByName(pps)
 
 
 def q_shard_pack(spark, sf_dir):
@@ -3323,10 +3357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries (the driver verifies at most 50 per round, in order);
     # the queries with the least prior driver evidence come first.
     return {
-        # --- round-8 new variants (kmv, wordpiece, sq8), least evidence first
+        # --- round-8 new variants (kmv, wordpiece, sq8, pps) first
         "decontamination": q_decontamination_merged,
         "doc_chunks": q_doc_chunks,
         "ann_topk": q_ann_topk_merged,
+        "stratified_sample": q_stratified_sample,
         # --- round-7 new/promoted gates
         "training_mix": q_training_mix,
         "training_sequences": q_training_sequences,
@@ -3342,7 +3377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "events_asof": q_events_asof,
         "top_terms": q_top_terms,
-        "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
         "label_centroid_sim": q_label_centroid_sim,
         "extract_features": q_extract_features_media,
@@ -5004,7 +5038,7 @@ def _base_oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
-        "stratified_sample": """
+        "stratified_sample": f"""
             SELECT 'sample' AS variant, doc_id, lang AS grp,
                    CAST(ROW_NUMBER() OVER (
                      ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
@@ -5046,6 +5080,21 @@ def _base_oracle_sql() -> dict[str, str]:
                 AND ('0x' || substr(md5('7:rest#0#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                     % 1000000 < 500000
             )
+            UNION ALL
+            -- systematic PPS replay: exact integer lattice over the
+            -- n_chars cumsum in doc_id order; rnk = hits in [s-w, s)
+            SELECT 'pps' AS variant, doc_id, grp, CAST(hi - lo AS BIGINT) AS rnk
+            FROM (
+              SELECT doc_id, lang AS grp,
+                CASE WHEN s <= {_pps_offset()} THEN 0
+                     ELSE (s - {_pps_offset()} - 1) // {_PPS_STEP} + 1 END AS hi,
+                CASE WHEN s - w <= {_pps_offset()} THEN 0
+                     ELSE (s - w - {_pps_offset()} - 1) // {_PPS_STEP} + 1 END AS lo
+              FROM (SELECT doc_id, lang, n_chars AS w,
+                           SUM(n_chars) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS s
+                    FROM documents)
+            ) WHERE hi > lo
         """,
         "shard_pack": f"""
             WITH RECURSIVE tc AS (SELECT doc_id,

@@ -94,3 +94,68 @@ def stratified_sample(
             F.col(strata_col) == F.lit(v), F.lit(int(round(r * _DENOM)))
         ).otherwise(thr)
     return df.filter(sample_hash(F.col(key_col), seed) % _DENOM < thr)
+
+
+def systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list,
+    step: int,
+    offset: int | None = None,
+    seed: int = 42,
+    mult_col: str = "n_hits",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional (PPS) SYSTEMATIC sampling
+    without replacement: rows are laid on the integer weight line in
+    ``order_cols`` order (exclusive running sum ``s``, width ``w``) and
+    a row is selected iff its interval ``[s, s+w)`` contains a lattice
+    point ``offset + k*step`` — so P(select) = w/step for w < step
+    (exactly proportional to weight), heavy rows (w >= step) are always
+    selected, and ``mult_col`` carries the lattice-point count (the
+    standard PPS multiplicity, ~w/step for heavy rows: a downstream
+    estimator weighting by step*n_hits is unbiased). This is classic
+    systematic/PPS sampling — the deterministic-integer alternative to
+    exponential-variate weighted reservoirs, chosen here because every
+    comparison is EXACT integer arithmetic: rerun-, partition-, and
+    engine-invariant (the hash-sampling family's contract), trivially
+    SQL-replayable.
+
+    ``offset`` defaults to a deterministic hash of ``seed`` in
+    ``[0, step)``. Weights must be non-negative integers (token/char
+    counts); zero-weight rows are never selected.
+
+    Scale: the two-phase running sum (operators/rank.py — range shuffle
+    + partition-local window + broadcast prefix offsets, no single-task
+    window) plus a scan-stage integer filter. Nothing else moves."""
+    import hashlib
+
+    from spatialpandas_spark.operators.rank import with_running_sum
+
+    st = int(step)
+    if st <= 0:
+        raise ValueError("step must be positive")
+    if offset is None:
+        offset = (
+            int(hashlib.md5(f"{seed}:pps".encode()).hexdigest()[:15], 16)
+            % st
+        )
+    off = int(offset) % st
+
+    rs = with_running_sum(
+        df, order_cols, weight_col, "__rsum", npartitions
+    ).withColumn(
+        "__excl", (F.col("__rsum") - F.col(weight_col)).cast("long")
+    )
+    # lattice points in [0, x): 0 when x <= off, else (x-off-1) div step + 1
+    hits = F.expr(
+        f"(CASE WHEN __rsum <= {off} THEN CAST(0 AS BIGINT)"
+        f" ELSE (CAST(__rsum AS BIGINT) - {off} - 1) DIV {st} + 1 END) -"
+        f"(CASE WHEN __excl <= {off} THEN CAST(0 AS BIGINT)"
+        f" ELSE (__excl - {off} - 1) DIV {st} + 1 END)"
+    )
+    return (
+        rs.withColumn(mult_col, hits)
+        .filter(F.col(mult_col) > 0)
+        .drop("__rsum", "__excl")
+    )

@@ -92,3 +92,60 @@ def test_cap_per_group_rank_and_small_groups(spark):
 
     with _pytest.raises(ValueError):
         cap_per_group(df, "domain", 0, key_col="id")
+
+
+def test_systematic_sample_matches_python_twin(spark):
+    """PPS systematic sampling == the literal lattice scan over the
+    python cumsum, including multiplicities; partition-invariant."""
+    import hashlib
+
+    import numpy as np
+
+    from spatialpandas_spark.operators.sampling import systematic_sample
+
+    rng = np.random.default_rng(31)
+    rows = [(i, int(w)) for i, w in enumerate(rng.integers(0, 80, 600))]
+    rows[37] = (37, 500)  # heavy row: always selected, multiplicity >= 1
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    step, seed = 120, 42
+    off = int(hashlib.md5(f"{seed}:pps".encode()).hexdigest()[:15], 16) % step
+
+    def cnt(x):
+        return 0 if x <= off else (x - off - 1) // step + 1
+
+    want, s = {}, 0
+    for d, w in rows:
+        m = cnt(s + w) - cnt(s)
+        if m > 0:
+            want[d] = m
+        s += w
+
+    for frame in (df, df.repartition(13)):
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in systematic_sample(
+                frame, "w", ["doc_id"], step=step, seed=seed
+            ).collect()
+        }
+        assert got == want
+    # invariants: heavy row in, multiplicity ~ w/step; total hits =
+    # lattice points under the total weight; zero-weight rows out
+    assert want[37] in (4, 5)
+    assert sum(want.values()) == cnt(s)
+    assert all(dict(rows)[d] > 0 for d in want)
+
+
+def test_systematic_sample_rate_and_validation(spark):
+    import pytest
+
+    from spatialpandas_spark.operators.sampling import systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(2000)], "doc_id long, w long"
+    )
+    out = systematic_sample(df, "w", ["doc_id"], step=100)
+    n = out.count()
+    # uniform weights: exactly every 10th row (20000/100 = 200 hits)
+    assert n == 200
+    with pytest.raises(ValueError):
+        systematic_sample(df, "w", ["doc_id"], step=0)
