@@ -232,6 +232,26 @@ class CorpusFrame:
             return self
         return self.decontaminate(benchmark, max_overlap=max_overlap, n=n, **kw)
 
+    def sample_pps(
+        self, step: int, weight_col: str | None = None, **kw
+    ) -> CorpusFrame:
+        """Weight-proportional systematic sampling (select probability
+        = weight/step, exact integer lattice — deterministic on any
+        cluster). With ``weight_col=None`` the BPE-pretokenizer token
+        count is the weight, same convention as :meth:`pack_sequences`;
+        the selection multiplicity lands in ``n_hits``."""
+        from spatialpandas_spark.operators.sampling import systematic_sample
+        from spatialpandas_spark.operators.text import bpe_token_count
+
+        df, wc = self.df, weight_col
+        if wc is None:
+            wc = "__w"
+            df = df.withColumn(
+                wc, bpe_token_count(F.col(self.text_col)).cast("long")
+            )
+        out = systematic_sample(df, wc, [self.id_col], step, **kw)
+        return self._wrap(out.drop("__w") if weight_col is None else out)
+
     # -------------------------------------------------------- tokenizer
     def train_bpe(self, n_merges: int = 32_000, **kw):
         from spatialpandas_spark.operators.bpe import train_bpe

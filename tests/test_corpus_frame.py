@@ -301,3 +301,29 @@ def test_overlap_matrix_delegates(spark):
         )
     )
     assert via == direct and len(via) == 3
+
+
+def test_sample_pps_delegates(spark):
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.operators.sampling import systematic_sample
+    from spatialpandas_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 13 + 1)) for i in range(80)],
+        "doc_id long, text string",
+    )
+    via = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in CorpusFrame(df).sample_pps(step=17).df.collect()
+    )
+    direct = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in systematic_sample(
+            df.withColumn("__w", bpe_token_count(F.col("text")).cast("long")),
+            "__w",
+            ["doc_id"],
+            17,
+        ).collect()
+    )
+    assert via == direct and len(via) > 0

@@ -149,3 +149,42 @@ def test_systematic_sample_rate_and_validation(spark):
     assert n == 200
     with pytest.raises(ValueError):
         systematic_sample(df, "w", ["doc_id"], step=0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=80),
+    st.integers(1, 300),
+    st.integers(0, 10_000),
+)
+def test_property_systematic_sample_twin(spark, weights, step, seed):
+    """Random weights/steps/seeds: engine == lattice twin, and the total
+    hit count equals the lattice points under the total weight."""
+    from spatialpandas_spark.operators.sampling import systematic_sample
+    import hashlib
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    off = int(hashlib.md5(f"{seed}:pps".encode()).hexdigest()[:15], 16) % step
+
+    def cnt(x):
+        return 0 if x <= off else (x - off - 1) // step + 1
+
+    want, s = {}, 0
+    for d, w in rows:
+        m = cnt(s + w) - cnt(s)
+        if m > 0:
+            want[d] = m
+        s += w
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in systematic_sample(
+            df, "w", ["doc_id"], step=step, seed=seed
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == cnt(s)
