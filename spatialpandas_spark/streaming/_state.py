@@ -1,0 +1,43 @@
+"""Shared state-read guard for the foreachBatch ingestion loops.
+
+Every incremental operator in this package carries its cross-batch
+state in a tiny ``batch=N``-partitioned parquet directory. Reading that
+state has exactly ONE legitimate failure: the directory does not exist
+yet (first batch). Every other read error — an object-store throttle, a
+permission blip, a corrupt footer — must PROPAGATE so the micro-batch
+fails and the checkpoint retries it. Swallowing such an error would be
+indistinguishable from "first batch": the carry / sketch / sequence
+counter silently resets, and the exactly-once identity every twin test
+pins is corrupted from that batch onward with no error surfaced
+(ADVICE r8). Hence this helper distinguishes PATH_NOT_FOUND from all
+other failures instead of the bare ``except Exception`` it replaced.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_state_frame(
+    spark: SparkSession, state_path: str, schema: str | None = None
+) -> DataFrame | None:
+    """DataFrame over the state directory, or ``None`` if and only if
+    the path does not exist yet (first batch). Any other read failure
+    propagates to fail the micro-batch so the checkpoint retries it."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    try:
+        return reader.parquet(state_path)
+    except AnalysisException as e:  # noqa: PERF203 - single call site
+        # PySpark 4 tags missing paths with the PATH_NOT_FOUND error
+        # condition; keep the message probe as a belt-and-braces match
+        # for older tags ("Path does not exist").
+        get = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = get() if callable(get) else None
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e) or (
+            "Path does not exist" in str(e)
+        ):
+            return None
+        raise

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spatialpandas_spark.operators.sampling import systematic_sample
+from spatialpandas_spark.streaming._state import read_state_frame
 
 _STATE_SCHEMA = "batch long, carry long"
 
@@ -34,10 +35,12 @@ def _read_carry(
     spark: SparkSession, state_path: str, before_batch: int
 ) -> int:
     """Total ingested weight as of the latest batch STRICTLY BEFORE
-    ``before_batch`` (replay safety, as in streaming/sequences.py)."""
-    try:
-        st = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
-    except Exception:  # noqa: BLE001 - first batch: no state dir yet
+    ``before_batch`` (replay safety, as in streaming/sequences.py).
+    Only a MISSING state path reads as "first batch" — any other read
+    failure propagates so the micro-batch retries instead of silently
+    resetting the lattice (streaming/_state.py)."""
+    st = read_state_frame(spark, state_path, _STATE_SCHEMA)
+    if st is None:
         return 0
     row = (
         st.filter(F.col("batch") < before_batch)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spatialpandas_spark.operators.shards import materialize_token_sequences
+from spatialpandas_spark.streaming._state import read_state_frame
 
 _STATE_SCHEMA = "batch long, next_seq long, carry array<int>"
 
@@ -51,10 +52,12 @@ def _read_state(
 ) -> tuple[int, list[int]]:
     """State as of the latest batch STRICTLY BEFORE ``before_batch`` —
     so a replayed batch N reconsumes the batch-(N-1) state, never its
-    own half-written one. (0, []) when no prior batch exists."""
-    try:
-        st = spark.read.schema(_STATE_SCHEMA).parquet(state_path)
-    except Exception:  # noqa: BLE001 - first batch: no state dir yet
+    own half-written one. (0, []) when no prior batch exists. Only a
+    MISSING state path reads as "no prior batch" — any other read
+    failure propagates so the micro-batch retries instead of silently
+    restarting the sequence counter (streaming/_state.py)."""
+    st = read_state_frame(spark, state_path, _STATE_SCHEMA)
+    if st is None:
         return 0, []
     row = (
         st.filter(F.col("batch") < before_batch)
@@ -111,12 +114,23 @@ def sequence_batch(
     # for ids of ANY length (a fixed-width lpad would TRUNCATE long ids,
     # colliding ordering/join keys and silently duplicating token data)
     # and equal to numeric order for the usual digit ids. The 8-digit
-    # length prefix covers ids up to 10^8-1 chars; longer is rejected.
+    # length prefix covers ids up to 10^8-1 chars; a longer id RAISES
+    # (the guard below — lpad would otherwise truncate the length string
+    # itself and re-open the collision) rather than being dropped.
     sid = F.col(id_col).cast("string")
+    klen = F.length(sid)
+    key = F.concat(F.lpad(klen.cast("string"), 8, "0"), sid)
     keyed = batch.select(
-        F.concat(
-            F.lpad(F.length(sid).cast("string"), 8, "0"), sid
-        ).alias("__k"),
+        F.when(klen < F.lit(100_000_000), key)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "sequence_batch: id longer than 10^8-1 chars is "
+                    "unsupported (ordering key would truncate)"
+                )
+            )
+        )
+        .alias("__k"),
         F.col(tokens_col).cast("array<int>").alias("token_ids"),
     )
     if carry:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spatialpandas_spark.operators.sketch import kmv_merge, shingle_sketch
+from spatialpandas_spark.streaming._state import read_state_frame
 
 
 def _read_state(
@@ -41,10 +42,11 @@ def _read_state(
     """Merged sketch as of the latest batch STRICTLY BEFORE
     ``before_batch`` (so a replayed batch N reconsumes the batch-(N-1)
     state, never its own half-written one); None when no prior batch
-    exists."""
-    try:
-        st = spark.read.parquet(state_path)
-    except Exception:  # noqa: BLE001 - first batch: no state dir yet
+    exists. Only a MISSING state path reads as "no prior batch" — any
+    other read failure propagates so the micro-batch retries instead of
+    silently resetting the sketch (streaming/_state.py)."""
+    st = read_state_frame(spark, state_path)
+    if st is None:
         return None
     prev = (
         st.filter(F.col("batch") < before_batch)
