@@ -229,25 +229,33 @@ def sq8_topk(
     """Approximate top-k by cosine against the SQ8 codes (ADC:
     dequantized corpus x float query), two-phase like every top-k here:
     per-partition scan + local top-k, final window over survivors.
-    Columns out: (qid, vec_id, sim, rank)."""
+
+    The query side is collected only when it has at most
+    ``max_collected_queries`` rows (bounded ``limit(n+1)`` probe); above
+    that the operator switches to the fully distributed pair-join
+    formulation (``brute_force_topk``'s discipline) — same dequantize +
+    sequential-fold arithmetic per (query, code) pair, no driver
+    materialization. Query dims are validated against ``params['dim']``
+    (a longer query would otherwise silently score a truncated prefix);
+    an empty/all-null query side returns an empty frame with the
+    declared schema. Columns out: (qid, vec_id, sim, rank)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.window import Window
 
     lo, scale = _scales(params)
+    dim = int(params["dim"])
     q_sel = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
     ).filter(F.col("__qv").isNotNull())
     qrows = q_sel.limit(max_collected_queries + 1).collect()
     if len(qrows) > max_collected_queries:
-        raise ValueError(
-            "query side exceeds max_collected_queries; batch the probes"
+        pairs = codes.crossJoin(q_sel).select(
+            "qid", "__qv", "vec_id", "code"
         )
-    qids = np.asarray([r["qid"] for r in qrows])
-    Q = np.asarray([np.asarray(r["__qv"], np.float64) for r in qrows])
-    Q = _seq_normalize(Q)
+        return _sq8_pair_topk(pairs, params, k)
 
     out_schema = StructType(
         [
@@ -256,6 +264,21 @@ def sq8_topk(
             StructField("sim", DoubleType()),
         ]
     )
+    if not qrows:
+        spark = queries.sparkSession
+        empty = StructType(
+            list(out_schema.fields)
+            + [StructField("rank", IntegerType())]
+        )
+        return spark.createDataFrame([], empty)
+    qids = np.asarray([r["qid"] for r in qrows])
+    Q = np.asarray([np.asarray(r["__qv"], np.float64) for r in qrows])
+    if Q.ndim != 2 or Q.shape[1] != dim:
+        raise ValueError(
+            f"query vector dim {Q.shape[1] if Q.ndim == 2 else 'ragged'}"
+            f" != params dim {dim}"
+        )
+    Q = _seq_normalize(Q)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accq, accv, accs = [], [], []
@@ -266,6 +289,10 @@ def sq8_topk(
             C = np.frombuffer(
                 b"".join(pdf["code"]), dtype=np.uint8
             ).reshape(len(pdf), -1)
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"code width {C.shape[1]} != params dim {dim}"
+                )
             Xhat = lo[None, :] + C.astype(np.float64) * scale[None, :]
             # sequential left-to-right fold over dims (similarity.py
             # _seq_dot discipline): batch-shape-independent and
@@ -295,3 +322,61 @@ def sq8_topk(
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _sq8_pair_topk(pairs: DataFrame, params: dict, k: int) -> DataFrame:
+    """Distributed SQ8 ADC over an explicit (qid, __qv, vec_id, code)
+    pair frame — the oversized-query fallback of :func:`sq8_topk` and
+    the probe scorer of the persistent IVF-SQ8 index. Per pair:
+    sequential-fold normalize the query, dequantize the code, and fold
+    ``sum_j xhat_j * qn_j`` left to right — the EXACT arithmetic of the
+    collected path (row-identity pinned by tests/test_sq.py), then the
+    shared two-phase top-k reducer."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from spatialpandas_spark.operators.similarity import _topk_rerank
+
+    lo, scale = _scales(params)
+    dim = int(params["dim"])
+    out_schema = StructType(
+        [
+            StructField("qid", pairs.schema["qid"].dataType),
+            StructField("vec_id", pairs.schema["vec_id"].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["code"].notna()]
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf["__qv"]]
+            )
+            if Q.ndim != 2 or Q.shape[1] != dim:
+                raise ValueError(
+                    f"query vector dim"
+                    f" {Q.shape[1] if Q.ndim == 2 else 'ragged'}"
+                    f" != params dim {dim}"
+                )
+            Qn = _seq_normalize(Q)
+            C = np.frombuffer(
+                b"".join(bytes(b) for b in pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"code width {C.shape[1]} != params dim {dim}"
+                )
+            Xhat = lo[None, :] + C.astype(np.float64) * scale[None, :]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "vec_id": pdf["vec_id"],
+                    "sim": _seq_pair_dot(Xhat, Qn),
+                }
+            )
+
+    return _topk_rerank(pairs.mapInPandas(run, out_schema), k)

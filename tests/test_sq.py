@@ -140,3 +140,56 @@ def test_null_vectors_pass_through(spark):
     q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
     out = sq8_topk(q, sq8_encode(df, params), params, k=5).collect()
     assert sorted(r["vec_id"] for r in out) == [0, 2]  # null row skipped
+
+
+def test_oversized_query_fallback_row_identity(spark, corpus):
+    # above max_collected_queries the operator must switch to the
+    # distributed pair-join formulation with IDENTICAL rows (the
+    # brute_force_topk fallback discipline), not raise
+    X, df = corpus
+    params = train_sq8(df)
+    codes = sq8_encode(df, params).cache()
+    codes.count()
+    Qraw = _vectors(seed=7, n=9)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(Qraw)],
+        "qid long, qvec array<double>",
+    )
+    collected = sq8_topk(queries, codes, params, k=4)
+    fallback = sq8_topk(
+        queries, codes, params, k=4, max_collected_queries=3
+    )
+    key = lambda r: (r["qid"], r["rank"])
+    a = sorted(map(tuple, collected.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, fallback.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b
+    codes.unpersist()
+
+
+def test_query_dim_mismatch_raises(spark, corpus):
+    X, df = corpus
+    params = train_sq8(df)
+    codes = sq8_encode(df, params)
+    wide = spark.createDataFrame(
+        [(0, [0.1] * (D + 3))], "qid long, qvec array<double>"
+    )
+    # collected path: raises driver-side before any scan
+    with pytest.raises(ValueError, match="dim"):
+        sq8_topk(wide, codes, params, k=3)
+    # distributed path: raises inside the pair scan
+    with pytest.raises(Exception, match="dim"):
+        sq8_topk(
+            wide, codes, params, k=3, max_collected_queries=0
+        ).collect()
+
+
+def test_empty_query_side_returns_empty_frame(spark, corpus):
+    X, df = corpus
+    params = train_sq8(df)
+    codes = sq8_encode(df, params)
+    none = spark.createDataFrame(
+        [(1, None)], "qid long, qvec array<double>"
+    )
+    out = sq8_topk(none, codes, params, k=3)
+    assert out.columns == ["qid", "vec_id", "sim", "rank"]
+    assert out.count() == 0
