@@ -314,7 +314,7 @@ def _overlap_estimates(df, k: int, id_cols: list[str]) -> DataFrame:
 
 
 def kmv_overlap_matrix(
-    sk: DataFrame, k: int, group_col: str = "source"
+    sk: DataFrame, k: int, group_col: str = "source", max_groups: int = 1024
 ) -> DataFrame:
     """ALL-PAIRS overlap screen across the N groups of one grouped
     sketch frame (``kmv_sketch(..., group_cols=[group_col])`` /
@@ -324,9 +324,28 @@ def kmv_overlap_matrix(
     repeat each other, which dumps to drop — for the cost of N·k rows
     in, N²/2 tiny rows out; NO source corpus is touched, so screening
     500 sources is ~125k k-row comparisons on sketches, not 125k
-    corpus joins."""
+    corpus joins.
+
+    **Contract: intentionally quadratic in the number of GROUPS** (the
+    all-pairs matrix over k-row sketches — the data volume is sketches,
+    never corpus rows, so dozens-to-hundreds of sources are cheap). The
+    intermediate union frame is ~N²/2 · 2k rows, so N=1024 at k=256 is
+    ~270M distributed rows — fine on a cluster, pathological beyond.
+    ``max_groups`` (default 1024) guards that cliff with a clear error
+    (one bounded count over the ≤ N·k-row sketch frame); raise it
+    explicitly when you really want a larger matrix. For "how does ONE
+    new dump overlap everything", use N calls to :func:`kmv_overlap`
+    instead — that's linear."""
     e = sk.select(F.col(group_col).alias("__g"), "h")
     gs = e.select("__g").distinct()
+    n_groups = gs.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kmv_overlap_matrix over {n_groups} groups would build "
+            f"~{n_groups * (n_groups - 1) // 2:,} sketch pairs "
+            f"(quadratic in groups); pass max_groups>={n_groups} to "
+            f"force, or screen one group at a time with kmv_overlap"
+        )
     pairs = (
         gs.select(F.col("__g").alias("g_a"))
         .crossJoin(gs.select(F.col("__g").alias("g_b")))

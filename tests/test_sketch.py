@@ -354,3 +354,23 @@ def test_plan_shapes(spark):
     )
     gplan = physical_plan(grouped)
     assert "Exchange SinglePartition" not in gplan
+
+
+def test_overlap_matrix_group_count_guard(spark):
+    """The all-pairs matrix is intentionally quadratic in GROUPS; the
+    max_groups guard must refuse a pathological group count with a
+    clear error, and an explicit override must let it through."""
+    from spatialpandas_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", f"key{i}-{j}") for i in range(5) for j in range(6)],
+        "source string, key string",
+    )
+    sk = kmv_sketch(df, "key", k=8, group_cols=["source"])
+    with pytest.raises(ValueError, match="quadratic"):
+        kmv_overlap_matrix(sk, 8, "source", max_groups=3)
+    out = kmv_overlap_matrix(sk, 8, "source", max_groups=5)
+    assert out.count() == 10  # 5 choose 2
