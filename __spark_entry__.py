@@ -846,6 +846,76 @@ def q_corpus_kmv(spark, sf_dir):
     )
 
 
+#: containment-probe gate k: small enough that the sf0.01 benchmark
+#: side's distinct 5-grams overflow it (exercising the SAMPLED probe
+#: path — the bottom-k probe set + its per-hash membership flags are
+#: each pinned), large enough to be a meaningful sample.
+_PROBE_K = 64
+
+
+def q_containment_probe(spark, sf_dir):
+    """Direct containment probe (operators/sketch.py containment_probe
+    — the round-9 ADVICE fix for the small-in-large blindness of the
+    union-jaccard screen): benchmark = every 17th document (the 'decon'
+    fixture), corpus = the rest. The benchmark's bottom-_PROBE_K
+    distinct 5-gram hashes are probed for membership in the corpus
+    shingle stream. Long-format tagged rows:
+
+    - src='probe:hits': doc_id = probe rank (1..k), total_ngrams = the
+      60-bit probe hash, matched_ngrams = found flag (0/1) — pins the
+      exact probe set AND its sampled membership;
+    - src='probe:n_probed'/'probe:n_found': doc_id = the counters;
+    - src='probe:containment': overlap = n_found/n_probed rounded 6.
+
+    Oracle: ROW_NUMBER bottom-k over the benchmark's distinct
+    md5-prefix shingle hashes LEFT JOINed to the corpus's distinct
+    shingle-hash set — the probe is a pure function of the two shingle
+    sets. Breadcrumbs: tests/test_sketch.py python twins +
+    tests/test_corpus_frame.py screened-decontamination regression."""
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    det = containment_probe(
+        train, bench, n=5, k=_PROBE_K, detail=True
+    ).localCheckpoint(eager=False)  # consumed twice (rows + summary)
+    nul = F.lit(None)
+    hits = det.select(
+        F.lit("probe:hits").alias("src"),
+        F.col("rank").cast("long").alias("doc_id"),
+        F.col("h").cast("long").alias("total_ngrams"),
+        F.col("found").cast("long").alias("matched_ngrams"),
+        nul.cast("double").alias("overlap"),
+    )
+    s = det.agg(
+        F.count("*").alias("np"), F.sum("found").cast("long").alias("nf")
+    )
+    counts = s.selectExpr(
+        "stack(2, 'probe:n_probed', np, 'probe:n_found', nf) AS (src, doc_id)"
+    ).select(
+        "src",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nul.cast("long").alias("total_ngrams"),
+        nul.cast("long").alias("matched_ngrams"),
+        nul.cast("double").alias("overlap"),
+    )
+    est = s.select(
+        F.lit("probe:containment").alias("src"),
+        nul.cast("long").alias("doc_id"),
+        nul.cast("long").alias("total_ngrams"),
+        nul.cast("long").alias("matched_ngrams"),
+        F.round(
+            F.when(
+                F.col("np") > 0,
+                F.col("nf").cast("double") / F.col("np"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("overlap"),
+    )
+    return hits.unionByName(counts).unionByName(est)
+
+
 def q_decontamination_merged(spark, sf_dir):
     """Merged contamination-screening gate, tagged union (columns are
     reinterpreted per variant, knn-gate style):
@@ -854,9 +924,13 @@ def q_decontamination_merged(spark, sf_dir):
       (doc_id/total_ngrams/matched_ngrams/overlap as in the standalone
       row) [operators/contamination.py ngram_overlap —
       tests/test_contamination.py];
-    - src='kmv:*': the corpus-level KMV screen that DECIDES whether the
-      exact pass is worth running — see :func:`q_corpus_kmv`
-      [operators/sketch.py — tests/test_sketch.py]."""
+    - src='kmv:*': the corpus-level KMV screen (corpus-vs-corpus
+      jaccard/union estimates) — see :func:`q_corpus_kmv`
+      [operators/sketch.py — tests/test_sketch.py];
+    - src='probe:*': the DIRECT containment probe that DECIDES whether
+      the exact pass is worth running (round 9; replaces the
+      union-jaccard containment screen, which is blind for a small
+      benchmark in a huge corpus) — see :func:`q_containment_probe`."""
     decon = q_decontamination(spark, sf_dir).select(
         F.lit("decon").alias("src"),
         "doc_id",
@@ -864,7 +938,9 @@ def q_decontamination_merged(spark, sf_dir):
         "matched_ngrams",
         "overlap",
     )
-    return decon.unionByName(q_corpus_kmv(spark, sf_dir))
+    return decon.unionByName(q_corpus_kmv(spark, sf_dir)).unionByName(
+        q_containment_probe(spark, sf_dir)
+    )
 
 
 def q_repetition_signals(spark, sf_dir):
@@ -3600,6 +3676,59 @@ UNION ALL SELECT 'kmv:containment_b', NULL, NULL, NULL,
     return ctes, select
 
 
+def _probe_oracle_sql(pk: int, shingle_n: int = 5, seed: int = 42) -> str:
+    """SQL replay of the direct containment probe (the 'probe:*' rows
+    of the merged decontamination gate): the probe set is the EXACT
+    bottom-``pk`` of the benchmark's distinct md5-prefix shingle hashes
+    (ROW_NUMBER over the distinct hash set — same replay as the KMV
+    sketch oracle), each probed hash LEFT JOINed against the corpus's
+    distinct shingle-hash set for its membership flag. A pure function
+    of the two shingle sets, so the engine's broadcast-semi-join
+    formulation must equal it bit for bit. Returns ``(ctes, select)``
+    for splicing (DuckDB forbids WITH after UNION ALL)."""
+    n = shingle_n
+    ctes = f"""bsh AS (
+  SELECT DISTINCT array_to_string(tk[u.i:u.i+{n - 1}], ' ') AS s
+  FROM (SELECT {_TOKS} AS tk FROM documents
+        WHERE doc_id % 17 = 0 AND trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+bhv AS (SELECT DISTINCT
+               ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT AS h
+        FROM bsh),
+pbk AS (SELECT CAST(rank AS BIGINT) AS rank, h FROM
+          (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rank FROM bhv)
+        WHERE rank <= {pk}),
+tsh AS (
+  SELECT DISTINCT array_to_string(tk[u.i:u.i+{n - 1}], ' ') AS s
+  FROM (SELECT {_TOKS} AS tk FROM documents
+        WHERE doc_id % 17 != 0 AND trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+chv AS (SELECT DISTINCT
+               ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT AS h
+        FROM tsh),
+pfl AS (SELECT pbk.rank, pbk.h,
+               CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS found
+        FROM pbk LEFT JOIN chv c ON pbk.h = c.h),
+pst AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(found) AS BIGINT) AS nf
+        FROM pfl)"""
+    select = f"""
+SELECT 'probe:hits' AS src, rank AS doc_id, h AS total_ngrams,
+       CAST(found AS BIGINT) AS matched_ngrams,
+       CAST(NULL AS DOUBLE) AS overlap
+FROM pfl
+UNION ALL SELECT 'probe:n_probed', np, NULL, NULL, NULL FROM pst
+UNION ALL SELECT 'probe:n_found', nf, NULL, NULL, NULL FROM pst
+UNION ALL SELECT 'probe:containment', NULL, NULL, NULL,
+                 ROUND(CASE WHEN np > 0
+                            THEN CAST(nf AS DOUBLE) / np
+                            ELSE 0.0 END, 6) FROM pst
+"""
+    return ctes, select
+
+
 def _minhash_oracle_sql(
     num_hashes: int = 64,
     bands: int = 16,
@@ -4668,6 +4797,10 @@ def _base_oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM (
               WITH {"%s %s" % _kmv_oracle_sql(_KMV_K)}
+            )
+            UNION ALL
+            SELECT * FROM (
+              WITH {"%s %s" % _probe_oracle_sql(_PROBE_K)}
             )
         """,
         "repetition_signals": f"""

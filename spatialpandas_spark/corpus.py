@@ -189,7 +189,11 @@ class CorpusFrame:
         both ways) from two KMV sketches — each corpus is scanned once,
         nothing is joined across corpora. The cheap first question
         before any exact pass: is a new dump worth ingesting, how much
-        do two crawls share, could this benchmark be contaminated.
+        do two crawls share. The derived containment numbers resolve
+        only down to ~union/k, so they are meaningful for
+        similar-sized corpora; for SMALL-in-LARGE containment (is this
+        benchmark in my 100 TB corpus) use :meth:`containment` — the
+        direct probe whose error is independent of corpus size.
         ``other`` may carry a different text column — each side is
         sketched under its own."""
         from spatialpandas_spark.operators.sketch import (
@@ -204,31 +208,75 @@ class CorpusFrame:
             k,
         )
 
+    def containment(
+        self, benchmark: "CorpusFrame | DataFrame", n: int = 5,
+        k: int = 8192, seed: int = 42,
+    ) -> DataFrame:
+        """DIRECT estimate of how much of ``benchmark`` appears in this
+        corpus: one row ``(n_probed, n_found, containment_b, exact)``
+        from probing the benchmark's own bottom-``k`` shingle hashes
+        against one corpus scan. Unlike :meth:`overlap`'s
+        ``containment_b`` (derived from the union jaccard — resolution
+        ``~union/k``, which goes BLIND for a small benchmark against a
+        huge corpus), this probe's error is binomial ``~sqrt(c(1-c)/k)``
+        regardless of corpus size, and EXACT whenever the benchmark has
+        fewer than ``k`` distinct shingles (the usual eval-set case)."""
+        from spatialpandas_spark.operators.sketch import containment_probe
+
+        o = (
+            benchmark
+            if isinstance(benchmark, CorpusFrame)
+            else CorpusFrame(benchmark)
+        )
+        return containment_probe(
+            self.df, o.df, text_col=self.text_col, n=n, k=k, seed=seed,
+            bench_text_col=o.text_col,
+        )
+
     def decontaminate_screened(
         self,
         benchmark: DataFrame,
         max_overlap: float = 0.5,
         screen_threshold: float = 1e-3,
-        screen_k: int = 1024,
+        screen_k: int = 8192,
         n: int = 5,
         **kw,
     ):
-        """Screen-then-exact decontamination: run the KMV screen first
-        and the exact per-document :meth:`decontaminate` pass ONLY when
-        the screen says the benchmark plausibly appears in the corpus
-        (``containment_b`` — the estimated fraction of the benchmark's
-        n-grams present in the corpus — above ``screen_threshold``).
+        """Screen-then-exact decontamination: probe the benchmark's
+        containment in the corpus first (:meth:`containment` — the
+        DIRECT estimator) and run the exact per-document
+        :meth:`decontaminate` pass only when the screen cannot certify
+        containment at or below ``screen_threshold``.
 
-        At 100 TB the exact pass broadcasts the benchmark shingle set
-        and rescans the corpus per benchmark; a curation pipeline
-        holding dozens of eval sets skips that entire scan for every
-        benchmark the screen clears. The screen itself is one bounded
-        single-row collect of two k-row sketches. With the default
-        ``screen_k=1024`` the containment estimate's error is ~3%
-        relative, so ``screen_threshold`` should stay well below the
-        contamination level worth acting on (default 0.1%)."""
-        row = self.overlap(benchmark, n=n, k=screen_k).collect()[0]
-        if row["containment_b"] <= screen_threshold:
+        The screen is one corpus scan (shingle + hash + broadcast
+        membership — scan speed, no benchmark-set broadcast, and many
+        benchmarks can share the scan via
+        ``containment_probe(bench_group_cols=...)``); clearing it skips
+        the exact pass's heavier per-document overlap aggregation and —
+        the real 100 TB win — the filtered-corpus rewrite.
+
+        The skip decision is CONSERVATIVE by construction: with an
+        exact probe (benchmark smaller than ``screen_k`` distinct
+        shingles — the usual eval set) the measured containment is
+        compared to the threshold directly; with a sampled probe the
+        screen requires the ~97.5% one-sided upper confidence bound
+        ``(n_found + 3) / n_probed`` to clear the threshold, so the
+        earlier small-in-large FALSE-NEGATIVE regime (a fully
+        contaminated benchmark reading containment 0.0 from the
+        union-jaccard screen) cannot occur: a contaminated benchmark's
+        own probes DO hit the corpus no matter how large the corpus is.
+        Note ``3/screen_k`` is the smallest threshold a sampled probe
+        can certify (default 8192 -> ~3.7e-4 < the 1e-3 default); below
+        that the exact pass always runs."""
+        row = self.containment(benchmark, n=n, k=screen_k).collect()[0]
+        if row["n_probed"] == 0:
+            return self  # empty benchmark cannot contaminate
+        if row["exact"]:
+            clean = row["containment_b"] <= screen_threshold
+        else:
+            ub = (row["n_found"] + 3) / row["n_probed"]
+            clean = ub <= screen_threshold
+        if clean:
             return self
         return self.decontaminate(benchmark, max_overlap=max_overlap, n=n, **kw)
 

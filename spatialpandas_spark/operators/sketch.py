@@ -237,6 +237,14 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     screening number). Everything is a deterministic function of the
     two k-row frames — no corpus is touched.
 
+    Resolution contract: the screen holds ``E = k·|A∩B|/|A∪B|`` shared
+    hashes, so the containment numbers resolve only down to ~union/k —
+    fine for similar-sized corpora, BLIND for a small set inside a huge
+    one (containment reads 0.0 under full containment when
+    ``|A∪B|/|A∩B| >> k``). For small-in-large containment use
+    :func:`containment_probe`, whose error is independent of the large
+    side's size.
+
     Each input is consumed three times (union, membership flags,
     summary); a lazy local checkpoint pins the ≤ k-row sketch so a
     sketch built from a corpus scan runs that scan ONCE, not three
@@ -411,6 +419,93 @@ def shingle_sketch(
     )
     return kmv_sketch(
         grams, "s", k=k, group_cols=groups, seed=seed, prefilter=prefilter
+    )
+
+
+def containment_probe(
+    corpus_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 8192,
+    seed: int = 42,
+    bench_text_col: str | None = None,
+    bench_group_cols: list[str] | None = None,
+    detail: bool = False,
+) -> DataFrame:
+    """DIRECT containment of a benchmark in a corpus — the
+    small-in-large estimate :func:`kmv_overlap` fundamentally cannot
+    resolve (ADVICE r8): deriving containment from the union-bottom-k
+    jaccard puts only ``E = k·|bench|/|union|`` benchmark hashes in the
+    screen, which is << 1 for a small eval set against a 100 TB corpus
+    — containment reads 0.0 even under FULL contamination. This probe
+    instead samples the BENCHMARK's own distinct shingle set (its
+    bottom-k hashes — a uniform sample, and the EXACT set whenever the
+    benchmark has fewer than ``k`` distinct shingles, the common case
+    for eval sets) and checks each sampled shingle for membership in
+    the corpus shingle stream. The estimator error is binomial,
+    ``~sqrt(c(1-c)/k)`` — independent of corpus size.
+
+    Spark shape (one corpus scan, nothing corpus-sized shuffles): the
+    ≤ ``k`` probe hashes broadcast; the corpus shingle scan keeps only
+    hash matches via a broadcast LEFT SEMI at scan stage; the
+    survivors' distinct (map-side combined, ≤ k values) feeds a k-row
+    join. 60-bit hash collisions (a non-benchmark corpus shingle
+    colliding with a probe) inflate n_found with probability
+    ~``k·|corpus|/2^60`` — negligible, and conservative (toward running
+    the exact pass).
+
+    ``bench_group_cols`` screens MANY benchmarks in the same single
+    corpus scan (one summary row per group — the "dozens of eval sets"
+    pipeline shape). Returns one row per group:
+    ``(*group_cols, n_probed, n_found, containment_b, exact)`` where
+    ``exact`` marks a benchmark whose probe set is its full distinct
+    shingle set (containment is then exact, not sampled).
+    ``detail=True`` instead returns the per-probe rows
+    ``(*group_cols, rank, h, found)``."""
+    groups = list(bench_group_cols or [])
+    bsk = shingle_sketch(
+        benchmark_docs,
+        bench_text_col or text_col,
+        n=n,
+        k=k,
+        seed=seed,
+        group_cols=groups,
+    ).localCheckpoint(eager=False)  # consumed twice (probe set + join)
+
+    grams = corpus_docs.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    probes = F.broadcast(bsk.select("h").distinct())
+    hits = (
+        grams.select(sample_hash(F.col("s"), seed).alias("h"))
+        .join(probes, "h", "left_semi")
+        .distinct()
+        .withColumn("__found", F.lit(1))
+    )
+    flagged = bsk.join(F.broadcast(hits), "h", "left").select(
+        *groups,
+        "rank",
+        "h",
+        F.coalesce(F.col("__found"), F.lit(0)).alias("found"),
+    )
+    if detail:
+        return flagged
+    agg = flagged.groupBy(*groups).agg(
+        F.count("*").alias("n_probed"),
+        F.sum("found").cast("long").alias("n_found"),
+    )
+    return agg.select(
+        *groups,
+        "n_probed",
+        "n_found",
+        F.when(
+            F.col("n_probed") > 0,
+            F.col("n_found").cast("double") / F.col("n_probed"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment_b"),
+        (F.col("n_probed") < F.lit(k)).alias("exact"),
     )
 
 

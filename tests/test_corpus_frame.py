@@ -327,3 +327,57 @@ def test_sample_pps_delegates(spark):
         ).collect()
     )
     assert via == direct and len(via) > 0
+
+
+def test_containment_facade_small_in_large(spark):
+    """CorpusFrame.containment: the direct probe — exact 1.0 for a tiny
+    fully-contained benchmark regardless of corpus size (the regime the
+    union-jaccard screen can't resolve)."""
+    corpus = CorpusFrame(
+        spark.createDataFrame(
+            [
+                (i, " ".join(f"c{i}w{j}" for j in range(8)))
+                for i in range(2000)
+            ],
+            "doc_id long, text string",
+        )
+    )
+    bench = spark.createDataFrame(
+        [
+            (7, " ".join(f"c7w{j}" for j in range(8))),
+            (42, " ".join(f"c42w{j}" for j in range(8))),
+        ],
+        "doc_id long, body string",
+    )
+    row = corpus.containment(CorpusFrame(bench, text_col="body")).collect()[0]
+    assert row["exact"] and row["containment_b"] == 1.0
+
+
+def test_decontaminate_screened_small_in_large_not_skipped(spark):
+    """REGRESSION (ADVICE r8): a fully-contaminated benchmark that is
+    tiny relative to the corpus must NOT be screened out — the old
+    union-jaccard screen read containment ~0 here and silently skipped
+    the exact pass."""
+    texts = {
+        i: " ".join(f"c{i}w{j}" for j in range(8)) for i in range(2000)
+    }
+    corpus = CorpusFrame(
+        spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+    )
+    dirty = spark.createDataFrame(
+        [(900, texts[3]), (901, texts[1044])], "doc_id long, text string"
+    )
+    screened = corpus.decontaminate_screened(dirty, max_overlap=0.3)
+    assert screened is not corpus, "contaminated benchmark was skipped"
+    kept = {r["doc_id"] for r in screened.df.collect()}
+    assert 3 not in kept and 1044 not in kept
+    assert len(kept) == 1998
+
+    # and a genuinely clean benchmark still short-circuits (exact probe)
+    clean = spark.createDataFrame(
+        [(0, " ".join(f"z0w{j}" for j in range(8)))],
+        "doc_id long, text string",
+    )
+    assert corpus.decontaminate_screened(clean, max_overlap=0.3) is corpus

@@ -374,3 +374,120 @@ def test_overlap_matrix_group_count_guard(spark):
         kmv_overlap_matrix(sk, 8, "source", max_groups=3)
     out = kmv_overlap_matrix(sk, 8, "source", max_groups=5)
     assert out.count() == 10  # 5 choose 2
+
+
+# ------------------------------------------------- containment probe
+
+def _py_shingles(text, n=5):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _doc(i, tag="c"):
+    return " ".join(f"{tag}{i}w{j}" for j in range(8))
+
+
+def test_containment_probe_small_in_large_exact(spark):
+    """The ADVICE-r8 regime: a tiny fully-contained benchmark inside a
+    much larger corpus. The union-jaccard containment is blind here
+    (reads ~0); the direct probe must read EXACTLY 1.0 with the exact
+    flag set."""
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(3000)], "doc_id long, text string"
+    )
+    bench = corpus.filter(F.col("doc_id").isin(7, 99, 1500))
+    row = containment_probe(corpus, bench, n=5, k=1024).collect()[0]
+    assert row["exact"] is True
+    assert row["n_probed"] == row["n_found"] > 0
+    assert row["containment_b"] == 1.0
+
+    # contrast: the sketch-derived containment_b IS blind once
+    # union/k >> |bench| (k=64 vs ~12k distinct corpus shingles and a
+    # 12-shingle benchmark scales the 100 TB regime down to fixture
+    # size: E[shared sketch hashes] = k*|B|/|union| ~ 0.06), while the
+    # probe above stays exact at ANY corpus size — why it exists
+    blind = corpus_overlap(corpus, bench, n=5, k=64).collect()[0]
+    assert blind["containment_b"] < 0.05
+    probe_small_k = containment_probe(corpus, bench, n=5, k=64).collect()[0]
+    assert probe_small_k["containment_b"] == 1.0
+
+
+def test_containment_probe_zero_and_empty(spark):
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(200)], "doc_id long, text string"
+    )
+    disjoint = spark.createDataFrame(
+        [(0, _doc(0, tag="z"))], "doc_id long, text string"
+    )
+    row = containment_probe(corpus, disjoint, n=5, k=64).collect()[0]
+    assert row["n_found"] == 0 and row["containment_b"] == 0.0
+    assert row["exact"] is True
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = containment_probe(corpus, empty, n=5, k=64).collect()[0]
+    assert row["n_probed"] == 0 and row["containment_b"] == 0.0
+
+
+def test_containment_probe_sampled_matches_python_twin(spark):
+    """k smaller than the benchmark's distinct shingle set: the probe
+    is the bottom-k hash sample — deterministic, so the python twin
+    reproduces n_probed/n_found/containment EXACTLY."""
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    k = 16
+    corpus_rows = [(i, _doc(i)) for i in range(400)]
+    # benchmark: 30 docs from the corpus + 30 foreign -> containment .5ish
+    bench_rows = [(i, _doc(i)) for i in range(30)] + [
+        (1000 + i, _doc(i, tag="q")) for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    corpus_hashes = {
+        _h(s) for _, t in corpus_rows for s in _py_shingles(t)
+    }
+    bench_hashes = sorted(
+        {_h(s) for _, t in bench_rows for s in _py_shingles(t)}
+    )
+    probes = bench_hashes[:k]
+    want_found = sum(1 for h in probes if h in corpus_hashes)
+
+    row = containment_probe(corpus, bench, n=5, k=k).collect()[0]
+    assert row["exact"] is False
+    assert row["n_probed"] == len(probes) == k
+    assert row["n_found"] == want_found
+    assert row["containment_b"] == want_found / k
+
+    det = containment_probe(corpus, bench, n=5, k=k, detail=True)
+    got = sorted(
+        (r["rank"], r["h"], r["found"]) for r in det.collect()
+    )
+    want = sorted(
+        (i + 1, h, int(h in corpus_hashes)) for i, h in enumerate(probes)
+    )
+    assert got == want
+
+
+def test_containment_probe_grouped_many_benchmarks_one_scan(spark):
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(500)], "doc_id long, text string"
+    )
+    benches = spark.createDataFrame(
+        [("in", i, _doc(i)) for i in range(4)]
+        + [("out", i, _doc(i, tag="x")) for i in range(4)],
+        "bname string, doc_id long, text string",
+    )
+    rows = {
+        r["bname"]: r
+        for r in containment_probe(
+            corpus, benches, n=5, k=256, bench_group_cols=["bname"]
+        ).collect()
+    }
+    assert rows["in"]["containment_b"] == 1.0 and rows["in"]["exact"]
+    assert rows["out"]["containment_b"] == 0.0
