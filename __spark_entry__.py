@@ -1123,7 +1123,39 @@ def _wordpiece_fixture_vocab():
     return train_wordpiece_from_histogram(dict(hist), 120)
 
 
-def _wordpiece_oracle_sql() -> str:
+#: byte-mode gate substitutions: three vowels of the ascii fixture map
+#: to umlauts, making every derived word NON-ASCII. Their UTF-8 bytes
+#: land in the printable Latin-1 span of the GPT-2 byte alphabet, so
+#: the byte-level word is a plain 2-chars-per-umlaut string both Python
+#: and DuckDB agree on: ä=C3A4 -> 'Ã¤', ö=C3B6 -> 'Ã¶', ü=C3BC -> 'Ã¼'.
+_WPB_SUBS = (("a", "ä", "Ã¤"),
+             ("o", "ö", "Ã¶"),
+             ("u", "ü", "Ã¼"))
+
+
+def _wordpiece_bytes_fixture_vocab():
+    """Fixture vocab for the 'wpb' (byte-mode) gate variant: trained
+    driver-side on the umlaut-substituted fixture corpus through the
+    byte-level pre-tokenizer — the SAME histogram->trainer path
+    ``train_wordpiece(mode='bytes')`` runs, deterministic by the
+    trainer's tie contract. Training identity is pinned by
+    tests/test_wordpiece.py's byte-mode reference trainer."""
+    from collections import Counter
+
+    from spatialpandas_spark.operators.bpe import _byte_words
+    from spatialpandas_spark.operators.wordpiece import (
+        train_wordpiece_from_histogram,
+    )
+
+    hist: Counter = Counter()
+    for s in _BPE_FIXTURE_CORPUS:
+        for a, u, _ in _WPB_SUBS:
+            s = s.replace(a, u)
+        hist.update(_byte_words(s))
+    return train_wordpiece_from_histogram(dict(hist), 160)
+
+
+def _wordpiece_oracle_sql(vocab=None, word_expr: str = "wds[u.i]") -> str:
     """Independent DuckDB replay of ``wordpiece_encode_ids``
     (operators/wordpiece.py segment_word_wp): greedy longest-match as a
     RECURSIVE CTE walking each DISTINCT word left to right — per step a
@@ -1133,9 +1165,15 @@ def _wordpiece_oracle_sql() -> str:
     keeps the matches, and list_reverse_sort picks the LONGEST; no
     match -> the whole word collapses to ``[UNK]`` (id 0), exactly the
     engine rule. Distinct-word amortization as in the unigram oracle.
-    Output shape matches the 'wp' variant of ``doc_chunks``: per-doc
-    token count + md5 of the comma-joined id sequence."""
-    vocab = _wordpiece_fixture_vocab()
+    Output shape matches the 'wp'/'wpb' variants of ``doc_chunks``:
+    per-doc token count + md5 of the comma-joined id sequence.
+
+    ``vocab``/``word_expr`` parametrize the byte-mode twin
+    (:func:`_wordpiece_bytes_oracle_sql`): substr/length in DuckDB
+    count UTF-8 CHARACTERS, exactly like Python iterates the
+    byte-alphabet string, so the same CTE segments byte-level words."""
+    if vocab is None:
+        vocab = _wordpiece_fixture_vocab()
     from spatialpandas_spark.operators.wordpiece import CONT, UNK
 
     def esc(s: str) -> str:
@@ -1163,7 +1201,7 @@ def _wordpiece_oracle_sql() -> str:
     return f"""
         WITH RECURSIVE
         w AS (
-          SELECT doc_id, u.i AS wi, wds[u.i] AS word
+          SELECT doc_id, u.i AS wi, {word_expr} AS word
           FROM (SELECT doc_id,
                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                               x -> x != '') AS wds
@@ -1198,6 +1236,24 @@ def _wordpiece_oracle_sql() -> str:
                md5(COALESCE(array_to_string(a.tid, ','), '')) AS chunk_md5
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
+
+
+def _wordpiece_bytes_oracle_sql() -> str:
+    """Byte-mode WordPiece replay for the 'wpb' gate variant: the
+    derived fixture text is the ascii word stream with three vowels
+    substituted to umlauts (every word NON-ASCII), and the byte-level
+    word is reached in SQL by replacing each umlaut's source vowel with
+    its 2-char byte-alphabet expansion (_WPB_SUBS — the substitution
+    composes with the GPT-2 byte mapping into one ascii->bytes replace
+    per vowel). Segmentation then reuses the exact recursive
+    longest-match CTE of :func:`_wordpiece_oracle_sql` over the
+    byte-mode fixture vocab."""
+    expr = "wds[u.i]"
+    for a, _, bsym in _WPB_SUBS:
+        expr = f"replace({expr}, '{a}', '{bsym}')"
+    return _wordpiece_oracle_sql(
+        vocab=_wordpiece_bytes_fixture_vocab(), word_expr=expr
+    )
 
 
 def _unigram_oracle_sql() -> str:
@@ -1433,10 +1489,19 @@ def q_doc_chunks(spark, sf_dir):
       longest-match segmenter emits; oracle is the recursive-CTE
       longest-match replay (_wordpiece_oracle_sql)
       [operators/wordpiece.py — tests/test_wordpiece.py];
+    - 'wpb' (round 9): ``wordpiece_encode_ids(mode='bytes')`` over a
+      NON-ASCII derived slice — the document word stream with three
+      vowels substituted to umlauts (F.translate), so every word runs
+      the GPT-2 byte pre-tokenizer + byte-alphabet segmentation; vocab
+      byte-mode fixture-trained (_wordpiece_bytes_fixture_vocab);
+      oracle replays the ascii->byte-symbol substitution + the same
+      recursive longest-match CTE (_wordpiece_bytes_oracle_sql)
+      [operators/wordpiece.py mode='bytes' — tests/test_wordpiece.py
+      byte battery];
     The 'unigram' variant was promoted to its own ``unigram_encode``
     gate in round 7 (densest-union split) so a Viterbi-segmenter
     regression reads as its own red row."""
-    from spatialpandas_spark.operators.bpe import bpe_encode_ids
+    from spatialpandas_spark.operators.bpe import bpe_encode_ids, word_tokens
     from spatialpandas_spark.operators.chunk import chunk_documents
     from spatialpandas_spark.operators.wordpiece import wordpiece_encode_ids
 
@@ -1471,10 +1536,34 @@ def q_doc_chunks(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
+    src, dst = (
+        "".join(a for a, _, _ in _WPB_SUBS),
+        "".join(u for _, u, _ in _WPB_SUBS),
+    )
+    dn = d.select(
+        "doc_id",
+        F.translate(
+            F.concat_ws(" ", word_tokens("text")), src, dst
+        ).alias("text"),
+    )
+    wpb = wordpiece_encode_ids(
+        dn, _wordpiece_bytes_fixture_vocab(), mode="bytes"
+    ).select(
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("chunk_md5"),
+    )
     return (
         _variant(chunks, "chunk")
         .unionByName(_variant(bpe, "bpe"))
         .unionByName(_variant(wp, "wp"))
+        .unionByName(_variant(wpb, "wpb"))
     )
 
 
@@ -4858,6 +4947,7 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "bpe_ids": _bpe_oracle_sql(),
         "wp_ids": _wordpiece_oracle_sql(),
+        "wpb_ids": _wordpiece_bytes_oracle_sql(),
         "unigram_ids": _unigram_oracle_sql(),
         "span_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
@@ -5382,6 +5472,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": (
             union("doc_chunks", "bpe_ids", "chunk", "bpe")
             + f" UNION ALL SELECT z.*, 'wp' AS variant FROM ({o['wp_ids']}) z"
+            + f" UNION ALL SELECT b.*, 'wpb' AS variant"
+            f" FROM ({o['wpb_ids']}) b"
         ),
         "unigram_encode": (
             "SELECT doc_id, n_tokens, chunk_md5 AS ids_md5 FROM ("

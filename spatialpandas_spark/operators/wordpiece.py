@@ -126,16 +126,29 @@ def train_wordpiece(
     vocab_size: int = 200,
     text_col: str = "text",
     max_words: int = 1_000_000,
+    mode: str = "ascii",
 ) -> list[str]:
     """Distributed histogram -> driver training (the BPE split). The
-    histogram is capped keep-most-frequent like ``train_bpe``; ascii
-    pre-tokenization (``operators.bpe.word_tokens``)."""
+    histogram is capped keep-most-frequent like ``train_bpe``. ``mode``
+    mirrors the BPE module exactly:
+
+    - ``'ascii'`` (default): Catalyst word splitter, SQL-replayable;
+      non-ASCII text contributes nothing;
+    - ``'bytes'``: GPT-2-style byte-level words
+      (``operators.bpe.word_histogram(mode='bytes')``) — every UTF-8
+      document contributes, symbols are byte-alphabet chars, and the
+      ``##`` continuation convention applies to byte symbols. (As in
+      standard WordPiece, a literal ``#`` in text can produce pieces
+      that LOOK like continuations — segmentation is still
+      deterministic because the prefix is positional, never parsed.)"""
     from pyspark.sql import functions as F
 
     from spatialpandas_spark.operators.bpe import word_histogram
 
+    if mode not in ("ascii", "bytes"):
+        raise ValueError(f"unknown WordPiece mode {mode!r}")
     rows = (
-        word_histogram(docs, text_col, mode="ascii")
+        word_histogram(docs, text_col, mode=mode)
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(max_words)
         .collect()
@@ -167,19 +180,36 @@ def segment_word_wp(word: str, vocab: set[str]) -> list[str]:
     return out
 
 
+def wordpiece_word_to_text(pieces: list[str]) -> str:
+    """Inverse of a single word's byte-mode segmentation: strip the
+    positional ``##`` prefix from every non-initial piece, then map the
+    byte-alphabet symbols back through UTF-8
+    (``operators.bpe.byte_tokens_to_text``). ``[UNK]`` words are not
+    invertible (returns the empty string for them)."""
+    from spatialpandas_spark.operators.bpe import byte_tokens_to_text
+
+    if pieces == [UNK]:
+        return ""
+    flat = [pieces[0]] + [p[len(CONT):] for p in pieces[1:]]
+    return byte_tokens_to_text(flat)
+
+
 def _encode(
     docs: DataFrame,
     vocab: list[str],
     id_col: str,
     text_col: str,
     ids: bool,
+    mode: str = "ascii",
 ) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from spatialpandas_spark.operators.bpe import word_tokens
+    from spatialpandas_spark.operators.bpe import _byte_words, word_tokens
 
+    if mode not in ("ascii", "bytes"):
+        raise ValueError(f"unknown WordPiece mode {mode!r}")
     spark = docs.sparkSession
     vset = set(vocab)
     vids = {s: i for i, s in enumerate(vocab)}
@@ -193,16 +223,32 @@ def _encode(
             StructField("n_tokens", IntegerType()),
         ]
     )
-    prepped = docs.select(id_col, word_tokens(text_col).alias("__w"))
+    # byte mode pre-tokenizes in PYTHON inside the Arrow pass (the same
+    # splitter + byte alphabet the histogram used — training and apply
+    # can never disagree, the bpe.py discipline); ascii mode keeps the
+    # Catalyst splitter
+    from pyspark.sql import functions as F
+
+    if mode == "ascii":
+        prepped = docs.select(id_col, word_tokens(text_col).alias("__w"))
+    else:
+        prepped = docs.select(
+            id_col, F.col(text_col).cast("string").alias("__t")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vs, vi = bc.value
         cache: dict[str, list] = {}
         for pdf in batches:
             out_ids, out_toks, ns = [], [], []
-            for did, raw in zip(pdf[id_col], pdf["__w"]):
+            src = pdf["__w"] if mode == "ascii" else pdf["__t"]
+            for did, raw in zip(pdf[id_col], src):
+                if mode == "bytes":
+                    words = _byte_words(raw)
+                else:
+                    words = raw if raw is not None else []
                 toks: list = []
-                for w in (raw if raw is not None else []):
+                for w in words:
                     seg = cache.get(w)
                     if seg is None:
                         seg = segment_word_wp(w, vs)
@@ -225,9 +271,12 @@ def wordpiece_encode(
     vocab: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "ascii",
 ) -> DataFrame:
-    """Tokenize: ``(id_col, tokens array<string>, n_tokens)``."""
-    return _encode(docs, vocab, id_col, text_col, ids=False)
+    """Tokenize: ``(id_col, tokens array<string>, n_tokens)``.
+    ``mode='bytes'`` applies the GPT-2 byte-level pre-tokenizer (full
+    UTF-8 coverage; pair with a ``mode='bytes'``-trained vocab)."""
+    return _encode(docs, vocab, id_col, text_col, ids=False, mode=mode)
 
 
 def wordpiece_encode_ids(
@@ -235,24 +284,45 @@ def wordpiece_encode_ids(
     vocab: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "ascii",
 ) -> DataFrame:
     """Tokenize to vocab ids: ``(id_col, token_ids array<int>,
-    n_tokens)`` — ``[UNK]`` is id 0 by construction."""
-    return _encode(docs, vocab, id_col, text_col, ids=True)
+    n_tokens)`` — ``[UNK]`` is id 0 by construction. ``mode='bytes'``
+    as in :func:`wordpiece_encode`."""
+    return _encode(docs, vocab, id_col, text_col, ids=True, mode=mode)
 
 
-def save_wordpiece(vocab: list[str], path: str, filesystem=None) -> None:
+def save_wordpiece(
+    vocab: list[str], path: str, filesystem=None, mode: str = "ascii"
+) -> None:
     """Persist the vocab as a JSON sidecar via the object-store fs
-    layer (same convention as ``save_bpe``/unigram)."""
+    layer (same convention as ``save_bpe``/unigram). ``mode`` records
+    which pre-tokenizer the vocab was trained under (apply with the
+    same one; see :func:`load_wordpiece_mode`)."""
     import json
 
     from spatialpandas_spark.sources import fs as _fs
 
+    if mode not in ("ascii", "bytes"):
+        raise ValueError(f"unknown WordPiece mode {mode!r}")
     _fs.write_text(
         path,
-        json.dumps({"format": "wordpiece", "vocab": vocab}),
+        json.dumps({"format": "wordpiece", "mode": mode, "vocab": vocab}),
         filesystem=filesystem,
     )
+
+
+def load_wordpiece_mode(path: str, filesystem=None) -> str:
+    """The pre-tokenizer mode a sidecar's vocab was trained under
+    (sidecars predating the mode field read as 'ascii')."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    d = json.loads(_fs.read_text(path, filesystem=filesystem))
+    if d.get("format") != "wordpiece":
+        raise ValueError(f"not a WordPiece tokenizer sidecar: {path}")
+    return d.get("mode", "ascii")
 
 
 def load_wordpiece(path: str, filesystem=None) -> list[str]:

@@ -232,3 +232,147 @@ def test_property_segmenter_roundtrip_and_identity(train_words, apply_words, siz
         assert "".join(
             p[len(CONT):] if p.startswith(CONT) else p for p in got
         ) == w
+
+
+# ---------------------------------------------------- byte-level mode
+
+BYTE_CORPUS = [
+    "straße größe äpfel über die brücke",
+    "日本語のテキストを処理する",
+    "mixed ascii und ümlaute zusammen 42",
+    "emoji 🎉 rows and straße again für größe",
+]
+
+
+def test_bytes_trainer_matches_reference(spark):
+    """mode='bytes' training == the independent reference trainer over
+    the byte-alphabet word expansion (the ascii-mode identity test's
+    shape, on the byte domain)."""
+    from spatialpandas_spark.operators.bpe import _byte_words
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BYTE_CORPUS)],
+        "doc_id long, text string",
+    ).repartition(3)
+    words = []
+    for t in BYTE_CORPUS:
+        words.extend(_byte_words(t))
+    assert train_wordpiece(docs, 80, mode="bytes") == ref_train(words, 80)
+
+
+def test_bytes_mode_tokenizes_unicode_spark(spark):
+    """The round-8 gap closed: non-ASCII corpora no longer collapse to
+    whole-word [UNK] — every seen word segments into real pieces and
+    round-trips back to its text, while ascii mode on the same docs
+    yields zero tokens (why byte mode exists)."""
+    from spatialpandas_spark.operators.bpe import _byte_words
+    from spatialpandas_spark.operators.wordpiece import (
+        wordpiece_word_to_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BYTE_CORPUS)],
+        "doc_id long, text string",
+    ).repartition(2)
+    vocab = train_wordpiece(docs, 96, mode="bytes")
+    enc = {
+        r["doc_id"]: r
+        for r in wordpiece_encode(docs, vocab, mode="bytes").collect()
+    }
+    vset = set(vocab)
+    for i, t in enumerate(BYTE_CORPUS):
+        toks = enc[i]["tokens"]
+        assert toks and UNK not in toks, (i, toks)
+        # per-word round trip: regroup the flat stream at non-## starts
+        words, cur = [], []
+        for p in toks:
+            if cur and not p.startswith(CONT):
+                words.append(cur)
+                cur = []
+            cur.append(p)
+        words.append(cur)
+        raw = [w for w in _re_findall(t)]
+        got = [wordpiece_word_to_text(w) for w in words]
+        assert got == raw, (i, got, raw)
+
+    # ascii mode on the all-CJK doc: zero tokens (the documented drop)
+    ascii_enc = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_encode(docs, [UNK, "a"], mode="ascii").collect()
+    }
+    assert ascii_enc[1] == []
+
+    # ids twin: same stream through the id path, UNK-free
+    ids = {
+        r["doc_id"]: r["token_ids"]
+        for r in wordpiece_encode_ids(docs, vocab, mode="bytes").collect()
+    }
+    vid = {s: j for j, s in enumerate(vocab)}
+    for i in enc:
+        assert ids[i] == [vid[p] for p in enc[i]["tokens"]]
+
+
+def _re_findall(text):
+    from spatialpandas_spark.operators.bpe import _BYTE_WORD_RE
+
+    return _BYTE_WORD_RE.findall(text)
+
+
+def test_bytes_segmenter_property_roundtrip():
+    """Hypothesis: for arbitrary unicode text, every trained-on word
+    segments UNK-free and round-trips exactly (the BPE byte-mode
+    battery's property on the WordPiece surface)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spatialpandas_spark.operators.bpe import _byte_words
+    from spatialpandas_spark.operators.wordpiece import (
+        wordpiece_word_to_text,
+    )
+
+    @given(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=30,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def prop(text):
+        words = _byte_words(text)
+        hist = Counter(words)
+        vocab = set(
+            train_wordpiece_from_histogram(dict(hist), vocab_size=60)
+        )
+        raw_words = _re_findall(text)
+        for raw, w in zip(raw_words, words):
+            seg = segment_word_wp(w, vocab)
+            # every byte symbol of a trained-on word is in the base
+            # vocab unless the cap cut base symbols — tolerate UNK only
+            # then
+            if seg != [UNK]:
+                assert wordpiece_word_to_text(seg) == raw
+
+    prop()
+
+
+def test_bytes_sidecar_mode_round_trip(tmp_path):
+    p = str(tmp_path / "wp_bytes.json")
+    vocab = [UNK, "a", "##b", "ab"]
+    save_wordpiece(vocab, p, mode="bytes")
+    from spatialpandas_spark.operators.wordpiece import (
+        load_wordpiece_mode,
+    )
+
+    assert load_wordpiece(p) == vocab
+    assert load_wordpiece_mode(p) == "bytes"
+    # legacy sidecar without the field reads as ascii
+    import json
+
+    p2 = str(tmp_path / "wp_legacy.json")
+    with open(p2, "w") as f:
+        json.dump({"format": "wordpiece", "vocab": vocab}, f)
+    assert load_wordpiece_mode(p2) == "ascii"
+    with pytest.raises(ValueError):
+        save_wordpiece(vocab, str(tmp_path / "x.json"), mode="wat")
