@@ -2777,26 +2777,48 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_ivf_index(spark, sf_dir):
-    """Persistent IVF, TWO variants like q_ann_ivf_topk: build the
-    bucket-partitioned index on disk, then probe it — results must equal
-    the in-memory IVF (same deterministic centroids), so the same SQL
+    """Persistent IVF, THREE variants: build the bucket-partitioned
+    index on disk, then probe it — 'iso'/'clustered' must equal the
+    in-memory IVF (same deterministic centroids), so the same SQL
     oracles (incl. recall@5 vs brute force) apply. 'iso' = raw fixture
     (recall ~ scan fraction, the bound for structureless vectors);
     'clustered' = the deterministic twin where the PERSISTENT index's
     quality is driver-verified at 1.0. Probe scans are partition-pruned
     (plan-asserted in tests).
 
+    'ivfsq8' (round 9): the persistent IVF-SQ8 index on the clustered
+    twin — bucket pruning + int8 ADC scoring end to end, the LOSSY
+    pipeline itself hash-exact: md5 centroids (kmeans_iters=0), the
+    probe contract (raw-cosine DESC, index DESC on ties), global SQ8
+    lo/hi over the normalized corpus, half-up codes, dequantized
+    sequential-fold ADC sims, plus recall@5 vs exact brute force
+    (driver-verified ANN quality). Oracle composes the IVF replay with
+    the SQ8 replay (_ivfsq8_oracle_sql).
+
     Breadcrumbs: operators/similarity_index.py build/query
-    (tests/test_similarity_index.py); variants as in q_ann_ivf_topk."""
+    (tests/test_similarity_index.py, tests/test_sq_index.py)."""
     import tempfile
 
     from spatialpandas_spark.operators.similarity import brute_force_topk
     from spatialpandas_spark.operators.similarity_index import (
         build_ivf_index,
+        build_ivfsq8_index,
         query_ivf_index,
+        query_ivfsq8_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    cvecs = _clustered_vecs(emb)
+
+    def with_recall(out, qs, corpus, vec_col, tag):
+        out = out.select(
+            "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = _ivf_with_recall(
+            out, brute_force_topk(qs, corpus, k=5, corpus_vec=vec_col), 5
+        )
+        return out.withColumn("variant", F.lit(tag))
 
     def variant(corpus, vec_col, tag):
         path = os.path.join(tempfile.mkdtemp(prefix=f"ivf_idx_{tag}_"), "index")
@@ -2808,17 +2830,24 @@ def q_ann_ivf_index(spark, sf_dir):
         qs = corpus.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec")
         )
-        out = query_ivf_index(spark, path, qs, k=5, n_probe=4).select(
-            "qid", "vec_id", F.round(F.col("sim"), 6).alias("sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-        out = _ivf_with_recall(
-            out, brute_force_topk(qs, corpus, k=5, corpus_vec=vec_col), 5
-        )
-        return out.withColumn("variant", F.lit(tag))
+        out = query_ivf_index(spark, path, qs, k=5, n_probe=4)
+        return with_recall(out, qs, corpus, vec_col, tag)
 
-    return variant(emb, "embedding", "iso").unionByName(
-        variant(_clustered_vecs(emb), "cvec", "clustered")
+    def variant_sq8():
+        path = os.path.join(tempfile.mkdtemp(prefix="ivfsq8_idx_"), "index")
+        build_ivfsq8_index(
+            cvecs, path, n_centroids=16, kmeans_iters=0, corpus_vec="cvec"
+        )
+        qs = cvecs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("cvec").alias("qvec")
+        )
+        out = query_ivfsq8_index(spark, path, qs, k=5, n_probe=4)
+        return with_recall(out, qs, cvecs, "cvec", "ivfsq8")
+
+    return (
+        variant(emb, "embedding", "iso")
+        .unionByName(variant(cvecs, "cvec", "clustered"))
+        .unionByName(variant_sq8())
     )
 
 
@@ -4238,6 +4267,79 @@ def _sq8_oracle_sql(k: int = 5) -> str:
     """
 
 
+def _ivfsq8_oracle_sql(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """SQL replay of the persistent IVF-SQ8 probe on the clustered
+    twin: the IVF replay's centroid sample / max-cosine assignment /
+    probe ranking (cos DESC, ci DESC — _ivf_oracle_sql) composed with
+    the SQ8 replay's normalize / MIN-MAX train / half-up dequantize /
+    sequential-fold ADC sims (_sq8_oracle_sql). Every op mirrors
+    operators/similarity_index.py query_ivfsq8_index one-for-one, so
+    the LOSSY bucket-pruned int8 pipeline is hash-exact end to end."""
+    d = _CLUSTER_DIM
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+            f"AND sqrt(list_dot_product({b},{b})) > 0 "
+            f"THEN list_dot_product({a},{b}) / "
+            f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+            f"ELSE 0.0 END"
+        )
+
+    return f"""
+WITH e AS ({_CLUSTERED_E_SQL}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) AS ci, cv FROM
+  (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS cv FROM e
+   ORDER BY 1, 2 LIMIT {n_centroids})
+),
+asg AS (
+  SELECT vec_id, ci FROM (
+    SELECT e.vec_id, c.ci,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.cv')} DESC, c.ci ASC) AS rk
+    FROM e CROSS JOIN cent c) WHERE rk = 1
+),
+nrm AS (SELECT vec_id,
+               list_transform(v, x ->
+                 x / sqrt(list_dot_product(v, v))) AS vn
+        FROM e),
+dmm AS (SELECT u.i AS j, MIN(vn[u.i]) AS lo, MAX(vn[u.i]) AS hi
+        FROM nrm, UNNEST(range(1, {d} + 1)) AS u(i)
+        GROUP BY u.i),
+prm AS (SELECT list(lo ORDER BY j) AS lo,
+               list(CASE WHEN hi = lo THEN 1.0
+                         ELSE (hi - lo) / 255.0 END ORDER BY j) AS sc
+        FROM dmm),
+xh AS (SELECT vec_id,
+              list_transform(range(1, {d} + 1), j ->
+                prm.lo[j] + LEAST(255.0, GREATEST(0.0,
+                  floor((vn[j] - prm.lo[j]) / prm.sc[j] + 0.5)))
+                * prm.sc[j]) AS xhat
+       FROM nrm, prm),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+qn AS (SELECT vec_id AS qid, vn AS qn FROM nrm WHERE vec_id < 5),
+pr AS (
+  SELECT qid, ci FROM (
+    SELECT q.qid, c.ci,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos('q.qv', 'c.cv')} DESC, c.ci DESC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= {n_probe}
+),
+sims AS (
+  SELECT pr.qid, a.vec_id, list_dot_product(xh.xhat, qn.qn) AS sim
+  FROM pr JOIN asg a ON pr.ci = a.ci
+  JOIN qn ON pr.qid = qn.qid JOIN xh ON a.vec_id = xh.vec_id
+)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= {k}
+"""
+
+
 def _bf_oracle_sql(e_sql: str = _ISO_E_SQL, k: int = 5) -> str:
     """Brute-force cosine top-k replay over any (vec_id, v) source CTE."""
     return f"""
@@ -5452,7 +5554,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_index": (
             f"SELECT x.*, 'iso' AS variant FROM ({iso_recall}) x "
             f"UNION ALL "
-            f"SELECT y.*, 'clustered' AS variant FROM ({clus_recall}) y"
+            f"SELECT y.*, 'clustered' AS variant FROM ({clus_recall}) y "
+            f"UNION ALL "
+            f"SELECT s.*, 'ivfsq8' AS variant FROM ("
+            f"{ivf_recall(_ivfsq8_oracle_sql(), _bf_oracle_sql(_CLUSTERED_E_SQL))}"
+            f") s"
         ),
         # bf variant = full corpus; pq_exact = the PQ pipeline in its
         # lossless configuration (200-vector corpus, n_codes=200), where
