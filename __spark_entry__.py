@@ -2322,38 +2322,50 @@ def q_shard_pack(spark, sf_dir):
         F.col("n_tokens_in_seq").cast("long").alias("v2"),
         F.lit(None).cast("string").alias("h"),
     )
-    packed = pack_documents_nextfit(
-        d, "w", ["doc_id"], budget=500, group_size=64
-    )
-    nf = (
-        packed.groupBy("grp", "bin")
-        .agg(
-            F.count("*").cast("long").alias("v1"),
-            F.sum("w").cast("long").alias("v2"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("doc_id"))
+    def bin_rows(packed):
+        return (
+            packed.groupBy("grp", "bin")
+            .agg(
+                F.count("*").cast("long").alias("v1"),
+                F.sum("w").cast("long").alias("v2"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id"))
+                            ),
+                            lambda s: s["doc_id"].cast("string"),
                         ),
-                        lambda s: s["doc_id"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("h"),
+                        ",",
+                    )
+                ).alias("h"),
+            )
+            .select(
+                F.col("grp").cast("long").alias("k1"),
+                F.col("bin").cast("long").alias("k2"),
+                "v1",
+                "v2",
+                "h",
+            )
         )
-        .select(
-            F.col("grp").cast("long").alias("k1"),
-            F.col("bin").cast("long").alias("k2"),
-            "v1",
-            "v2",
-            "h",
+
+    nf = bin_rows(
+        pack_documents_nextfit(d, "w", ["doc_id"], budget=500, group_size=64)
+    )
+    # 'ffd' (round 9): the first-fit-decreasing strategy — the
+    # 0.997-fill layout users should actually pick (docs/SCALE.md) —
+    # driver-verified against a recursive-CTE first-fit replay carrying
+    # the per-group bin-fill list through the recursion
+    ffd = bin_rows(
+        pack_documents_nextfit(
+            d, "w", ["doc_id"], budget=500, group_size=64, strategy="ffd"
         )
     )
     return (
         _variant(shards, "shard")
         .unionByName(_variant(seqs, "seq"))
         .unionByName(_variant(nf, "nf"))
+        .unionByName(_variant(ffd, "ffd"))
     )
 
 
@@ -5450,11 +5462,53 @@ def _base_oracle_sql() -> dict[str, str]:
                            COUNT(*) AS v1, SUM(w) AS v2,
                            md5(string_agg(CAST(doc_id AS VARCHAR), ','
                                           ORDER BY pos)) AS h
-                    FROM nf GROUP BY grp, lb)
+                    FROM nf GROUP BY grp, lb),
+            -- 'ffd' replay: first-fit-decreasing as a recursive CTE
+            -- carrying the group's bin-fill LIST; placement order =
+            -- (weight DESC, rank ASC), first bin with room wins
+            -- (list_position over the fits mask), else append a bin
+            fgg AS (SELECT doc_id, w, grp,
+                           ROW_NUMBER() OVER (PARTITION BY grp
+                             ORDER BY w DESC, pos ASC) - 1 AS fpos
+                    FROM gg),
+            ffd AS (
+              SELECT grp, fpos, doc_id, w,
+                     CAST(0 AS BIGINT) AS lb, [w] AS fills
+              FROM fgg WHERE fpos = 0
+              UNION ALL
+              SELECT grp, fpos, doc_id, w,
+                     CAST(CASE WHEN p IS NULL THEN len(fills)
+                               ELSE p - 1 END AS BIGINT) AS lb,
+                     CASE WHEN p IS NULL THEN list_append(fills, w)
+                          ELSE list_transform(range(1, len(fills) + 1),
+                                 i -> CASE WHEN i = p THEN fills[i] + w
+                                           ELSE fills[i] END)
+                     END AS fills
+              FROM (
+                -- list_position returns 0 (not NULL) when no element
+                -- matches: NULLIF folds both no-fit encodings into NULL
+                SELECT g.grp, g.fpos, g.doc_id, g.w, f.fills,
+                       NULLIF(list_position(
+                         list_transform(f.fills, x -> x + g.w <= 500),
+                         true), 0) AS p
+                FROM ffd f JOIN fgg g
+                  ON g.grp = f.grp AND g.fpos = f.fpos + 1
+              )
+            ),
+            ffdb AS (SELECT grp, grp * 64 + lb AS bin,
+                            COUNT(*) AS v1, SUM(w) AS v2,
+                            md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id)) AS h
+                     FROM ffd GROUP BY grp, lb)
             SELECT 'nf' AS variant, CAST(grp AS BIGINT) AS k1,
                    CAST(bin AS BIGINT) AS k2,
                    CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2, h
             FROM nfb
+            UNION ALL
+            SELECT 'ffd' AS variant, CAST(grp AS BIGINT) AS k1,
+                   CAST(bin AS BIGINT) AS k2,
+                   CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2, h
+            FROM ffdb
             UNION ALL
             SELECT 'shard' AS variant,
                    CAST((s - w) // 2000 AS BIGINT) AS k1,
