@@ -675,6 +675,61 @@ def b30_kmv_overlap(spark):
     return corpus_overlap(a, b, k=1024).count()
 
 
+_IVFSQ8_PATH: str | None = None
+
+
+def b31_ivfsq8_probe(spark):
+    """Persistent IVF-SQ8 probe over the same 64x-tiled corpus as b21:
+    indexed once on the warm-up call (bucket-partitioned int8 codes +
+    stored vectors), then 8 queries through the static-pruned
+    dequantize-ADC scan with exact stored rerank — the middle point of
+    the quantized-index matrix (dim bytes/row vs b21's m_sub and the
+    float index's 8*dim)."""
+    global _IVFSQ8_PATH
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivfsq8_index,
+        query_ivfsq8_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if _IVFSQ8_PATH is None:
+        tiled = (
+            emb.crossJoin(spark.range(64).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("vec_id") * 64 + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + (F.col("rep") % 7).cast("float") * F.lit(0.01),
+                ).alias("embedding"),
+            )
+        )
+        _IVFSQ8_PATH = os.path.join(
+            tempfile.mkdtemp(prefix="bench_ivfsq8_"), "index"
+        )
+        build_ivfsq8_index(
+            tiled, _IVFSQ8_PATH, n_centroids=16, store_vectors=True
+        )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return query_ivfsq8_index(
+        spark, _IVFSQ8_PATH, qs, k=10, n_probe=4, rerank="stored"
+    ).count()
+
+
+def b32_containment_probe(spark):
+    """Direct benchmark-containment screen (the round-9 ADVICE fix):
+    every 17th document as the eval set, its bottom-8192 shingle hashes
+    probed against one scan of the rest — the screening pass whose cost
+    bounds what decontaminate_screened pays per CLEAN benchmark."""
+    from spatialpandas_spark.operators.sketch import containment_probe
+
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return containment_probe(train, bench, n=5, k=8192).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -706,6 +761,8 @@ BENCHES = {
     "b28_dwithin": b28_dwithin,
     "b29_training_mix": b29_training_mix,
     "b30_kmv_overlap": b30_kmv_overlap,
+    "b31_ivfsq8_probe": b31_ivfsq8_probe,
+    "b32_containment_probe": b32_containment_probe,
 }
 
 
