@@ -86,6 +86,49 @@ class VectorFrame:
             codes = self.sq8_encode(params)
         return sq8_topk(queries, codes, params, k=k, **kw)
 
+    # ------------------------------------------- persistent indexes
+    def build_index(self, path: str, kind: str = "ivfsq8", **kw):
+        """Build a persistent bucket-partitioned ANN index at ``path``.
+        ``kind`` picks the point on the bytes/recall curve: 'ivf'
+        (float, exact scores), 'ivfsq8' (int8 codes, 4-8x fewer probe
+        bytes, near-float recall — the production default), 'ivfpq'
+        (m_sub bytes, coarsest). Returns the model sidecar
+        (centroids/params)."""
+        from spatialpandas_spark.operators import similarity_index as si
+
+        builders = {
+            "ivf": si.build_ivf_index,
+            "ivfsq8": si.build_ivfsq8_index,
+            "ivfpq": si.build_ivfpq_index,
+        }
+        if kind not in builders:
+            raise ValueError(f"unknown index kind {kind!r}")
+        return builders[kind](
+            self.df, path, corpus_id=self.id_col,
+            corpus_vec=self.vec_col, **kw
+        )
+
+    def query_index(
+        self, path: str, queries: DataFrame, kind: str = "ivfsq8",
+        k: int = 10, **kw,
+    ) -> DataFrame:
+        """Probe a persistent index built by :meth:`build_index` (the
+        probed buckets become a static planning-time partition
+        filter). Pass ``rerank=self.df`` for exact-cosine rerank
+        against this frame."""
+        from spatialpandas_spark.operators import similarity_index as si
+
+        queriers = {
+            "ivf": si.query_ivf_index,
+            "ivfsq8": si.query_ivfsq8_index,
+            "ivfpq": si.query_ivfpq_index,
+        }
+        if kind not in queriers:
+            raise ValueError(f"unknown index kind {kind!r}")
+        return queriers[kind](
+            self.df.sparkSession, path, queries, k=k, **kw
+        )
+
     # ------------------------------------------------------------ dedup
     def near_dup_pairs(self, threshold: float = 0.95, **kw) -> DataFrame:
         """RP-banded cosine near-duplicate candidate pairs."""

@@ -106,3 +106,42 @@ def test_package_export():
     import spatialpandas_spark as sp
 
     assert sp.VectorFrame is VectorFrame
+
+
+def test_persistent_index_delegation(spark, tmp_path):
+    """build_index/query_index == the direct operator calls, for each
+    index kind; unknown kinds refused."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivfsq8_index,
+        query_ivfsq8_index,
+    )
+
+    rng = np.random.default_rng(5)
+    protos = rng.standard_normal((4, 8))
+    lab = rng.integers(0, 4, 120)
+    X = protos[lab] + 0.1 * rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    from pyspark.sql import functions as F
+
+    v = VectorFrame(df)
+    qs = df.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p1 = str(tmp_path / "facade")
+    p2 = str(tmp_path / "direct")
+    v.build_index(p1, kind="ivfsq8", n_centroids=4)
+    build_ivfsq8_index(df, p2, n_centroids=4)
+    a = sorted(
+        map(tuple, v.query_index(p1, qs, kind="ivfsq8", k=3).collect())
+    )
+    b = sorted(map(tuple, query_ivfsq8_index(spark, p2, qs, k=3).collect()))
+    assert a == b and len(a) == 9
+    with pytest.raises(ValueError, match="kind"):
+        v.build_index(str(tmp_path / "x"), kind="hnsw")
+    with pytest.raises(ValueError, match="kind"):
+        v.query_index(p1, qs, kind="hnsw")
