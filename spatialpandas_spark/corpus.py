@@ -233,6 +233,33 @@ class CorpusFrame:
             bench_text_col=o.text_col,
         )
 
+    def screen_benchmarks(
+        self,
+        benchmarks: "CorpusFrame | DataFrame",
+        group_col: str = "benchmark",
+        n: int = 5,
+        k: int = 8192,
+        seed: int = 42,
+    ) -> DataFrame:
+        """Containment screen for MANY benchmarks in ONE corpus scan
+        (the "dozens of eval sets" pipeline shape): ``benchmarks`` is a
+        single frame tagging each eval set's documents with
+        ``group_col``; returns one row per benchmark —
+        ``(group_col, n_probed, n_found, containment_b, exact)`` — from
+        the same direct probe as :meth:`containment`. Feed the rows
+        above your threshold to :meth:`decontaminate` individually."""
+        from spatialpandas_spark.operators.sketch import containment_probe
+
+        o = (
+            benchmarks
+            if isinstance(benchmarks, CorpusFrame)
+            else CorpusFrame(benchmarks)
+        )
+        return containment_probe(
+            self.df, o.df, text_col=self.text_col, n=n, k=k, seed=seed,
+            bench_text_col=o.text_col, bench_group_cols=[group_col],
+        )
+
     def decontaminate_screened(
         self,
         benchmark: DataFrame,

@@ -381,3 +381,35 @@ def test_decontaminate_screened_small_in_large_not_skipped(spark):
         "doc_id long, text string",
     )
     assert corpus.decontaminate_screened(clean, max_overlap=0.3) is corpus
+
+
+def test_screen_benchmarks_one_scan(spark):
+    """Many benchmarks screened in one corpus scan: per-benchmark rows
+    equal the individual containment probes."""
+    texts = {
+        i: " ".join(f"c{i}w{j}" for j in range(8)) for i in range(300)
+    }
+    corpus = CorpusFrame(
+        spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+    )
+    benches = spark.createDataFrame(
+        [("contained", 0, texts[5]), ("contained", 1, texts[77])]
+        + [("foreign", 0, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "benchmark string, doc_id long, text string",
+    )
+    rows = {
+        r["benchmark"]: r
+        for r in corpus.screen_benchmarks(benches, k=256).collect()
+    }
+    assert rows["contained"]["containment_b"] == 1.0
+    assert rows["foreign"]["containment_b"] == 0.0
+    for name in ("contained", "foreign"):
+        solo = corpus.containment(
+            benches.filter(F.col("benchmark") == name), k=256
+        ).collect()[0]
+        got = rows[name]
+        assert (got["n_probed"], got["n_found"], got["containment_b"]) == (
+            solo["n_probed"], solo["n_found"], solo["containment_b"]
+        )
