@@ -930,7 +930,17 @@ def q_decontamination_merged(spark, sf_dir):
     - src='probe:*': the DIRECT containment probe that DECIDES whether
       the exact pass is worth running (round 9; replaces the
       union-jaccard containment screen, which is blind for a small
-      benchmark in a huge corpus) — see :func:`q_containment_probe`."""
+      benchmark in a huge corpus) — see :func:`q_containment_probe`;
+    - src='bloom' (round 9): the SAME per-doc overlap computed through
+      ``ngram_overlap_bloom`` — bloom-bitmap prefilter at scan stage
+      (pure Catalyst bit arithmetic over a one-row broadcast bitmap) +
+      exact semi-join verify, for benchmarks beyond broadcast size.
+      The values are EXACT by construction (blooms have no false
+      negatives; the verify join removes false positives), so the
+      oracle is the identical set-join SQL retagged — the gate pins
+      the lossy-prefilter path's exactness
+      [operators/contamination.py ngram_overlap_bloom —
+      tests/test_contamination.py bloom battery]."""
     decon = q_decontamination(spark, sf_dir).select(
         F.lit("decon").alias("src"),
         "doc_id",
@@ -938,8 +948,26 @@ def q_decontamination_merged(spark, sf_dir):
         "matched_ngrams",
         "overlap",
     )
-    return decon.unionByName(q_corpus_kmv(spark, sf_dir)).unionByName(
-        q_containment_probe(spark, sf_dir)
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bloom = ngram_overlap_bloom(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=5,
+    ).select(
+        F.lit("bloom").alias("src"),
+        "doc_id",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("matched_ngrams").cast("long").alias("matched_ngrams"),
+        "overlap",
+    )
+    return (
+        decon.unionByName(q_corpus_kmv(spark, sf_dir))
+        .unionByName(q_containment_probe(spark, sf_dir))
+        .unionByName(bloom)
     )
 
 
@@ -3806,6 +3834,36 @@ UNION ALL SELECT 'kmv:containment_b', NULL, NULL, NULL,
     return ctes, select
 
 
+def _decon_body_sql() -> str:
+    """The exact per-doc benchmark-overlap set-join replay (the 'decon'
+    gate variant's body), factored out because the 'bloom' variant —
+    the bloom-prefiltered path, exact by construction — reuses it
+    verbatim under its own tag."""
+    return f"""
+            WITH bench AS (
+              SELECT DISTINCT array_to_string(tk[u.i:u.i+4], ' ') AS s
+              FROM (SELECT {_TOKS} AS tk FROM documents
+                    WHERE doc_id % 17 = 0) x,
+                   UNNEST(range(1, len(tk) - 3)) AS u(i)
+            ),
+            train AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                      WHERE doc_id % 17 != 0),
+            dsh AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+4], ' ') AS s
+              FROM train, UNNEST(range(1, len(tk) - 3)) AS u(i)
+            ),
+            m AS (SELECT d.doc_id, COUNT(*) AS total, COUNT(b.s) AS matched
+                  FROM dsh d LEFT JOIN bench b USING (s) GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(m.total, 0) AS BIGINT) AS total_ngrams,
+                   CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_ngrams,
+                   CASE WHEN COALESCE(m.total, 0) > 0
+                        THEN CAST(m.matched AS DOUBLE) / m.total
+                        ELSE 0.0 END AS overlap
+            FROM train t LEFT JOIN m USING (doc_id)
+            """
+
+
 def _probe_oracle_sql(pk: int, shingle_n: int = 5, seed: int = 42) -> str:
     """SQL replay of the direct containment probe (the 'probe:*' rows
     of the merged decontamination gate): the probe set is the EXACT
@@ -4974,29 +5032,7 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "decontamination": f"""
-            SELECT 'decon' AS src, * FROM (
-            WITH bench AS (
-              SELECT DISTINCT array_to_string(tk[u.i:u.i+4], ' ') AS s
-              FROM (SELECT {_TOKS} AS tk FROM documents
-                    WHERE doc_id % 17 = 0) x,
-                   UNNEST(range(1, len(tk) - 3)) AS u(i)
-            ),
-            train AS (SELECT doc_id, {_TOKS} AS tk FROM documents
-                      WHERE doc_id % 17 != 0),
-            dsh AS (
-              SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+4], ' ') AS s
-              FROM train, UNNEST(range(1, len(tk) - 3)) AS u(i)
-            ),
-            m AS (SELECT d.doc_id, COUNT(*) AS total, COUNT(b.s) AS matched
-                  FROM dsh d LEFT JOIN bench b USING (s) GROUP BY 1)
-            SELECT t.doc_id,
-                   CAST(COALESCE(m.total, 0) AS BIGINT) AS total_ngrams,
-                   CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_ngrams,
-                   CASE WHEN COALESCE(m.total, 0) > 0
-                        THEN CAST(m.matched AS DOUBLE) / m.total
-                        ELSE 0.0 END AS overlap
-            FROM train t LEFT JOIN m USING (doc_id)
-            )
+            SELECT 'decon' AS src, * FROM ({_decon_body_sql()})
             UNION ALL
             SELECT * FROM (
               WITH {"%s %s" % _kmv_oracle_sql(_KMV_K)}
@@ -5005,6 +5041,12 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               WITH {"%s %s" % _probe_oracle_sql(_PROBE_K)}
             )
+            UNION ALL
+            -- 'bloom' variant: the engine's bloom-prefiltered path is
+            -- EXACT by construction (no-false-negative prefilter +
+            -- exact verify join), so its oracle is the identical
+            -- set-join replay retagged
+            SELECT 'bloom' AS src, * FROM ({_decon_body_sql()})
         """,
         "repetition_signals": f"""
             WITH lt AS (

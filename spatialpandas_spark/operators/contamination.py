@@ -79,6 +79,165 @@ def ngram_overlap(
     )
 
 
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing: ``m`` bits (rounded up to whole 64-bit
+    words) and ``k`` probes for ``n_items`` at false-positive rate
+    ``fpp``."""
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    m = max(64, int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(math.log(2) * m / n_items)))
+    return m, k
+
+
+def _bloom_positions(h, m: int, k: int):
+    """The k probe positions for signed-int64 hashes ``h`` (numpy
+    array), Kirsch-Mitzenmacher double hashing with pmod semantics —
+    the EXACT arithmetic the JVM probe expression replays, so build and
+    probe can never disagree: ``h1 = pmod(h, m)``, ``step =
+    pmod(h >> 32, m) * 2 + 1`` (arithmetic shift), ``pos_i =
+    pmod(h1 + i*step, m)``."""
+    import numpy as np
+
+    h = h.astype(np.int64)
+    h1 = ((h % m) + m) % m
+    step = (((h >> 32) % m) + m) % m * 2 + 1
+    return [((h1 + i * step) % m + m) % m for i in range(k)]
+
+
+def ngram_overlap_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`ngram_overlap` for benchmarks TOO LARGE TO BROADCAST as
+    an exact shingle set — same columns, same EXACT values (pinned by
+    gate + identity tests), different 100 TB shape:
+
+    1. the benchmark's distinct shingle HASHES (JVM ``xxhash64``)
+       aggregate into one bloom bitmap — an Arrow pass emits one
+       partial bitmap per partition, the driver ORs them — ~1.2 MB per
+       million shingles at the default 1% fpp, vs the raw set's
+       unbounded broadcast footprint;
+    2. the bitmap rides into the corpus scan as a one-row broadcast
+       ``array<bigint>`` and the scan keeps, per document, its shingle
+       COUNT plus only the shingles the bloom accepts — the membership
+       test is pure Catalyst bit arithmetic (element_at + shiftright),
+       no Python in the corpus path — so the exploded candidate volume
+       is ~(true matches + fpp·corpus) rows, never the corpus's full
+       shingle stream;
+    3. a standard equi-semi-join verifies candidates against the exact
+       benchmark set (blooms have NO false negatives, so candidates ⊇
+       matches and the semi-join removes exactly the false positives) —
+       the benchmark side flows through an ordinary shuffle join
+       instead of a driver broadcast.
+
+    The result is exact for ANY ``fpp``; the knob only trades candidate
+    volume against bloom bytes."""
+    from collections.abc import Iterator
+
+    spark = docs.sparkSession
+    bset = benchmark_shingles(bench, bench_text_col, n)
+    # bounded: one integer. The count also sizes the bitmap.
+    n_items = bset.count()
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    totals = base.select(
+        id_col, F.size("__sh").cast("long").alias("total_ngrams")
+    )
+    if n_items == 0:
+        out = totals.withColumn("matched_ngrams", F.lit(0).cast("long"))
+    else:
+        import numpy as np
+        import pandas as pd
+
+        m, k = _bloom_params(n_items, fpp)
+        n_words = m // 64
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            words = np.zeros(n_words, dtype=np.uint64)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                h = pdf["h"].to_numpy()
+                for pos in _bloom_positions(h, m, k):
+                    np.bitwise_or.at(
+                        words,
+                        (pos >> 6).astype(np.int64),
+                        np.uint64(1) << (pos & 63).astype(np.uint64),
+                    )
+            if any_rows:
+                yield pd.DataFrame({"bm": [words.tobytes()]})
+
+        blobs = (
+            bset.select(F.xxhash64("s").alias("h"))
+            .mapInPandas(build, "bm binary")
+            .collect()
+        )
+        words = np.zeros(n_words, dtype=np.uint64)
+        for r in blobs:
+            words |= np.frombuffer(r["bm"], dtype=np.uint64)
+        bm_row = spark.createDataFrame(
+            [([int(w) for w in words.view(np.int64)],)], "bm array<bigint>"
+        )
+
+        def member(s):
+            h = F.xxhash64(s)
+            h1 = F.pmod(h, F.lit(m))
+            step = F.pmod(F.call_function("shiftright", h, F.lit(32)),
+                          F.lit(m)) * 2 + 1
+            cond = None
+            for i in range(k):
+                pos = F.pmod(h1 + F.lit(i) * step, F.lit(m))
+                widx = F.call_function(
+                    "shiftright", pos, F.lit(6)
+                ).cast("int") + 1
+                bit = F.pmod(pos, F.lit(64)).cast("int")
+                word = F.element_at(F.col("bm"), widx)
+                hit = (
+                    F.call_function("shiftright", word, bit)
+                    .bitwiseAND(F.lit(1))
+                    == 1
+                )
+                cond = hit if cond is None else (cond & hit)
+            return cond
+
+        cands = (
+            base.crossJoin(F.broadcast(bm_row))
+            .select(
+                id_col,
+                F.explode(F.filter("__sh", member)).alias("s"),
+            )
+        )
+        matched = (
+            cands.join(bset, "s", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("matched_ngrams"))
+        )
+        out = totals.join(matched, id_col, "left").withColumn(
+            "matched_ngrams",
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long"),
+        )
+    return out.withColumn(
+        "overlap",
+        F.when(
+            F.col("total_ngrams") > 0,
+            F.col("matched_ngrams").cast("double") / F.col("total_ngrams"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -87,13 +246,19 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 5,
+    method: str = "broadcast",
 ) -> DataFrame:
     """Drop training documents whose benchmark n-gram overlap is
     ``>= threshold``. The flagged-id set is tiny (contamination is rare),
     so the removal is a broadcast anti-join — the corpus itself is never
-    shuffled."""
+    shuffled. ``method='bloom'`` scores overlap via
+    :func:`ngram_overlap_bloom` (same exact values; use when the
+    benchmark shingle set exceeds broadcast size)."""
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(f"unknown decontamination method {method!r}")
+    fn = ngram_overlap if method == "broadcast" else ngram_overlap_bloom
     flagged = (
-        ngram_overlap(docs, bench, id_col, text_col, bench_text_col, n)
+        fn(docs, bench, id_col, text_col, bench_text_col, n)
         .filter(F.col("overlap") >= F.lit(float(threshold)))
         .select(id_col)
     )

@@ -92,3 +92,107 @@ def test_decontaminate_anti_join_is_broadcast(spark):
     bench = spark.createDataFrame(BENCH, "doc_id long, text string")
     plan = physical_plan(decontaminate(docs, bench, threshold=0.5, n=3))
     assert "LeftAnti, BuildRight" in plan
+
+
+def test_bloom_overlap_identical_to_broadcast_path(spark):
+    """ngram_overlap_bloom == ngram_overlap EXACTLY (same columns, same
+    values), including under an adversarially small bloom (fpp=0.5 —
+    false-positive-heavy) where the exact verify join must remove every
+    FP, and for n too large for some docs."""
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    want = sorted(map(tuple, ngram_overlap(docs, bench, n=3).collect()))
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            map(
+                tuple,
+                ngram_overlap_bloom(docs, bench, n=3, fpp=fpp).collect(),
+            )
+        )
+        assert got == want, f"fpp={fpp}"
+    # oracle identity too (not just path identity)
+    want_oracle = _oracle(3)
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["matched_ngrams"], r["overlap"])
+        for r in ngram_overlap_bloom(docs, bench, n=3).collect()
+    }
+    assert got == want_oracle
+
+
+def test_bloom_empty_benchmark(spark):
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = ngram_overlap_bloom(docs, empty, n=3).collect()
+    assert all(r["matched_ngrams"] == 0 and r["overlap"] == 0.0 for r in out)
+    assert len(out) == len(DOCS)
+
+
+def test_bloom_no_false_negatives_by_construction(spark):
+    """Every true benchmark shingle must survive the bloom prefilter:
+    a fully-contained doc scores overlap 1.0 at ANY fpp."""
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+
+    docs = spark.createDataFrame([DOCS[0]], "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    r = ngram_overlap_bloom(docs, bench, n=3, fpp=0.3).collect()[0]
+    assert r["overlap"] == 1.0
+
+
+def test_decontaminate_bloom_method(spark):
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    a = sorted(
+        r["doc_id"]
+        for r in decontaminate(docs, bench, threshold=0.5, n=3).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, threshold=0.5, n=3, method="bloom"
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="method"):
+        decontaminate(docs, bench, method="nope")
+
+
+def test_bloom_params_sanity():
+    from spatialpandas_spark.operators.contamination import _bloom_params
+    import pytest
+
+    m, k = _bloom_params(1_000_000, 0.01)
+    assert m % 64 == 0 and 9_000_000 < m < 10_500_000  # ~9.6 Mbit
+    assert 6 <= k <= 8
+    with pytest.raises(ValueError):
+        _bloom_params(10, 1.5)
+
+
+def test_bloom_corpus_scan_has_no_python(spark):
+    """The corpus-side probe is pure Catalyst: the only Python stages
+    belong to the BENCHMARK-side bitmap build (upstream of the collect),
+    so the plan over the corpus scan shows no ArrowEvalPython /
+    MapInPandas between the documents scan and the aggregate."""
+    from spatialpandas_spark.operators.contamination import (
+        ngram_overlap_bloom,
+    )
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    plan = physical_plan(ngram_overlap_bloom(docs, bench, n=3))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
