@@ -446,6 +446,11 @@ def _frame_geometry(frame):
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         raise ValueError("JPEG sampling factors above 2 unsupported")
+    # T.81 B.2.2: factors are 1-4; 0 is malformed (a bit-rot fuzz find:
+    # a zeroed SOF byte otherwise reaches reconstruction and divides by
+    # the component factor)
+    if any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise ValueError("JPEG sampling factor must be >= 1")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     comp_geo, blocks = [], []

@@ -116,3 +116,14 @@ def test_splice_mutations_never_crash(name, start_frac, length, filler):
     pos = min(int(start_frac * len(payload)), len(payload) - 1)
     _check(decoder, payload[:pos] + payload[pos + length :])  # excise
     _check(decoder, payload[:pos] + filler + payload[pos:])  # splice
+
+
+def test_jpeg_zeroed_sampling_factor_rejected():
+    """Pinned r9 fuzz find: a single zeroed SOF byte (a component's
+    sampling factors) previously reached reconstruction and crashed
+    with ZeroDivisionError; T.81 B.2.2 factors are 1-4, so the decoder
+    must reject 0 as malformed (ValueError per the codec contract)."""
+    payload = bytearray(_VALID["jpeg"])
+    pos = min(int(0.31640625 * len(payload)), len(payload) - 1)
+    payload[pos] = 0
+    _check(decode_jpeg, bytes(payload))
