@@ -2299,7 +2299,27 @@ def q_stratified_sample(spark, sf_dir):
         F.col("lang").alias("grp"),
         F.col("n_hits").cast("long").alias("rnk"),
     )
-    return sample.unionByName(mix).unionByName(pps)
+
+    # 'split' (round 9): deterministic train/val/test assignment —
+    # every doc exactly one label from disjoint exhaustive hash ranges
+    # (80/10/10); grp = the label, rnk NULL. Breadcrumbs:
+    # operators/sampling.py assign_splits (tests/test_sampling.py).
+    from spatialpandas_spark.operators.sampling import assign_splits
+
+    split = assign_splits(
+        d.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+    ).select(
+        F.lit("split").alias("variant"),
+        "doc_id",
+        F.col("split").alias("grp"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    return (
+        sample.unionByName(mix).unionByName(pps).unionByName(split)
+    )
 
 
 def q_shard_pack(spark, sf_dir):
@@ -5474,6 +5494,18 @@ def _base_oracle_sql() -> dict[str, str]:
                              ROWS UNBOUNDED PRECEDING) AS s
                     FROM documents)
             ) WHERE hi > lo
+            UNION ALL
+            -- split replay: disjoint exhaustive hash ranges, cumulative
+            -- thresholds 0.8 / 0.9 / 1.0 over the same md5-prefix hash
+            SELECT 'split' AS variant, doc_id,
+                   CASE WHEN hv < 800000 THEN 'train'
+                        WHEN hv < 900000 THEN 'val'
+                        ELSE 'test' END AS grp,
+                   CAST(NULL AS BIGINT) AS rnk
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000000 AS hv
+                  FROM documents)
         """,
         "shard_pack": f"""
             WITH RECURSIVE tc AS (SELECT doc_id,

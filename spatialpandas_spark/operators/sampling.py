@@ -96,6 +96,58 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(key_col), seed) % _DENOM < thr)
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly
+    one label from DISJOINT, EXHAUSTIVE hash ranges over
+    ``sample_hash(key) % 1e6`` — the split a 100 TB pipeline can rerun
+    on any cluster, any partitioning, any engine and get the same
+    answer (the same md5-prefix arithmetic every sampling op here
+    uses). ``splits`` maps label -> fraction in ITERATION order (ranges
+    are assigned cumulatively, so reordering relabels rows —
+    dict-insertion order is the contract); fractions are quantized to
+    1/1e6 and must sum to exactly 1 after quantization — a silent gap
+    would leak rows out of every split, a silent overlap would double-
+    count, so anything else raises.
+
+    One scan, no shuffle: the label is a CASE expression on the key
+    hash. Adding data later never reassigns existing keys (the label is
+    a pure function of the key), which is what makes the held-out set
+    stable under corpus growth."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    quant = {}
+    for name, frac in splits.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]")
+        quant[name] = int(round(frac * _DENOM))
+    total = sum(quant.values())
+    if total != _DENOM:
+        raise ValueError(
+            f"split fractions must sum to 1 (quantized at 1/{_DENOM}): "
+            f"got {total / _DENOM} from {splits}"
+        )
+    h = sample_hash(F.col(key_col), seed) % _DENOM
+    expr = None
+    cum = 0
+    for name, q in quant.items():
+        cum += q
+        cond = h < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # cum == _DENOM and h < _DENOM, so the last branch always catches;
+    # no otherwise() needed for correctness, but keep one for clarity
+    return df.withColumn(split_col, expr.otherwise(F.lit(None)))
+
+
 def systematic_sample(
     df: DataFrame,
     weight_col: str,

@@ -188,3 +188,60 @@ def test_property_systematic_sample_twin(spark, weights, step, seed):
     }
     assert got == want
     assert sum(got.values()) == cnt(s)
+
+
+def test_assign_splits_disjoint_exhaustive_deterministic(spark):
+    """Every row gets EXACTLY one label; the partition is a pure
+    function of the key (invariant under repartitioning and under
+    corpus growth); fractions land within the hash-mod envelope; and
+    the labels match the python hash twin exactly."""
+    import hashlib
+
+    from spatialpandas_spark.operators.sampling import assign_splits
+
+    n = 4000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df, "doc_id", splits).collect()
+    }
+    assert len(got) == n and set(got.values()) == {"train", "val", "test"}
+
+    def twin(i):
+        hv = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return "train" if hv < 800_000 else ("val" if hv < 900_000 else "test")
+
+    assert all(got[i] == twin(i) for i in range(n))
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert abs(c["train"] / n - 0.8) < 0.03
+    assert abs(c["val"] / n - 0.1) < 0.02
+
+    # partition-invariance + growth-stability: a differently-partitioned
+    # superset assigns the SAME labels to the original keys
+    df2 = spark.createDataFrame(
+        [(i,) for i in range(2 * n)], "doc_id long"
+    ).repartition(13)
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df2, "doc_id", splits).collect()
+    }
+    assert all(got2[i] == got[i] for i in range(n))
+
+
+def test_assign_splits_validation(spark):
+    import pytest
+
+    from spatialpandas_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"a": 0.6, "b": 0.6})
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_splits(df, "doc_id", {})
+    with pytest.raises(ValueError, match="fraction"):
+        assign_splits(df, "doc_id", {"a": 1.2, "b": -0.2})
