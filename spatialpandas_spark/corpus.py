@@ -28,6 +28,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _binom_ucb(n_found: int, n_probed: int, alpha: float = 0.025) -> float:
+    """Exact one-sided Clopper-Pearson upper confidence bound for a
+    binomial proportion: the smallest ``p`` with
+    ``P(X <= n_found | n_probed, p) <= alpha`` (bisection on the exact
+    binomial CDF via lgamma — no scipy). At ``n_found=0`` this is
+    ``1 - alpha**(1/n)`` (~3.689/n for alpha=0.025, the "rule of 3.7");
+    for ``n_found >= 1`` it is strictly wider than the rule-of-three
+    ``(n_found+3)/n`` shortcut that ADVICE r9 flagged as
+    anti-conservative (e.g. n_found=5, n=8192: ~10.5/8192 vs 8/8192)."""
+    if n_probed <= 0 or n_found >= n_probed:
+        return 1.0
+    from math import exp, lgamma, log, log1p
+
+    lc = [
+        lgamma(n_probed + 1) - lgamma(i + 1) - lgamma(n_probed - i + 1)
+        for i in range(n_found + 1)
+    ]
+
+    def cdf(p: float) -> float:
+        lp, lq = log(p), log1p(-p)
+        return sum(
+            exp(lc[i] + i * lp + (n_probed - i) * lq)
+            for i in range(n_found + 1)
+        )
+
+    lo, hi = n_found / n_probed, 1.0
+    for _ in range(80):  # cdf is decreasing in p; hi always satisfies
+        mid = (lo + hi) / 2
+        if cdf(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
 class CorpusFrame:
     """A DataFrame + (id column, text column) pair with the curation
     method surface. ``df`` stays accessible as ``.df``."""
@@ -286,22 +321,24 @@ class CorpusFrame:
         exact probe (benchmark smaller than ``screen_k`` distinct
         shingles — the usual eval set) the measured containment is
         compared to the threshold directly; with a sampled probe the
-        screen requires the ~97.5% one-sided upper confidence bound
-        ``(n_found + 3) / n_probed`` to clear the threshold, so the
+        screen requires the EXACT 97.5% one-sided Clopper-Pearson upper
+        confidence bound (:func:`_binom_ucb` — not the rule-of-three
+        ``(n_found+3)/n`` shortcut, which is anti-conservative for
+        ``n_found >= 1``, ADVICE r9) to clear the threshold, so the
         earlier small-in-large FALSE-NEGATIVE regime (a fully
         contaminated benchmark reading containment 0.0 from the
         union-jaccard screen) cannot occur: a contaminated benchmark's
         own probes DO hit the corpus no matter how large the corpus is.
-        Note ``3/screen_k`` is the smallest threshold a sampled probe
-        can certify (default 8192 -> ~3.7e-4 < the 1e-3 default); below
-        that the exact pass always runs."""
+        Note ``-ln(0.025)/screen_k`` (~3.689/screen_k) is the smallest
+        threshold a sampled probe can certify (default 8192 -> ~4.5e-4
+        < the 1e-3 default); below that the exact pass always runs."""
         row = self.containment(benchmark, n=n, k=screen_k).collect()[0]
         if row["n_probed"] == 0:
             return self  # empty benchmark cannot contaminate
         if row["exact"]:
             clean = row["containment_b"] <= screen_threshold
         else:
-            ub = (row["n_found"] + 3) / row["n_probed"]
+            ub = _binom_ucb(row["n_found"], row["n_probed"])
             clean = ub <= screen_threshold
         if clean:
             return self

@@ -122,10 +122,16 @@ def ngram_overlap_bloom(
     gate + identity tests), different 100 TB shape:
 
     1. the benchmark's distinct shingle HASHES (JVM ``xxhash64``)
-       aggregate into one bloom bitmap — an Arrow pass emits one
-       partial bitmap per partition, the driver ORs them — ~1.2 MB per
-       million shingles at the default 1% fpp, vs the raw set's
-       unbounded broadcast footprint;
+       aggregate into one bloom bitmap — an Arrow pass emits per
+       partition only its NON-EMPTY 512 KiB word-range chunks, a
+       distributed bit-OR ``groupBy(chunk)`` reduces each range to one
+       row, and the driver assembles exactly ONE bitmap's bytes
+       regardless of partition count (ADVICE r9: collecting one
+       full-size partial per partition was O(n_partitions · m/8)
+       driver memory — worse than the broadcast it replaces at the
+       hundreds-of-millions-of-shingles scale this function exists
+       for) — ~1.2 MB per million shingles at the default 1% fpp, vs
+       the raw set's unbounded broadcast footprint;
     2. the bitmap rides into the corpus scan as a one-row broadcast
        ``array<bigint>`` and the scan keeps, per document, its shingle
        COUNT plus only the shingles the bloom accepts — the membership
@@ -162,6 +168,11 @@ def ngram_overlap_bloom(
 
         m, k = _bloom_params(n_items, fpp)
         n_words = m // 64
+        # reduce granularity: 2^16 words = 512 KiB of bitmap per chunk
+        # row. Each reduce group ORs at most n_partitions such chunks;
+        # the driver collects at most ceil(n_words/chunk) rows — one
+        # bitmap total, never one per partition.
+        chunk = 1 << 16
 
         def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             words = np.zeros(n_words, dtype=np.uint64)
@@ -178,16 +189,33 @@ def ngram_overlap_bloom(
                         np.uint64(1) << (pos & 63).astype(np.uint64),
                     )
             if any_rows:
-                yield pd.DataFrame({"bm": [words.tobytes()]})
+                cids, bms = [], []
+                for cid in range(0, n_words, chunk):
+                    part = words[cid : cid + chunk]
+                    if part.any():
+                        cids.append(cid)
+                        bms.append(part.tobytes())
+                if cids:
+                    yield pd.DataFrame({"cid": cids, "bm": bms})
+
+        def or_reduce(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = None
+            for b in pdf["bm"]:
+                a = np.frombuffer(b, dtype=np.uint64)
+                acc = a.copy() if acc is None else acc | a
+            return pd.DataFrame({"cid": [key[0]], "bm": [acc.tobytes()]})
 
         blobs = (
             bset.select(F.xxhash64("s").alias("h"))
-            .mapInPandas(build, "bm binary")
+            .mapInPandas(build, "cid long, bm binary")
+            .groupBy("cid")
+            .applyInPandas(or_reduce, "cid long, bm binary")
             .collect()
         )
         words = np.zeros(n_words, dtype=np.uint64)
         for r in blobs:
-            words |= np.frombuffer(r["bm"], dtype=np.uint64)
+            a = np.frombuffer(r["bm"], dtype=np.uint64)
+            words[r["cid"] : r["cid"] + len(a)] |= a
         bm_row = spark.createDataFrame(
             [([int(w) for w in words.view(np.int64)],)], "bm array<bigint>"
         )

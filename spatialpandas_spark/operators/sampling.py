@@ -118,7 +118,13 @@ def assign_splits(
     One scan, no shuffle: the label is a CASE expression on the key
     hash. Adding data later never reassigns existing keys (the label is
     a pure function of the key), which is what makes the held-out set
-    stable under corpus growth."""
+    stable under corpus growth.
+
+    A NULL key has no hash, so it cannot be assigned deterministically;
+    rather than silently leaking such rows out of every split (ADVICE
+    r9), the CASE's otherwise-branch raises at execution time —
+    matching ``sequence_batch``'s id-length guard. Filter or fill null
+    keys before splitting."""
     if not splits:
         raise ValueError("splits must be non-empty")
     quant = {}
@@ -143,9 +149,21 @@ def assign_splits(
             if expr is None
             else expr.when(cond, F.lit(name))
         )
-    # cum == _DENOM and h < _DENOM, so the last branch always catches;
-    # no otherwise() needed for correctness, but keep one for clarity
-    return df.withColumn(split_col, expr.otherwise(F.lit(None)))
+    # cum == _DENOM and h < _DENOM, so for a non-null key the last
+    # branch always catches; only a NULL key (null hash -> every
+    # condition null) reaches otherwise, and that must not pass silently
+    return df.withColumn(
+        split_col,
+        expr.otherwise(
+            F.raise_error(
+                F.lit(
+                    f"assign_splits: NULL {key_col!r} cannot be "
+                    "assigned a split deterministically; filter or "
+                    "fill null keys first"
+                )
+            )
+        ),
+    )
 
 
 def systematic_sample(

@@ -457,12 +457,17 @@ def containment_probe(
 
     ``bench_group_cols`` screens MANY benchmarks in the same single
     corpus scan (one summary row per group — the "dozens of eval sets"
-    pipeline shape). Returns one row per group:
+    pipeline shape). Returns one row per group — INCLUDING groups whose
+    documents produce zero shingles (every text shorter than ``n``
+    words): those report ``n_probed=0, n_found=0, containment_b=0.0,
+    exact=true`` rather than vanishing, so a caller iterating the rows
+    can tell "screened clean" from "not screened" (ADVICE r9). Columns:
     ``(*group_cols, n_probed, n_found, containment_b, exact)`` where
     ``exact`` marks a benchmark whose probe set is its full distinct
     shingle set (containment is then exact, not sampled).
     ``detail=True`` instead returns the per-probe rows
-    ``(*group_cols, rank, h, found)``."""
+    ``(*group_cols, rank, h, found)`` (zero-shingle groups have no
+    probes, hence no detail rows)."""
     groups = list(bench_group_cols or [])
     bsk = shingle_sketch(
         benchmark_docs,
@@ -495,6 +500,17 @@ def containment_probe(
         F.count("*").alias("n_probed"),
         F.sum("found").cast("long").alias("n_found"),
     )
+    if groups:
+        # a group whose documents are all shorter than n words yields
+        # zero shingles and would otherwise emit no summary row at all
+        all_groups = benchmark_docs.select(*groups).distinct()
+        agg = all_groups.join(agg, groups, "left").select(
+            *groups,
+            F.coalesce(F.col("n_probed"), F.lit(0)).alias("n_probed"),
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias(
+                "n_found"
+            ),
+        )
     return agg.select(
         *groups,
         "n_probed",

@@ -413,3 +413,66 @@ def test_screen_benchmarks_one_scan(spark):
         assert (got["n_probed"], got["n_found"], got["containment_b"]) == (
             solo["n_probed"], solo["n_found"], solo["containment_b"]
         )
+
+
+def test_screen_benchmarks_zero_shingle_group(spark):
+    """A benchmark group whose every text is shorter than n words
+    produces zero shingles; it must still get a summary row
+    (n_probed=0) so callers can tell 'screened clean' from 'not
+    screened' (ADVICE r9)."""
+    corpus = CorpusFrame(
+        spark.createDataFrame(
+            [(i, " ".join(f"c{i}w{j}" for j in range(8))) for i in range(50)],
+            "doc_id long, text string",
+        )
+    )
+    benches = spark.createDataFrame(
+        [("normal", 0, " ".join(f"c5w{j}" for j in range(8))),
+         ("tiny", 0, "a b c")],  # 3 words < n=5 -> zero shingles
+        "benchmark string, doc_id long, text string",
+    )
+    rows = {
+        r["benchmark"]: r
+        for r in corpus.screen_benchmarks(benches, k=256).collect()
+    }
+    assert set(rows) == {"normal", "tiny"}
+    t = rows["tiny"]
+    assert (t["n_probed"], t["n_found"], t["containment_b"], t["exact"]) == (
+        0, 0, 0.0, True,
+    )
+    assert rows["normal"]["containment_b"] == 1.0
+
+
+def test_binom_ucb_exact_clopper_pearson():
+    """_binom_ucb is the exact one-sided Clopper-Pearson upper bound:
+    matches the closed form at n_found=0, is strictly wider than the
+    rule-of-three shortcut ADVICE r9 flagged as anti-conservative, and
+    its coverage holds (binomial CDF at the bound <= alpha)."""
+    import math
+
+    from spatialpandas_spark.corpus import _binom_ucb
+
+    # closed form at zero successes: 1 - alpha**(1/n)
+    for n in (16, 512, 8192):
+        want = 1 - 0.025 ** (1 / n)
+        assert abs(_binom_ucb(0, n) - want) < 1e-9
+
+    # strictly wider than (nf+3)/n for nf >= 1 (the flagged shortcut)
+    for nf in (1, 2, 5, 8):
+        assert _binom_ucb(nf, 8192) > (nf + 3) / 8192
+
+    # exact coverage: P(X <= nf | n, ub) <= alpha, independently computed
+    def cdf(nf, n, p):
+        return sum(
+            math.comb(n, i) * p**i * (1 - p) ** (n - i)
+            for i in range(nf + 1)
+        )
+
+    for nf, n in ((0, 100), (1, 16), (5, 8192), (40, 500)):
+        ub = _binom_ucb(nf, n)
+        assert cdf(nf, n, ub) <= 0.025 + 1e-9
+        # tightness: nudging below the bound exceeds alpha
+        assert cdf(nf, n, ub * 0.98) > 0.025
+
+    # edges
+    assert _binom_ucb(0, 0) == 1.0 and _binom_ucb(5, 5) == 1.0

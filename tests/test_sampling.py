@@ -245,3 +245,21 @@ def test_assign_splits_validation(spark):
         assign_splits(df, "doc_id", {})
     with pytest.raises(ValueError, match="fraction"):
         assign_splits(df, "doc_id", {"a": 1.2, "b": -0.2})
+
+
+def test_assign_splits_null_key_raises(spark):
+    """A NULL key has no hash -> no deterministic split; the otherwise
+    branch raises instead of silently emitting a null label (ADVICE
+    r9: the leak would violate the DISJOINT-EXHAUSTIVE contract)."""
+    import pytest
+
+    from spatialpandas_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    out = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.2})
+    with pytest.raises(Exception, match="assign_splits: NULL"):
+        out.collect()
+    # non-null rows are unaffected
+    ok = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = assign_splits(ok, "doc_id", {"train": 0.8, "val": 0.2}).collect()
+    assert all(r["split"] in ("train", "val") for r in rows)
