@@ -157,10 +157,27 @@ class CorpusFrame:
             )
         )
 
-    def decontaminate(self, benchmark: DataFrame, max_overlap: float = 0.5, **kw):
-        from spatialpandas_spark.operators.contamination import ngram_overlap
+    def decontaminate(
+        self,
+        benchmark: DataFrame,
+        max_overlap: float = 0.5,
+        method: str = "broadcast",
+        **kw,
+    ):
+        """Keep documents whose benchmark n-gram overlap is
+        ``<= max_overlap``. ``method='bloom'`` scores via
+        :func:`~spatialpandas_spark.operators.contamination
+        .ngram_overlap_bloom` (value-identical; use when the benchmark
+        shingle set exceeds broadcast size)."""
+        from spatialpandas_spark.operators.contamination import (
+            ngram_overlap,
+            ngram_overlap_bloom,
+        )
 
-        scored = ngram_overlap(
+        if method not in ("broadcast", "bloom"):
+            raise ValueError(f"unknown decontamination method {method!r}")
+        fn = ngram_overlap if method == "broadcast" else ngram_overlap_bloom
+        scored = fn(
             self.df, benchmark, id_col=self.id_col, text_col=self.text_col, **kw
         )
         keep = scored.filter(F.col("overlap") <= max_overlap).select(self.id_col)
@@ -343,6 +360,60 @@ class CorpusFrame:
         if clean:
             return self
         return self.decontaminate(benchmark, max_overlap=max_overlap, n=n, **kw)
+
+    # ------------------------------------- persistent benchmark index
+    def index_benchmarks(
+        self, path: str, group_col: str | None = "benchmark", **kw
+    ) -> None:
+        """Treat THIS frame as the benchmark suite and persist its
+        decontamination artifacts (shingle store + bloom + sidecar) at
+        ``path`` — build once, then screen/decontaminate every future
+        corpus batch via :meth:`screen_index` /
+        :meth:`decontaminate_indexed` without re-shingling the
+        benchmark text (operators/contamination_index.py)."""
+        from spatialpandas_spark.operators.contamination_index import (
+            build_decon_index,
+        )
+
+        build_decon_index(
+            self.df,
+            path,
+            text_col=self.text_col,
+            group_cols=[group_col] if group_col else None,
+            **kw,
+        )
+
+    def screen_index(self, path: str) -> DataFrame:
+        """Containment screen of every benchmark stored at ``path`` in
+        THIS corpus — row-identical to :meth:`screen_benchmarks` on the
+        original benchmark frame."""
+        from spatialpandas_spark.operators.contamination_index import (
+            screen_against_index,
+        )
+
+        return screen_against_index(self.df, path, text_col=self.text_col)
+
+    def decontaminate_indexed(
+        self,
+        path: str,
+        max_overlap: float = 0.5,
+        method: str = "broadcast",
+    ) -> CorpusFrame:
+        """Keep documents whose overlap with the INDEXED benchmark
+        suite is ``<= max_overlap`` — the amortized twin of
+        :meth:`decontaminate` (same keep rule)."""
+        from spatialpandas_spark.operators.contamination_index import (
+            ngram_overlap_against_index,
+        )
+
+        scored = ngram_overlap_against_index(
+            self.df, path, id_col=self.id_col,
+            text_col=self.text_col, method=method,
+        )
+        keep = scored.filter(F.col("overlap") <= max_overlap).select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(keep, self.id_col, "left_semi"))
 
     def sample_pps(
         self, step: int, weight_col: str | None = None, **kw

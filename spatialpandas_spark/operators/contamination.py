@@ -108,6 +108,136 @@ def _bloom_positions(h, m: int, k: int):
     return [((h1 + i * step) % m + m) % m for i in range(k)]
 
 
+#: reduce granularity for the distributed bloom build: 2^16 words =
+#: 512 KiB of bitmap per chunk row. Each reduce group ORs at most
+#: n_partitions such chunks; the driver collects at most
+#: ceil(n_words/chunk) rows — one bitmap total, never one per partition.
+_BLOOM_CHUNK_WORDS = 1 << 16
+
+
+def build_bloom_words(hashes: DataFrame, m: int, k: int):
+    """Aggregate a frame of signed-int64 hashes (single column ``h``)
+    into one bloom bitmap, DISTRIBUTEDLY: an Arrow pass emits per
+    partition only its non-empty 512 KiB word-range chunks, a bit-OR
+    ``groupBy(chunk)`` reduces each range to one row, and the driver
+    assembles exactly ONE bitmap's bytes regardless of partition count
+    (ADVICE r9: collecting one full-size partial per partition was
+    O(n_partitions · m/8) driver memory). Returns a numpy uint64 array
+    of ``m // 64`` words."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n_words = m // 64
+    chunk = _BLOOM_CHUNK_WORDS
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            h = pdf["h"].to_numpy()
+            for pos in _bloom_positions(h, m, k):
+                np.bitwise_or.at(
+                    words,
+                    (pos >> 6).astype(np.int64),
+                    np.uint64(1) << (pos & 63).astype(np.uint64),
+                )
+        if any_rows:
+            cids, bms = [], []
+            for cid in range(0, n_words, chunk):
+                part = words[cid : cid + chunk]
+                if part.any():
+                    cids.append(cid)
+                    bms.append(part.tobytes())
+            if cids:
+                yield pd.DataFrame({"cid": cids, "bm": bms})
+
+    def or_reduce(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bm"]:
+            a = np.frombuffer(b, dtype=np.uint64)
+            acc = a.copy() if acc is None else acc | a
+        return pd.DataFrame({"cid": [key[0]], "bm": [acc.tobytes()]})
+
+    blobs = (
+        hashes.mapInPandas(build, "cid long, bm binary")
+        .groupBy("cid")
+        .applyInPandas(or_reduce, "cid long, bm binary")
+        .collect()
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in blobs:
+        a = np.frombuffer(r["bm"], dtype=np.uint64)
+        words[r["cid"] : r["cid"] + len(a)] |= a
+    return words
+
+
+def bloom_words_row(spark, words) -> DataFrame:
+    """The bitmap as a ONE-ROW broadcastable frame (``bm array<bigint>``)
+    — the shape :func:`bloom_member_fn` probes against."""
+    import numpy as np
+
+    return spark.createDataFrame(
+        [([int(w) for w in np.asarray(words, dtype=np.uint64).view(np.int64)],)],
+        "bm array<bigint>",
+    )
+
+
+def bloom_member_fn(m: int, k: int, bm_col: str = "bm"):
+    """Pure-Catalyst bloom membership predicate factory: returns
+    ``member(s) -> Column`` testing shingle ``s`` against the broadcast
+    bitmap column ``bm_col`` with the EXACT double-hashing arithmetic of
+    :func:`_bloom_positions` (element_at + shiftright bit tests — no
+    Python in the corpus scan)."""
+
+    def member(s):
+        h = F.xxhash64(s)
+        h1 = F.pmod(h, F.lit(m))
+        step = F.pmod(F.call_function("shiftright", h, F.lit(32)),
+                      F.lit(m)) * 2 + 1
+        cond = None
+        for i in range(k):
+            pos = F.pmod(h1 + F.lit(i) * step, F.lit(m))
+            widx = F.call_function(
+                "shiftright", pos, F.lit(6)
+            ).cast("int") + 1
+            bit = F.pmod(pos, F.lit(64)).cast("int")
+            word = F.element_at(F.col(bm_col), widx)
+            hit = (
+                F.call_function("shiftright", word, bit)
+                .bitwiseAND(F.lit(1))
+                == 1
+            )
+            cond = hit if cond is None else (cond & hit)
+        return cond
+
+    return member
+
+
+def _bloom_matched_counts(
+    base: DataFrame, bset: DataFrame, words, m: int, k: int, id_col: str
+) -> DataFrame:
+    """Per-document matched-shingle counts through the bloom path:
+    broadcast the bitmap row, keep bloom-accepted shingles, verify with
+    the exact semi-join against ``bset`` (column ``s``)."""
+    spark = base.sparkSession
+    bm_row = bloom_words_row(spark, words)
+    member = bloom_member_fn(m, k)
+    cands = base.crossJoin(F.broadcast(bm_row)).select(
+        id_col,
+        F.explode(F.filter("__sh", member)).alias("s"),
+    )
+    return (
+        cands.join(bset, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("matched_ngrams"))
+    )
+
+
 def ngram_overlap_bloom(
     docs: DataFrame,
     bench: DataFrame,
@@ -147,9 +277,6 @@ def ngram_overlap_bloom(
 
     The result is exact for ANY ``fpp``; the knob only trades candidate
     volume against bloom bytes."""
-    from collections.abc import Iterator
-
-    spark = docs.sparkSession
     bset = benchmark_shingles(bench, bench_text_col, n)
     # bounded: one integer. The count also sizes the bitmap.
     n_items = bset.count()
@@ -163,96 +290,11 @@ def ngram_overlap_bloom(
     if n_items == 0:
         out = totals.withColumn("matched_ngrams", F.lit(0).cast("long"))
     else:
-        import numpy as np
-        import pandas as pd
-
         m, k = _bloom_params(n_items, fpp)
-        n_words = m // 64
-        # reduce granularity: 2^16 words = 512 KiB of bitmap per chunk
-        # row. Each reduce group ORs at most n_partitions such chunks;
-        # the driver collects at most ceil(n_words/chunk) rows — one
-        # bitmap total, never one per partition.
-        chunk = 1 << 16
-
-        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            words = np.zeros(n_words, dtype=np.uint64)
-            any_rows = False
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                any_rows = True
-                h = pdf["h"].to_numpy()
-                for pos in _bloom_positions(h, m, k):
-                    np.bitwise_or.at(
-                        words,
-                        (pos >> 6).astype(np.int64),
-                        np.uint64(1) << (pos & 63).astype(np.uint64),
-                    )
-            if any_rows:
-                cids, bms = [], []
-                for cid in range(0, n_words, chunk):
-                    part = words[cid : cid + chunk]
-                    if part.any():
-                        cids.append(cid)
-                        bms.append(part.tobytes())
-                if cids:
-                    yield pd.DataFrame({"cid": cids, "bm": bms})
-
-        def or_reduce(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = None
-            for b in pdf["bm"]:
-                a = np.frombuffer(b, dtype=np.uint64)
-                acc = a.copy() if acc is None else acc | a
-            return pd.DataFrame({"cid": [key[0]], "bm": [acc.tobytes()]})
-
-        blobs = (
-            bset.select(F.xxhash64("s").alias("h"))
-            .mapInPandas(build, "cid long, bm binary")
-            .groupBy("cid")
-            .applyInPandas(or_reduce, "cid long, bm binary")
-            .collect()
+        words = build_bloom_words(
+            bset.select(F.xxhash64("s").alias("h")), m, k
         )
-        words = np.zeros(n_words, dtype=np.uint64)
-        for r in blobs:
-            a = np.frombuffer(r["bm"], dtype=np.uint64)
-            words[r["cid"] : r["cid"] + len(a)] |= a
-        bm_row = spark.createDataFrame(
-            [([int(w) for w in words.view(np.int64)],)], "bm array<bigint>"
-        )
-
-        def member(s):
-            h = F.xxhash64(s)
-            h1 = F.pmod(h, F.lit(m))
-            step = F.pmod(F.call_function("shiftright", h, F.lit(32)),
-                          F.lit(m)) * 2 + 1
-            cond = None
-            for i in range(k):
-                pos = F.pmod(h1 + F.lit(i) * step, F.lit(m))
-                widx = F.call_function(
-                    "shiftright", pos, F.lit(6)
-                ).cast("int") + 1
-                bit = F.pmod(pos, F.lit(64)).cast("int")
-                word = F.element_at(F.col("bm"), widx)
-                hit = (
-                    F.call_function("shiftright", word, bit)
-                    .bitwiseAND(F.lit(1))
-                    == 1
-                )
-                cond = hit if cond is None else (cond & hit)
-            return cond
-
-        cands = (
-            base.crossJoin(F.broadcast(bm_row))
-            .select(
-                id_col,
-                F.explode(F.filter("__sh", member)).alias("s"),
-            )
-        )
-        matched = (
-            cands.join(bset, "s", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("matched_ngrams"))
-        )
+        matched = _bloom_matched_counts(base, bset, words, m, k, id_col)
         out = totals.join(matched, id_col, "left").withColumn(
             "matched_ngrams",
             F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long"),

@@ -1,0 +1,361 @@
+"""Persistent decontamination artifact: shingle the benchmark ONCE,
+screen and decontaminate every future corpus batch against the stored
+index (VERDICT r9 ask #2).
+
+``ngram_overlap`` / ``containment_probe`` (operators/contamination.py,
+operators/sketch.py) are the one-shot shapes: every call re-shingles
+the benchmark TEXT. Continuous ingestion — the normal regime for a
+training-data pipeline — needs the amortized shape: reduce the
+benchmark suite to its derived artifacts once, then screen each
+incoming corpus batch against the store without touching the benchmark
+text again. Same philosophy as the persistent MinHash index
+(operators/dedup_index.py) and IVF index (operators/similarity_index.py):
+the "index" is parquet layout + a params sidecar, not a server-side
+structure.
+
+Layout under ``path``:
+
+- ``shingles/`` — the benchmark suite's word-n-gram strings, one row
+  per DISTINCT (group..., s) — an INVARIANT (build distincts; append
+  anti-joins against the store on the same key). The exact overlap
+  join additionally global-distincts on ``s`` at read time (a shingle
+  shared by two groups must not double-count a doc hit).
+- ``groups/`` — distinct group values of every indexed benchmark doc
+  (only when ``group_cols`` given), so a benchmark whose texts are all
+  shorter than ``n`` words still screens as ``n_probed=0`` instead of
+  vanishing (the containment_probe zero-shingle contract).
+- ``bloom/`` — the union bloom bitmap as (cid, bm binary) 512 KiB
+  word-range chunk rows — the scalable store shape of the distributed
+  build in ``build_bloom_words``.
+- ``_decon_index.json`` — sidecar pinning (text_col, n, seed, probe k,
+  group_cols, bloom m/k/fpp, n_shingles) so probes reproduce
+  bit-identical hashes. Written through the pyarrow-fs layer
+  (sources/fs.py) so object-store paths work.
+
+Append ordering is crash-safe for EXACTNESS: the bloom is rewritten
+FIRST (a bitmap with bits for shingles that never landed in the store
+only adds false-positive candidates, which the exact verify join
+removes), then the shingle store appends, then the sidecar updates.
+The reverse order could leave a shingle in the store missing from the
+bloom — a FALSE NEGATIVE, breaking the value-identity contract.
+
+Bloom capacity: appends OR into the existing ``m`` bits, so the
+REALIZED false-positive rate drifts above the build-time ``fpp`` as
+``n_shingles`` grows — exactness is untouched (the verify join), only
+candidate volume; the sidecar's ``bloom.fpp_realized`` tracks the
+drift so callers can rebuild when probes slow down.
+
+Scale notes (100 TB): the build is one scan of the BENCHMARK (MB-GB —
+eval suites, not the corpus); a screen is one scan of the incoming
+BATCH plus one narrow benchmark-sized read of the store; the exact
+decontamination pass is the same two-join shape as the one-shot
+operator with the store read replacing the benchmark re-shingle.
+Nothing corpus-sized ever shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.contamination import (
+    _bloom_matched_counts,
+    _bloom_params,
+    benchmark_shingles,
+    build_bloom_words,
+)
+from spatialpandas_spark.operators.dedup import word_shingles
+from spatialpandas_spark.operators.sampling import sample_hash
+from spatialpandas_spark.operators.sketch import kmv_sketch
+
+_SIDECAR = "_decon_index.json"
+
+
+def _fpp_realized(m: int, k: int, n: int) -> float:
+    """Expected false-positive rate of an (m, k) bloom holding n items."""
+    return round((1.0 - math.exp(-k * n / m)) ** k, 6)
+
+
+def _grouped_shingles(
+    bench: DataFrame, text_col: str, n: int, groups: list[str]
+) -> DataFrame:
+    """Distinct (groups..., s) shingle rows of a benchmark frame."""
+    return bench.select(
+        *groups, F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+
+
+def build_decon_index(
+    bench: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 8192,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+    fpp: float = 0.01,
+) -> None:
+    """Index a benchmark suite at ``path``: shingle store + bloom store
+    (+ group store when ``group_cols`` given) + sidecar. One scan of
+    the benchmark."""
+    groups = list(group_cols or [])
+    base = path.rstrip("/")
+    sh = _grouped_shingles(bench, text_col, n, groups)
+    sh.write.mode("overwrite").parquet(f"{base}/shingles")
+    spark = bench.sparkSession
+    store = spark.read.parquet(f"{base}/shingles")
+    n_shingles = store.select("s").distinct().count()
+    m, bk = _bloom_params(max(1, n_shingles), fpp)
+    words = build_bloom_words(
+        store.select(F.xxhash64("s").alias("h")).distinct(), m, bk
+    )
+    _write_bloom(spark, words, f"{base}/bloom")
+    if groups:
+        bench.select(*groups).distinct().write.mode("overwrite").parquet(
+            f"{base}/groups"
+        )
+    params = {
+        "text_col": text_col,
+        "n": n,
+        "k": k,
+        "seed": seed,
+        "group_cols": groups,
+        "n_shingles": n_shingles,
+        "bloom": {
+            "m": m,
+            "k": bk,
+            "fpp": fpp,
+            "fpp_realized": _fpp_realized(m, bk, n_shingles),
+        },
+    }
+    # sidecar LAST so a readable index is always complete
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(f"{base}/{_SIDECAR}", json.dumps(params))
+
+
+def load_decon_params(path: str, filesystem=None) -> dict:
+    from spatialpandas_spark.sources import fs as _fs
+
+    return json.loads(
+        _fs.read_text(f"{path.rstrip('/')}/{_SIDECAR}", filesystem=filesystem)
+    )
+
+
+def _write_bloom(spark: SparkSession, words, base: str) -> None:
+    """Bitmap -> (cid, bm binary) 512 KiB chunk rows at ``base``."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.contamination import (
+        _BLOOM_CHUNK_WORDS,
+    )
+
+    words = np.asarray(words, dtype=np.uint64)
+    rows = [
+        (cid, bytes(words[cid : cid + _BLOOM_CHUNK_WORDS].tobytes()))
+        for cid in range(0, len(words), _BLOOM_CHUNK_WORDS)
+    ]
+    spark.createDataFrame(rows, "cid long, bm binary").repartition(
+        1
+    ).write.mode("overwrite").parquet(base)
+
+
+def _read_bloom(spark: SparkSession, base: str, m: int):
+    import numpy as np
+
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for r in spark.read.parquet(base).collect():
+        a = np.frombuffer(r["bm"], dtype=np.uint64)
+        words[r["cid"] : r["cid"] + len(a)] |= a
+    return words
+
+
+def append_to_decon_index(bench: DataFrame, path: str) -> None:
+    """Add new benchmark documents to an existing index. Only shingles
+    NOT already in the store are appended (distinctness invariant);
+    their bits OR into the existing bloom bitmap (same m/k — hashes
+    stay bit-compatible). Write order: bloom, then shingles, then
+    sidecar (see module docstring — a superset bloom is exact, a
+    subset bloom is not)."""
+    p = load_decon_params(path)
+    groups = p["group_cols"]
+    base = path.rstrip("/")
+    spark = bench.sparkSession
+    store = spark.read.parquet(f"{base}/shingles")
+    fresh = (
+        _grouped_shingles(bench, p["text_col"], p["n"], groups)
+        .join(store, groups + ["s"], "left_anti")
+        .localCheckpoint(eager=False)  # consumed by bloom AND append
+    )
+    m, bk = p["bloom"]["m"], p["bloom"]["k"]
+    new_words = build_bloom_words(
+        fresh.select(F.xxhash64("s").alias("h")).distinct(), m, bk
+    )
+    words = _read_bloom(spark, f"{base}/bloom", m) | new_words
+    _write_bloom(spark, words, f"{base}/bloom")
+    fresh.write.mode("append").parquet(f"{base}/shingles")
+    if groups:
+        bench.select(*groups).distinct().join(
+            spark.read.parquet(f"{base}/groups"), groups, "left_anti"
+        ).write.mode("append").parquet(f"{base}/groups")
+    p["n_shingles"] = (
+        spark.read.parquet(f"{base}/shingles").select("s").distinct().count()
+    )
+    p["bloom"]["fpp_realized"] = _fpp_realized(m, bk, p["n_shingles"])
+    from spatialpandas_spark.sources import fs as _fs
+
+    _fs.write_text(f"{base}/{_SIDECAR}", json.dumps(p))
+
+
+def probe_set(spark: SparkSession, path: str) -> DataFrame:
+    """The per-group bottom-k probe set derived from the STORE (one
+    narrow benchmark-sized scan — the benchmark text never re-shingles):
+    ``(*group_cols, rank, h)``, identical to ``shingle_sketch`` over the
+    original benchmark docs because kmv is a pure function of the
+    shingle SET."""
+    p = load_decon_params(path)
+    store = spark.read.parquet(f"{path.rstrip('/')}/shingles")
+    return kmv_sketch(
+        store, "s", k=p["k"], group_cols=p["group_cols"], seed=p["seed"]
+    )
+
+
+def screen_against_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Containment screen of every indexed benchmark (group) in
+    ``docs`` — row-identical to ``containment_probe(docs, bench, ...)``
+    on the original benchmark frame, but the benchmark side reads the
+    artifact. One scan of ``docs``. ``text_col`` defaults to the
+    indexed one."""
+    spark = docs.sparkSession
+    p = load_decon_params(path)
+    groups = p["group_cols"]
+    tc = text_col or p["text_col"]
+    bsk = probe_set(spark, path).localCheckpoint(eager=False)
+    grams = docs.select(
+        F.explode(word_shingles(F.col(tc), p["n"])).alias("s")
+    )
+    probes = F.broadcast(bsk.select("h").distinct())
+    hits = (
+        grams.select(sample_hash(F.col("s"), p["seed"]).alias("h"))
+        .join(probes, "h", "left_semi")
+        .distinct()
+        .withColumn("__found", F.lit(1))
+    )
+    flagged = bsk.join(F.broadcast(hits), "h", "left").select(
+        *groups,
+        "rank",
+        "h",
+        F.coalesce(F.col("__found"), F.lit(0)).alias("found"),
+    )
+    agg = flagged.groupBy(*groups).agg(
+        F.count("*").alias("n_probed"),
+        F.sum("found").cast("long").alias("n_found"),
+    )
+    if groups:
+        all_groups = spark.read.parquet(f"{path.rstrip('/')}/groups")
+        agg = all_groups.join(agg, groups, "left").select(
+            *groups,
+            F.coalesce(F.col("n_probed"), F.lit(0)).alias("n_probed"),
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias(
+                "n_found"
+            ),
+        )
+    return agg.select(
+        *groups,
+        "n_probed",
+        "n_found",
+        F.when(
+            F.col("n_probed") > 0,
+            F.col("n_found").cast("double") / F.col("n_probed"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment_b"),
+        (F.col("n_probed") < F.lit(p["k"])).alias("exact"),
+    )
+
+
+def ngram_overlap_against_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str | None = None,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Per-document contamination vs the INDEXED benchmark suite —
+    value-identical to ``ngram_overlap`` / ``ngram_overlap_bloom`` on
+    the original benchmark frame, with the store read replacing the
+    benchmark re-shingle. ``method='bloom'`` probes the STORED bitmap
+    (no bitmap rebuild) and verifies candidates against the shingle
+    store."""
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(f"unknown decontamination method {method!r}")
+    spark = docs.sparkSession
+    p = load_decon_params(path)
+    tc = text_col or p["text_col"]
+    # global distinct: the store is distinct per (group, s) — a shingle
+    # shared by two benchmark groups would double-count in the left join
+    bset = (
+        spark.read.parquet(f"{path.rstrip('/')}/shingles")
+        .select("s")
+        .distinct()
+    )
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(tc), p["n"]).alias("__sh"),
+    )
+    totals = base.select(
+        id_col, F.size("__sh").cast("long").alias("total_ngrams")
+    )
+    if p["n_shingles"] == 0:
+        out = totals.withColumn("matched_ngrams", F.lit(0).cast("long"))
+    elif method == "bloom":
+        m, bk = p["bloom"]["m"], p["bloom"]["k"]
+        words = _read_bloom(spark, f"{path.rstrip('/')}/bloom", m)
+        matched = _bloom_matched_counts(base, bset, words, m, bk, id_col)
+        out = totals.join(matched, id_col, "left").withColumn(
+            "matched_ngrams",
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long"),
+        )
+    else:
+        exploded = base.select(id_col, F.explode_outer("__sh").alias("s"))
+        joined = exploded.join(
+            F.broadcast(bset.withColumn("__hit", F.lit(1))), "s", "left"
+        )
+        out = joined.groupBy(id_col).agg(
+            F.count("s").alias("total_ngrams"),
+            F.count("__hit").alias("matched_ngrams"),
+        )
+    return out.withColumn(
+        "overlap",
+        F.when(
+            F.col("total_ngrams") > 0,
+            F.col("matched_ngrams").cast("double") / F.col("total_ngrams"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def decontaminate_against_index(
+    docs: DataFrame,
+    path: str,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str | None = None,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Drop training documents whose overlap with the INDEXED benchmark
+    suite is ``>= threshold`` — the amortized twin of
+    ``decontaminate``. The flagged-id set is tiny, so removal is a
+    broadcast anti-join; the corpus is never shuffled."""
+    flagged = (
+        ngram_overlap_against_index(docs, path, id_col, text_col, method)
+        .filter(F.col("overlap") >= threshold)
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1,0 +1,205 @@
+"""Persistent decontamination artifact (VERDICT r9 ask #2): build /
+probe / append identity against the one-shot operators, plus the
+streaming screen twin's exactly-once contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.contamination import (
+    decontaminate,
+    ngram_overlap,
+    ngram_overlap_bloom,
+)
+from spatialpandas_spark.operators.contamination_index import (
+    append_to_decon_index,
+    build_decon_index,
+    decontaminate_against_index,
+    load_decon_params,
+    ngram_overlap_against_index,
+    probe_set,
+    screen_against_index,
+)
+from spatialpandas_spark.operators.sketch import containment_probe, shingle_sketch
+
+DOCS = [
+    (i, " ".join(f"w{i}x{j}" for j in range(9))) for i in range(40)
+] + [(100 + i, " ".join(f"b0y{j}" for j in range(9))) for i in range(3)]
+
+BENCH_A = [("evalA", 0, " ".join(f"b0y{j}" for j in range(9))),
+           ("evalA", 1, " ".join(f"w3x{j}" for j in range(9)))]
+BENCH_B = [("evalB", 0, " ".join(f"w7x{j}" for j in range(9))),
+           ("tiny", 0, "a b")]  # < n=3 words -> zero shingles
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture()
+def bench_a(spark):
+    return spark.createDataFrame(
+        BENCH_A, "benchmark string, doc_id long, text string"
+    )
+
+
+@pytest.fixture()
+def bench_b(spark):
+    return spark.createDataFrame(
+        BENCH_B, "benchmark string, doc_id long, text string"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_probe_set_equals_shingle_sketch(spark, bench_a, tmp_path):
+    """The store-derived probe set == shingle_sketch over the original
+    benchmark docs (kmv is a pure function of the shingle set)."""
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    want = _rows(
+        shingle_sketch(bench_a, "text", n=3, k=16, group_cols=["benchmark"])
+    )
+    assert _rows(probe_set(spark, path)) == want
+
+
+def test_screen_matches_one_shot_probe(spark, docs, bench_a, bench_b, tmp_path):
+    """screen_against_index == containment_probe on the original
+    benchmark frame, including the zero-shingle group's n_probed=0 row."""
+    path = str(tmp_path / "ix")
+    bench = bench_a.union(bench_b)
+    build_decon_index(bench, path, n=3, k=16, group_cols=["benchmark"])
+    want = _rows(
+        containment_probe(
+            docs, bench, n=3, k=16, bench_group_cols=["benchmark"]
+        )
+    )
+    got = _rows(screen_against_index(docs, path))
+    assert got == want
+    assert any(r[0] == "tiny" and r[1] == 0 for r in got)
+
+
+def test_overlap_matches_one_shot_both_methods(spark, docs, bench_a, tmp_path):
+    """ngram_overlap_against_index == ngram_overlap (broadcast) ==
+    ngram_overlap_bloom (bloom probes the STORED bitmap)."""
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, group_cols=["benchmark"])
+    want = _rows(ngram_overlap(docs, bench_a, n=3))
+    assert _rows(ngram_overlap_against_index(docs, path)) == want
+    assert _rows(
+        ngram_overlap_against_index(docs, path, method="bloom")
+    ) == want
+    assert want == _rows(ngram_overlap_bloom(docs, bench_a, n=3))
+
+
+def test_append_equals_rebuild(spark, docs, bench_a, bench_b, tmp_path):
+    """build(A) + append(B) is value-identical to build(A ∪ B) for
+    screen AND overlap (both methods) — and the sidecar tracks the
+    grown shingle count and realized fpp."""
+    union = bench_a.union(bench_b)
+    pa_, pb = str(tmp_path / "appended"), str(tmp_path / "rebuilt")
+    build_decon_index(bench_a, pa_, n=3, k=16, group_cols=["benchmark"])
+    n_before = load_decon_params(pa_)["n_shingles"]
+    append_to_decon_index(bench_b, pa_)
+    build_decon_index(union, pb, n=3, k=16, group_cols=["benchmark"])
+
+    assert _rows(screen_against_index(docs, pa_)) == _rows(
+        screen_against_index(docs, pb)
+    )
+    for method in ("broadcast", "bloom"):
+        assert _rows(
+            ngram_overlap_against_index(docs, pa_, method=method)
+        ) == _rows(ngram_overlap(docs, union, n=3))
+    p = load_decon_params(pa_)
+    assert p["n_shingles"] > n_before
+    assert 0 < p["bloom"]["fpp_realized"] < 1
+
+
+def test_append_is_idempotent_for_duplicates(spark, docs, bench_a, tmp_path):
+    """Re-appending already-indexed benchmarks adds nothing (the
+    anti-join keeps the store distinct — no double counting)."""
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, group_cols=["benchmark"])
+    before = _rows(ngram_overlap_against_index(docs, path))
+    n0 = load_decon_params(path)["n_shingles"]
+    append_to_decon_index(bench_a, path)
+    assert load_decon_params(path)["n_shingles"] == n0
+    assert _rows(ngram_overlap_against_index(docs, path)) == before
+
+
+def test_decontaminate_against_index(spark, docs, bench_a, tmp_path):
+    """Filtered corpus == the one-shot decontaminate on the original
+    benchmark frame, both methods."""
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, group_cols=["benchmark"])
+    want = _rows(decontaminate(docs, bench_a, threshold=0.5, n=3))
+    for method in ("broadcast", "bloom"):
+        got = _rows(
+            decontaminate_against_index(
+                docs, path, threshold=0.5, method=method
+            )
+        )
+        assert got == want
+    assert len(want) < len(DOCS)  # something was actually dropped
+
+
+def test_unknown_method_raises(spark, docs, bench_a, tmp_path):
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3)
+    with pytest.raises(ValueError, match="unknown"):
+        ngram_overlap_against_index(docs, path, method="nope")
+
+
+# ---------------------------------------------------------- streaming
+
+
+def test_stream_screen_equals_batch(spark, docs, bench_a, bench_b, tmp_path):
+    """Cumulative screen after N micro-batches == screen_against_index
+    over the union; replaying a middle batch leaves the summary
+    identical (exactly-once); load_screen returns the current rows."""
+    from spatialpandas_spark.streaming.screen import (
+        load_screen,
+        screen_batch,
+    )
+
+    ix = str(tmp_path / "ix")
+    st = str(tmp_path / "state")
+    bench = bench_a.union(bench_b)
+    build_decon_index(bench, ix, n=3, k=16, group_cols=["benchmark"])
+
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    out = None
+    for i, b in enumerate(batches):
+        out = screen_batch(spark, b, ix, st, batch_id=i)
+    want = _rows(screen_against_index(docs, ix))
+    assert _rows(out) == want
+    assert _rows(load_screen(spark, ix, st)) == want
+
+    # replay batch 1: re-reads batch-0 state, overwrites its own
+    # partition; the latest summary is unchanged
+    screen_batch(spark, batches[1], ix, st, batch_id=1)
+    assert _rows(load_screen(spark, ix, st)) == want
+
+
+def test_stream_screen_zero_hit_first_batch(spark, bench_a, tmp_path):
+    """A first batch with no probe hits must not corrupt state: the
+    summary reads all-zero and later batches still accumulate."""
+    from spatialpandas_spark.streaming.screen import screen_batch
+
+    ix = str(tmp_path / "ix")
+    st = str(tmp_path / "state")
+    build_decon_index(bench_a, ix, n=3, k=16, group_cols=["benchmark"])
+    foreign = bench_a.sparkSession.createDataFrame(
+        [(1, "zz yy xx ww vv uu tt")], "doc_id long, text string"
+    )
+    out = screen_batch(spark, foreign, ix, st, batch_id=0)
+    assert all(r["n_found"] == 0 for r in out.collect())
+    hit = bench_a.sparkSession.createDataFrame(
+        [(2, " ".join(f"b0y{j}" for j in range(9)))],
+        "doc_id long, text string",
+    )
+    out = screen_batch(spark, hit, ix, st, batch_id=1)
+    rows = {r["benchmark"]: r["n_found"] for r in out.collect()}
+    assert rows["evalA"] > 0

@@ -476,3 +476,32 @@ def test_binom_ucb_exact_clopper_pearson():
 
     # edges
     assert _binom_ucb(0, 0) == 1.0 and _binom_ucb(5, 5) == 1.0
+
+
+def test_corpus_frame_decon_index_facades(spark, tmp_path):
+    """index_benchmarks / screen_index / decontaminate_indexed delegate
+    to the persistent-index operators and match the one-shot methods."""
+    texts = {i: " ".join(f"f{i}w{j}" for j in range(8)) for i in range(60)}
+    corpus = CorpusFrame(
+        spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    )
+    bench = spark.createDataFrame(
+        [("ev", 0, texts[7]), ("ev", 1, texts[9])],
+        "benchmark string, doc_id long, text string",
+    )
+    path = str(tmp_path / "ix")
+    CorpusFrame(bench).index_benchmarks(path, n=3)
+    got = sorted(map(tuple, corpus.screen_index(path).collect()))
+    want = sorted(
+        map(tuple, corpus.screen_benchmarks(bench, n=3, k=8192).collect())
+    )
+    assert got == want
+    for method in ("broadcast", "bloom"):
+        kept = corpus.decontaminate_indexed(
+            path, max_overlap=0.3, method=method
+        )
+        want_kept = corpus.decontaminate(bench, max_overlap=0.3, n=3)
+        assert sorted(r["doc_id"] for r in kept.df.collect()) == sorted(
+            r["doc_id"] for r in want_kept.df.collect()
+        )
+    assert kept.count() == 58

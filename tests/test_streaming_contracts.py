@@ -27,7 +27,12 @@ WAIVED = {
     "sessionize_batch": "applyInPandasWithState session op; twin in tests/test_streaming_events.py",
 }
 
-CONTRACTED = {"sketch_batch", "sample_pps_batch", "sequence_batch"}
+CONTRACTED = {
+    "sketch_batch",
+    "sample_pps_batch",
+    "sequence_batch",
+    "screen_batch",
+}
 
 
 def test_every_incremental_operator_is_enumerated():
@@ -202,3 +207,36 @@ def test_sequences_stream_equals_batch_on_real_docs(spark, docs, tmp_path):
         sorted(map(tuple, spark.read.parquet(st).collect())),
         sorted(map(tuple, spark.read.parquet(outp).collect())),
     ) == snap
+
+
+def test_screen_stream_equals_batch_on_real_docs(spark, docs, tmp_path):
+    """Cumulative benchmark screen over N real micro-batches == one
+    screen_against_index over the full table, EXACTLY; middle-batch
+    replay leaves the maintained summary identical."""
+    from spatialpandas_spark.operators.contamination_index import (
+        build_decon_index,
+        screen_against_index,
+    )
+    from spatialpandas_spark.streaming.screen import (
+        load_screen,
+        screen_batch,
+    )
+
+    ix, st = str(tmp_path / "ix"), str(tmp_path / "state")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+        "benchmark",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    build_decon_index(bench, ix, n=5, k=64, group_cols=["benchmark"])
+
+    out = None
+    for i, b in enumerate(_micro_batches(docs)):
+        out = screen_batch(spark, b, ix, st, batch_id=i)
+    want = sorted(map(tuple, screen_against_index(docs, ix).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+    assert any(r[2] > 0 for r in want)  # real hits flowed through
+
+    screen_batch(spark, _micro_batches(docs)[1], ix, st, batch_id=1)
+    assert (
+        sorted(map(tuple, load_screen(spark, ix, st).collect())) == want
+    )
