@@ -1,10 +1,12 @@
-"""Round-7 retired driver gates keep full oracle-checked coverage in CI.
+"""Retired driver gates keep full oracle-checked coverage in CI.
 
 Five gates left the 50-slot driver registry in round 7 (slots went to the
 promoted training_sequences / unigram_encode / media_probe rows and the
 new training_mix composition): total_bounds, geom_groupby,
-corpus_pipeline, tpch_q3, tpch_q5. This module runs each retired Spark
-query against its unchanged DuckDB oracle at sf0.001 with the same
+corpus_pipeline, tpch_q3, tpch_q5. Round 10 retired bounds_multipoint
+the same way (slot went to the promoted streaming_sketch twin —
+VERDICT r9 ask #3). This module runs each retired Spark query against
+its unchanged DuckDB oracle at sf0.001 with the same
 rows/columns/values compare the driver uses — the coverage moved here,
 it did not disappear.
 """
