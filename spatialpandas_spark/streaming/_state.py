@@ -30,14 +30,27 @@ def read_state_frame(
         return reader.parquet(state_path)
     except AnalysisException as e:  # noqa: PERF203 - single call site
         # PySpark 4 tags missing paths with the PATH_NOT_FOUND error
-        # condition; keep the message probe as a belt-and-braces match
-        # for older tags ("Path does not exist").
+        # condition. NO message-substring matching (VERDICT r9 #5): a
+        # wrapped error that merely QUOTES "PATH_NOT_FOUND"/"Path does
+        # not exist" in its text must raise, not read as first-batch.
+        # When the exception carries no structured condition (older
+        # tags), consult the filesystem itself: only a genuinely absent
+        # path is first-batch; an existing path that failed to read is
+        # corrupt state and propagates.
         get = getattr(e, "getCondition", None) or getattr(
             e, "getErrorClass", None
         )
         cond = get() if callable(get) else None
-        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e) or (
-            "Path does not exist" in str(e)
-        ):
+        if cond == "PATH_NOT_FOUND":
+            return None
+        if cond is None and not _fs_exists(state_path):
             return None
         raise
+
+
+def _fs_exists(path: str) -> bool:
+    """Existence probe through the pyarrow-fs layer (sources/fs.py) so
+    object-store state paths resolve the same way sidecars do."""
+    from spatialpandas_spark.sources import fs as _fs
+
+    return _fs.exists(path)

@@ -30,6 +30,32 @@ def test_corrupt_state_raises_not_resets(spark, tmp_path_factory):
             df.collect()
 
 
+def test_wrapped_message_error_raises_not_resets(spark, tmp_path_factory):
+    """VERDICT r9 #5: the guard must not substring-match messages. An
+    error whose TEXT merely contains "PATH_NOT_FOUND" / "Path does not
+    exist" (here: the state path itself contains those strings, quoted
+    in the UNABLE_TO_INFER_SCHEMA message) is corrupt state, not a
+    first batch — the old substring arm silently reset it."""
+    for dirname in ("PATH_NOT_FOUND", "Path does not exist"):
+        td = tmp_path_factory.mktemp("stateguard_wrapped")
+        bad = td / dirname
+        bad.mkdir()
+        (bad / "part-0000.parquet").write_bytes(b"not parquet either")
+        with pytest.raises(Exception):
+            df = read_state_frame(spark, str(bad))
+            if df is not None:
+                df.collect()
+
+
+def test_existing_unreadable_path_with_no_condition_raises():
+    """The no-structured-condition fallback consults the filesystem:
+    an EXISTING path never reads as first-batch."""
+    from spatialpandas_spark.streaming import _state
+
+    assert _state._fs_exists(".") is True
+    assert _state._fs_exists("/definitely/not/here/xyz") is False
+
+
 def test_streaming_readers_reject_corrupt_state(spark, tmp_path_factory):
     # the three foreachBatch loops route through the guard: corrupt
     # state must fail the batch, not restart from zero
