@@ -48,39 +48,30 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     spark.udf.register("st_hilbert", _st_hilbert)
     names.append("st_hilbert")
 
-    # WKB codecs are built as Column functions; wrap each type pair into a
-    # registerable single-argument pandas UDF by reusing the same encoders
+    # WKB codecs are built as Column functions; wrap each type pair into
+    # a registerable single-argument pandas UDF over the same VECTORIZED
+    # batch encoders st_as_wkb uses (byte-identical to the per-row twin)
     from spatialpandas_spark.functions import wkb as _wkb
 
     for t in _WKB_TYPES:
-        enc = _wkb._ENCODERS[t]
-
         if t == "point":
             # SQL surface takes (x, y) for points
             @F.pandas_udf(BinaryType())
             def _enc_pt(x: pd.Series, y: pd.Series) -> pd.Series:
-                return pd.Series(
-                    [
-                        None if pd.isna(a) else _wkb._enc_point((a, b))
-                        for a, b in zip(x, y)
-                    ],
-                    dtype=object,
-                )
+                return _wkb._enc_batch_point(x, y)
 
             spark.udf.register("st_aswkb_point", _enc_pt)
             names.append("st_aswkb_point")
             continue
 
-        def _make(enc_fn):
+        def _make(gt):
             @F.pandas_udf(BinaryType())
             def _enc_any(s: pd.Series) -> pd.Series:
-                return pd.Series(
-                    [None if g is None else enc_fn(g) for g in s], dtype=object
-                )
+                return _wkb._enc_batch(s, gt)
 
             return _enc_any
 
-        spark.udf.register(f"st_aswkb_{t}", _make(enc))
+        spark.udf.register(f"st_aswkb_{t}", _make(t))
         names.append(f"st_aswkb_{t}")
 
     return names
