@@ -3226,6 +3226,43 @@ def _bmp_gate_hexes() -> list:
 #: full decode would fail. Layout: magic + w/h u16le + flags/bg/aspect.
 _GIF_PROBE_HEX = "474946383961" + "0400" + "0400" + "000000"
 
+_FLAC_GATE_HEX_CACHE = None
+
+
+def _flac_gate_hexes() -> list:
+    """8 distinct 16-sample STEREO 16-bit FLAC payloads (sample
+    s(k,i,c) = (((k*13 + i*7 + c*5) % 256) - 128) * 129 — every value
+    within int16, statistics dyadic rationals over 16 so float32 is
+    exact), encoded once per process with the independent spec encoder
+    (operators/flac.py) as FIXED-order-1 mid/side frames — the engine
+    side re-derives the PCM through real Rice decode + stereo
+    decorrelation + CRC/MD5 verification."""
+    global _FLAC_GATE_HEX_CACHE
+    if _FLAC_GATE_HEX_CACHE is None:
+        import numpy as np
+
+        from spatialpandas_spark.operators.flac import encode_flac
+
+        hexes = []
+        for k in range(8):
+            pcm = np.array(
+                [
+                    [(((k * 13 + i * 7 + c * 5) % 256) - 128) * 129
+                     for c in range(2)]
+                    for i in range(16)
+                ],
+                dtype=np.int32,
+            )
+            hexes.append(
+                encode_flac(
+                    pcm, sample_rate=8000, bps=16, mode="fixed",
+                    order=1, rice_k=12, blocksize=16,
+                    channel_mode="mid_side",
+                ).hex().upper()
+            )
+        _FLAC_GATE_HEX_CACHE = hexes
+    return _FLAC_GATE_HEX_CACHE
+
 
 def _pick_by_key_expr(hexes, key_mod: int):
     """payload = unhex(hexes[p_partkey % key_mod]) as a Catalyst expr."""
@@ -3433,6 +3470,41 @@ def q_extract_features_probe(spark, sf_dir):
     )
 
 
+def q_extract_features_flac(spark, sf_dir):
+    """Multimodal decode through the REAL COMPRESSED AUDIO path: 8
+    distinct stereo FLAC payloads (see :func:`_flac_gate_hexes`) picked
+    by part key, sniffed by the 'media' decoder (``fLaC`` magic) and
+    decoded for real — frame parse, Rice residual decode, fixed-order
+    prediction, mid/side decorrelation, CRC-8/16 and STREAMINFO MD5
+    verification (operators/flac.py, round-10 codec per VERDICT r9 #7;
+    tests/test_multimodal_flac.py). Stats land in the shared 12-slot
+    layout (two real channels + zero-filled third; 16-bit threshold
+    8192); every statistic is a dyadic rational so the closed-form
+    oracle on the same PCM formula is bit-exact."""
+    from spatialpandas_spark.operators.multimodal import extract_features
+
+    part = _t(spark, sf_dir, "part")
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        _pick_by_key_expr(_flac_gate_hexes(), 8).alias("payload"),
+    )
+    out = extract_features(media, decoder="media")
+    names = [
+        "mean_r", "mean_g", "mean_b",
+        "min_r", "min_g", "min_b",
+        "max_r", "max_g", "max_b",
+        "fgt_r", "fgt_g", "fgt_b",
+    ]
+    return out.select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), j).cast("double").alias(nm)
+            for j, nm in enumerate(names)
+        ],
+        "decode_ok",
+    )
+
+
 def q_extract_features_media(spark, sf_dir):
     """Merged multimodal gate, tagged union through the same
     extract_features / probe surface:
@@ -3443,6 +3515,8 @@ def q_extract_features_media(spark, sf_dir):
       [operators/multimodal.py decode_wav — tests/test_multimodal_wav.py];
     - 'png': real DEFLATE/CRC/filter decode, magic-sniffed
       [operators/png.py — tests/test_multimodal_png.py];
+    - 'flac': real COMPRESSED audio decode, magic-sniffed (round 10)
+      [operators/flac.py — tests/test_multimodal_flac.py];
     The 'jpeg' and 'probe' variants were promoted to the ``media_probe``
     gate in round 7 (densest-union split) so entropy-decoder and
     header-probe regressions localize to their own row."""
@@ -3450,6 +3524,7 @@ def q_extract_features_media(spark, sf_dir):
         _variant(q_extract_features(spark, sf_dir), "image")
         .unionByName(_variant(q_extract_features_audio(spark, sf_dir), "audio"))
         .unionByName(_variant(q_extract_features_png(spark, sf_dir), "png"))
+        .unionByName(_variant(q_extract_features_flac(spark, sf_dir), "flac"))
     )
 
 
@@ -4976,6 +5051,11 @@ def _base_oracle_sql() -> dict[str, str]:
               SELECT p_partkey AS media_id,
                      CAST((p_partkey*13 + u.i*7) % 256 AS DOUBLE) AS s
               FROM part, UNNEST(range(0, 16)) AS u(i)
+            ), fl AS (
+              SELECT p_partkey AS media_id,
+                     CAST((((p_partkey % 8)*13 + u.i*7 + 0) % 256 - 128) * 129 AS DOUBLE) AS l,
+                     CAST((((p_partkey % 8)*13 + u.i*7 + 5) % 256 - 128) * 129 AS DOUBLE) AS r2
+              FROM part, UNNEST(range(0, 16)) AS u(i)
             )
             SELECT media_id,
                    AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
@@ -5011,6 +5091,16 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(((p_partkey % 8)*7 + u.i*5 + 22) % 127 + 1 AS DOUBLE) AS b
               FROM part, UNNEST(range(0, 16)) AS u(i)
             ) GROUP BY media_id
+            UNION ALL
+            SELECT media_id,
+                   AVG(l) AS mean_r, AVG(r2) AS mean_g, 0.0 AS mean_b,
+                   MIN(l) AS min_r, MIN(r2) AS min_g, 0.0 AS min_b,
+                   MAX(l) AS max_r, MAX(r2) AS max_g, 0.0 AS max_b,
+                   AVG(CASE WHEN l > 8192 THEN 1.0 ELSE 0.0 END) AS fgt_r,
+                   AVG(CASE WHEN r2 > 8192 THEN 1.0 ELSE 0.0 END) AS fgt_g,
+                   0.0 AS fgt_b,
+                   'ok' AS decode_ok, 'flac' AS variant
+            FROM fl GROUP BY media_id
         """,
         "media_probe": _jpeg_probe_oracle_sql(),
         "hilbert_pack": _hilbert_oracle_sql(p=10),

@@ -30,9 +30,16 @@ public T.81 spec (:mod:`spatialpandas_spark.operators.jpeg`), verified
 against an independent spec-derived encoder. ``decoder="image"`` sniffs
 the payload magic per row and routes PPM/PNG/JPEG to the right real
 kernel — the mixed-crawl shape. JPEG covers BOTH baseline sequential
-and progressive (SOF2) profiles. Remaining codec-gated: compressed
-audio/video (mp3/aac/h264), whose decoders are out of scope for a
-pure-numpy runtime.
+and progressive (SOF2) profiles. ``decoder="flac"`` decodes COMPRESSED
+audio for real: LPC/fixed prediction + Rice residuals implemented from
+the public spec (RFC 9639, :mod:`spatialpandas_spark.operators.flac`),
+verified against an independent same-repo encoder like PNG/GIF/JPEG;
+``decoder="media"`` sniffs ``fLaC`` alongside RIFF/WAVE and the image
+magics. Remaining codec-gated: LOSSY compressed audio/video
+(mp3/aac/h264) — their spec compliance needs psychoacoustic models and
+entropy machinery (and conformance vectors) no pure-numpy runtime
+ships, so they stay behind ``NotImplementedError`` permanently rather
+than behind a wrong-output risk.
 """
 
 from __future__ import annotations
@@ -332,12 +339,16 @@ def _bmp_features(payload: bytes | None) -> np.ndarray:
 
 def _media_features(payload: bytes | None) -> np.ndarray:
     """Full media sniffing: images via :func:`_image_features`, RIFF/WAVE
-    audio via the WAV kernel — one decoder for a heterogeneous media
-    column (the crawl reality where one binary column mixes modalities)."""
+    audio via the WAV kernel, FLAC audio via the spec decoder — one
+    decoder for a heterogeneous media column (the crawl reality where
+    one binary column mixes modalities)."""
     if payload is None:
         raise ValueError("null payload")
-    if bytes(payload[:4]) == b"RIFF":
+    head = bytes(payload[:4])
+    if head == b"RIFF":
         return _wav_features(payload)
+    if head == b"fLaC":
+        return _flac_features(payload)
     return _image_features(payload)
 
 
@@ -749,6 +760,12 @@ def _wav_features(payload: bytes | None) -> np.ndarray:
         thresh = 1.0 / _WAV_FGT_DIVISOR  # float WAVE nominal scale ±1
     else:
         thresh = (int(np.iinfo(samples.dtype).max) + 1) // _WAV_FGT_DIVISOR
+    return _pcm_feature_stats(samples, thresh)
+
+
+def _pcm_feature_stats(samples: np.ndarray, thresh) -> np.ndarray:
+    """The shared 12-float PCM feature layout (mean/min/max/
+    fraction-above-threshold for up to 3 channels, zero-padded)."""
     s = samples[:, :3].astype(np.float64)
     nch = s.shape[1]
     pad = np.zeros(3 - nch)
@@ -763,7 +780,26 @@ def _wav_features(payload: bytes | None) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+def _flac_features(payload: bytes | None) -> np.ndarray:
+    """WAV-layout PCM statistics from a REAL FLAC decode
+    (operators/flac.py): samples are signed at STREAMINFO bps, so the
+    fraction-above threshold is full-scale/4 at that depth (s16: 8192,
+    the WAV convention)."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.flac import (
+        decode_flac,
+        flac_streaminfo,
+    )
+
+    samples, _sr = decode_flac(payload)
+    bps = flac_streaminfo(payload)["bps"]
+    thresh = (1 << (bps - 1)) // _WAV_FGT_DIVISOR
+    return _pcm_feature_stats(samples, thresh)
+
+
 _DECODERS["wav"] = _wav_features
+_DECODERS["flac"] = _flac_features
 
 
 def resample_audio(

@@ -1,0 +1,186 @@
+"""FLAC decode (operators/flac.py): lossless round-trip vs the
+independent same-repo encoder across subframe types / channel
+assignments / depths, decoder-wider features via hand-built
+bitstreams, corruption rejection, and the Spark extract_features
+plumbing — the PNG/GIF/JPEG codec-oracle discipline on audio."""
+
+import numpy as np
+import pytest
+
+from spatialpandas_spark.operators.flac import (
+    _BitWriter,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+    flac_streaminfo,
+)
+
+
+def _smooth(n=700, ch=2, seed=5):
+    rng = np.random.default_rng(seed)
+    return np.cumsum(rng.integers(-40, 40, size=(n, ch)), axis=0).astype(
+        np.int32
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(mode="verbatim"),
+        dict(mode="constant"),
+        dict(mode="fixed", order=0, rice_k=12),
+        dict(mode="fixed", order=1, rice_k=7),
+        dict(mode="fixed", order=2, rice_k=7, part_order=2),
+        dict(mode="fixed", order=3, rice_k=8),
+        dict(mode="fixed", order=4, rice_k=9),
+        dict(mode="lpc", lpc_coefs=[20, -10, 2], lpc_shift=4, rice_k=8),
+        dict(mode="fixed", order=2, rice_k=7, channel_mode="left_side"),
+        dict(mode="fixed", order=2, rice_k=7, channel_mode="right_side"),
+        dict(mode="fixed", order=2, rice_k=7, channel_mode="mid_side"),
+    ],
+)
+def test_roundtrip_lossless(kw):
+    pcm = (
+        np.full((600, 2), -123, np.int32)
+        if kw["mode"] == "constant"
+        else _smooth()
+    )
+    dec, sr = decode_flac(encode_flac(pcm, sample_rate=44100, **kw))
+    assert sr == 44100
+    assert dec.dtype == np.int32 and (dec == pcm).all()
+
+
+def test_roundtrip_depths_and_shapes():
+    rng = np.random.default_rng(2)
+    for bps, lim, ch in ((8, 100, 1), (16, 3000, 3), (24, 1 << 20, 2)):
+        pcm = rng.integers(-lim, lim, size=(457, ch)).astype(np.int32)
+        dec, _ = decode_flac(
+            encode_flac(pcm, bps=bps, mode="verbatim", blocksize=192)
+        )
+        assert (dec == pcm).all(), bps
+    info = flac_streaminfo(encode_flac(pcm, bps=24, mode="verbatim"))
+    assert (info["channels"], info["bps"], info["total_samples"]) == (2, 24, 457)
+
+
+def _mono_frame_stream(subframe_bits, blocksize, bps=8, n=None):
+    """Hand-assemble fLaC + STREAMINFO (no md5) + ONE mono frame whose
+    subframe bits are supplied raw — covers decoder features the
+    oracle encoder deliberately never emits."""
+    si = _BitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)
+    si.write(bps - 1, 5)
+    si.write(n if n is not None else blocksize, 36)
+    body = si.bytes() + b"\x00" * 16
+    out = bytearray(b"fLaC") + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)   # 16-bit blocksize-1 follows
+    w.write(14, 4)  # 16-bit rate/10 follows
+    w.write(0, 4)   # mono
+    w.write(1, 3)   # 8 bps
+    w.write(0, 1)
+    w.write(0, 8)   # frame number 0
+    w.write(blocksize - 1, 16)
+    w.write(800, 16)
+    w.align()
+    hdr = w.bytes()
+    w2 = _BitWriter()
+    for b in hdr:
+        w2.write(b, 8)
+    w2.write(crc8(hdr), 8)
+    for v, nbits in subframe_bits:
+        w2.write(v, nbits)
+    w2.align()
+    frame = w2.bytes()
+    return bytes(out + frame + crc16(frame).to_bytes(2, "big"))
+
+
+def test_decoder_wasted_bits_and_escape_partition():
+    """FIXED-order-0 subframe with 1 wasted bit and an ESCAPED (raw
+    5-bit) residual partition — valid spec features the oracle encoder
+    never writes."""
+    resid = [3, -4, 0, 7, -8, 1, 2, -1]
+    bits = [(0, 1), (8, 6), (1, 1)]  # pad, fixed o0, wasted flag
+    # unary(wasted-1 = 0) -> a single 1 bit
+    bits.append((1, 1))
+    bits.append((0, 2))   # residual method 0
+    bits.append((0, 4))   # partition order 0
+    bits.append((15, 4))  # rice param escape
+    bits.append((5, 5))   # raw 5-bit residuals
+    for e in resid:
+        bits.append((e & 0x1F, 5))
+    dec, _ = decode_flac(_mono_frame_stream(bits, blocksize=len(resid)))
+    assert dec[:, 0].tolist() == [e << 1 for e in resid]
+
+
+def test_decoder_rice2_method():
+    """Residual method 1 (5-bit rice2 params) decodes; the oracle
+    encoder only writes method 0."""
+    resid = [1, -2, 3, -4]
+    k = 3
+    bits = [(0, 1), (8, 6), (0, 1), (1, 2), (0, 4), (k, 5)]
+    for e in resid:
+        u = (abs(e) << 1) - (1 if e < 0 else 0)
+        bits.append((1, (u >> k) + 1))  # unary quotient
+        bits.append((u & ((1 << k) - 1), k))
+    dec, _ = decode_flac(_mono_frame_stream(bits, blocksize=len(resid)))
+    assert dec[:, 0].tolist() == resid
+
+
+def test_corruption_rejected():
+    pcm = _smooth(300)
+    enc = bytearray(encode_flac(pcm, mode="fixed", order=2, rice_k=7))
+    # flip a payload byte mid-frame: CRC-16 must catch it
+    bad = bytearray(enc)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # flip an MD5 byte in STREAMINFO: decoded-PCM MD5 must catch it
+    bad = bytearray(enc)
+    bad[8 + 18] ^= 0x01  # 4 magic + 4 block hdr + 18 -> first md5 byte
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_flac(enc[: len(enc) // 2])
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFFxxxx")
+
+
+def test_extract_features_flac_and_media_sniff(spark):
+    """Spark plumbing: decoder='flac' decodes real payloads; the
+    'media' sniffing decoder routes fLaC next to RIFF/WAVE; a corrupt
+    payload degrades to an error row, not a job failure."""
+    from spatialpandas_spark.operators.multimodal import (
+        encode_wav,
+        extract_features,
+    )
+
+    pcm = np.array([[0, 0], [8192, -8192], [16384, 100], [-4, 4]] * 4,
+                   np.int32)
+    flac = encode_flac(pcm, mode="fixed", order=1, rice_k=9)
+    wav = encode_wav(pcm.astype(np.int16), 8000, bits=16)
+    rows = [(0, bytearray(flac)), (1, bytearray(wav)), (2, bytearray(b"fLaCgarbage"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_features(df, decoder="media").collect()
+    }
+    assert out[2]["feature"] is None and "error" in out[2]["decode_ok"]
+    f0, f1 = out[0]["feature"], out[1]["feature"]
+    assert f0 == f1  # same PCM through FLAC and WAV -> same stats
+    s = pcm[:, :3].astype(np.float64)
+    assert f0[0] == np.float32(s.mean(0)[0])
+    assert f0[9] == np.float32((s > 8192).mean(0)[0])
+    # dedicated decoder name is registered too
+    only = extract_features(
+        df.filter("media_id = 0"), decoder="flac"
+    ).collect()[0]
+    assert only["feature"] == f0
