@@ -730,6 +730,35 @@ def b32_containment_probe(spark):
     return containment_probe(train, bench, n=5, k=8192).count()
 
 
+_DECON_INDEX_PATH = None
+
+
+def b33_decon_index_screen(spark):
+    """Amortized benchmark screen against the PERSISTENT decontamination
+    artifact (round 10, operators/contamination_index.py): the eval-set
+    index (same every-17th-doc benchmark as b32) is built ONCE and
+    cached on disk; each run screens the remaining documents against
+    the store — the continuous-ingestion shape where the benchmark text
+    never re-shingles. Pair with b32 (the one-shot probe) to read the
+    amortization directly."""
+    from spatialpandas_spark.operators.contamination_index import (
+        build_decon_index,
+        screen_against_index,
+    )
+
+    global _DECON_INDEX_PATH
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    if _DECON_INDEX_PATH is None:
+        path = tempfile.mkdtemp(prefix="bench_decon_ix_") + "/ix"
+        bench = docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+            "benchmark", (F.col("doc_id") % 3).cast("string")
+        )
+        build_decon_index(bench, path, group_cols=["benchmark"])
+        _DECON_INDEX_PATH = path
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return screen_against_index(train, _DECON_INDEX_PATH).count()
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -763,6 +792,7 @@ BENCHES = {
     "b30_kmv_overlap": b30_kmv_overlap,
     "b31_ivfsq8_probe": b31_ivfsq8_probe,
     "b32_containment_probe": b32_containment_probe,
+    "b33_decon_index_screen": b33_decon_index_screen,
 }
 
 
