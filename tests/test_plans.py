@@ -313,3 +313,37 @@ def test_deterministic_shuffle_plan_is_range_partitioned(spark):
     plan = physical_plan(deterministic_shuffle(df, "doc_id"))
     assert "rangepartitioning" in plan.lower()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_decon_index_probe_plans(spark, tmp_path):
+    """Persistent decontamination index probe shapes: the corpus side
+    of a screen joins the broadcast probe set map-side (LEFT SEMI under
+    a BroadcastHashJoin — nothing corpus-sized shuffles for the
+    membership test), and the bloom overlap's corpus scan contains NO
+    Python stage (membership is pure Catalyst bit arithmetic; the only
+    Python in the whole plan is the one-off bitmap build on the
+    benchmark side, which runs before the plan under test)."""
+    from pyspark.sql import functions as F
+
+    from spatialpandas_spark.operators.contamination_index import (
+        build_decon_index,
+        ngram_overlap_against_index,
+        screen_against_index,
+    )
+    from spatialpandas_spark.plans.inspect import physical_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"p{i}w{j}" for j in range(8))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix")
+    build_decon_index(
+        docs.limit(5).withColumn("benchmark", F.lit("b")),
+        ix,
+        group_cols=["benchmark"],
+    )
+    plan = physical_plan(screen_against_index(docs, ix))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    plan2 = physical_plan(ngram_overlap_against_index(docs, ix, method="bloom"))
+    assert "EvalPython" not in plan2 and "MapInPandas" not in plan2
