@@ -961,11 +961,12 @@ def probe_media_metadata(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Mixed-media metadata pass: the image probe plus RIFF/WAVE audio
-    (format, sample_rate, n_channels, n_samples — duration is
-    n_samples / sample_rate). One Arrow scan, no decode math; corrupt
-    payloads become tagged error rows. The superset schema lets one
-    pass profile a whole crawl media column before any decoder runs."""
+    """Mixed-media metadata pass: the image probe plus RIFF/WAVE and
+    FLAC audio (format, sample_rate, n_channels, n_samples — duration
+    is n_samples / sample_rate; FLAC reads STREAMINFO only, no frame
+    decode). One Arrow scan, no decode math; corrupt payloads become
+    tagged error rows. The superset schema lets one pass profile a
+    whole crawl media column before any decoder runs."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -1000,6 +1001,19 @@ def probe_media_metadata(
                                 sample_rate=fmt["sample_rate"],
                                 n_channels=fmt["n_channels"],
                                 n_samples=len(raw) // max(frame, 1),
+                                probe_ok="ok",
+                            )
+                        elif data[:4] == b"fLaC":
+                            from spatialpandas_spark.operators.flac import (
+                                flac_streaminfo,
+                            )
+
+                            si = flac_streaminfo(data)
+                            row.update(
+                                format="flac",
+                                sample_rate=si["sample_rate"],
+                                n_channels=si["channels"],
+                                n_samples=int(si["total_samples"]),
                                 probe_ok="ok",
                             )
                         else:

@@ -184,3 +184,33 @@ def test_extract_features_flac_and_media_sniff(spark):
         df.filter("media_id = 0"), decoder="flac"
     ).collect()[0]
     assert only["feature"] == f0
+
+
+def test_probe_media_metadata_flac_headers_only(spark):
+    """probe_media_metadata reads FLAC STREAMINFO only: a stream whose
+    FRAMES are chopped off still probes (format/rate/channels/samples)
+    while a full decode of the same bytes raises — the GIF-header
+    discipline on audio."""
+    from spatialpandas_spark.operators.flac import flac_streaminfo
+    from spatialpandas_spark.operators.multimodal import (
+        probe_media_metadata,
+    )
+
+    pcm = _smooth(300)
+    full = encode_flac(pcm, sample_rate=44100, mode="fixed", order=1,
+                       rice_k=9, blocksize=128)
+    # keep magic + the (last) STREAMINFO block only: 4 + 4 + 38 bytes
+    hdr_only = full[: 8 + 34]
+    flac_streaminfo(hdr_only)  # parses
+    with pytest.raises(ValueError):
+        decode_flac(hdr_only)  # no frames -> short of total_samples
+
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr_only)), (2, bytearray(b"fLaC\x80\x00\x00\x22"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in probe_media_metadata(df).collect()}
+    ok = rows[1]
+    assert (ok["format"], ok["sample_rate"], ok["n_channels"],
+            ok["n_samples"], ok["probe_ok"]) == ("flac", 44100, 2, 300, "ok")
+    assert rows[2]["probe_ok"].startswith("error")
