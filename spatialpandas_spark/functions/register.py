@@ -58,7 +58,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
             # SQL surface takes (x, y) for points
             @F.pandas_udf(BinaryType())
             def _enc_pt(x: pd.Series, y: pd.Series) -> pd.Series:
-                return _wkb._enc_batch_point(x, y)
+                return _wkb._enc_batch_point_safe(x, y)
 
             spark.udf.register("st_aswkb_point", _enc_pt)
             names.append("st_aswkb_point")
@@ -67,7 +67,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         def _make(gt):
             @F.pandas_udf(BinaryType())
             def _enc_any(s: pd.Series) -> pd.Series:
-                return _wkb._enc_batch(s, gt)
+                return _wkb._enc_batch_safe(s, gt)
 
             return _enc_any
 

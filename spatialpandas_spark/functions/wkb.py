@@ -151,11 +151,23 @@ def _nested_arrays(s: pd.Series, depth: int):
     return valid, offsets, flat
 
 
+#: pa.binary() offsets are int32 — a batch whose encoded bytes reach
+#: 2 GiB must not wrap silently (callers fall back to the per-row twin)
+_MAX_BATCH_BYTES = (1 << 31) - 1
+
+
+class _BatchTooLarge(Exception):
+    pass
+
+
 def _binary_from(out, sizes, valid) -> pd.Series:
     import numpy as np
     import pyarrow as pa
 
     n = len(sizes)
+    total = int(np.asarray(sizes, dtype=np.int64).sum())
+    if total > _MAX_BATCH_BYTES:
+        raise _BatchTooLarge(total)
     boffs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(sizes, out=boffs[1:])
     ba = pa.BinaryArray.from_buffers(
@@ -317,6 +329,33 @@ def _enc_batch(s: pd.Series, geom_type: str) -> pd.Series:
     return _binary_from(out, sizes, valid)
 
 
+def _enc_batch_safe(s: pd.Series, geom_type: str) -> pd.Series:
+    """Batch encode with the 2 GiB-offset guard: an Arrow batch whose
+    ENCODED bytes would overflow pa.binary()'s int32 offsets falls back
+    to the per-row struct twin (byte-identical by construction) instead
+    of wrapping silently."""
+    try:
+        return _enc_batch(s, geom_type)
+    except _BatchTooLarge:
+        enc = _ENCODERS[geom_type]
+        return pd.Series(
+            [None if g is None else enc(g) for g in s], dtype=object
+        )
+
+
+def _enc_batch_point_safe(x: pd.Series, y: pd.Series) -> pd.Series:
+    try:
+        return _enc_batch_point(x, y)
+    except _BatchTooLarge:  # 21 B/row: needs a >100M-row batch
+        return pd.Series(
+            [
+                None if pd.isna(a) else _enc_point((a, b))
+                for a, b in zip(x, y)
+            ],
+            dtype=object,
+        )
+
+
 def st_as_wkb(geom: Column, geom_type: str) -> Column:
     """Encode a geometry column to standard little-endian WKB bytes
     (vectorized numpy batch encoder; byte-identical to the per-row
@@ -326,13 +365,13 @@ def st_as_wkb(geom: Column, geom_type: str) -> Column:
     if geom_type == "point":
         @F.pandas_udf(BinaryType())
         def _enc_pt(x: pd.Series, y: pd.Series) -> pd.Series:
-            return _enc_batch_point(x, y)
+            return _enc_batch_point_safe(x, y)
 
         return _enc_pt(geom["x"], geom["y"])
 
     @F.pandas_udf(BinaryType())
     def _enc_any(s: pd.Series) -> pd.Series:
-        return _enc_batch(s, geom_type)
+        return _enc_batch_safe(s, geom_type)
 
     return _enc_any(geom)
 

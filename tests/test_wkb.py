@@ -171,3 +171,26 @@ def test_batch_encoders_byte_identical_to_struct_twin():
             assert a is None
         else:
             assert bytes(a) == W._enc_point((xv, yv))
+
+
+def test_batch_encoder_int32_offset_guard(monkeypatch):
+    """A batch whose encoded bytes would overflow pa.binary()'s int32
+    offsets must fall back to the per-row twin (byte-identical), never
+    wrap silently — exercised by lowering the guard threshold."""
+    import pandas as pd
+
+    from spatialpandas_spark.functions import wkb as W
+
+    vals = [[float(i), float(i + 1), 2.0, 3.0] for i in range(50)]
+    want = [W._ENCODERS["line"](g) for g in vals]
+    s = pd.Series(vals, dtype=object)
+
+    monkeypatch.setattr(W, "_MAX_BATCH_BYTES", 100)
+    got = W._enc_batch_safe(s, "line")
+    assert [bytes(a) for a in got] == want
+    gx = W._enc_batch_point_safe(pd.Series([1.0]), pd.Series([2.0]))
+    assert bytes(gx[0]) == W._enc_point((1.0, 2.0))
+
+    monkeypatch.setattr(W, "_MAX_BATCH_BYTES", (1 << 31) - 1)
+    got2 = W._enc_batch_safe(s, "line")
+    assert [bytes(a) for a in got2] == want
