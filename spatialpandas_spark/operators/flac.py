@@ -456,6 +456,21 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, mode: str,
                      lpc_shift: int = 5) -> None:
     xs = [int(v) for v in x]
     blocksize = len(xs)
+    # a subframe's predictor order may not exceed its block (warm-up
+    # samples ARE block samples), and the first residual partition may
+    # not go negative — clamp per frame the way real encoders pick
+    # lower orders for short last blocks (hypothesis-found, r10)
+    if mode == "fixed":
+        order = min(order, blocksize)
+    eff = order if mode == "fixed" else 0
+    if mode == "lpc":
+        eff = len(lpc_coefs or [3, -1])
+        if blocksize <= eff:  # cannot shrink an LPC order: coefs fixed
+            mode, eff = "verbatim", 0
+    while part_order and (
+        blocksize % (1 << part_order) or (blocksize >> part_order) < eff
+    ):
+        part_order -= 1
     w.write(0, 1)  # padding
     if mode == "constant":
         w.write(0, 6)

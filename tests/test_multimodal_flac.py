@@ -214,3 +214,50 @@ def test_probe_media_metadata_flac_headers_only(spark):
     assert (ok["format"], ok["sample_rate"], ok["n_channels"],
             ok["n_samples"], ok["probe_ok"]) == ("flac", 44100, 2, 300, "ok")
     assert rows[2]["probe_ok"].startswith("error")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=hst.lists(
+        hst.tuples(hst.integers(-30000, 30000), hst.integers(-30000, 30000)),
+        min_size=1,
+        max_size=300,
+    ),
+    mode=hst.sampled_from(["verbatim", "fixed"]),
+    order=hst.integers(0, 4),
+    rice_k=hst.integers(0, 14),
+    part_order=hst.integers(0, 2),
+    channel_mode=hst.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    blocksize=hst.sampled_from([16, 64, 192, 4096]),
+)
+def test_property_roundtrip_lossless(
+    data, mode, order, rice_k, part_order, channel_mode, blocksize
+):
+    """PROPERTY: decode(encode(pcm)) == pcm for arbitrary int16 stereo
+    PCM under arbitrary legal (mode, order, rice_k, partition order,
+    channel assignment, blocksize) — lossless is unconditional, not a
+    property of friendly inputs; the encoder clamps orders and
+    partition orders per frame the way real encoders do for short last
+    blocks. This property FOUND that clamp: frames shorter than the
+    predictor order produced spec-illegal subframes before it."""
+    import numpy as np
+
+    pcm = np.array(data, dtype=np.int32)
+    dec, _ = decode_flac(
+        encode_flac(
+            pcm,
+            mode=mode,
+            order=order,
+            rice_k=rice_k,
+            part_order=part_order,
+            channel_mode=channel_mode,
+            blocksize=blocksize,
+        )
+    )
+    assert (dec == pcm).all()
