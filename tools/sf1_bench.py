@@ -51,6 +51,7 @@ HEAVY = [
     "b25_semantic_dedup",
     "b30_kmv_overlap",
     "b32_containment_probe",
+    "b33_decon_index_screen",
 ]
 
 
