@@ -815,11 +815,15 @@ def resample_audio(
 
     ``decoder="wav"`` is REAL: decode PCM (pure numpy), linear-resample
     with :func:`resample_pcm`, re-encode RIFF/WAVE at ``target_rate``
-    preserving bit depth and channel count. A null or undecodable
-    payload yields a null output payload instead of failing the job.
-    ``decoder="fake"`` emits a deterministic digest payload; compressed
-    formats (mp3/aac/…) stay gated on codec libraries."""
-    _check_media_decoder(decoder, ("fake", "wav"))
+    preserving bit depth and channel count. ``decoder="audio"`` sniffs
+    WAV vs FLAC per row — the transcode-to-PCM pipeline shape: FLAC
+    input decodes through the real spec decoder (operators/flac.py),
+    resamples, and lands as 16-bit RIFF/WAVE (8-bit widened <<8,
+    24-bit narrowed >>8 — the standard transcode depths). A null or
+    undecodable payload yields a null output payload instead of
+    failing the job. ``decoder="fake"`` emits a deterministic digest
+    payload; lossy formats (mp3/aac/…) stay codec-gated."""
+    _check_media_decoder(decoder, ("fake", "wav", "audio"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -834,8 +838,23 @@ def resample_audio(
         if decoder == "fake":
             return hashlib.sha256(bytes(p) + f"|{target_rate}".encode()).digest()
         try:
-            samples, sr = decode_wav(p)
-            bits = 8 if samples.dtype == np.uint8 else 16
+            if decoder == "audio" and bytes(p[:4]) == b"fLaC":
+                from spatialpandas_spark.operators.flac import (
+                    decode_flac,
+                    flac_streaminfo,
+                )
+
+                samples, sr = decode_flac(p)
+                bps = flac_streaminfo(bytes(p))["bps"]
+                if bps == 8:
+                    samples = samples.astype(np.int32) << 8
+                elif bps > 16:
+                    samples = samples >> (bps - 16)
+                samples = samples.astype(np.int16)
+                bits = 16
+            else:
+                samples, sr = decode_wav(p)
+                bits = 8 if samples.dtype == np.uint8 else 16
             return encode_wav(
                 resample_pcm(samples, sr, target_rate), target_rate, bits
             )

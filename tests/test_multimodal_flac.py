@@ -261,3 +261,32 @@ def test_property_roundtrip_lossless(
         )
     )
     assert (dec == pcm).all()
+
+
+def test_resample_audio_flac_transcode(spark):
+    """decoder='audio' sniffs FLAC beside WAV and transcodes to 16-bit
+    RIFF/WAVE at the target rate: a FLAC and a WAV holding the SAME
+    16-bit PCM produce byte-identical resampled outputs."""
+    from spatialpandas_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    pcm = _smooth(200).astype(np.int32)
+    rows = [
+        (0, bytearray(encode_flac(pcm, sample_rate=8000, mode="fixed",
+                                  order=2, rice_k=8))),
+        (1, bytearray(encode_wav(pcm.astype(np.int16), 8000, bits=16))),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in resample_audio(df, 16000, decoder="audio").collect()
+    }
+    assert out[2]["payload"] is None
+    assert bytes(out[0]["payload"]) == bytes(out[1]["payload"])
+    samples, sr = decode_wav(bytes(out[0]["payload"]))
+    assert sr == 16000 and samples.shape[1] == 2
+    assert len(samples) == 400  # 200 samples, 8k -> 16k
