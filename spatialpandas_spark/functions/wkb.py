@@ -46,7 +46,16 @@ def _enc_header(kind: int) -> bytes:
     return struct.pack("<BI", 1, kind)
 
 
+def _odd(flat) -> bool:
+    return len(flat) % 2 != 0
+
+
 def _enc_coords(flat) -> bytes:
+    if _odd(flat):
+        raise ValueError(
+            f"odd flat-coordinate length {len(flat)}: coordinates must "
+            "be interleaved x,y pairs"
+        )
     n = len(flat) // 2
     return struct.pack("<I", n) + struct.pack(f"<{len(flat)}d", *flat)
 
@@ -67,6 +76,11 @@ def _enc_polygon(rings) -> bytes:
 
 
 def _enc_multipoint(flat) -> bytes:
+    if _odd(flat):
+        raise ValueError(
+            f"odd flat-coordinate length {len(flat)}: coordinates must "
+            "be interleaved x,y pairs"
+        )
     n = len(flat) // 2
     out = _enc_header(WKB_MULTIPOINT) + struct.pack("<I", n)
     for i in range(n):
@@ -144,9 +158,19 @@ def _nested_arrays(s: pd.Series, depth: int):
     valid = np.asarray(arr.is_valid())
     offsets = []
     cur = arr
-    for _ in range(depth):
+    for level in range(depth):
         offsets.append(np.asarray(cur.offsets))
         cur = cur.values
+        # only TOP-level nulls are legal (row nulls, handled by `valid`);
+        # a null nested list or null coordinate would silently become
+        # NaN under np.asarray, diverging from the per-row struct twin
+        # which fails fast — keep the byte-identity contract by raising
+        if cur.null_count:
+            raise ValueError(
+                f"null inside nested geometry at depth {level + 1} "
+                f"({cur.null_count} null value(s)); the batch WKB "
+                "encoder rejects malformed input like the per-row twin"
+            )
     flat = np.asarray(cur, dtype=np.float64)
     return valid, offsets, flat
 
@@ -239,6 +263,25 @@ def _excl_starts(sizes) -> "np.ndarray":  # noqa: F821
     return starts
 
 
+def _check_even(nd, row_of_leaf, what: str) -> None:
+    """Every leaf coordinate list must hold interleaved x,y pairs; an
+    odd length would leave a dangling double in the byte stream that
+    the header counts don't cover (shape-mismatch crash or corrupt WKB
+    depending on type). Raise naming the offending ROW, matching the
+    per-row twin's fail-fast on malformed input."""
+    import numpy as np
+
+    bad = np.nonzero(np.asarray(nd) & 1)[0]
+    if len(bad):
+        leaf = int(bad[0])
+        row = int(row_of_leaf(leaf))
+        raise ValueError(
+            f"odd flat-coordinate length {int(nd[leaf])} in {what} "
+            f"{leaf} (row {row}): coordinates must be interleaved "
+            "x,y pairs"
+        )
+
+
 def _enc_batch(s: pd.Series, geom_type: str) -> pd.Series:
     import numpy as np
 
@@ -251,6 +294,7 @@ def _enc_batch(s: pd.Series, geom_type: str) -> pd.Series:
     if depth == 1:
         o = offs[0]
         nd = (o[1:] - o[:-1]).astype(np.int64)  # doubles per row
+        _check_even(nd, lambda i: i, "flat list")
         if geom_type == "multipoint":
             npts = nd // 2
             sizes = np.where(valid, 9 + npts * 21, 0)
@@ -280,6 +324,9 @@ def _enc_batch(s: pd.Series, geom_type: str) -> pd.Series:
         o1, o2 = offs
         part_hdr = 4 if geom_type == "polygon" else 9
         part_nd = (o2[1:] - o2[:-1]).astype(np.int64)  # doubles per part
+        _check_even(
+            part_nd, lambda i: np.searchsorted(o1, i, "right") - 1, "part"
+        )
         part_bytes = part_hdr + 8 * part_nd
         pc = np.zeros(len(part_bytes) + 1, dtype=np.int64)
         np.cumsum(part_bytes, out=pc[1:])
@@ -304,6 +351,14 @@ def _enc_batch(s: pd.Series, geom_type: str) -> pd.Series:
     # (4B count) -> coords
     o1, o2, o3 = offs
     ring_nd = (o3[1:] - o3[:-1]).astype(np.int64)
+    _check_even(
+        ring_nd,
+        lambda i: np.searchsorted(
+            o1, np.searchsorted(o2, i, "right") - 1, "right"
+        )
+        - 1,
+        "ring",
+    )
     ring_bytes = 4 + 8 * ring_nd
     rc = np.zeros(len(ring_bytes) + 1, dtype=np.int64)
     np.cumsum(ring_bytes, out=rc[1:])

@@ -32,12 +32,14 @@ Layout under ``path``:
   bit-identical hashes. Written through the pyarrow-fs layer
   (sources/fs.py) so object-store paths work.
 
-Append ordering is crash-safe for EXACTNESS: the bloom is rewritten
-FIRST (a bitmap with bits for shingles that never landed in the store
-only adds false-positive candidates, which the exact verify join
-removes), then the shingle store appends, then the sidecar updates.
-The reverse order could leave a shingle in the store missing from the
-bloom — a FALSE NEGATIVE, breaking the value-identity contract.
+Append ordering is crash-safe for EXACTNESS and for COMPLETENESS: the
+bloom is rewritten FIRST (a bitmap with bits for shingles that never
+landed in the store only adds false-positive candidates, which the
+exact verify join removes), then the GROUPS store appends (a group
+present before its shingles screens as the honest ``n_probed=0`` row;
+the reverse would silently drop the group's summary row), then the
+shingle store appends, then the sidecar updates. Any torn append is
+repaired by retrying the call — every step is idempotent.
 
 Bloom capacity: appends OR into the existing ``m`` bits, so the
 REALIZED false-positive rate drifts above the build-time ``fpp`` as
@@ -177,9 +179,18 @@ def append_to_decon_index(bench: DataFrame, path: str) -> None:
     """Add new benchmark documents to an existing index. Only shingles
     NOT already in the store are appended (distinctness invariant);
     their bits OR into the existing bloom bitmap (same m/k — hashes
-    stay bit-compatible). Write order: bloom, then shingles, then
-    sidecar (see module docstring — a superset bloom is exact, a
-    subset bloom is not)."""
+    stay bit-compatible).
+
+    Write order is crash-safe end to end: bloom, then GROUPS, then
+    shingles, then sidecar. A superset bloom only adds candidates the
+    verify join removes; a superset groups store only adds a group
+    whose probes haven't landed yet, which screens as the honest
+    ``n_probed=0`` row — whereas the reverse order (shingles before
+    groups, the pre-r11 layout) could leave a group's shingles present
+    but its summary row silently DROPPED by ``screen_against_index``'s
+    left join from groups/. A torn append is always repaired by
+    retrying the same call (every step is idempotent: OR, anti-join
+    append, sidecar recount)."""
     p = load_decon_params(path)
     groups = p["group_cols"]
     base = path.rstrip("/")
@@ -196,11 +207,11 @@ def append_to_decon_index(bench: DataFrame, path: str) -> None:
     )
     words = _read_bloom(spark, f"{base}/bloom", m) | new_words
     _write_bloom(spark, words, f"{base}/bloom")
-    fresh.write.mode("append").parquet(f"{base}/shingles")
     if groups:
         bench.select(*groups).distinct().join(
             spark.read.parquet(f"{base}/groups"), groups, "left_anti"
         ).write.mode("append").parquet(f"{base}/groups")
+    fresh.write.mode("append").parquet(f"{base}/shingles")
     p["n_shingles"] = (
         spark.read.parquet(f"{base}/shingles").select("s").distinct().count()
     )
@@ -313,7 +324,12 @@ def ngram_overlap_against_index(
     totals = base.select(
         id_col, F.size("__sh").cast("long").alias("total_ngrams")
     )
-    if p["n_shingles"] == 0:
+    # the empty-index short-circuit must be confirmed by the STORE, not
+    # the sidecar alone: a crash between the shingles append and the
+    # sidecar rewrite leaves n_shingles stale (possibly the build-time
+    # 0), and trusting it would silently report zero matches against a
+    # non-empty store. The extra job runs only when the sidecar says 0.
+    if p["n_shingles"] == 0 and bset.isEmpty():
         out = totals.withColumn("matched_ngrams", F.lit(0).cast("long"))
     elif method == "bloom":
         m, bk = p["bloom"]["m"], p["bloom"]["k"]

@@ -533,6 +533,18 @@ def encode_flac(
     ('independent'/'left_side'/'right_side'/'mid_side' — stereo only).
     Correct CRC-8/CRC-16 and STREAMINFO MD5; lossless round-trip with
     :func:`decode_flac` is the test contract."""
+    if bps not in (8, 12, 16, 20, 24):
+        raise ValueError(
+            f"encode_flac supports bps in (8, 12, 16, 20, 24), got {bps} "
+            "(the decoder additionally reads 32-bit streams; the encoder "
+            "oracle only emits depths with a 3-bit frame-header code)"
+        )
+    if not (0 < sample_rate <= 655350) or sample_rate % 10 != 0:
+        raise ValueError(
+            f"encode_flac writes the frame-header rate as rate/10 in 16 "
+            f"bits, so sample_rate must be a positive multiple of 10 "
+            f"<= 655350; got {sample_rate}"
+        )
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape

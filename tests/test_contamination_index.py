@@ -203,3 +203,62 @@ def test_stream_screen_zero_hit_first_batch(spark, bench_a, tmp_path):
     out = screen_batch(spark, hit, ix, st, batch_id=1)
     rows = {r["benchmark"]: r["n_found"] for r in out.collect()}
     assert rows["evalA"] > 0
+
+
+def test_append_write_order_bloom_groups_shingles(
+    spark, bench_a, bench_b, tmp_path, monkeypatch
+):
+    """ADVICE r10: append writes bloom, then GROUPS, then shingles (then
+    sidecar) — every torn-append state is a superset artifact (extra
+    bloom candidates the verify join removes, or an n_probed=0 group
+    row), never a silently dropped group summary or a false negative."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    order = []
+    orig = DataFrameWriter.parquet
+
+    def spy(self, p, *a, **k):
+        order.append(p.rsplit("/", 1)[-1])
+        return orig(self, p, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
+    append_to_decon_index(bench_b, path)
+    assert order == ["bloom", "groups", "shingles"]
+
+
+def test_torn_append_group_screens_as_zero_probed(spark, docs, bench_a, tmp_path):
+    """A crash after the groups append but before the shingles append
+    leaves a group with no probes; it must still appear in the screen
+    summary as the honest (n_probed=0, n_found=0) row, not vanish."""
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    spark.createDataFrame([("evalB",)], "benchmark string").write.mode(
+        "append"
+    ).parquet(f"{path}/groups")
+    got = {
+        r["benchmark"]: (r["n_probed"], r["n_found"])
+        for r in screen_against_index(docs, path).collect()
+    }
+    assert got["evalB"] == (0, 0)
+    assert got["evalA"][0] > 0
+
+
+def test_stale_sidecar_zero_shingles_confirmed_against_store(
+    spark, docs, bench_a, tmp_path
+):
+    """ADVICE r10: a stale sidecar claiming n_shingles=0 (torn append
+    before the sidecar rewrite) must not short-circuit overlap to zero
+    matches — the short-circuit is confirmed against the STORE."""
+    import json
+
+    from spatialpandas_spark.sources import fs as _fs
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, group_cols=["benchmark"])
+    want = _rows(ngram_overlap_against_index(docs, path))
+    p = load_decon_params(path)
+    p["n_shingles"] = 0
+    _fs.write_text(f"{path}/_decon_index.json", json.dumps(p))
+    assert _rows(ngram_overlap_against_index(docs, path)) == want

@@ -290,3 +290,16 @@ def test_resample_audio_flac_transcode(spark):
     samples, sr = decode_wav(bytes(out[0]["payload"]))
     assert sr == 16000 and samples.shape[1] == 2
     assert len(samples) == 400  # 200 samples, 8k -> 16k
+
+
+def test_encoder_rejects_unsupported_params():
+    """ADVICE r10: bps outside the 3-bit frame-header codes and sample
+    rates the 16-bit rate/10 field cannot represent raise up front with
+    explicit messages — no bare KeyError, no silently masked rate."""
+    pcm = np.zeros((16, 1), dtype=np.int64)
+    with pytest.raises(ValueError, match="bps"):
+        encode_flac(pcm, bps=32)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(pcm, sample_rate=44101)  # not divisible by 10
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(pcm, sample_rate=655360)  # > 16-bit rate/10 ceiling

@@ -194,3 +194,38 @@ def test_batch_encoder_int32_offset_guard(monkeypatch):
     monkeypatch.setattr(W, "_MAX_BATCH_BYTES", (1 << 31) - 1)
     got2 = W._enc_batch_safe(s, "line")
     assert [bytes(a) for a in got2] == want
+
+
+def test_batch_encoder_rejects_malformed_input():
+    """ADVICE r10: batch encoders fail fast on malformed input exactly
+    like the per-row twin — odd flat-coordinate lists (a dangling
+    double) and nulls inside nested lists — instead of emitting NaN
+    coordinates or dying with an opaque shape-mismatch mid-batch."""
+    import pandas as pd
+
+    from spatialpandas_spark.functions import wkb as W
+
+    for t in ("line", "ring", "multipoint"):
+        s = pd.Series([[1.0, 2.0], [1.0, 2.0, 3.0]], dtype=object)
+        with pytest.raises(ValueError, match="row 1"):
+            W._enc_batch(s, t)
+        with pytest.raises(ValueError, match="odd flat-coordinate"):
+            W._ENCODERS[t]([1.0, 2.0, 3.0])
+
+    with pytest.raises(ValueError, match="row 1"):
+        W._enc_batch(
+            pd.Series(
+                [[[0.0, 0.0, 1.0, 1.0]], [[1.0, 2.0, 3.0]]], dtype=object
+            ),
+            "polygon",
+        )
+    with pytest.raises(ValueError, match="row 0"):
+        W._enc_batch(
+            pd.Series([[[[0.0, 0.0, 1.0]]]], dtype=object), "multipolygon"
+        )
+
+    # null coordinate / null nested list -> ValueError, never silent NaN
+    with pytest.raises(ValueError, match="null"):
+        W._enc_batch(pd.Series([[1.0, None]], dtype=object), "line")
+    with pytest.raises(ValueError, match="null"):
+        W._enc_batch(pd.Series([[None]], dtype=object), "polygon")
