@@ -3692,12 +3692,65 @@ def q_doc_stats_merged(spark, sf_dir):
     )
 
 
+#: deterministic 26-letter transliteration targets for the multilingual
+#: gate stream (a-z, char-for-char — F.translate and DuckDB translate
+#: are both character-based, so the derived text is engine-identical)
+_ASCII26 = "abcdefghijklmnopqrstuvwxyz"
+_XLIT26 = {
+    1: "абвгдежзийклмнопрстуфхцчшщ",  # ru — Cyrillic
+    2: "ابتثجحخدذرزسشصضطظعغفقكلمنه",  # ar — Arabic
+    3: "的一是不了人我在有他这中大来上国个到说们为子和你地出",  # zh — CJK
+    4: "αβγδεζηθικλμνξοπρστυφχψωάέ",  # el — Greek
+}
+
+
+def _gate_multilingual_text(max_chars: int):
+    """Derived gate stream: each doc's text, lowercased and truncated
+    to the model window, transliterated by doc_id % 5 into Cyrillic /
+    Arabic / CJK / Greek (doc_id % 5 == 0 stays latin) — non-latin
+    scripts flow through the classifier gate without touching the
+    fixtures. Lower/truncate run BEFORE translate so the only
+    case-folding ever applied is ASCII (engine-neutral)."""
+    base = F.lower(F.substring(F.col("text"), 1, max_chars))
+    out = base
+    for k, to in _XLIT26.items():
+        out = F.when(
+            F.col("doc_id") % 5 == k, F.translate(base, _ASCII26, to)
+        ).otherwise(out)
+    return out
+
+
+def q_lang_clf(spark, sf_dir):
+    """Shipped 13-language classifier over the derived multilingual
+    stream. Dyadic-quantized weights make every margin exact, so the
+    DuckDB replay (same offset-binary hex table, substring-indexed)
+    is bit-identical — the quality_margin trick, multiclass.
+    Breadcrumbs: operators/langid.py score_langs/builtin_langid_model
+    (tests/test_langid.py)."""
+    from spatialpandas_spark.operators.langid import (
+        builtin_langid_model,
+        score_langs,
+    )
+
+    m = builtin_langid_model()
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _gate_multilingual_text(m["max_chars"]).alias("text")
+    )
+    return score_langs(d, m, "text", "lang_clf").select("doc_id", "lang_clf")
+
+
 def q_text_signals(spark, sf_dir):
-    """Language-ID + quality score per document.
+    """Language-ID (stopword heuristic + shipped classifier over the
+    derived multilingual stream) + quality score per document.
     Breadcrumbs: lang_id -> operators/text.py lang_id;
+    lang_clf -> operators/langid.py (tests/test_langid.py);
     quality_score -> operators/text.py quality_score
     (tests/test_repetition.py)."""
-    return q_lang_id(spark, sf_dir).join(q_quality_score(spark, sf_dir), "doc_id")
+    return (
+        q_lang_id(spark, sf_dir)
+        .join(q_quality_score(spark, sf_dir), "doc_id")
+        .join(q_lang_clf(spark, sf_dir), "doc_id")
+    )
 
 
 def q_doc_quality_signals(spark, sf_dir):
@@ -4234,6 +4287,70 @@ s AS (
 )
 SELECT q.doc_id, ({m["intercept"]!r} + COALESCE(s.msum, 0.0)) AS quality_margin
 FROM q LEFT JOIN s USING (doc_id)
+"""
+
+
+def _lang_clf_oracle_sql() -> str:
+    """SQL replay of the shipped language-ID classifier over the same
+    derived multilingual stream as ``q_lang_clf``: char 1/2/3-grams +
+    word unigrams, md5-prefix buckets, weight lookup by
+    substring-indexing the SAME offset-binary hex rows the model module
+    ships, INTEGER numerator margins (exact — no floats anywhere), and
+    the ordered-CASE first-max tie-break mirroring np.argmax."""
+    from spatialpandas_spark.operators import _langid_model as M
+
+    langs = M.CLASSES
+    base = f"lower(substr(text, 1, {M.MAX_CHARS}))"
+    whens = " ".join(
+        f"WHEN {k} THEN translate({base}, '{_ASCII26}', '{v}')"
+        for k, v in sorted(_XLIT26.items())
+    )
+    sums = ",\n         ".join(
+        f"SUM(('0x' || substr('{M.WEIGHTS_HEX[c]}', b*4+1, 4))::BIGINT"
+        f" - 32768) AS s_{c}"
+        for c in langs
+    )
+    margins = ",\n         ".join(
+        f"{M.INTERCEPT_NUMS[i]} + COALESCE(s_{c}, 0) AS m_{c}"
+        for i, c in enumerate(langs)
+    )
+    gm = "GREATEST(" + ", ".join(f"m_{c}" for c in langs) + ")"
+    case = " ".join(f"WHEN m_{c} = gm THEN '{c}'" for c in langs)
+    return f"""
+WITH lsrc AS (
+  SELECT doc_id, CASE doc_id % 5 {whens} ELSE {base} END AS t
+  FROM documents
+),
+lg AS (
+  SELECT doc_id, substr(t, u.i, 1) AS gram
+  FROM lsrc, UNNEST(range(1, len(t) + 1)) u(i)
+  UNION ALL
+  SELECT doc_id, substr(t, u.i, 2)
+  FROM lsrc, UNNEST(range(1, len(t))) u(i)
+  UNION ALL
+  SELECT doc_id, substr(t, u.i, 3)
+  FROM lsrc, UNNEST(range(1, len(t) - 1)) u(i)
+  UNION ALL
+  SELECT doc_id, w.w
+  FROM lsrc,
+       UNNEST(list_filter(str_split_regex(t, '\\s+'), x -> x != '')) w(w)
+),
+ls AS (
+  SELECT doc_id,
+         {sums}
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % {M.N_FEATURES}
+                 AS b
+        FROM lg)
+  GROUP BY doc_id
+),
+lm AS (
+  SELECT lsrc.doc_id,
+         {margins}
+  FROM lsrc LEFT JOIN ls USING (doc_id)
+)
+SELECT doc_id, CASE {case} END AS lang_clf
+FROM (SELECT *, {gm} AS gm FROM lm)
 """
 
 
@@ -5920,7 +6037,13 @@ def oracle_sql() -> dict[str, str]:
             + _quality_margin_oracle_sql()
             + ") jqm USING (doc_id)"
         ),
-        "lang_id": join("lang_id", "quality_score", "doc_id"),
+        "lang_id": (
+            "SELECT * FROM ("
+            + join("lang_id", "quality_score", "doc_id")
+            + ") jls JOIN ("
+            + _lang_clf_oracle_sql()
+            + ") jlc USING (doc_id)"
+        ),
         "repetition_signals": join("repetition_signals", "unigram_quality", "doc_id"),
         "minhash_pairs": (
             "SELECT *, 'pairs' AS src FROM ("

@@ -103,11 +103,39 @@ class CorpusFrame:
             self.df.filter(quality_score(F.col(self.text_col)) >= min_score)
         )
 
-    def filter_language(self, langs) -> CorpusFrame:
-        from spatialpandas_spark.operators.text import lang_id
+    def filter_language(self, langs, method: str = "classifier") -> CorpusFrame:
+        """Keep rows the language identifier assigns to ``langs``.
+        ``method="classifier"`` (default) uses the shipped 13-language
+        hashed char-n-gram model (operators/langid.py — covers
+        non-latin scripts); ``"heuristic"`` is the cheap pure-Catalyst
+        4-language stopword scorer."""
+        if method == "heuristic":
+            from spatialpandas_spark.operators.text import lang_id
 
+            return self._wrap(
+                self.df.filter(
+                    lang_id(F.col(self.text_col)).isin(list(langs))
+                )
+            )
+        if method != "classifier":
+            raise ValueError(f"unknown language-ID method {method!r}")
+        from spatialpandas_spark.operators.langid import classify_language
+
+        scored = classify_language(self.df, self.text_col, "__lang")
         return self._wrap(
-            self.df.filter(lang_id(F.col(self.text_col)).isin(list(langs)))
+            scored.filter(F.col("__lang").isin(list(langs))).drop("__lang")
+        )
+
+    def languages(self) -> DataFrame:
+        """Per-language document counts under the shipped classifier —
+        the corpus-profile language distribution a multilingual crawl
+        needs (the stopword heuristic mislabels non-latin scripts)."""
+        from spatialpandas_spark.operators.langid import classify_language
+
+        return (
+            classify_language(self.df, self.text_col, "lang_pred")
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"))
         )
 
     def filter_blocklisted_hosts(self, blocklist) -> CorpusFrame:

@@ -1,0 +1,388 @@
+"""Language identification: hashed char-n-gram linear classifier
+(VERDICT r10 ask #1 — replaces the 4-language latin-script stopword
+heuristic as the production path; ``lang_id`` in operators/text.py
+stays as the cheap pure-Catalyst heuristic).
+
+The public fasttext recipe (Joulin et al. 2016, "Bag of Tricks for
+Efficient Text Classification" — the langid.py / fastText lid.176
+family): character n-grams of the document, hashed into a fixed
+feature space, one linear margin per language, argmax. Character
+n-grams make SCRIPTS linearly separable for free (a single Cyrillic /
+Hangul / CJK / Arabic / Devanagari / Greek / kana character is near
+conclusive), and within the latin script the bigram distribution
+separates en/de/fr/es/it/pt.
+
+Engine discipline — same as the quality classifier
+(operators/classifier.py):
+
+- feature extraction (char n-grams -> md5-prefix hash buckets) is a
+  pure Catalyst expression, so the EXACT same bucket ids are
+  reproducible in any SQL engine (the DuckDB correctness oracle
+  replays it);
+- training is MLlib multinomial ``LogisticRegression`` over sparse
+  count vectors — one small job over a LABELED set;
+- serving is one Arrow ``mapInPandas`` pass: margins = I + W[:, b].sum
+  per row, weights broadcast by closure (13 langs x 4096 buckets x 8 B
+  = 416 KiB). No shuffle, no per-row Python in the bucket path.
+- the SHIPPED model (``builtin_langid_model``) is the trained model
+  QUANTIZED to dyadic rationals k/256: every margin is then an exact,
+  summation-order-independent float64, so a SQL engine replays
+  predictions bit-for-bit (the ``quality_margin`` gate trick). The
+  training recipe is ``tools/train_langid.py`` — fully deterministic
+  (seeded synthetic corpus from the public word lists below), so the
+  shipped weights are reproducible end to end.
+
+Scale notes (100 TB): scoring is embarrassingly parallel scan work;
+the bucket expression is interpreted HOF per char (bounded by
+``max_chars`` truncation — language ID needs a prefix, not the whole
+document; fastText's lid model does the same). No collect, no shuffle.
+
+Reference parity: the reference library has no text surface; this
+implements the builder-brief training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.functions.measures import _seq0, let_
+from spatialpandas_spark.operators.classifier import _md5_bucket
+
+#: class order is FIXED (argmax tie-break = first max in this order)
+LANGS = [
+    "ar", "de", "el", "en", "es", "fr", "hi",
+    "it", "ja", "ko", "pt", "ru", "zh",
+]
+
+#: common-word seed vocabularies (public frequency-list words, authored
+#: lowercase so lowercasing is engine-neutral). Latin-script languages
+#: need genuinely discriminative function words; non-latin scripts are
+#: separable by character alone.
+_VOCAB = {
+    "en": """the and of to in is that it was for as with his they at be
+        this have from or had by but not what all were when your can said
+        there use each which she how their will other about out many then
+        them these so some her would make like him into time look two
+        more write see number way could people than first water been""",
+    "de": """der die das und ist nicht ein eine mit für von auf sich dem
+        den des im als auch es an werden aus er hat dass sie nach wird
+        bei einer um am sind noch wie über einen zum war haben nur oder
+        aber vor zur bis mehr durch man sein wurde schon beim doch""",
+    "fr": """le de la et les des en un du une que est pour qui dans par
+        plus pas au sur ne se ce il sont avec son être cette aux ont mais
+        où nous comme ces dont sans leur elle deux fait été tout même
+        aussi autre bien encore là leurs ainsi donc après toujours""",
+    "es": """de la que el en y los se del las un por con no una su para
+        es al lo como más pero sus le ya este sí porque esta entre cuando
+        muy sin sobre también me hasta hay donde quien desde todo nos
+        durante todos uno les ni contra otros ese eso ante ellos""",
+    "it": """di e il la che è per un in una sono mi si lo ma le ci con ha
+        non come io questo qui sei del più bene se della mia tutto te
+        questa era cosa perché ne noi nel alla gli degli molto anche
+        dopo senza essere fatto quando stato già sempre ancora""",
+    "pt": """de a o que e do da em um para é com não uma os no se na por
+        mais as dos como mas foi ao ele das tem à seu sua ou ser quando
+        muito há nos já está eu também só pelo pela até isso ela entre
+        era depois sem mesmo aos seus quem nas me esse""",
+    "ru": """и в не на я быть он с что а по это она этот к но они мы как
+        из у который то за свой весь год от так о для ты же все тот мочь
+        вы человек такой его сказать только или ещё бы себя один уже до
+        время если когда другой наш сам что-то мой даже новый""",
+    "el": """και το να του η με τον την των που από είναι για στο δεν ο
+        τα σε ότι αν θα οι ως αλλά κατά ένα μια στη στον μας σας τους
+        όπως μετά πριν χωρίς κάθε εδώ εκεί τώρα πολύ είχε ήταν αυτό
+        αυτή δύο μου σου ακόμα μέσα πάνω κάτω όταν""",
+    "ar": """في من على أن إلى عن مع هذا التي الذي كان ما لا هو هي قد كل
+        بعد عند غير بين يوم أو حتى إذا لم ثم منذ أي عليه فيه لها به أنه
+        كما لكن هناك عندما وقد ومن وهو كانت ولا أكثر وقال هذه ذلك""",
+    "hi": """के है में की एक हैं को और से पर यह था कि जो कर गया करने किया
+        अपने ने बनी नहीं तो ही या एवं दिया हो इस वह रहे थी हुआ जब होता
+        कोई मिल आप बहुत कुछ साथ यहाँ तक लिए अपनी सकता भारत""",
+    "zh": """的 一 是 不 了 人 我 在 有 他 这 中 大 来 上 国 个 到 说 们
+        为 子 和 你 地 出 道 也 时 年 得 就 那 要 下 以 生 会 自 着
+        去 之 过 家 学 对 可 她 里 后 小 么 心 多 天 而 能 好 都 然""",
+    "ja": """の に は を た が で て と し れ さ ある いる も する から
+        な こと として い や など なっ ない この ため その あっ よう
+        また もの という あり まで られ なる へ か だ これ によって
+        により おり より による ず なり られる において""",
+    "ko": """이 있 하 것 들 그 되 수 보 않 없 나 사람 주 아니 등 같 우리
+        때 년 가 한 지 대하 오 말 일 그렇 위하 때문 그것 두 말하 알
+        그러나 받 못하 그런 또 문제 더 사회 많 그리고 좋 크 따르 중
+        나오 가지 씨 시키 만들 지금 생각하 그러 속 하나""",
+}
+VOCAB = {k: v.split() for k, v in _VOCAB.items()}
+
+#: scripts written without word spaces (sentence = concatenated words)
+_NO_SPACE = {"zh", "ja"}
+
+
+def langid_corpus(per_lang: int = 400, salt: str = "train"):
+    """Deterministic labeled corpus: ``per_lang`` synthetic sentences
+    per language, words drawn from the seed vocabularies with a string
+    seed — ``salt`` separates train from held-out draws. Returns
+    ``list[(lang, text)]``."""
+    import random
+
+    rows = []
+    for lang in LANGS:
+        vocab = VOCAB[lang]
+        sep = "" if lang in _NO_SPACE else " "
+        for i in range(per_lang):
+            rng = random.Random(f"langid:{salt}:{lang}:{i}")
+            words = [rng.choice(vocab) for _ in range(rng.randint(6, 14))]
+            rows.append((lang, sep.join(words)))
+    return rows
+
+
+def char_ngrams(
+    text: Column,
+    orders: tuple = (1, 2),
+    lowercase: bool = True,
+    max_chars: int | None = None,
+    include_words: bool = False,
+) -> Column:
+    """array<string> of all character n-grams of each order in
+    ``orders`` (concatenated), over lowercased, optionally truncated
+    text; with ``include_words`` the whitespace word unigrams are
+    appended (the fastText lid recipe pairs both families — characters
+    separate scripts, words separate same-script languages). The text
+    value is let-bound so lower/substring run once per row (see
+    functions/measures.let_); null text -> empty array."""
+    t = F.lower(text) if lowercase else text
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
+
+    def body(tv: Column) -> Column:
+        n = F.length(tv)
+
+        # a factory, NOT `lambda i, o=o:` — a two-parameter lambda makes
+        # pyspark's transform() pass the array INDEX as the second
+        # argument, silently shadowing the bound order (caught live:
+        # every char gram became substr(t, i+1, len=i) garbage)
+        def gram_at(o: int):
+            return lambda i: F.substr(tv, i + 1, F.lit(o))
+
+        parts = [
+            F.transform(_seq0(n - F.lit(o - 1)), gram_at(o)) for o in orders
+        ]
+        if include_words:
+            parts.append(
+                F.filter(F.split(tv, r"\s+"), lambda w: w != "")
+            )
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    return F.coalesce(let_(t, body), F.array().cast("array<string>"))
+
+
+def lang_buckets(
+    text: Column,
+    n_features: int = 512,
+    orders: tuple = (1, 2),
+    lowercase: bool = True,
+    max_chars: int | None = None,
+    include_words: bool = False,
+) -> Column:
+    """array<long> of hashed char-n-gram (+ word) feature buckets —
+    md5-prefix family (operators/classifier.py), replayable by any SQL
+    engine."""
+    return F.transform(
+        char_ngrams(text, orders, lowercase, max_chars, include_words),
+        lambda g: _md5_bucket(g, n_features),
+    )
+
+
+def train_langid_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_features: int = 512,
+    orders: tuple = (1, 2),
+    lowercase: bool = True,
+    max_chars: int | None = None,
+    include_words: bool = False,
+    reg_param: float = 1e-4,
+    max_iter: int = 100,
+) -> dict:
+    """Fit the multinomial classifier. Class order = sorted distinct
+    labels. Returns the portable model dict consumed by
+    ``score_langs`` (weights C x F, intercepts C)."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    classes = sorted(
+        r[0] for r in labeled.select(label_col).distinct().collect()
+    )
+    idx = {c: float(i) for i, c in enumerate(classes)}
+    feats = labeled.select(
+        F.col(label_col).alias("__l"),
+        lang_buckets(
+            F.col(text_col), n_features, orders, lowercase, max_chars,
+            include_words,
+        ).alias("__b"),
+    )
+    schema = StructType(
+        [
+            StructField("label", DoubleType()),
+            StructField("features", VectorUDT()),
+        ]
+    )
+
+    # VectorUDT can't ride Arrow; the LABELED set is small by contract
+    # (same trade as train_quality_classifier, classifier.py:117)
+    def to_vector(row):
+        b, c = np.unique(
+            np.asarray(row["__b"], dtype=np.int64), return_counts=True
+        )
+        return (
+            idx[row["__l"]],
+            SparseVector(n_features, b.tolist(), c.astype(float).tolist()),
+        )
+
+    train_df = labeled.sparkSession.createDataFrame(
+        feats.rdd.map(to_vector), schema
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        family="multinomial",
+        standardization=False,
+    )
+    m = lr.fit(train_df)
+    return {
+        "classes": classes,
+        "weights": m.coefficientMatrix.toArray().tolist(),
+        "intercepts": m.interceptVector.toArray().tolist(),
+        "n_features": n_features,
+        "orders": list(orders),
+        "lowercase": lowercase,
+        "max_chars": max_chars,
+        "include_words": include_words,
+    }
+
+
+def quantize_langid_model(model: dict, denom: int = 256) -> dict:
+    """Round every weight/intercept to the nearest k/denom dyadic
+    rational (k clamped to int16). Margins become EXACT,
+    summation-order-independent float64 values — the property that
+    makes predictions replayable bit-for-bit by an external SQL engine
+    (same trick as the quality_margin gate, operators/classifier.py)."""
+    import numpy as np
+
+    def q(a):
+        k = np.clip(np.rint(np.asarray(a) * denom), -32767, 32767)
+        return (k.astype(np.int64) / denom).tolist()
+
+    out = dict(model)
+    out["weights"] = [q(row) for row in model["weights"]]
+    out["intercepts"] = q(model["intercepts"])
+    out["denom"] = denom
+    return out
+
+
+def margins_kernel(buckets_iter, W, I):
+    """numpy margin computation shared by serving, training eval, and
+    tests: for each bucket array, I + W[:, b].sum(axis=1)."""
+    import numpy as np
+
+    out = []
+    for b in buckets_iter:
+        bk = np.asarray(b, dtype=np.int64)
+        out.append(I + (W[:, bk].sum(axis=1) if len(bk) else 0.0))
+    return np.asarray(out)
+
+
+def score_langs(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    pred_col: str = "lang_pred",
+    margin_col: str | None = None,
+) -> DataFrame:
+    """Append the argmax language (and optionally its margin) per row —
+    buckets in Catalyst, margins in one Arrow pass. Ties break to the
+    FIRST class in model order (np.argmax semantics — the SQL replay
+    mirrors it with an ordered CASE)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    W = np.asarray(model["weights"], dtype=np.float64)
+    I = np.asarray(model["intercepts"], dtype=np.float64)
+    classes = np.asarray(model["classes"])
+
+    buck = df.withColumn(
+        "__b",
+        lang_buckets(
+            F.col(text_col),
+            model["n_features"],
+            tuple(model["orders"]),
+            model["lowercase"],
+            model.get("max_chars"),
+            model.get("include_words", False),
+        ),
+    )
+    fields = list(df.schema.fields) + [StructField(pred_col, StringType())]
+    if margin_col:
+        fields.append(StructField(margin_col, DoubleType()))
+    schema = StructType(fields)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = margins_kernel(pdf["__b"], W, I)
+            arg = np.argmax(m, axis=1)
+            out = pdf.drop(columns=["__b"])
+            out[pred_col] = classes[arg]
+            if margin_col:
+                out[margin_col] = m[np.arange(len(m)), arg]
+            yield out
+
+    return buck.mapInPandas(score, schema)
+
+
+def builtin_langid_model() -> dict:
+    """The shipped 13-language dyadic-quantized model (train recipe:
+    ``tools/train_langid.py`` — deterministic; weights stored
+    offset-binary hex in ``_langid_model.py`` so the DuckDB oracle can
+    substring-index the SAME table)."""
+    import numpy as np
+
+    from spatialpandas_spark.operators import _langid_model as M
+
+    W = np.array(
+        [
+            [
+                int(h[4 * b : 4 * b + 4], 16) - 32768
+                for b in range(M.N_FEATURES)
+            ]
+            for h in (M.WEIGHTS_HEX[c] for c in M.CLASSES)
+        ],
+        dtype=np.int64,
+    )
+    return {
+        "classes": list(M.CLASSES),
+        "weights": (W / M.DENOM).tolist(),
+        "intercepts": [k / M.DENOM for k in M.INTERCEPT_NUMS],
+        "n_features": M.N_FEATURES,
+        "orders": list(M.ORDERS),
+        "lowercase": M.LOWERCASE,
+        "max_chars": M.MAX_CHARS,
+        "include_words": M.INCLUDE_WORDS,
+        "denom": M.DENOM,
+    }
+
+
+def classify_language(
+    df: DataFrame,
+    text_col: str = "text",
+    pred_col: str = "lang_pred",
+    margin_col: str | None = None,
+) -> DataFrame:
+    """Production language ID with the shipped model."""
+    return score_langs(df, builtin_langid_model(), text_col, pred_col, margin_col)

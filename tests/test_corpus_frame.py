@@ -505,3 +505,25 @@ def test_corpus_frame_decon_index_facades(spark, tmp_path):
             r["doc_id"] for r in want_kept.df.collect()
         )
     assert kept.count() == 58
+
+
+def test_filter_language_classifier_and_languages(cf, spark):
+    """The classifier path keeps english rows and drops the german one
+    (the shipped model, unlike the heuristic, also covers non-latin
+    scripts); languages() profiles the distribution."""
+    kept = sorted(
+        r["doc_id"] for r in cf.filter_language(["en"]).df.collect()
+    )
+    assert 3 not in kept and {1, 2} <= set(kept)
+    mixed = CorpusFrame(
+        spark.createDataFrame(
+            CORPUS + [(6, "они мы как из у который то за свой весь год")],
+            "doc_id long, text string",
+        )
+    )
+    langs = {r["lang_pred"]: r["n_docs"] for r in mixed.languages().collect()}
+    assert langs.get("ru") == 1
+    kept_ru = [r["doc_id"] for r in mixed.filter_language(["ru"]).df.collect()]
+    assert kept_ru == [6]
+    with pytest.raises(ValueError, match="method"):
+        cf.filter_language(["en"], method="nope")

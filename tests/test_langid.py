@@ -1,0 +1,175 @@
+"""Language-ID classifier (VERDICT r10 ask #1): hashed char-n-gram +
+word linear model — bucket-hash cross-engine parity, held-out accuracy
+of the SHIPPED quantized model incl. non-latin scripts, dyadic margin
+exactness, deterministic tie-breaks, and the MLlib train path."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialpandas_spark.operators.langid import (
+    LANGS,
+    builtin_langid_model,
+    char_ngrams,
+    classify_language,
+    lang_buckets,
+    langid_corpus,
+    margins_kernel,
+    quantize_langid_model,
+    score_langs,
+    train_langid_classifier,
+)
+
+
+def py_buckets(text, model):
+    """Pure-python bucket twin (same construction as
+    tools/train_langid.py py_buckets)."""
+    t = text.lower() if model["lowercase"] else text
+    if model.get("max_chars") is not None:
+        t = t[: model["max_chars"]]
+    grams = []
+    for o in model["orders"]:
+        grams += [t[i : i + o] for i in range(len(t) - o + 1)]
+    if model.get("include_words"):
+        grams += [w for w in re.split(r"\s+", t) if w != ""]
+    return [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        % model["n_features"]
+        for g in grams
+    ]
+
+
+def test_char_ngrams_extraction(spark):
+    df = spark.createDataFrame([("ab cd",), ("",), (None,)], "text string")
+    got = [
+        list(r["g"])
+        for r in df.select(
+            char_ngrams(F.col("text"), (1, 2), True, None, True).alias("g")
+        ).collect()
+    ]
+    assert got[0] == [
+        "a", "b", " ", "c", "d",          # unigrams
+        "ab", "b ", " c", "cd",            # bigrams
+        "ab", "cd",                        # words
+    ]
+    assert got[1] == [] and got[2] == []
+
+
+def test_bucket_hash_parity_with_python_twin(spark):
+    """Catalyst buckets == the pure-python md5 twin on every script the
+    model covers plus case/whitespace/truncation edge cases — the
+    property the DuckDB oracle replay rests on."""
+    m = builtin_langid_model()
+    samples = [t for _, t in langid_corpus(2, "parity")] + [
+        "", " \t ", "Hello WORLD!  mixed\tCase",
+        "Привет МИР", "你好世界 ναι οχι", "مرحبا नमस्ते 안녕",
+        "y" * 600,  # exercises max_chars truncation
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = {
+        r["i"]: list(r["b"])
+        for r in df.select(
+            "i",
+            lang_buckets(
+                F.col("text"), m["n_features"], tuple(m["orders"]),
+                m["lowercase"], m["max_chars"], m["include_words"],
+            ).alias("b"),
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == py_buckets(s, m), (i, s[:30])
+
+
+def test_builtin_model_held_out_accuracy():
+    """The shipped quantized model classifies a held-out draw (disjoint
+    seed block) at >= 99% overall and 100% on non-latin scripts."""
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"])
+    I = np.asarray(m["intercepts"])
+    held = langid_corpus(40, "pytest-heldout")
+    marg = margins_kernel((py_buckets(t, m) for _, t in held), W, I)
+    pred = [m["classes"][a] for a in np.argmax(marg, axis=1)]
+    ok = sum(g == w for (w, _), g in zip(held, pred))
+    assert ok / len(held) >= 0.99, ok / len(held)
+    nonlatin = {"ar", "el", "hi", "ja", "ko", "ru", "zh"}
+    for (want, _), got in zip(held, pred):
+        if want in nonlatin:
+            assert got == want, (want, got)
+
+
+def test_builtin_margins_are_exact_dyadic():
+    """Every margin of the shipped model is an integer multiple of
+    1/DENOM — the property that makes the SQL replay bit-exact under
+    any summation order."""
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"])
+    I = np.asarray(m["intercepts"])
+    texts = [t for _, t in langid_corpus(3, "dyadic")]
+    marg = margins_kernel((py_buckets(t, m) for t in texts), W, I)
+    scaled = marg * m["denom"]
+    assert np.array_equal(scaled, np.rint(scaled))
+
+
+def test_spark_serve_matches_python_replay(spark):
+    """score_langs (Arrow path) == the numpy replay, prediction AND
+    margin, on mixed-script rows including empty text (intercept-only
+    argmax — deterministic first-max tie-break)."""
+    m = builtin_langid_model()
+    rows = [(i, t) for i, (_, t) in enumerate(langid_corpus(2, "serve"))]
+    rows += [(900, ""), (901, "le la 的 и")]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: (r["lang_pred"], r["margin"])
+        for r in score_langs(df, m, "text", "lang_pred", "margin").collect()
+    }
+    W = np.asarray(m["weights"])
+    I = np.asarray(m["intercepts"])
+    for i, t in rows:
+        marg = margins_kernel([py_buckets(t, m)], W, I)[0]
+        a = int(np.argmax(marg))
+        assert got[i] == (m["classes"][a], marg[a]), (i, t[:30])
+    # empty text -> intercept argmax, same for every empty row
+    assert got[900][0] == m["classes"][int(np.argmax(I))]
+
+
+def test_classify_language_on_documents(spark):
+    """Production entry point over the real documents table: every row
+    gets a prediction from the class set; the synthetic corpus is
+    English-like word salad, and the model agrees it is latin-script."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    out = classify_language(docs, "text", "lang_pred").collect()
+    assert len(out) == 50
+    assert all(r["lang_pred"] in LANGS for r in out)
+    latin = {"de", "en", "es", "fr", "it", "pt"}
+    frac = sum(r["lang_pred"] in latin for r in out) / len(out)
+    assert frac >= 0.9, frac
+
+
+def test_train_quantize_roundtrip(spark):
+    """MLlib multinomial train on a 3-language subset converges and the
+    quantized model still separates held-out draws."""
+    langs = ["en", "ru", "zh"]
+    rows = [(l, t) for l, t in langid_corpus(60, "train3") if l in langs]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    model = train_langid_classifier(
+        df, n_features=1024, orders=(1, 2), include_words=True,
+        max_chars=256, reg_param=1e-4, max_iter=60,
+    )
+    assert model["classes"] == langs
+    qm = quantize_langid_model(model)
+    held = [(l, t) for l, t in langid_corpus(10, "held3") if l in langs]
+    pred = {
+        r["lang"]: r["p"]
+        for r in score_langs(
+            spark.createDataFrame(held, "lang string, text string"),
+            qm, "text", "p",
+        ).collect()
+    }
+    assert all(pred[l] == l for l in langs)
