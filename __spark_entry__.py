@@ -1715,19 +1715,35 @@ def q_unigram_encode(spark, sf_dir):
 
 
 def q_span_dedup(spark, sf_dir):
-    """Corpus-level duplicate span removal (windowed exact-substring
-    dedup, C4/Lee-et-al-style): drop every 8-token span occurring twice
-    or more anywhere in the corpus, reassemble surviving text. Checked
-    span-for-span against a DuckDB set twin (md5 of the exact result)."""
+    """Corpus-level duplicate span removal (exact-substring dedup,
+    C4/Lee-et-al-style), tagged union of both alignment modes:
+
+    - 'fixed': non-overlapping 8-token windows (position-defined);
+    - 'content': content-defined spans of expected length 8 (token-hash
+      boundaries — catches repeats at ANY document offset, the r10
+      verdict's window-straddling fix; operators/spans.py
+      content_spans, tests/test_spans.py off-by-one battery).
+
+    Drop every span occurring twice or more anywhere in the corpus,
+    reassemble surviving text; checked span-for-span against a DuckDB
+    twin (window prefix-sum replay for 'content'; md5 of the exact
+    result text)."""
     from spatialpandas_spark.operators.spans import remove_duplicate_spans
 
     d = _t(spark, sf_dir, "documents")
-    out = remove_duplicate_spans(d, window=8, min_count=2, keep="none")
-    return out.select(
-        "doc_id",
-        F.col("kept_spans").cast("long").alias("kept_spans"),
-        F.md5(F.col("text")).alias("text_md5"),
-    )
+
+    def one(align):
+        out = remove_duplicate_spans(
+            d, window=8, min_count=2, keep="none", align=align
+        )
+        return out.select(
+            F.lit(align).alias("variant"),
+            "doc_id",
+            F.col("kept_spans").cast("long").alias("kept_spans"),
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+
+    return one("fixed").unionAll(one("content"))
 
 
 def q_events_json(spark, sf_dir):
@@ -5441,10 +5457,40 @@ def _base_oracle_sql() -> dict[str, str]:
             r AS (SELECT doc_id, COUNT(*) AS kept,
                          string_agg(s, ' ' ORDER BY wid) AS txt
                   FROM k GROUP BY doc_id)
-            SELECT d.doc_id,
+            SELECT 'fixed' AS variant, d.doc_id,
                    CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_spans,
                    md5(COALESCE(r.txt, '')) AS text_md5
             FROM documents d LEFT JOIN r USING (doc_id)
+            UNION ALL
+            SELECT 'content' AS variant, doc_id, kept_spans, text_md5
+            FROM (
+              WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                         WHERE text IS NOT NULL AND trim(text) != ''),
+              tok AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tkn
+                      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+              -- content-defined boundaries: span_id(pos) = number of
+              -- boundary tokens strictly before pos (window prefix-sum)
+              sp AS (SELECT doc_id, pos, tkn,
+                            COALESCE(SUM(CASE WHEN
+                              ('0x' || substr(md5(tkn), 1, 15))::BIGINT
+                                % 8 = 0 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS sid
+                     FROM tok),
+              w AS (SELECT doc_id, sid,
+                           string_agg(tkn, ' ' ORDER BY pos) AS s
+                    FROM sp GROUP BY doc_id, sid),
+              c AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) >= 2),
+              k AS (SELECT doc_id, sid, s FROM w ANTI JOIN c USING (s)),
+              r AS (SELECT doc_id, COUNT(*) AS kept,
+                           string_agg(s, ' ' ORDER BY sid) AS txt
+                    FROM k GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_spans,
+                     md5(COALESCE(r.txt, '')) AS text_md5
+              FROM documents d LEFT JOIN r USING (doc_id)
+            )
         """,
         "events_json": f"""
             SELECT 'json' AS variant, event_type AS k,
