@@ -908,6 +908,128 @@ def q_streaming_sketch(spark, sf_dir):
     )
 
 
+def q_screen_batch(spark, sf_dir):
+    """Streaming decontamination screening (streaming/screen.py),
+    promoted to a driver slot in round 11 (VERDICT r10 ask #4 — the
+    slot freed by retiring ``fillna_points`` to the per-CI battery):
+    benchmark = every 17th document grouped g0/g1 by (doc_id div 17)
+    parity, indexed once (operators/contamination_index.py); corpus =
+    the rest, ingested as three deterministic micro-batches
+    (doc_id % 3). The gate pins the CUMULATIVE per-group containment
+    summary after EVERY batch (src='b0'/'b1'/'b2') plus the state
+    re-read after REPLAYING batch 1 (src='replay' — exactly-once: must
+    equal 'b2'). Found-ness is monotone and union-commutative, so the
+    summary after batch i is a pure function of the probe set and the
+    distinct corpus shingle-hash set of batches <= i — which is what
+    the DuckDB oracle replays (per-group bottom-k probes, min-batch per
+    corpus hash). Breadcrumbs: streaming/screen.py screen_batch/
+    load_screen; twin batteries tests/test_streaming_contracts.py."""
+    import os
+    import tempfile
+
+    from spatialpandas_spark.operators.contamination_index import (
+        build_decon_index,
+    )
+    from spatialpandas_spark.streaming.screen import load_screen, screen_batch
+
+    d = _t(spark, sf_dir, "documents")
+    grp = F.when(F.expr("(doc_id div 17) % 2") == 0, F.lit("g0")).otherwise(
+        F.lit("g1")
+    )
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        grp.alias("grp"), "doc_id", "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="gate_screen_batch_")
+    ixp = os.path.join(root, "index")
+    st = os.path.join(root, "state")  # not-yet-existing subpath
+    build_decon_index(bench, ixp, n=5, k=_PROBE_K, group_cols=["grp"])
+
+    def shape(df, src):
+        return df.select(
+            F.lit(src).alias("src"),
+            "grp",
+            F.col("n_probed").cast("long").alias("n_probed"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.round(F.col("containment_b"), 6).alias("containment"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+
+    out = None
+    for i in range(3):
+        cur = shape(
+            screen_batch(
+                spark,
+                corpus.filter(F.col("doc_id") % 3 == i),
+                ixp,
+                st,
+                batch_id=i,
+            ),
+            f"b{i}",
+            # materialize NOW: the replay below rewrites the batch=1
+            # state partition a lazy summary read would list late
+        ).localCheckpoint(eager=True)
+        out = cur if out is None else out.unionByName(cur)
+    screen_batch(
+        spark, corpus.filter(F.col("doc_id") % 3 == 1), ixp, st, batch_id=1
+    )
+    return out.unionByName(shape(load_screen(spark, ixp, st), "replay"))
+
+
+def _screen_batch_oracle_sql(k: int, n: int = 5, seed: int = 42) -> str:
+    """SQL replay of the streamed screen: the per-group summary after
+    batch i counts probe hashes (per-group bottom-k of the benchmark
+    group's distinct shingle hashes) whose earliest containing corpus
+    batch is <= i; 'replay' equals the batch-2 summary."""
+    grp = "CASE WHEN (doc_id // 17) % 2 = 0 THEN 'g0' ELSE 'g1' END"
+    return f"""
+WITH sbsh AS (
+  SELECT DISTINCT {grp} AS grp,
+         array_to_string(tk[u.i:u.i+{n - 1}], ' ') AS s
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents
+        WHERE doc_id % 17 = 0 AND trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+sbhv AS (SELECT DISTINCT grp,
+                ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT AS h
+         FROM sbsh),
+spbk AS (SELECT grp, h FROM
+           (SELECT grp, h,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk
+            FROM sbhv)
+         WHERE rnk <= {k}),
+stsh AS (
+  SELECT doc_id % 3 AS b, array_to_string(tk[u.i:u.i+{n - 1}], ' ') AS s
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents
+        WHERE doc_id % 17 != 0 AND trim(text) != '') t,
+       UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+schv AS (SELECT ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT AS h,
+                MIN(b) AS mb
+         FROM stsh GROUP BY 1),
+sfl AS (SELECT p.grp, p.h, c.mb FROM spbk p LEFT JOIN schv c USING (h)),
+ssum AS (
+  SELECT u.i AS bi, grp,
+         CAST(COUNT(*) AS BIGINT) AS n_probed,
+         CAST(SUM(CASE WHEN mb IS NOT NULL AND mb <= u.i
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+  FROM sfl, UNNEST([0, 1, 2]) AS u(i)
+  GROUP BY 1, 2
+),
+sfin AS (
+  SELECT 'b' || CAST(bi AS VARCHAR) AS src, grp, n_probed, n_found
+  FROM ssum
+  UNION ALL
+  SELECT 'replay', grp, n_probed, n_found FROM ssum WHERE bi = 2
+)
+SELECT src, grp, n_probed, n_found,
+       ROUND(CASE WHEN n_probed > 0
+                  THEN CAST(n_found AS DOUBLE) / n_probed
+                  ELSE 0.0 END, 6) AS containment,
+       CAST(CASE WHEN n_probed < {k} THEN 1 ELSE 0 END AS BIGINT) AS exact
+FROM sfin"""
+
+
 def _streaming_sketch_oracle_sql(k: int, n: int = 5, seed: int = 42) -> str:
     """SQL replay of the streamed sketch: the state after batch i is the
     bottom-k of the distinct shingle-hash set of all docs with
@@ -3901,7 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_pack": q_hilbert_pack,
         "geom_sort": q_geom_sort,
         "wkb_roundtrip": q_wkb_roundtrip,
-        "fillna_points": q_fillna_merged,
+        "screen_batch": q_screen_batch,
         # --- relational shell
         "tpch_q1": q_tpch_q1,
         "top_orders_per_priority": q_top_orders_per_priority,
@@ -3920,8 +4042,13 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``bounds_multipoint`` the same way (a pytest-redundant per-row
     measure: F3 coverage also flows through area_by_group/oriented_area
     and tests/test_measures.py) to free the slot the promoted
-    ``streaming_sketch`` twin now holds (VERDICT r9 ask #3)."""
+    ``streaming_sketch`` twin now holds (VERDICT r9 ask #3). Round 11
+    retired ``fillna_points`` (pytest-redundant: the transforms battery
+    + tests/test_degenerate_contracts.py cover P8 fill/pad) to free the
+    slot the promoted ``screen_batch`` streaming twin now holds
+    (VERDICT r10 ask #4)."""
     return {
+        "fillna_points": q_fillna_merged,
         "bounds_multipoint": q_bounds_multipoint,
         "total_bounds": q_total_bounds,
         "geom_groupby": q_geom_groupby,
@@ -3933,9 +4060,15 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def retired_oracle_sql() -> dict[str, str]:
     """Oracle twins for :func:`retired_queries` (same base SQL the driver
-    used through round 6)."""
+    used through round 6; ``fillna_points`` keeps the exact variant
+    union the driver checked through round 10)."""
     o = _base_oracle_sql()
-    return {k: o[k] for k in retired_queries()}
+    out = {k: o[k] for k in retired_queries() if k in o}
+    out["fillna_points"] = (
+        f"SELECT x.*, 'value' AS variant FROM ({o['fillna_points']}) x "
+        f"UNION ALL SELECT y.*, 'pad' AS variant FROM ({o['fillna_pad']}) y"
+    )
+    return out
 
 
 def _hilbert_oracle_sql(p: int = 10) -> str:
@@ -6100,6 +6233,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_sessions": join("user_sessions", "event_funnel", "user_id"),
         "streaming_sketch": _streaming_sketch_oracle_sql(_STREAM_SKETCH_K),
+        "screen_batch": _screen_batch_oracle_sql(_PROBE_K),
     }
     out = dict(o)
     out.update(merged)

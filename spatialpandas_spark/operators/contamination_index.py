@@ -45,7 +45,9 @@ Bloom capacity: appends OR into the existing ``m`` bits, so the
 REALIZED false-positive rate drifts above the build-time ``fpp`` as
 ``n_shingles`` grows — exactness is untouched (the verify join), only
 candidate volume; the sidecar's ``bloom.fpp_realized`` tracks the
-drift so callers can rebuild when probes slow down.
+drift, and ``rebuild_decon_index`` restores the target fpp (re-sized
+bloom) and compacts the append-fragmented shingle store behind a
+verified safe swap.
 
 Scale notes (100 TB): the build is one scan of the BENCHMARK (MB-GB —
 eval suites, not the corpus); a screen is one scan of the incoming
@@ -219,6 +221,76 @@ def append_to_decon_index(bench: DataFrame, path: str) -> None:
     from spatialpandas_spark.sources import fs as _fs
 
     _fs.write_text(f"{base}/{_SIDECAR}", json.dumps(p))
+
+
+def rebuild_decon_index(
+    spark: SparkSession,
+    path: str,
+    fpp: float | None = None,
+    target_partitions: int | None = None,
+) -> dict:
+    """Safe-swap rebuild of an append-churned index (VERDICT r10 ask
+    #3 — the lifecycle step appends alone cannot provide): appends OR
+    into the ORIGINAL ``m`` bits, so ``fpp_realized`` drifts up and
+    probe candidate volume with it, and each append fragments the
+    shingle store into more files.
+
+    The rebuild re-sizes the bloom for the CURRENT shingle count
+    (restoring the build-time ``fpp`` target), repacks the shingle
+    store into few files, and swaps atomically — same discipline as
+    ``compact_vector_index`` (operators/similarity_index.py): stage at
+    ``<path>.rebuild.tmp``, verify shingle-row identity, then
+    ``replace_dir``. Every probe artifact is a pure function of the
+    shingle SET (xxhash64 bloom bits from the new sidecar's m/k, kmv
+    probe hashes from the unchanged k/seed), so screens and overlaps
+    are row-identical across the rebuild; only candidate volume
+    changes. A crash before the swap leaves the live index untouched.
+
+    Returns the new sidecar dict."""
+    from spatialpandas_spark.sources import fs as _fs
+
+    p = load_decon_params(path)
+    base = path.rstrip("/")
+    tmp = f"{base}.rebuild.tmp"
+    groups = p["group_cols"]
+    store = spark.read.parquet(f"{base}/shingles").localCheckpoint(
+        eager=False
+    )  # consumed by count, bloom build, and the staged write
+    n_before = store.count()  # distinct per (groups, s) by invariant
+    nsh = store.select("s").distinct().count()
+    fpp = p["bloom"]["fpp"] if fpp is None else fpp
+    m, bk = _bloom_params(max(1, nsh), fpp)
+    words = build_bloom_words(
+        store.select(F.xxhash64("s").alias("h")).distinct(), m, bk
+    )
+    # one file per ~2M shingle rows keeps the store scan wide enough at
+    # benchmark scale without re-fragmenting (benchmarks are MB-GB)
+    nparts = target_partitions or min(32, n_before // 2_000_000 + 1)
+    store.repartition(nparts).write.mode("overwrite").parquet(
+        f"{tmp}/shingles"
+    )
+    _write_bloom(spark, words, f"{tmp}/bloom")
+    if groups:
+        spark.read.parquet(f"{base}/groups").distinct().coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp}/groups")
+    out = dict(p)
+    out["n_shingles"] = nsh
+    out["bloom"] = {
+        "m": m,
+        "k": bk,
+        "fpp": fpp,
+        "fpp_realized": _fpp_realized(m, bk, nsh),
+    }
+    _fs.write_text(f"{tmp}/{_SIDECAR}", json.dumps(out))
+    n_after = spark.read.parquet(f"{tmp}/shingles").count()
+    if n_after != n_before:
+        raise RuntimeError(
+            f"decon-index rebuild row-count mismatch ({n_before} -> "
+            f"{n_after}); staged copy left at {tmp}, live index untouched"
+        )
+    _fs.replace_dir(tmp, base)
+    return out
 
 
 def probe_set(spark: SparkSession, path: str) -> DataFrame:

@@ -262,3 +262,75 @@ def test_stale_sidecar_zero_shingles_confirmed_against_store(
     p["n_shingles"] = 0
     _fs.write_text(f"{path}/_decon_index.json", json.dumps(p))
     assert _rows(ngram_overlap_against_index(docs, path)) == want
+
+
+def test_rebuild_restores_fpp_and_compacts(spark, docs, bench_a, bench_b, tmp_path):
+    """VERDICT r10 ask #3: append until fpp_realized drifts well above
+    the build-time target, rebuild, and assert (a) the drift is
+    restored to ~fpp with a larger bloom, (b) the fragmented shingle
+    store compacts to fewer files, (c) screen AND overlap outputs are
+    row-identical across the rebuild (both probe methods), (d) a fresh
+    append onto the rebuilt index still works."""
+    from spatialpandas_spark.operators.contamination_index import (
+        rebuild_decon_index,
+    )
+    from spatialpandas_spark.sources import fs as _fs
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    p0 = load_decon_params(path)
+    # several appends: new benchmarks with disjoint shingles
+    for g in range(4):
+        extra = spark.createDataFrame(
+            [(f"ev{g}", i, " ".join(f"g{g}z{i}w{j}" for j in range(12)))
+             for i in range(6)],
+            "benchmark string, doc_id long, text string",
+        )
+        append_to_decon_index(extra, path)
+    p1 = load_decon_params(path)
+    assert p1["n_shingles"] > 4 * p0["n_shingles"]
+    assert p1["bloom"]["m"] == p0["bloom"]["m"]  # appends never resize
+    assert p1["bloom"]["fpp_realized"] > 2 * p1["bloom"]["fpp"]
+    files_before = len(
+        _fs.list_files(f"{path}/shingles", ".parquet", recursive=True)
+    )
+
+    before_screen = _rows(screen_against_index(docs, path))
+    before_overlap = {
+        meth: _rows(ngram_overlap_against_index(docs, path, method=meth))
+        for meth in ("broadcast", "bloom")
+    }
+
+    p2 = rebuild_decon_index(spark, path)
+    assert p2 == load_decon_params(path)
+    assert p2["n_shingles"] == p1["n_shingles"]
+    assert p2["bloom"]["m"] > p1["bloom"]["m"]  # re-sized for growth
+    assert p2["bloom"]["fpp_realized"] <= 1.5 * p2["bloom"]["fpp"]
+    files_after = len(
+        _fs.list_files(f"{path}/shingles", ".parquet", recursive=True)
+    )
+    assert files_after < files_before
+
+    assert _rows(screen_against_index(docs, path)) == before_screen
+    for meth in ("broadcast", "bloom"):
+        assert (
+            _rows(ngram_overlap_against_index(docs, path, method=meth))
+            == before_overlap[meth]
+        )
+
+    append_to_decon_index(bench_b, path)
+    got = {r["benchmark"] for r in screen_against_index(docs, path).collect()}
+    assert {"evalA", "evalB", "tiny", "ev0"} <= got
+
+
+def test_rebuild_without_groups(spark, docs, bench_a, tmp_path):
+    """Group-less index rebuild: same overlap rows, sidecar updated."""
+    from spatialpandas_spark.operators.contamination_index import (
+        rebuild_decon_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3)
+    want = _rows(ngram_overlap_against_index(docs, path))
+    rebuild_decon_index(spark, path)
+    assert _rows(ngram_overlap_against_index(docs, path)) == want
