@@ -759,6 +759,22 @@ def b33_decon_index_screen(spark):
     return screen_against_index(train, _DECON_INDEX_PATH).count()
 
 
+def b34_langid(spark):
+    """Language-ID classifier serving (round 11, operators/langid.py):
+    one Arrow pass of the shipped 13-language hashed char-n-gram +
+    word model over the documents table — buckets in Catalyst, margins
+    in numpy, no shuffle until the final tiny count-by-language."""
+    from spatialpandas_spark.operators.langid import classify_language
+
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    return (
+        classify_language(docs, "text", "lang_pred")
+        .groupBy("lang_pred")
+        .count()
+        .count()
+    )
+
+
 BENCHES = {
     "b1_cx": b1_cx,
     "b2_area_sum": b2_area_sum,
@@ -793,7 +809,36 @@ BENCHES = {
     "b31_ivfsq8_probe": b31_ivfsq8_probe,
     "b32_containment_probe": b32_containment_probe,
     "b33_decon_index_screen": b33_decon_index_screen,
+    "b34_langid": b34_langid,
 }
+
+
+#: phase-anchor row count: big enough that JVM start noise vanishes,
+#: small enough to cost ~1 s of the suite
+_ANCHOR_N = 1 << 31
+
+
+def _anchor_query(spark) -> None:
+    spark.range(0, _ANCHOR_N, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).collect()
+
+
+def _time_anchor(spark) -> float:
+    """Phase anchor (VERDICT r10 ask #5): a FIXED pure-JVM whole-stage-
+    codegen aggregation — independent of SF_DIR and of every line of
+    repo code — timed alongside every bench run. Machine-phase drift
+    (thermal, co-tenancy, JVM warm-up regime) moves the anchor and the
+    queries in lockstep, so per-query ratios NORMALIZED by the anchor
+    separate real regressions from environment drift mechanically —
+    r10's +23%-uniform-drift call needed manual isolated re-runs."""
+    _anchor_query(spark)  # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        _anchor_query(spark)
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
 
 
 #: committed canonical isolated-per-query medians; see --write-baseline
@@ -818,6 +863,17 @@ def _main_isolated() -> None:
     results: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    anchor_sec = None
+    aproc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--anchor"],
+        capture_output=True, text=True, timeout=600,
+    )
+    try:
+        anchor_sec = json.loads(
+            (aproc.stdout.strip().splitlines() or [""])[-1]
+        )["sec"]
+    except Exception:
+        errors["__anchor"] = (aproc.stderr or aproc.stdout)[-300:]
     for name in BENCHES:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -840,6 +896,7 @@ def _main_isolated() -> None:
         "queries": results,
         "sf": _sf(),
         "mode": "isolated",
+        "anchor_sec": anchor_sec,
     }
     if errors:
         out["errors"] = errors
@@ -856,6 +913,7 @@ def _main_isolated() -> None:
             "date": datetime.date.today().isoformat(),
             "sha": sha,
             "sf": _sf(),
+            "anchor_sec": anchor_sec,
             "queries": {
                 q: {"median": results[q], "band": bands[q]}
                 for q in results
@@ -888,12 +946,18 @@ def _main_one(name: str) -> None:
     spark.stop()
 
 
-def _isolated_deltas(results: dict[str, float]) -> dict | None:
+def _isolated_deltas(
+    results: dict[str, float], anchor_sec: float | None = None
+) -> dict | None:
     """In-suite medians vs the committed canonical isolated values:
     per-query ratio (in-suite / canonical median) so a >20% mover is
-    classified against a RECORDED number, not a remembered one. The
-    definitive drift-vs-regression call is tools/bench_ab.py's
-    interleaved A/B; this flags which queries need it."""
+    classified against a RECORDED number, not a remembered one. When
+    BOTH runs carry a phase-anchor time, the flag list is computed on
+    ANCHOR-NORMALIZED ratios (ratio / (anchor_now / anchor_canonical))
+    so environment lockstep drift self-cancels; raw ratios are kept
+    alongside. The definitive drift-vs-regression call remains
+    tools/bench_ab.py's interleaved A/B; this flags which queries
+    need it."""
     try:
         with open(BASELINE_ISOLATED) as f:
             base = json.load(f)
@@ -904,17 +968,40 @@ def _isolated_deltas(results: dict[str, float]) -> dict | None:
         for q in results
         if q in base["queries"] and base["queries"][q]["median"] > 0
     }
-    return {
+    out = {
         "baseline_sha": base.get("sha"),
         "baseline_date": base.get("date"),
         "ratio_vs_isolated": ratios,
-        "flagged_over_1p2x": sorted(
-            q for q, r in ratios.items() if r > 1.2
-        ),
     }
+    base_anchor = base.get("anchor_sec")
+    if anchor_sec and base_anchor:
+        phase = anchor_sec / base_anchor
+        norm = {q: round(r / phase, 2) for q, r in ratios.items()}
+        out["anchor_phase_ratio"] = round(phase, 3)
+        out["ratio_vs_isolated_normalized"] = norm
+        out["flagged_over_1p2x"] = sorted(
+            q for q, r in norm.items() if r > 1.2
+        )
+    else:  # legacy baseline without an anchor: flag on raw ratios
+        out["flagged_over_1p2x"] = sorted(
+            q for q, r in ratios.items() if r > 1.2
+        )
+    return out
+
+
+def _main_anchor() -> None:
+    """``bench.py --anchor``: fresh JVM, time only the phase anchor."""
+    from spatialpandas_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps({"sec": _time_anchor(spark)}))
+    spark.stop()
 
 
 def main() -> None:
+    if "--anchor" in sys.argv:
+        return _main_anchor()
     if "--isolated" in sys.argv:
         return _main_isolated()
     if "--one" in sys.argv:
@@ -923,6 +1010,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    anchor_sec = _time_anchor(spark)
 
     # failure-isolated: one broken query must never zero out the whole
     # round's perf evidence (round-2 lesson — b14 crashed the entire run)
@@ -947,10 +1035,11 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": _sf(),
+        "anchor_sec": anchor_sec,
     }
     if errors:
         out["errors"] = errors
-    deltas = _isolated_deltas(results)
+    deltas = _isolated_deltas(results, anchor_sec)
     if deltas is not None:
         out["isolated_baseline"] = deltas
     print(json.dumps(out))
