@@ -116,6 +116,65 @@ class _Bits:
             q += 1
         return q
 
+    def rice_block(self, n: int, k: int) -> list[int]:
+        """Decode ``n`` Rice(k) residuals with a CACHED-WORD reader —
+        the r5 JPEG group-wise bit-reader trick applied to the Rice
+        partitions (VERDICT r10 #7): the generic ``read`` pays one
+        byte-slice + int.from_bytes PER BIT of every unary prefix
+        (profiled at ~90% of decode time); here the stream is gulped
+        into a python big-int cache 32 bytes at a time, unary prefixes
+        are counted with one ``bit_length`` subtraction, and remainders
+        are masked out locally. Bit-exact twin of the
+        unary()/read(k)-per-sample formulation (same zigzag, same
+        truncation error)."""
+        d = self.d
+        p0 = self.p
+        nbytes = len(d)
+        # cache holds the next `bits` unread bits, MSB-first (its value
+        # IS those bits read big-endian); `filled` = absolute bit bound
+        start = p0 >> 3
+        off = p0 & 7
+        end = min(start + 32, nbytes)
+        cache = int.from_bytes(d[start:end], "big")
+        bits = (end - start) * 8 - off
+        cache &= (1 << bits) - 1 if bits else 0
+        filled = end * 8
+        out = []
+        for _ in range(n):
+            # unary prefix
+            q = 0
+            while True:
+                if cache:
+                    lz = bits - cache.bit_length()
+                    q += lz
+                    bits -= lz + 1  # drop the zeros AND the 1 terminator
+                    cache &= (1 << bits) - 1
+                    break
+                q += bits
+                bits = 0
+                if filled >= nbytes * 8:
+                    raise ValueError("FLAC bitstream truncated")
+                nxt = min((filled >> 3) + 32, nbytes)
+                cache = int.from_bytes(d[filled >> 3 : nxt], "big")
+                bits = (nxt << 3) - filled
+                filled = nxt << 3
+            # k-bit remainder
+            while bits < k:
+                if filled >= nbytes * 8:
+                    raise ValueError("FLAC bitstream truncated")
+                nxt = min((filled >> 3) + 32, nbytes)
+                cache = (cache << ((nxt << 3) - filled)) | int.from_bytes(
+                    d[filled >> 3 : nxt], "big"
+                )
+                bits += (nxt << 3) - filled
+                filled = nxt << 3
+            bits -= k
+            v = (q << k) | (cache >> bits)
+            cache &= (1 << bits) - 1
+            out.append((v >> 1) ^ -(v & 1))  # zigzag
+        self.p = filled - bits
+        return out
+
     def align(self) -> None:
         self.p = (self.p + 7) & ~7
 
@@ -163,10 +222,7 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
             for _ in range(n):
                 out.append(bits.sread(raw) if raw else 0)
         else:
-            for _ in range(n):
-                q = bits.unary()
-                v = (q << k) | bits.read(k)
-                out.append((v >> 1) ^ -(v & 1))
+            out.extend(bits.rice_block(n, k))
     return out
 
 

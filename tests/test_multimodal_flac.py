@@ -303,3 +303,39 @@ def test_encoder_rejects_unsupported_params():
         encode_flac(pcm, sample_rate=44101)  # not divisible by 10
     with pytest.raises(ValueError, match="sample_rate"):
         encode_flac(pcm, sample_rate=655360)  # > 16-bit rate/10 ceiling
+
+
+def test_rice_block_bit_exact_twin():
+    """The cached-word Rice reader (VERDICT r10 #7 throughput pass)
+    must be BIT-EXACT with the per-bit unary()/read(k) formulation on
+    randomized streams — same values, same final bit position, same
+    truncation error — across k=0..14 and unaligned start offsets."""
+    import random
+
+    from spatialpandas_spark.operators.flac import _Bits
+
+    rng = random.Random(11)
+    for trial in range(60):
+        k = rng.randrange(0, 15)
+        n = rng.randrange(1, 64)
+        data = bytes(rng.randrange(256) for _ in range(256))
+        skew = rng.randrange(0, 8)
+        a = _Bits(data); a.read(skew)
+        b = _Bits(data); b.read(skew)
+
+        def per_bit(bits, n, k):
+            out = []
+            for _ in range(n):
+                q = bits.unary()
+                v = (q << k) | bits.read(k)
+                out.append((v >> 1) ^ -(v & 1))
+            return out
+
+        want = per_bit(a, n, k)
+        got = b.rice_block(n, k)
+        assert got == want and a.p == b.p, (trial, k, n, skew)
+
+    # truncation: a stream of zero bits never terminates a unary prefix
+    t = _Bits(bytes(8))
+    with pytest.raises(ValueError, match="truncated"):
+        t.rice_block(1, 4)

@@ -46,12 +46,18 @@ HEAVY = [
     "b12_text_pipeline",
     "b15_dedup_clusters",
     "b16_knn",
+    "b18_index_probe",       # r11 (VERDICT r10 ask #6): index probes,
+    "b21_ivfpq_probe",       # nearest joins, and composition rows that
+    "b27_sjoin_nearest",     # had no sf1 wall row yet
+    "b29_training_mix",
+    "b31_ivfsq8_probe",
     "b22_bpe_encode",
     "b24_crawl_extract",
     "b25_semantic_dedup",
     "b30_kmv_overlap",
     "b32_containment_probe",
     "b33_decon_index_screen",
+    "b34_langid",            # r11: new operator row
 ]
 
 
