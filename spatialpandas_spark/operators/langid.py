@@ -49,11 +49,21 @@ from pyspark.sql import functions as F
 from spatialpandas_spark.functions.measures import _seq0, let_
 from spatialpandas_spark.operators.classifier import _md5_bucket
 
-#: class order is FIXED (argmax tie-break = first max in this order)
+#: class order is FIXED (argmax tie-break = first max in this order).
+#: 'und' is an EXPLICIT class trained on seeded random-character noise
+#: — gibberish/boilerplate-soup classifies as undetermined by argmax
+#: (a margin threshold cannot do this: multinomial intercepts carry
+#: class priors, so even empty text has a large absolute margin, and
+#: ASCII noise lands on trained latin buckets; measured before adding
+#: the class — real-sentence min gap 1.25 < gibberish gap 4.25)
 LANGS = [
     "ar", "de", "el", "en", "es", "fr", "hi",
-    "it", "ja", "ko", "pt", "ru", "zh",
+    "it", "ja", "ko", "pt", "ru", "und", "zh",
 ]
+
+#: noise alphabet for the 'und' class (uniform letter soup + digits —
+#: natural languages have highly non-uniform gram distributions)
+_NOISE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 #: common-word seed vocabularies (public frequency-list words, authored
 #: lowercase so lowercasing is engine-neutral). Latin-script languages
@@ -126,11 +136,22 @@ def langid_corpus(per_lang: int = 400, salt: str = "train"):
 
     rows = []
     for lang in LANGS:
-        vocab = VOCAB[lang]
         sep = "" if lang in _NO_SPACE else " "
         for i in range(per_lang):
             rng = random.Random(f"langid:{salt}:{lang}:{i}")
-            words = [rng.choice(vocab) for _ in range(rng.randint(6, 14))]
+            if lang == "und":  # seeded random-character noise
+                words = [
+                    "".join(
+                        rng.choice(_NOISE_ALPHABET)
+                        for _ in range(rng.randint(2, 9))
+                    )
+                    for _ in range(rng.randint(6, 14))
+                ]
+            else:
+                vocab = VOCAB[lang]
+                words = [
+                    rng.choice(vocab) for _ in range(rng.randint(6, 14))
+                ]
             rows.append((lang, sep.join(words)))
     return rows
 
@@ -300,11 +321,15 @@ def score_langs(
     text_col: str = "text",
     pred_col: str = "lang_pred",
     margin_col: str | None = None,
+    min_margin: float | None = None,
 ) -> DataFrame:
     """Append the argmax language (and optionally its margin) per row —
     buckets in Catalyst, margins in one Arrow pass. Ties break to the
     FIRST class in model order (np.argmax semantics — the SQL replay
-    mirrors it with an ordered CASE)."""
+    mirrors it with an ordered CASE). With ``min_margin``, rows whose
+    best margin falls below it are labeled ``'und'`` (undetermined) —
+    the abstention real identifiers need on gibberish/too-short text,
+    mirroring the heuristic's zero-hit convention."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -337,10 +362,14 @@ def score_langs(
                 continue
             m = margins_kernel(pdf["__b"], W, I)
             arg = np.argmax(m, axis=1)
+            best = m[np.arange(len(m)), arg]
             out = pdf.drop(columns=["__b"])
-            out[pred_col] = classes[arg]
+            pred = classes[arg]
+            if min_margin is not None:
+                pred = np.where(best >= min_margin, pred, "und")
+            out[pred_col] = pred
             if margin_col:
-                out[margin_col] = m[np.arange(len(m)), arg]
+                out[margin_col] = best
             yield out
 
     return buck.mapInPandas(score, schema)
@@ -383,6 +412,9 @@ def classify_language(
     text_col: str = "text",
     pred_col: str = "lang_pred",
     margin_col: str | None = None,
+    min_margin: float | None = None,
 ) -> DataFrame:
     """Production language ID with the shipped model."""
-    return score_langs(df, builtin_langid_model(), text_col, pred_col, margin_col)
+    return score_langs(
+        df, builtin_langid_model(), text_col, pred_col, margin_col, min_margin
+    )

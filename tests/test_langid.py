@@ -173,3 +173,35 @@ def test_train_quantize_roundtrip(spark):
         ).collect()
     }
     assert all(pred[l] == l for l in langs)
+
+
+def test_gibberish_classifies_as_und(spark):
+    """'und' is an explicit trained class (random-character noise), so
+    gibberish abstains BY ARGMAX — no threshold heuristics (a margin
+    threshold cannot work: multinomial intercepts carry class priors,
+    and ASCII noise lands on trained latin buckets; see LANGS note).
+    Real sentences keep their labels; min_margin remains available as
+    an extra knob and must not relabel confident rows."""
+    m = builtin_langid_model()
+    assert "und" in m["classes"]
+    real = [(i, t) for i, (_, t) in enumerate(langid_corpus(2, "abst"))
+            if t]
+    import random
+    rng = random.Random("gib")
+    noise = [
+        (900 + j, " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(rng.randint(2, 9)))
+            for _ in range(10)))
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(real + noise, "i long, text string")
+    out = {
+        r["i"]: r["p"]
+        for r in score_langs(df, m, "text", "p", min_margin=1.0).collect()
+    }
+    for i, t in real:
+        want = langid_corpus(2, "abst")[i][0]
+        assert out[i] == want, (i, t[:30], out[i])
+    for i, _ in noise:
+        assert out[i] == "und", (i, out[i])
