@@ -347,3 +347,22 @@ def test_decon_index_probe_plans(spark, tmp_path):
 
     plan2 = physical_plan(ngram_overlap_against_index(docs, ix, method="bloom"))
     assert "EvalPython" not in plan2 and "MapInPandas" not in plan2
+
+
+def test_langid_scoring_plan_is_shuffle_free(spark):
+    """score_langs (operators/langid.py) is a pure scan-stage op like
+    the quality classifier: project (char-gram bucket expression) + one
+    MapInPandas — no Exchange anywhere, so language ID runs at scan
+    speed over a 100 TB corpus."""
+    from spatialpandas_spark.operators.langid import (
+        builtin_langid_model,
+        score_langs,
+    )
+    from spatialpandas_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, f"some text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = physical_plan(score_langs(df, builtin_langid_model()))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
