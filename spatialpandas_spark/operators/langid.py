@@ -68,58 +68,162 @@ _NOISE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 #: common-word seed vocabularies (public frequency-list words, authored
 #: lowercase so lowercasing is engine-neutral). Latin-script languages
 #: need genuinely discriminative function words; non-latin scripts are
-#: separable by character alone.
+#: separable by character alone. Round 11 second block per language:
+#: the out-of-domain eval (tools/eval_langid_real.py) showed the
+#: function-word-only model at 88.5% on natural sentences — pt/es/it
+#: collapsed onto each other and kanji-heavy Japanese tipped to zh.
+#: The expansion adds rank ~50-150 frequency words INCLUDING parallel
+#: content vocabulary (información/informação/informazione,
+#: desarrollo/desenvolvimento/sviluppo) whose morphology separates the
+#: Romance languages, and kanji-bearing Japanese words so kana are not
+#: the only ja signal against shared-ideograph zh text.
 _VOCAB = {
     "en": """the and of to in is that it was for as with his they at be
         this have from or had by but not what all were when your can said
         there use each which she how their will other about out many then
         them these so some her would make like him into time look two
-        more write see number way could people than first water been""",
+        more write see number way could people than first water been
+        years just because through good very think back only little never
+        home world before right where know own down state again
+        while small something between both few those during always until
+        government work country city things thing times form
+        example moment place problem question history politics economy
+        society education information situation relation development
+        under""",
     "de": """der die das und ist nicht ein eine mit für von auf sich dem
         den des im als auch es an werden aus er hat dass sie nach wird
         bei einer um am sind noch wie über einen zum war haben nur oder
-        aber vor zur bis mehr durch man sein wurde schon beim doch""",
+        aber vor zur bis mehr durch man sein wurde schon beim doch
+        ich wir ihm ihr ihre seinem wurden worden keine können müssen
+        sollen jahr jahre zeit menschen leben wasser stadt land regierung
+        arbeit heute immer dann hier ohne gegen unter zwischen während
+        wieder viele diesem dieser alles andere etwas nichts sehr gut
+        neue neuen ersten letzten besten viel wenig groß klein ding
+        dinge mal form weise beispiel moment ort problem frage geschichte
+        politik wirtschaft gesellschaft bildung entwicklung kinder""",
     "fr": """le de la et les des en un du une que est pour qui dans par
         plus pas au sur ne se ce il sont avec son être cette aux ont mais
         où nous comme ces dont sans leur elle deux fait été tout même
-        aussi autre bien encore là leurs ainsi donc après toujours""",
+        aussi autre bien encore là leurs ainsi donc après toujours
+        était avait fois très peu sous pendant jamais ici alors chaque
+        quelques pays temps monde vie homme femme jour année ville eau
+        gouvernement travail avoir faire dire pouvoir aller voir savoir
+        venir devoir grand petit premier dernier nouveau meilleur
+        beaucoup moins depuis contre chez votre notre chose choses
+        forme manière exemple moment lieu problème question histoire
+        politique économie société éducation information situation
+        relation développement enfants
+        c'est n'est d'une d'un qu'il qu'elle j'ai l'on l'histoire
+        jusqu'à aujourd'hui quelqu'un n'importe d'ailleurs s'il""",
     "es": """de la que el en y los se del las un por con no una su para
         es al lo como más pero sus le ya este sí porque esta entre cuando
         muy sin sobre también me hasta hay donde quien desde todo nos
-        durante todos uno les ni contra otros ese eso ante ellos""",
+        durante todos uno les ni contra otros ese eso ante ellos
+        años año día tiempo vida mundo casa parte hombre mujer ciudad
+        agua país gobierno trabajo según mientras además después antes
+        ahora aquí así cada menos mucho poco gran grande nuevo primero
+        último mejor señor está están fue fueron ser tener hacer decir
+        poder entonces bien mismo cosas cosa vez veces forma manera
+        ejemplo momento lugar problema cuestión historia política
+        economía sociedad educación información situación relación
+        desarrollo niños bajo
+        llegaron hablaron hicieron dijeron encontraron empezaron
+        llegar llamar llevar lluvia señora pequeño español
+        llegó habló quedó tomó dejó estaba estaban noticias negocios
+        precios periodista periódico""",
     "it": """di e il la che è per un in una sono mi si lo ma le ci con ha
         non come io questo qui sei del più bene se della mia tutto te
         questa era cosa perché ne noi nel alla gli degli molto anche
-        dopo senza essere fatto quando stato già sempre ancora""",
+        dopo senza essere fatto quando stato già sempre ancora
+        anni anno giorno tempo vita mondo casa parte uomo donna città
+        acqua paese governo lavoro secondo mentre inoltre prima adesso
+        ora così ogni meno poco grande nuovo primo ultimo migliore
+        signore stati fu furono avere fare dire potere allora dove
+        stesso cose volta volte forma modo esempio momento luogo
+        problema questione storia politica economia società educazione
+        informazione situazione relazione sviluppo bambini sotto
+        c'è dell'acqua un'altra l'altro dall'inizio nell'ambito
+        all'interno arrivarono parlarono fecero dissero trovarono
+        arrivò parlò rimase prese lasciò stava stavano notizie affari
+        prezzi giornalista giornale ragazzo ragazza bella notte tutti""",
     "pt": """de a o que e do da em um para é com não uma os no se na por
         mais as dos como mas foi ao ele das tem à seu sua ou ser quando
         muito há nos já está eu também só pelo pela até isso ela entre
-        era depois sem mesmo aos seus quem nas me esse""",
+        era depois sem mesmo aos seus quem nas me esse
+        anos ano dia tempo vida mundo casa parte homem mulher cidade
+        água país governo trabalho segundo enquanto além antes agora
+        aqui assim cada menos pouco grande novo primeiro último melhor
+        senhor são estão foram ter fazer dizer poder você então bem
+        onde pelos pelas nosso nossa contra durante coisas coisa vez
+        vezes forma maneira exemplo momento lugar problema questão
+        história política economia sociedade educação informação
+        situação relação desenvolvimento
+        chegaram falaram fizeram disseram encontraram começaram
+        amanhã pequeno português coração filho velho olhos
+        mostrou chegou falou ficou encontrou começou deixou
+        estavam notícias negócios preços jornalista jornal""",
     "ru": """и в не на я быть он с что а по это она этот к но они мы как
         из у который то за свой весь год от так о для ты же все тот мочь
         вы человек такой его сказать только или ещё бы себя один уже до
-        время если когда другой наш сам что-то мой даже новый""",
+        время если когда другой наш сам что-то мой даже новый
+        году россии жизни работа слово дело лет день рука вода город
+        страна мир народ место вопрос сторона голова конец часть
+        система развитие проблема результат правительство общество
+        образование информация ситуация отношение экономика история
+        политика дети школа дом форма способ пример момент""",
     "el": """και το να του η με τον την των που από είναι για στο δεν ο
         τα σε ότι αν θα οι ως αλλά κατά ένα μια στη στον μας σας τους
         όπως μετά πριν χωρίς κάθε εδώ εκεί τώρα πολύ είχε ήταν αυτό
-        αυτή δύο μου σου ακόμα μέσα πάνω κάτω όταν""",
+        αυτή δύο μου σου ακόμα μέσα πάνω κάτω όταν
+        χρόνια χρόνος μέρα ζωή κόσμος σπίτι μέρος άνθρωπος γυναίκα πόλη
+        νερό χώρα κυβέρνηση δουλειά σύμφωνα ενώ επίσης ύστερα πρώτα
+        έτσι λιγότερο πολλά λίγο μεγάλος νέος πρώτος τελευταίος
+        καλύτερος κύριος είμαι ήμουν πράγμα πράγματα φορά φορές μορφή
+        τρόπος παράδειγμα στιγμή τόπος πρόβλημα ερώτηση ιστορία
+        πολιτική οικονομία κοινωνία εκπαίδευση πληροφορία κατάσταση
+        σχέση ανάπτυξη παιδιά""",
     "ar": """في من على أن إلى عن مع هذا التي الذي كان ما لا هو هي قد كل
         بعد عند غير بين يوم أو حتى إذا لم ثم منذ أي عليه فيه لها به أنه
-        كما لكن هناك عندما وقد ومن وهو كانت ولا أكثر وقال هذه ذلك""",
+        كما لكن هناك عندما وقد ومن وهو كانت ولا أكثر وقال هذه ذلك
+        سنة وقت حياة عالم بيت جزء رجل امرأة مدينة ماء بلد حكومة عمل
+        بينما أيضا قبل الآن هنا هكذا أقل كثير قليل كبير جديد أول أخير
+        أفضل سيد كانوا يكون لديه عليها منها إليه خلال ضد أثناء شيء
+        أشياء مرة مرات شكل طريقة مثال لحظة مكان مشكلة سؤال تاريخ سياسة
+        اقتصاد مجتمع تعليم معلومات وضع علاقة تنمية أطفال""",
     "hi": """के है में की एक हैं को और से पर यह था कि जो कर गया करने किया
         अपने ने बनी नहीं तो ही या एवं दिया हो इस वह रहे थी हुआ जब होता
-        कोई मिल आप बहुत कुछ साथ यहाँ तक लिए अपनी सकता भारत""",
+        कोई मिल आप बहुत कुछ साथ यहाँ तक लिए अपनी सकता भारत
+        वर्ष दिन समय जीवन दुनिया घर हिस्सा आदमी औरत शहर पानी देश सरकार
+        काम अनुसार जबकि बाद पहले अब यहां ऐसे हर कम ज्यादा थोड़ा बड़ा
+        नया पहला आखिरी बेहतर होना रहना करना कहना सकना गई जाता जाती हुए
+        चीज़ चीज़ें बार रूप तरीका उदाहरण क्षण जगह समस्या सवाल इतिहास
+        राजनीति अर्थव्यवस्था समाज शिक्षा जानकारी स्थिति संबंध विकास
+        बच्चे स्कूल""",
     "zh": """的 一 是 不 了 人 我 在 有 他 这 中 大 来 上 国 个 到 说 们
         为 子 和 你 地 出 道 也 时 年 得 就 那 要 下 以 生 会 自 着
-        去 之 过 家 学 对 可 她 里 后 小 么 心 多 天 而 能 好 都 然""",
+        去 之 过 家 学 对 可 她 里 后 小 么 心 多 天 而 能 好 都 然
+        时间 生活 世界 房子 部分 男人 女人 城市 工作 问题 政府 国家
+        经济 发展 社会 文化 历史 教育 科学 技术 今天 明天 昨天 现在
+        因为 所以 但是 如果 没有 已经 还是 什么 怎么 这样 那样 非常
+        可以 应该 需要 东西 形式 方法 例子 时候 地方 情况 关系 信息
+        孩子 学校""",
     "ja": """の に は を た が で て と し れ さ ある いる も する から
         な こと として い や など なっ ない この ため その あっ よう
         また もの という あり まで られ なる へ か だ これ によって
-        により おり より による ず なり られる において""",
+        により おり より による ず なり られる において
+        時間 仕事 生活 世界 問題 政府 国家 経済 社会 文化 歴史 教育
+        技術 今日 明日 昨日 現在 必要 大切 場所 自分 言葉 方法 結果
+        関係 理由 状況 情報 内容 全部 最初 最後 途中 学校 先生 学生
+        日本 東京 しかし だから もし できる です ます でした ました
+        ような ところ とても""",
     "ko": """이 있 하 것 들 그 되 수 보 않 없 나 사람 주 아니 등 같 우리
         때 년 가 한 지 대하 오 말 일 그렇 위하 때문 그것 두 말하 알
         그러나 받 못하 그런 또 문제 더 사회 많 그리고 좋 크 따르 중
-        나오 가지 씨 시키 만들 지금 생각하 그러 속 하나""",
+        나오 가지 씨 시키 만들 지금 생각하 그러 속 하나
+        시간 생활 세계 집 부분 남자 여자 도시 물 나라 정부 직장 오늘
+        내일 어제 여기 거기 모든 많이 조금 새로운 마지막 좋은 물건
+        형태 방법 순간 장소 질문 역사 정치 경제 교육 정보 상황 관계
+        발전 아이들 학교""",
 }
 VOCAB = {k: v.split() for k, v in _VOCAB.items()}
 

@@ -1,0 +1,224 @@
+"""Out-of-domain eval of the shipped language-ID model on REAL text.
+
+The shipped model's held-out accuracy (BASELINE.md round 11) is
+measured on a disjoint seed block of the SAME synthetic generator used
+for training — it proves the train/serve machinery, not generalization.
+This eval scores hand-authored NATURAL sentences (news/encyclopedic/
+conversational register, full of content words absent from the seed
+vocabularies) with the pure-python twin of the serving kernel, so it
+runs without a Spark session and measures exactly what the engine
+would predict (the kernel is shared; bucket parity is pytest-pinned).
+
+Usage: python tools/eval_langid_real.py   -> confusion summary + JSON line
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spatialpandas_spark.operators.langid import (  # noqa: E402
+    LANGS,
+    builtin_langid_model,
+    margins_kernel,
+)
+
+# Natural sentences, authored for this eval (everyday register —
+# weather, travel, news, daily life). Deliberately NOT drawn from the
+# training generator's word-soup distribution: most content words here
+# are absent from the seed vocabularies, so char n-grams must carry.
+REAL_SENTENCES = {
+    "en": [
+        "The weather was unusually warm for this time of year.",
+        "She opened the window and looked out at the quiet street.",
+        "Scientists have discovered a new species of frog in the rainforest.",
+        "Please remember to bring your passport to the airport.",
+        "The company announced record profits in the third quarter.",
+        "He spent the whole afternoon reading in the garden.",
+        "The train leaves at half past seven every morning.",
+        "Children love playing in the park after school.",
+    ],
+    "de": [
+        "Das Wetter war für diese Jahreszeit ungewöhnlich warm.",
+        "Sie öffnete das Fenster und blickte auf die ruhige Straße.",
+        "Forscher haben im Regenwald eine neue Froschart entdeckt.",
+        "Bitte denken Sie daran, Ihren Reisepass zum Flughafen mitzubringen.",
+        "Das Unternehmen meldete Rekordgewinne im dritten Quartal.",
+        "Er verbrachte den ganzen Nachmittag mit Lesen im Garten.",
+        "Der Zug fährt jeden Morgen um halb acht ab.",
+        "Die Kinder spielen nachmittags gern im Park.",
+    ],
+    "fr": [
+        "Le temps était exceptionnellement chaud pour cette période de l'année.",
+        "Elle ouvrit la fenêtre et regarda la rue tranquille.",
+        "Les chercheurs ont découvert une nouvelle espèce de grenouille dans la forêt tropicale.",
+        "N'oubliez pas d'apporter votre passeport à l'aéroport.",
+        "L'entreprise a annoncé des bénéfices records au troisième trimestre.",
+        "Il a passé tout l'après-midi à lire dans le jardin.",
+        "Le train part tous les matins à sept heures et demie.",
+        "Les enfants aiment jouer dans le parc l'après-midi.",
+    ],
+    "es": [
+        "El tiempo era inusualmente cálido para esta época del año.",
+        "Ella abrió la ventana y miró la calle tranquila.",
+        "Los científicos han descubierto una nueva especie de rana en la selva.",
+        "Por favor recuerda llevar tu pasaporte al aeropuerto.",
+        "La empresa anunció ganancias récord en el tercer trimestre.",
+        "Pasó toda la tarde leyendo en el jardín.",
+        "El tren sale todas las mañanas a las siete y media.",
+        "A los niños les gusta jugar en el parque por la tarde.",
+    ],
+    "it": [
+        "Il tempo era insolitamente caldo per questo periodo dell'anno.",
+        "Lei aprì la finestra e guardò la strada tranquilla.",
+        "Gli scienziati hanno scoperto una nuova specie di rana nella foresta pluviale.",
+        "Ricordati di portare il passaporto all'aeroporto.",
+        "L'azienda ha annunciato profitti record nel terzo trimestre.",
+        "Ha passato tutto il pomeriggio a leggere in giardino.",
+        "Il treno parte ogni mattina alle sette e mezza.",
+        "Ai bambini piace giocare nel parco il pomeriggio.",
+    ],
+    "pt": [
+        "O tempo estava invulgarmente quente para esta época do ano.",
+        "Ela abriu a janela e olhou para a rua tranquila.",
+        "Os cientistas descobriram uma nova espécie de rã na floresta tropical.",
+        "Por favor, lembre-se de levar o seu passaporte para o aeroporto.",
+        "A empresa anunciou lucros recordes no terceiro trimestre.",
+        "Ele passou a tarde inteira a ler no jardim.",
+        "O comboio parte todas as manhãs às sete e meia.",
+        "As crianças gostam de brincar no parque à tarde.",
+    ],
+    "ru": [
+        "Погода была необычно тёплой для этого времени года.",
+        "Она открыла окно и посмотрела на тихую улицу.",
+        "Учёные обнаружили новый вид лягушки в тропическом лесу.",
+        "Пожалуйста, не забудьте взять паспорт в аэропорт.",
+        "Компания объявила о рекордной прибыли в третьем квартале.",
+        "Он провёл весь день за чтением в саду.",
+        "Поезд отправляется каждое утро в половине восьмого.",
+        "Дети любят играть в парке после обеда.",
+    ],
+    "el": [
+        "Ο καιρός ήταν ασυνήθιστα ζεστός για αυτή την εποχή του χρόνου.",
+        "Άνοιξε το παράθυρο και κοίταξε τον ήσυχο δρόμο.",
+        "Οι επιστήμονες ανακάλυψαν ένα νέο είδος βατράχου στο τροπικό δάσος.",
+        "Παρακαλώ θυμηθείτε να φέρετε το διαβατήριό σας στο αεροδρόμιο.",
+        "Η εταιρεία ανακοίνωσε κέρδη ρεκόρ το τρίτο τρίμηνο.",
+        "Πέρασε όλο το απόγευμα διαβάζοντας στον κήπο.",
+        "Το τρένο φεύγει κάθε πρωί στις επτά και μισή.",
+        "Τα παιδιά αγαπούν να παίζουν στο πάρκο το απόγευμα.",
+    ],
+    "ar": [
+        "كان الطقس دافئا بشكل غير معتاد في هذا الوقت من السنة.",
+        "فتحت النافذة ونظرت إلى الشارع الهادئ.",
+        "اكتشف العلماء نوعا جديدا من الضفادع في الغابة الاستوائية.",
+        "من فضلك تذكر أن تحضر جواز سفرك إلى المطار.",
+        "أعلنت الشركة عن أرباح قياسية في الربع الثالث.",
+        "قضى بعد الظهر كله في القراءة في الحديقة.",
+        "يغادر القطار كل صباح في السابعة والنصف.",
+        "يحب الأطفال اللعب في الحديقة بعد الظهر.",
+    ],
+    "hi": [
+        "साल के इस समय के लिए मौसम असामान्य रूप से गर्म था।",
+        "उसने खिड़की खोली और शांत सड़क की ओर देखा।",
+        "वैज्ञानिकों ने वर्षावन में मेंढक की एक नई प्रजाति खोजी है।",
+        "कृपया हवाई अड्डे पर अपना पासपोर्ट लाना याद रखें।",
+        "कंपनी ने तीसरी तिमाही में रिकॉर्ड मुनाफे की घोषणा की।",
+        "उसने पूरी दोपहर बगीचे में पढ़ते हुए बिताई।",
+        "ट्रेन हर सुबह साढ़े सात बजे निकलती है।",
+        "बच्चों को दोपहर में पार्क में खेलना पसंद है।",
+    ],
+    "zh": [
+        "今年这个时候的天气异常温暖。",
+        "她打开窗户,望着安静的街道。",
+        "科学家在雨林中发现了一种新的青蛙。",
+        "请记得带护照去机场。",
+        "公司宣布第三季度利润创下纪录。",
+        "他整个下午都在花园里看书。",
+        "火车每天早上七点半出发。",
+        "孩子们喜欢下午在公园里玩耍。",
+    ],
+    "ja": [
+        "今年のこの時期にしては異常に暖かい天気だった。",
+        "彼女は窓を開けて静かな通りを眺めた。",
+        "科学者たちは熱帯雨林で新種のカエルを発見した。",
+        "空港にパスポートを持って行くのを忘れないでください。",
+        "会社は第三四半期に記録的な利益を発表した。",
+        "彼は午後ずっと庭で本を読んで過ごした。",
+        "電車は毎朝七時半に出発します。",
+        "子供たちは午後に公園で遊ぶのが好きです。",
+    ],
+    "ko": [
+        "올해 이맘때치고는 날씨가 유난히 따뜻했다.",
+        "그녀는 창문을 열고 조용한 거리를 바라보았다.",
+        "과학자들은 열대 우림에서 새로운 개구리 종을 발견했다.",
+        "공항에 여권을 가져가는 것을 잊지 마세요.",
+        "회사는 삼분기에 기록적인 이익을 발표했다.",
+        "그는 오후 내내 정원에서 책을 읽으며 보냈다.",
+        "기차는 매일 아침 일곱 시 반에 출발한다.",
+        "아이들은 오후에 공원에서 노는 것을 좋아한다.",
+    ],
+}
+
+
+def py_buckets(text: str, model: dict) -> list[int]:
+    """Pure-python twin of lang_buckets (parity pytest-pinned)."""
+    t = text.lower() if model["lowercase"] else text
+    if model.get("max_chars") is not None:
+        t = t[: model["max_chars"]]
+    grams = []
+    for o in model["orders"]:
+        grams += [t[i : i + o] for i in range(len(t) - o + 1)]
+    if model.get("include_words"):
+        grams += [w for w in re.split(r"\s+", t) if w != ""]
+    return [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % model["n_features"]
+        for g in grams
+    ]
+
+
+def main() -> None:
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"])
+    I = np.asarray(m["intercepts"])
+    order = m["classes"]
+    assert order == LANGS
+    total = correct = 0
+    confusions: list[tuple[str, str, str]] = []
+    per_lang: dict[str, str] = {}
+    for lang, sents in sorted(REAL_SENTENCES.items()):
+        margins = margins_kernel([py_buckets(s, m) for s in sents], W, I)
+        preds = [order[i] for i in np.argmax(margins, axis=1)]
+        ok = sum(p == lang for p in preds)
+        total += len(sents)
+        correct += ok
+        per_lang[lang] = f"{ok}/{len(sents)}"
+        confusions += [
+            (lang, p, s) for p, s in zip(preds, sents) if p != lang
+        ]
+    for lang, tally in per_lang.items():
+        print(f"  {lang}: {tally}")
+    for lang, pred, sent in confusions:
+        print(f"  CONFUSED {lang} -> {pred}: {sent[:60]}")
+    print(
+        json.dumps(
+            {
+                "metric": "langid_real_text_accuracy",
+                "correct": correct,
+                "total": total,
+                "accuracy": round(correct / total, 4),
+                "per_lang": per_lang,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
