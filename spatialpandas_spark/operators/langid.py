@@ -22,8 +22,8 @@ Engine discipline — same as the quality classifier
 - training is MLlib multinomial ``LogisticRegression`` over sparse
   count vectors — one small job over a LABELED set;
 - serving is one Arrow ``mapInPandas`` pass: margins = I + W[:, b].sum
-  per row, weights broadcast by closure (13 langs x 4096 buckets x 8 B
-  = 416 KiB). No shuffle, no per-row Python in the bucket path.
+  per row, weights broadcast by closure (24 classes x 4096 buckets x
+  8 B = 768 KiB). No shuffle, no per-row Python in the bucket path.
 - the SHIPPED model (``builtin_langid_model``) is the trained model
   QUANTIZED to dyadic rationals k/256: every margin is then an exact,
   summation-order-independent float64, so a SQL engine replays
@@ -57,8 +57,9 @@ from spatialpandas_spark.operators.classifier import _md5_bucket
 #: ASCII noise lands on trained latin buckets; measured before adding
 #: the class — real-sentence min gap 1.25 < gibberish gap 4.25)
 LANGS = [
-    "ar", "de", "el", "en", "es", "fr", "hi",
-    "it", "ja", "ko", "pt", "ru", "und", "zh",
+    "ar", "de", "el", "en", "es", "fa", "fr", "he",
+    "hi", "id", "it", "ja", "ko", "nl", "pl", "pt",
+    "ru", "sv", "th", "tr", "uk", "und", "vi", "zh",
 ]
 
 #: noise alphabet for the 'und' class (uniform letter soup + digits —
@@ -224,11 +225,103 @@ _VOCAB = {
         내일 어제 여기 거기 모든 많이 조금 새로운 마지막 좋은 물건
         형태 방법 순간 장소 질문 역사 정치 경제 교육 정보 상황 관계
         발전 아이들 학교""",
+    # ten languages added late round 11 (the framework made this a
+    # vocab-authoring exercise): nl/pl/sv/tr + Latin-diacritic vi +
+    # uk (Cyrillic, distinct і/ї/є vs ru) + fa (Arabic script,
+    # distinct پ/چ/ژ/گ + function words vs ar) + he/th (new scripts)
+    # + id. Frequency-list function/common words as above.
+    "nl": """de het een en van ik te dat die in je niet zijn is was op
+        aan met als voor er maar om hij dan zou of wat mijn men dit zo
+        door over ze zich bij ook tot uit naar want nog moet heeft haar
+        werd hier weer onder tussen tegen deze veel meer al waren
+        geweest worden kunnen jaar tijd mensen leven water stad land
+        regering werk vandaag altijd nu zonder kinderen huis wereld dag
+        dingen vorm voorbeeld moment plaats probleem vraag geschiedenis
+        politiek economie maatschappij onderwijs informatie situatie
+        relatie ontwikkeling
+        wij mij zij vijf blijven kijken rijden prijs altijd tijdens
+        eigenlijk natuurlijk mogelijk belangrijk iedere avond
+        morgen week maand uur""",
+    "pl": """i w nie na to że się z do jest po co tak jak o mnie ale mi
+        za już tylko przez od był była było być ma są czy go jego jej
+        ich nas was im tym tego jeszcze może bardzo gdzie kiedy teraz
+        tutaj bez pod nad między przeciw wiele więcej rok lata czas
+        ludzie życie woda miasto kraj rząd praca dzisiaj zawsze dzieci
+        dom świat dzień rzeczy forma przykład chwila miejsce problem
+        pytanie historia polityka gospodarka społeczeństwo edukacja
+        informacja sytuacja relacja rozwój został również który która
+        które
+        stary wielki mały młody dobry zły pierwszy ostatni lepszy
+        wszystko wszyscy jednak właśnie innymi badanie odkrycie
+        zwierzę roślina przyroda drzewo ziemia niebo słońce""",
+    "sv": """och det att i jag en som på är av för med den till inte om
+        han hon de vi ni man men ett har hade var sig från vid kan ska
+        skulle eller så här där nu efter under mellan mot utan också
+        mycket mer år tid människor liv vatten stad land regering
+        arbete idag alltid barn hus värld dag saker sak form exempel
+        ögonblick plats problem fråga historia politik ekonomi samhälle
+        utbildning information situation relation utveckling blev
+        några många vilket vilken""",
+    "tr": """bir bu ve de da ne için ile mi ben sen o biz siz onlar var
+        yok gibi daha çok en ama fakat ki eğer çünkü sonra önce şimdi
+        burada orada her az büyük küçük yeni eski iyi kötü yıl zaman
+        insanlar hayat su şehir ülke hükümet iş bugün çocuklar ev dünya
+        gün şeyler şey biçim örnek an yer sorun soru tarih siyaset
+        ekonomi toplum eğitim bilgi durum ilişki gelişme oldu olarak
+        değil kadar bütün kendi
+        getirmek unutmak istemek gelmek gitmek yapmak etmek olmak
+        almak vermek bilmek görmek demek kalmak başlamak üzerinde
+        altında arasında hakkında kadın adam çocuk akşam""",
+    "uk": """і в не на я що з до це так як у його за але від був була
+        було бути є ми ви вони вона він цей ця ще може дуже де коли
+        тепер тут без під над між проти багато більше рік роки час
+        люди життя вода місто країна уряд робота сьогодні завжди діти
+        дім світ день речі форма приклад мить місце проблема питання
+        історія політика економіка суспільство освіта інформація
+        ситуація відносини розвиток також який яка які їх них нам
+        вам
+        зробити сказати говорити бачити знати мати йти прийти дати
+        щоб або ніж тому навіть вже лише саме кожен інший наша ваша
+        треба можна немає людина жінка чоловік дитина ранок""",
+    "fa": """از که را با این آن در به و است بود شد می ها های برای تا
+        اگر اما یا هم نیز چه وقتی پس بعد قبل اکنون اینجا بدون زیر بین
+        علیه بسیار بیشتر سال زمان مردم زندگی آب شهر کشور دولت کار
+        امروز همیشه کودکان خانه جهان روز چیزها چیز شکل نمونه لحظه جا
+        مشکل پرسش تاریخ سیاست اقتصاد جامعه آموزش اطلاعات وضعیت رابطه
+        توسعه شده خواهد کرد گفت او ما شما آنها من تو""",
+    "he": """של את על לא אני הוא היא זה אתה אנחנו הם עם כל מה יש אין כי
+        אם או גם רק אבל כמו אחרי לפני עכשיו כאן שם בלי תחת בין נגד
+        הרבה יותר שנה זמן אנשים חיים מים עיר מדינה ממשלה עבודה היום
+        תמיד ילדים בית עולם יום דברים דבר צורה דוגמה רגע מקום בעיה
+        שאלה היסטוריה פוליטיקה כלכלה חברה חינוך מידע מצב יחס התפתחות
+        היה היתה להיות אשר כאשר עוד מאוד""",
+    "th": """ที่ การ และ ใน เป็น มี ของ ได้ ให้ ไม่ จะ ว่า กับ แต่ ก็ ไป มา
+        นี้ นั้น อยู่ คน เรา เขา ฉัน คุณ อะไร เมื่อ แล้ว ต้อง ถ้า เพราะ หลัง
+        ก่อน โดย ระหว่าง มาก กว่า ปี เวลา ชีวิต น้ำ เมือง ประเทศ รัฐบาล
+        งาน วันนี้ เสมอ เด็ก บ้าน โลก วัน สิ่ง รูปแบบ ตัวอย่าง ขณะ สถานที่
+        ปัญหา คำถาม ประวัติศาสตร์ การเมือง เศรษฐกิจ สังคม การศึกษา
+        ข้อมูล สถานการณ์ ความสัมพันธ์ การพัฒนา""",
+    "vi": """của và là có không được một người trong cho với những này
+        đó các tôi anh chị em chúng ta họ bạn gì khi đã sẽ đang rồi
+        phải nếu vì sau trước bây giờ ở đây bằng giữa nhiều hơn năm
+        thời gian cuộc sống nước thành phố đất chính phủ công việc
+        hôm nay luôn trẻ nhà thế giới ngày điều hình thức ví dụ
+        khoảnh khắc nơi vấn đề câu hỏi lịch sử trị kinh tế xã hội
+        giáo dục thông tin tình huống quan hệ phát triển cũng như mà
+        từ về đến""",
+    "id": """yang dan di ke dari ini itu untuk dengan tidak ada pada
+        adalah akan saya kamu dia kami mereka kita bisa sudah belum
+        harus jika karena setelah sebelum sekarang sini tanpa antara
+        banyak lebih tahun waktu orang hidup air kota negara
+        pemerintah kerja selalu anak rumah dunia hari hal bentuk
+        contoh saat tempat masalah pertanyaan sejarah politik ekonomi
+        masyarakat pendidikan informasi situasi hubungan pembangunan
+        juga seperti tetapi atau oleh dalam""",
 }
 VOCAB = {k: v.split() for k, v in _VOCAB.items()}
 
 #: scripts written without word spaces (sentence = concatenated words)
-_NO_SPACE = {"zh", "ja"}
+_NO_SPACE = {"zh", "ja", "th"}
 
 
 def langid_corpus(per_lang: int = 400, salt: str = "train"):

@@ -34,9 +34,10 @@ def test_real_text_overall_accuracy():
         p == lang for lang, ps in preds.items() for p in ps
     )
     total = sum(len(ps) for ps in preds.values())
-    # shipped model measures 101/104; the floor leaves headroom for
-    # retrains without accepting a regression to the pre-expansion 88%
-    assert correct / total >= 0.95, (correct, total, preds)
+    # shipped 24-class model measures 176/184 = 95.7%; the floor
+    # leaves retrain headroom without accepting a regression toward
+    # the pre-expansion 88%
+    assert correct / total >= 0.93, (correct, total, preds)
 
 
 def test_real_text_non_latin_scripts_perfect():
@@ -44,7 +45,10 @@ def test_real_text_non_latin_scripts_perfect():
     separability is the entire reason the classifier replaced the
     latin-only stopword heuristic (VERDICT r10 lead ask)."""
     preds = _predictions()
-    for lang in ("ar", "el", "hi", "ja", "ko", "ru", "zh"):
+    # uk is deliberately absent: it shares the Cyrillic script with ru,
+    # so a uk->ru miss is the same close-family residual class as the
+    # Romance ties, not a script-separability failure
+    for lang in ("ar", "el", "fa", "he", "hi", "ja", "ko", "ru", "th", "zh"):
         assert preds[lang] == [lang] * len(preds[lang]), (lang, preds[lang])
 
 
@@ -94,6 +98,11 @@ def test_eval_vocab_disjointness():
         "en": 68, "de": 55, "fr": 55, "es": 55, "it": 54, "pt": 59,
         "ru": 59, "el": 53, "ar": 47, "hi": 47, "zh": 60, "ja": 50,
         "ko": 58,
+        # ten languages added late round 11: base = the initial
+        # frequency-list block authored BEFORE their eval sentences
+        # were first scored; the remainder is the chased block
+        "nl": 93, "pl": 90, "sv": 83, "tr": 76, "uk": 82, "fa": 77,
+        "he": 73, "th": 67, "vi": 98, "id": 70,
     }
     for lang, sents in REAL_SENTENCES.items():
         added = set(VOCAB[lang][base_sizes[lang]:])

@@ -165,6 +165,106 @@ REAL_SENTENCES = {
         "기차는 매일 아침 일곱 시 반에 출발한다.",
         "아이들은 오후에 공원에서 노는 것을 좋아한다.",
     ],
+    "nl": [
+        "Het weer was ongewoon warm voor deze tijd van het jaar.",
+        "Ze opende het raam en keek naar de rustige straat.",
+        "Wetenschappers hebben een nieuwe kikkersoort ontdekt in het regenwoud.",
+        "Vergeet niet je paspoort mee te nemen naar het vliegveld.",
+        "Het bedrijf kondigde recordwinsten aan in het derde kwartaal.",
+        "Hij bracht de hele middag lezend door in de tuin.",
+        "De trein vertrekt elke ochtend om half acht.",
+        "De jongens spelen graag buiten na schooltijd.",
+    ],
+    "pl": [
+        "Pogoda była niezwykle ciepła jak na tę porę roku.",
+        "Otworzyła okno i spojrzała na spokojną ulicę.",
+        "Naukowcy odkryli nowy gatunek żaby w lesie deszczowym.",
+        "Pamiętaj, aby zabrać paszport na lotnisko.",
+        "Firma ogłosiła rekordowe zyski w trzecim kwartale.",
+        "Spędził całe popołudnie na czytaniu w ogrodzie.",
+        "Pociąg odjeżdża codziennie rano o wpół do ósmej.",
+        "Najmłodsi uwielbiają bawić się w parku po szkole.",
+    ],
+    "sv": [
+        "Vädret var ovanligt varmt för den här tiden på året.",
+        "Hon öppnade fönstret och tittade ut mot den lugna gatan.",
+        "Forskare har upptäckt en ny grodart i regnskogen.",
+        "Kom ihåg att ta med ditt pass till flygplatsen.",
+        "Företaget meddelade rekordvinster under tredje kvartalet.",
+        "Han tillbringade hela eftermiddagen med att läsa i trädgården.",
+        "Tåget avgår varje morgon klockan halv åtta.",
+        "Eleverna älskar att leka i parken efter skolan.",
+    ],
+    "tr": [
+        "Hava yılın bu zamanı için alışılmadık derecede sıcaktı.",
+        "Pencereyi açtı ve sessiz sokağa baktı.",
+        "Bilim insanları yağmur ormanında yeni bir kurbağa türü keşfetti.",
+        "Lütfen pasaportunu havaalanına getirmeyi unutma.",
+        "Şirket üçüncü çeyrekte rekor kâr açıkladı.",
+        "Bütün öğleden sonrayı bahçede kitap okuyarak geçirdi.",
+        "Tren her sabah yedi buçukta kalkıyor.",
+        "Öğrenciler okuldan sonra parkta oynamayı seviyor.",
+    ],
+    "uk": [
+        "Погода була незвично теплою для цієї пори року.",
+        "Вона відчинила вікно й подивилася на тиху вулицю.",
+        "Вчені відкрили новий вид жаби в тропічному лісі.",
+        "Будь ласка, не забудьте взяти паспорт в аеропорт.",
+        "Компанія оголосила про рекордні прибутки в третьому кварталі.",
+        "Він провів увесь вечір за читанням у саду.",
+        "Потяг відправляється щоранку о пів на восьму.",
+        "Малеча любить гратися в парку після школи.",
+    ],
+    "fa": [
+        "هوا برای این وقت سال به طور غیرعادی گرم بود.",
+        "او پنجره را باز کرد و به خیابان آرام نگاه کرد.",
+        "دانشمندان گونه جدیدی از قورباغه را در جنگل بارانی کشف کردند.",
+        "لطفا یادتان باشد گذرنامه را به فرودگاه بیاورید.",
+        "شرکت از سود بی‌سابقه در سه‌ماهه سوم خبر داد.",
+        "او تمام بعدازظهر را به خواندن در باغ گذراند.",
+        "قطار هر روز صبح ساعت هفت و نیم حرکت می‌کند.",
+        "بچه‌ها دوست دارند بعد از مدرسه در پارک بازی کنند.",
+    ],
+    "he": [
+        "מזג האוויר היה חם באופן חריג לעונה זו של השנה.",
+        "היא פתחה את החלון והביטה אל הרחוב השקט.",
+        "מדענים גילו מין חדש של צפרדע ביער הגשם.",
+        "אנא זכרו להביא את הדרכון לשדה התעופה.",
+        "החברה הודיעה על רווחי שיא ברבעון השלישי.",
+        "הוא בילה את כל אחר הצהריים בקריאה בגינה.",
+        "הרכבת יוצאת כל בוקר בשבע וחצי.",
+        "ילדים אוהבים לשחק בפארק אחרי בית הספר.",
+    ],
+    "th": [
+        "อากาศอบอุ่นผิดปกติสำหรับช่วงเวลานี้ของปี",
+        "เธอเปิดหน้าต่างและมองไปที่ถนนอันเงียบสงบ",
+        "นักวิทยาศาสตร์ค้นพบกบสายพันธุ์ใหม่ในป่าฝน",
+        "กรุณาอย่าลืมนำหนังสือเดินทางไปสนามบิน",
+        "บริษัทประกาศกำไรสูงสุดเป็นประวัติการณ์ในไตรมาสที่สาม",
+        "เขาใช้เวลาทั้งบ่ายอ่านหนังสือในสวน",
+        "รถไฟออกทุกเช้าเวลาเจ็ดโมงครึ่ง",
+        "เด็กๆ ชอบเล่นในสวนสาธารณะหลังเลิกเรียน",
+    ],
+    "vi": [
+        "Thời tiết ấm áp bất thường vào lúc này trong năm.",
+        "Cô ấy mở cửa sổ và nhìn ra con phố yên tĩnh.",
+        "Các nhà khoa học phát hiện một loài ếch mới trong rừng mưa.",
+        "Xin nhớ mang hộ chiếu đến sân bay.",
+        "Công ty công bố lợi nhuận kỷ lục trong quý ba.",
+        "Anh ấy dành cả buổi chiều đọc sách trong vườn.",
+        "Tàu khởi hành mỗi sáng lúc bảy giờ rưỡi.",
+        "Trẻ con thích chơi ở công viên sau giờ học.",
+    ],
+    "id": [
+        "Cuaca sangat hangat untuk masa seperti sekarang.",
+        "Dia membuka jendela dan memandang jalan yang sepi.",
+        "Para ilmuwan menemukan spesies katak baru di hutan hujan.",
+        "Tolong ingat membawa paspor ke bandara.",
+        "Perusahaan mengumumkan laba rekor pada kuartal ketiga.",
+        "Dia menghabiskan sepanjang sore membaca di taman.",
+        "Kereta berangkat setiap pagi pukul setengah delapan.",
+        "Anak kecil suka bermain di taman setelah sekolah.",
+    ],
 }
 
 
