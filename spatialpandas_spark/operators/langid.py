@@ -241,7 +241,7 @@ _VOCAB = {
         relatie ontwikkeling
         wij mij zij vijf blijven kijken rijden prijs altijd tijdens
         eigenlijk natuurlijk mogelijk belangrijk iedere avond
-        morgen week maand uur""",
+        morgen week maand uur nacht gisteren minuut eeuw""",
     "pl": """i w nie na to że się z do jest po co tak jak o mnie ale mi
         za już tylko przez od był była było być ma są czy go jego jej
         ich nas was im tym tego jeszcze może bardzo gdzie kiedy teraz
@@ -271,7 +271,7 @@ _VOCAB = {
         değil kadar bütün kendi
         getirmek unutmak istemek gelmek gitmek yapmak etmek olmak
         almak vermek bilmek görmek demek kalmak başlamak üzerinde
-        altında arasında hakkında kadın adam çocuk akşam""",
+        altında arasında hakkında kadın adam çocuk akşam saat hafta gece dün yarın ay""",
     "uk": """і в не на я що з до це так як у його за але від був була
         було бути є ми ви вони вона він цей ця ще може дуже де коли
         тепер тут без під над між проти багато більше рік роки час
@@ -282,7 +282,7 @@ _VOCAB = {
         вам
         зробити сказати говорити бачити знати мати йти прийти дати
         щоб або ніж тому навіть вже лише саме кожен інший наша ваша
-        треба можна немає людина жінка чоловік дитина ранок""",
+        треба можна немає людина жінка чоловік дитина ранок тиждень місяць година хвилина вчора завтра ніч""",
     "fa": """از که را با این آن در به و است بود شد می ها های برای تا
         اگر اما یا هم نیز چه وقتی پس بعد قبل اکنون اینجا بدون زیر بین
         علیه بسیار بیشتر سال زمان مردم زندگی آب شهر کشور دولت کار
