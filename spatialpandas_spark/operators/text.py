@@ -332,6 +332,12 @@ def corpus_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
     distribution entropy + modal language, mean quality score, and the
     exact-duplicate rate (1 - distinct(normalized md5)/non-empty docs).
 
+    The language columns use the cheap pure-Catalyst stopword heuristic
+    (latin-script en/de/fr/es only — this keeps the profile a single
+    codegen'd scan and its oracle trivially replayable). For a REAL
+    multilingual distribution use ``CorpusFrame.languages()``, which
+    serves the 23-language classifier (operators/langid.py).
+
     Scale shape: a single full-scan aggregate plus one distinct-count
     aggregate, joined as 1-row frames (broadcast). Exact percentiles use
     the SQL ``percentile`` aggregate — at 100 TB swap for
