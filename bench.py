@@ -761,7 +761,7 @@ def b33_decon_index_screen(spark):
 
 def b34_langid(spark):
     """Language-ID classifier serving (round 11, operators/langid.py):
-    one Arrow pass of the shipped 13-language hashed char-n-gram +
+    one Arrow pass of the shipped 23-language hashed char-n-gram +
     word model over the documents table — buckets in Catalyst, margins
     in numpy, no shuffle until the final tiny count-by-language."""
     from spatialpandas_spark.operators.langid import classify_language
@@ -772,6 +772,24 @@ def b34_langid(spark):
         .groupBy("lang_pred")
         .count()
         .count()
+    )
+
+
+def b35_span_dedup(spark):
+    """Content-defined duplicate-span removal (round 11,
+    operators/spans.py content_spans — the window-straddling fix):
+    CDC token-hash boundaries, corpus-wide occurrence count on the
+    span md5, reassemble survivors. Two uniform-key shuffles; the
+    explode is linear and shuffle-free."""
+    from spatialpandas_spark.operators.spans import remove_duplicate_spans
+
+    docs = _spread(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    return (
+        remove_duplicate_spans(
+            docs, window=8, min_count=2, keep="none", align="content"
+        )
+        .agg(F.sum("kept_spans"))
+        .collect()[0][0]
     )
 
 
@@ -810,6 +828,7 @@ BENCHES = {
     "b32_containment_probe": b32_containment_probe,
     "b33_decon_index_screen": b33_decon_index_screen,
     "b34_langid": b34_langid,
+    "b35_span_dedup": b35_span_dedup,
 }
 
 

@@ -58,6 +58,7 @@ HEAVY = [
     "b32_containment_probe",
     "b33_decon_index_screen",
     "b34_langid",            # r11: new operator row
+    "b35_span_dedup",        # r11: content-defined span dedup row
 ]
 
 
