@@ -105,7 +105,7 @@ class CorpusFrame:
 
     def filter_language(self, langs, method: str = "classifier") -> CorpusFrame:
         """Keep rows the language identifier assigns to ``langs``.
-        ``method="classifier"`` (default) uses the shipped 13-language
+        ``method="classifier"`` (default) uses the shipped 23-language
         hashed char-n-gram model (operators/langid.py — covers
         non-latin scripts); ``"heuristic"`` is the cheap pure-Catalyst
         4-language stopword scorer."""

@@ -573,7 +573,7 @@ def score_langs(
 
 
 def builtin_langid_model() -> dict:
-    """The shipped 13-language dyadic-quantized model (train recipe:
+    """The shipped 23-language dyadic-quantized model (train recipe:
     ``tools/train_langid.py`` — deterministic; weights stored
     offset-binary hex in ``_langid_model.py`` so the DuckDB oracle can
     substring-index the SAME table)."""
