@@ -293,6 +293,36 @@ def rebuild_decon_index(
     return out
 
 
+def rebuild_if_drifted(
+    spark: SparkSession,
+    path: str,
+    drift_factor: float = 2.0,
+    **rebuild_kwargs,
+) -> tuple[bool, dict]:
+    """Maintenance policy over :func:`rebuild_decon_index` — the call
+    an ingestion loop makes after each append batch so the operator
+    never needs a human watching ``fpp_realized``.
+
+    Reads ONLY the sidecar (no store scan) and rebuilds iff
+    ``bloom.fpp_realized > drift_factor * bloom.fpp`` — i.e. the
+    appends have degraded probe selectivity past the tolerance. The
+    factor-2 default keeps candidate volume within ~2x of the
+    build-time design point while making rebuild frequency logarithmic
+    in growth (each rebuild re-sizes for the CURRENT count, so a
+    steady append rate triggers geometrically rarer rebuilds).
+
+    Returns ``(rebuilt, sidecar)`` where ``sidecar`` is post-rebuild
+    when one ran, else the current one. Crash-safety is inherited
+    (the rebuild stages and swaps; this wrapper holds no state)."""
+    if drift_factor <= 1.0:
+        raise ValueError("drift_factor must be > 1 (1.0 would rebuild "
+                         "on every call — fpp_realized >= fpp by design)")
+    p = load_decon_params(path)
+    if p["bloom"]["fpp_realized"] <= drift_factor * p["bloom"]["fpp"]:
+        return False, p
+    return True, rebuild_decon_index(spark, path, **rebuild_kwargs)
+
+
 def probe_set(spark: SparkSession, path: str) -> DataFrame:
     """The per-group bottom-k probe set derived from the STORE (one
     narrow benchmark-sized scan — the benchmark text never re-shingles):

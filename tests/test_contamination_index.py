@@ -334,3 +334,47 @@ def test_rebuild_without_groups(spark, docs, bench_a, tmp_path):
     want = _rows(ngram_overlap_against_index(docs, path))
     rebuild_decon_index(spark, path)
     assert _rows(ngram_overlap_against_index(docs, path)) == want
+
+
+def test_rebuild_if_drifted_policy(spark, docs, bench_a, tmp_path):
+    """The drift-triggered wrapper: no-op below the tolerance, rebuilds
+    above it, then immediately no-ops again (rebuild restores fpp), and
+    screens are row-identical either way. Sidecar-only check when not
+    drifted — no store scan."""
+    from spatialpandas_spark.operators.contamination_index import (
+        rebuild_if_drifted,
+    )
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+
+    # fresh index: fpp_realized ~ fpp -> no-op
+    rebuilt, p = rebuild_if_drifted(spark, path)
+    assert not rebuilt and p == load_decon_params(path)
+
+    # append until realized fpp drifts past 2x target
+    for g in range(4):
+        extra = spark.createDataFrame(
+            [(f"ev{g}", i, " ".join(f"g{g}z{i}w{j}" for j in range(12)))
+             for i in range(6)],
+            "benchmark string, doc_id long, text string",
+        )
+        append_to_decon_index(extra, path)
+    drifted = load_decon_params(path)
+    assert drifted["bloom"]["fpp_realized"] > 2 * drifted["bloom"]["fpp"]
+    before = _rows(screen_against_index(docs, path))
+
+    rebuilt, p2 = rebuild_if_drifted(spark, path)
+    assert rebuilt
+    assert p2["bloom"]["fpp_realized"] <= 1.5 * p2["bloom"]["fpp"]
+    assert p2["bloom"]["m"] > drifted["bloom"]["m"]
+    assert _rows(screen_against_index(docs, path)) == before
+
+    # post-rebuild: immediately healthy again
+    rebuilt2, p3 = rebuild_if_drifted(spark, path)
+    assert not rebuilt2 and p3 == load_decon_params(path)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rebuild_if_drifted(spark, path, drift_factor=1.0)
