@@ -138,6 +138,18 @@ class CorpusFrame:
             .agg(F.count("*").alias("n_docs"))
         )
 
+    def language_segments(self, sep: str = "\n", min_chars: int = 1) -> DataFrame:
+        """Per-paragraph language labels for every document — the
+        mixed-language-page view whole-document argmax flattens
+        (operators/langid.classify_language_segments)."""
+        from spatialpandas_spark.operators.langid import (
+            classify_language_segments,
+        )
+
+        return classify_language_segments(
+            self.df, self.text_col, sep=sep, min_chars=min_chars
+        )
+
     def filter_blocklisted_hosts(self, blocklist) -> CorpusFrame:
         from spatialpandas_spark.operators.text import (
             filter_blocklisted_hosts,

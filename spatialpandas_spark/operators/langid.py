@@ -615,3 +615,49 @@ def classify_language(
     return score_langs(
         df, builtin_langid_model(), text_col, pred_col, margin_col, min_margin
     )
+
+
+def classify_language_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    seg_id_col: str = "seg_id",
+    seg_col: str = "segment",
+    pred_col: str = "lang_pred",
+    margin_col: str | None = None,
+    sep: str = "\n",
+    min_chars: int = 1,
+    model: dict | None = None,
+) -> DataFrame:
+    """Per-SEGMENT language ID — the mixed-language-document case a
+    whole-document argmax silently flattens (a crawl page with an
+    English template around a Japanese article scores as ONE language;
+    curation wants the parts). Splits ``text_col`` on ``sep``
+    (paragraph/newline granularity), drops segments shorter than
+    ``min_chars`` after trimming, and scores each surviving segment
+    with the SAME shuffle-free kernel as :func:`classify_language`.
+
+    Output: every input column with ``text_col`` REPLACED by
+    ``seg_col`` plus ``(seg_id_col, pred_col[, margin_col])``;
+    ``seg_id_col`` is the 0-based position of the segment in the
+    original document (gaps where blank/short segments were dropped),
+    so callers can reassemble per-language runs in order.
+
+    Scale shape: a linear split+posexplode (no shuffle) feeding the
+    scan-stage scoring pass — the whole operator stays inside one
+    stage, same plan contract as ``score_langs`` (plan-asserted in
+    tests/test_plans.py)."""
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    others = [c for c in df.columns if c != text_col]
+    segs = (
+        df.select(
+            *others,
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+                seg_id_col, seg_col
+            ),
+        )
+        .filter(F.length(F.trim(F.col(seg_col))) >= F.lit(min_chars))
+    )
+    if model is None:
+        model = builtin_langid_model()
+    return score_langs(segs, model, seg_col, pred_col, margin_col)

@@ -205,3 +205,74 @@ def test_gibberish_classifies_as_und(spark):
         assert out[i] == want, (i, t[:30], out[i])
     for i, _ in noise:
         assert out[i] == "und", (i, out[i])
+
+
+def test_segment_classification_mixed_document(spark):
+    """Per-segment language ID on a mixed-language document: each
+    paragraph gets its own label (the whole-doc argmax flattens this);
+    blank/short segments are dropped but seg_id keeps original
+    positions; predictions match the pure-python kernel twin."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.langid import (
+        classify_language_segments,
+    )
+
+    doc = "\n".join([
+        "the government announced the new policy yesterday evening",
+        "",                                     # dropped (blank)
+        "он открыл окно и посмотрел на тихую улицу",
+        "x",                                    # kept (min_chars=1)
+        "彼は午後ずっと庭で本を読んで過ごした",
+    ])
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    out = classify_language_segments(df, "text").orderBy("seg_id").collect()
+    got = [(r["seg_id"], r["lang_pred"]) for r in out]
+    assert [g[0] for g in got] == [0, 2, 3, 4]          # gap at blank
+    assert got[0][1] == "en" and got[1][1] == "ru" and got[3][1] == "ja"
+    assert all(r["doc_id"] == 7 for r in out)
+    assert "text" not in out[0].asDict()
+
+    # python-twin parity on every surviving segment
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"]); I = np.asarray(m["intercepts"])
+    segs = [s for s in doc.split("\n") if s.strip()]
+    marg = margins_kernel([py_buckets(s, m) for s in segs], W, I)
+    want = [m["classes"][i] for i in np.argmax(marg, axis=1)]
+    assert [g[1] for g in got] == want
+
+
+def test_segment_classification_min_chars_and_margin(spark):
+    from spatialpandas_spark.operators.langid import (
+        classify_language_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "het was een rustige avond in de stad\nab\n  \n")],
+        "doc_id long, text string",
+    )
+    out = classify_language_segments(
+        df, "text", min_chars=3, margin_col="margin"
+    ).collect()
+    assert [r["seg_id"] for r in out] == [0]
+    assert out[0]["lang_pred"] == "nl" and out[0]["margin"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        classify_language_segments(df, "text", min_chars=0)
+
+
+def test_segment_classification_plan_is_single_stage(spark):
+    """The split+posexplode+score composition must stay shuffle-free —
+    same contract as score_langs (no Exchange in the plan)."""
+    from spatialpandas_spark.operators.langid import (
+        classify_language_segments,
+    )
+
+    df = spark.createDataFrame([(1, "a b c\nd e f")], "doc_id long, text string")
+    plan = (
+        classify_language_segments(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
