@@ -624,6 +624,7 @@ def classify_language_segments(
     seg_col: str = "segment",
     pred_col: str = "lang_pred",
     margin_col: str | None = None,
+    min_margin: float | None = None,
     sep: str = "\n",
     min_chars: int = 1,
     model: dict | None = None,
@@ -660,4 +661,6 @@ def classify_language_segments(
     )
     if model is None:
         model = builtin_langid_model()
-    return score_langs(segs, model, seg_col, pred_col, margin_col)
+    return score_langs(
+        segs, model, seg_col, pred_col, margin_col, min_margin
+    )
