@@ -537,8 +537,11 @@ def score_langs(
     I = np.asarray(model["intercepts"], dtype=np.float64)
     classes = np.asarray(model["classes"])
 
+    bcol = "__b"
+    while bcol in df.columns:  # never silently clobber a caller column
+        bcol += "_"
     buck = df.withColumn(
-        "__b",
+        bcol,
         lang_buckets(
             F.col(text_col),
             model["n_features"],
@@ -557,10 +560,10 @@ def score_langs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = margins_kernel(pdf["__b"], W, I)
+            m = margins_kernel(pdf[bcol], W, I)
             arg = np.argmax(m, axis=1)
             best = m[np.arange(len(m)), arg]
-            out = pdf.drop(columns=["__b"])
+            out = pdf.drop(columns=[bcol])
             pred = classes[arg]
             if min_margin is not None:
                 pred = np.where(best >= min_margin, pred, "und")
@@ -617,6 +620,16 @@ def classify_language(
     )
 
 
+def _quote_regex(s: str) -> str:
+    """Java-regex literal quote (``Pattern.quote`` semantics): wrap in
+    ``\\Q...\\E``, splitting around any embedded ``\\E`` so a separator
+    containing the terminator still matches literally. Needed because
+    ``F.split`` treats its pattern as a Java regex — a caller passing
+    ``sep='.'`` or ``'|'`` would otherwise get silently wrong
+    segmentation (``'.'`` splits between every character)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def classify_language_segments(
     df: DataFrame,
     text_col: str = "text",
@@ -628,14 +641,18 @@ def classify_language_segments(
     sep: str = "\n",
     min_chars: int = 1,
     model: dict | None = None,
+    regex: bool = False,
 ) -> DataFrame:
     """Per-SEGMENT language ID — the mixed-language-document case a
     whole-document argmax silently flattens (a crawl page with an
     English template around a Japanese article scores as ONE language;
-    curation wants the parts). Splits ``text_col`` on ``sep``
-    (paragraph/newline granularity), drops segments shorter than
-    ``min_chars`` after trimming, and scores each surviving segment
-    with the SAME shuffle-free kernel as :func:`classify_language`.
+    curation wants the parts). Splits ``text_col`` on the LITERAL
+    separator ``sep`` (paragraph/newline granularity; pass
+    ``regex=True`` to have ``sep`` interpreted as a Java regex
+    pattern instead — e.g. ``sep=r"\\n{2,}", regex=True`` for
+    blank-line paragraphs), drops segments shorter than ``min_chars``
+    after trimming, and scores each surviving segment with the SAME
+    shuffle-free kernel as :func:`classify_language`.
 
     Output: every input column with ``text_col`` REPLACED by
     ``seg_col`` plus ``(seg_id_col, pred_col[, margin_col])``;
@@ -646,14 +663,21 @@ def classify_language_segments(
     Scale shape: a linear split+posexplode (no shuffle) feeding the
     scan-stage scoring pass — the whole operator stays inside one
     stage, same plan contract as ``score_langs`` (plan-asserted in
-    tests/test_plans.py)."""
+    tests/test_langid.py::test_segment_classification_plan_is_single_stage)."""
     if min_chars < 1:
         raise ValueError("min_chars must be >= 1")
+    for c in (seg_id_col, seg_col):
+        if c in df.columns and c != text_col:
+            raise ValueError(
+                f"output column {c!r} already exists in the input; pass a "
+                "different seg_id_col/seg_col"
+            )
+    pattern = sep if regex else _quote_regex(sep)
     others = [c for c in df.columns if c != text_col]
     segs = (
         df.select(
             *others,
-            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            F.posexplode(F.split(F.col(text_col), F.lit(pattern), -1)).alias(
                 seg_id_col, seg_col
             ),
         )

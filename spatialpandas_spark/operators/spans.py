@@ -135,6 +135,7 @@ def remove_duplicate_spans(
     min_count: int = 2,
     keep: str = "none",
     align: str = "fixed",
+    min_span_tokens: int = 1,
 ) -> DataFrame:
     """Drop every token span occurring ``>= min_count`` times corpus-wide
     and reassemble the surviving text.
@@ -146,6 +147,18 @@ def remove_duplicate_spans(
     windows (position-defined — blind to window-straddling repeats);
     ``align="content"`` uses content-defined spans of expected length
     ``window`` (:func:`content_spans` — catches repeats at ANY offset).
+
+    ``min_span_tokens`` is the Lee et al. 2022 minimum-match-length
+    guard (they use ~50 tokens): spans SHORTER than it are always kept
+    and never counted toward ``min_count``. Without it, content-defined
+    mode is a text-quality hazard — ~1/p of spans are single boundary
+    tokens, so a common function word that forms a complete one-token
+    span twice corpus-wide would be stripped from EVERY document.
+    Because span identity is the md5 of the exact text, a short span
+    can never collide with a flagged long one, so the guard is a plain
+    pre-filter on the counting side. Default 1 preserves the unguarded
+    semantics for callers that window-size their spans explicitly.
+
     Returns one row per input document: ``(id_col, kept_spans,
     text_col)`` — documents whose every span was removed survive with
     ``kept_spans = 0`` and empty text.
@@ -154,27 +167,39 @@ def remove_duplicate_spans(
         raise ValueError("keep must be 'none' or 'first'")
     if align not in ("fixed", "content"):
         raise ValueError("align must be 'fixed' or 'content'")
+    if min_span_tokens < 1:
+        raise ValueError("min_span_tokens must be >= 1")
     make = doc_spans if align == "fixed" else content_spans
     spans = make(df, id_col, text_col, window).withColumn(
         "__h", F.md5(F.col("span"))
     )
+    countable = spans
+    if min_span_tokens > 1:
+        # spans are space-joined whitespace tokens, so the token count
+        # is size(split(' ')) — no retokenization ambiguity
+        countable = spans.filter(
+            F.size(F.split(F.col("span"), " ")) >= F.lit(min_span_tokens)
+        )
     if keep == "none":
         flagged = (
-            spans.groupBy("__h")
+            countable.groupBy("__h")
             .agg(F.count("*").alias("__c"))
             .filter(F.col("__c") >= F.lit(min_count))
             .select("__h")
         )
         kept = spans.join(flagged, "__h", "left_anti")
     else:
-        agg = spans.groupBy("__h").agg(
+        agg = countable.groupBy("__h").agg(
             F.count("*").alias("__c"),
             F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__first"),
         )
+        # left join: a guarded-out short span has no agg row (identical
+        # text would be identical length) and must survive
         kept = (
-            spans.join(agg, "__h")
+            spans.join(agg, "__h", "left")
             .filter(
-                (F.col("__c") < F.lit(min_count))
+                F.col("__c").isNull()
+                | (F.col("__c") < F.lit(min_count))
                 | (
                     (F.col(id_col) == F.col(f"__first.{id_col}"))
                     & (F.col("span_id") == F.col("__first.span_id"))

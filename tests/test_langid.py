@@ -276,3 +276,70 @@ def test_segment_classification_plan_is_single_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_segment_sep_is_literal_by_default(spark):
+    """ADVICE r11: F.split treats its pattern as a Java regex; sep must
+    be quoted so metacharacter separators split LITERALLY. sep='.'
+    must split on periods, not between every character."""
+    from spatialpandas_spark.operators.langid import (
+        classify_language_segments,
+    )
+
+    doc = (
+        "the quick brown fox jumped over the lazy dog."
+        "il a passé tout l'après-midi à lire dans le jardin."
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = (
+        classify_language_segments(df, "text", sep=".", min_chars=5)
+        .orderBy("seg_id")
+        .collect()
+    )
+    assert [r["seg_id"] for r in out] == [0, 1]
+    assert [r["lang_pred"] for r in out] == ["en", "fr"]
+
+    # regex=True restores pattern interpretation: split on runs of
+    # either separator
+    doc2 = "one two three four five;;;sechs sieben acht neun zehn"
+    df2 = spark.createDataFrame([(1, doc2)], "doc_id long, text string")
+    out2 = (
+        classify_language_segments(df2, "text", sep=";+", regex=True)
+        .orderBy("seg_id")
+        .collect()
+    )
+    assert len(out2) == 2
+
+
+def test_segment_output_column_collision_raises(spark):
+    from spatialpandas_spark.operators.langid import (
+        classify_language_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "hello world")], "doc_id long, seg_id string, text string"
+    )
+    with pytest.raises(ValueError, match="seg_id"):
+        classify_language_segments(df, "text")
+    df2 = spark.createDataFrame(
+        [(1, "a", "hello world")], "doc_id long, segment string, text string"
+    )
+    with pytest.raises(ValueError, match="segment"):
+        classify_language_segments(df2, "text")
+
+
+def test_score_langs_does_not_clobber_caller_bucket_column(spark):
+    """score_langs used a fixed '__b' temp name; a caller column named
+    '__b' must survive scoring untouched (ADVICE r11)."""
+    from spatialpandas_spark.operators.langid import (
+        builtin_langid_model,
+        score_langs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 42, "the weather was very warm this year in the city")],
+        "doc_id long, __b long, text string",
+    )
+    out = score_langs(df, builtin_langid_model(), "text").collect()
+    assert out[0]["__b"] == 42
+    assert out[0]["lang_pred"] == "en"

@@ -1,11 +1,16 @@
-"""Out-of-domain language-ID eval (round 11): the shipped model scored
-on NATURAL sentences authored independently of the training generator
-(tools/eval_langid_real.py). The synthetic held-out battery proves the
-train/serve machinery; THIS battery proves generalization — it is what
-caught the 88.5% starting point (pt/es/it collapse, kanji-heavy ja->zh)
-that the round-11 vocabulary expansion fixed. Pure-python twin of the
-serving kernel (bucket parity with Catalyst is pinned in
-test_langid.py), so no Spark session is needed."""
+"""Language-ID DEV-SET regression battery (round 11; relabeled round
+12): the shipped model scored on natural sentences authored
+independently of the training generator (tools/eval_langid_real.py).
+
+Honest labeling (ADVICE r11): because the round-11 vocabulary was
+iterated AGAINST these sentences (88.5% -> 96.7% documented in
+BASELINE.md), this set is a TUNED DEV SET — its accuracy is a
+regression floor, not a generalization estimate. The generalization
+number comes from the round-12 FROZEN holdout
+(tools/eval_langid_holdout.py + tests/test_langid_holdout.py),
+authored after the final vocabulary and never used for tuning.
+Pure-python twin of the serving kernel (bucket parity with Catalyst
+is pinned in test_langid.py), so no Spark session is needed."""
 
 import numpy as np
 
@@ -88,24 +93,47 @@ def test_eval_vocab_disjointness():
     top-frequency word. The base block predates the eval and is exempt;
     this guard keeps future vocab growth honest (word-unigram features
     would otherwise fire directly on eval tokens)."""
+    import hashlib
     import re
 
     from spatialpandas_spark.operators.langid import VOCAB
 
     # tokens added in round 11 = current vocab minus the frozen base
-    # block sizes recorded here (the base lists are append-only)
-    base_sizes = {
-        "en": 68, "de": 55, "fr": 55, "es": 55, "it": 54, "pt": 59,
-        "ru": 59, "el": 53, "ar": 47, "hi": 47, "zh": 60, "ja": 50,
-        "ko": 58,
+    # block recorded here as (size, md5-of-content): pinning the
+    # CONTENT (not just the length) means a reorder or an insertion
+    # into the base block fails loudly instead of silently shifting
+    # which tokens the guard checks (ADVICE r11). Six languages
+    # (sv/fa/he/th/vi/id) legitimately have base == full vocab — no
+    # post-eval tokens were ever added for them — so their "added"
+    # slice is empty BY CONSTRUCTION, verified below, not vacuously.
+    base_blocks = {
+        "en": (68, "3b7c819241c7"), "de": (55, "6aa0a6271dc6"),
+        "fr": (55, "b85d7566ad00"), "es": (55, "7bb1b34dc9e6"),
+        "it": (54, "b3ee9730d769"), "pt": (59, "41faeabe1958"),
+        "ru": (59, "72c92756a2f5"), "el": (53, "48af8ae0ea16"),
+        "ar": (47, "c0d45daed722"), "hi": (47, "432b979dec2d"),
+        "zh": (60, "824947e37387"), "ja": (50, "d691606c0064"),
+        "ko": (58, "2c284b8db25a"),
         # ten languages added late round 11: base = the initial
         # frequency-list block authored BEFORE their eval sentences
         # were first scored; the remainder is the chased block
-        "nl": 93, "pl": 90, "sv": 83, "tr": 76, "uk": 82, "fa": 77,
-        "he": 73, "th": 67, "vi": 98, "id": 70,
+        "nl": (93, "48839777bec6"), "pl": (90, "744d1fbbbb42"),
+        "sv": (83, "9f8c00f6f65e"), "tr": (76, "2577c93dea51"),
+        "uk": (82, "fa26a7749e3e"), "fa": (77, "f531aca85edc"),
+        "he": (73, "f588ae9724a4"), "th": (67, "c80f09fdf1f9"),
+        "vi": (98, "5dd65a7714d5"), "id": (70, "65101b5b8026"),
     }
     for lang, sents in REAL_SENTENCES.items():
-        added = set(VOCAB[lang][base_sizes[lang]:])
+        size, digest = base_blocks[lang]
+        got = hashlib.md5(
+            "\x00".join(VOCAB[lang][:size]).encode()
+        ).hexdigest()[:12]
+        assert got == digest, (
+            lang,
+            "frozen base block changed — the base lists are "
+            "append-only; new tokens belong AFTER the base block",
+        )
+        added = set(VOCAB[lang][size:])
         eval_tokens = {
             w.lower()
             for s in sents

@@ -246,3 +246,113 @@ def test_content_rejects_bad_params(spark):
         content_spans(df, p=0)
     with pytest.raises(ValueError):
         remove_duplicate_spans(df, align="stride")
+
+
+# --- min_span_tokens guard (VERDICT r11 ask #2: Lee et al. 2022
+# minimum-match-length discipline) -----------------------------------
+
+#: "was" and "at" are both content-boundary tokens for p=8 (md5-prefix
+#: bucket 0), so in "... was at ..." the token "at" forms a COMPLETE
+#: one-token span — the over-removal hazard the guard exists for.
+_GUARD_DOCS = [
+    (0, "he was at the station early in the morning light"),
+    (1, "she was at the harbor watching distant ships go by"),
+    (2, "nothing here repeats anywhere else in this corpus sample"),
+]
+
+
+def test_short_common_span_survives_with_guard(spark):
+    df = spark.createDataFrame(_GUARD_DOCS, "doc_id long, text string")
+    # without the guard: the 1-token complete span "at" occurs twice
+    # corpus-wide and is stripped from BOTH documents
+    unguarded = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            df, window=8, min_count=2, keep="none", align="content"
+        ).collect()
+    }
+    assert "at" not in unguarded[0].split()
+    assert "at" not in unguarded[1].split()
+    # with the guard: spans shorter than min_span_tokens are never
+    # hashed into the flagged set, so "at" survives everywhere
+    guarded = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            df, window=8, min_count=2, keep="none", align="content",
+            min_span_tokens=2,
+        ).collect()
+    }
+    assert "at" in guarded[0].split()
+    assert "at" in guarded[1].split()
+    assert guarded[2] == _GUARD_DOCS[2][1]
+
+
+@pytest.mark.parametrize("keep", ["none", "first"])
+@pytest.mark.parametrize("align", ["fixed", "content"])
+def test_guard_matches_bruteforce(spark, keep, align):
+    """Guarded semantics vs a python twin: spans under the threshold
+    are kept verbatim and never counted toward min_count."""
+    import hashlib
+
+    min_span = 3
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def content_split(text):
+        toks = (text or "").lower().split()
+        spans, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 4 == 0:
+                spans.append(cur)
+                cur = []
+        if cur:
+            spans.append(cur)
+        return [(i, " ".join(s)) for i, s in enumerate(spans)]
+
+    def fixed_split(text):
+        return _spans(text, 4)
+
+    split = fixed_split if align == "fixed" else content_split
+    per_doc = {d: split(t) for d, t in DOCS}
+    counts = Counter(
+        s
+        for sp in per_doc.values()
+        for _, s in sp
+        if len(s.split()) >= min_span
+    )
+    first = {}
+    for d in sorted(per_doc):
+        for i, s in per_doc[d]:
+            if len(s.split()) >= min_span:
+                first.setdefault(s, (d, i))
+    want = sorted(
+        (
+            d,
+            len(kept),
+            " ".join(kept),
+        )
+        for d, sp in per_doc.items()
+        for kept in [
+            [
+                s
+                for i, s in sp
+                if len(s.split()) < min_span
+                or counts[s] < 2
+                or (keep == "first" and first[s] == (d, i))
+            ]
+        ]
+    )
+    got = sorted(
+        (r["doc_id"], r["kept_spans"], r["text"])
+        for r in remove_duplicate_spans(
+            df, window=4, min_count=2, keep=keep, align=align,
+            min_span_tokens=min_span,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_guard_rejects_bad_param(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, min_span_tokens=0)

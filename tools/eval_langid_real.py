@@ -1,4 +1,4 @@
-"""Out-of-domain eval of the shipped language-ID model on REAL text.
+"""DEV-SET eval of the shipped language-ID model on REAL text.
 
 The shipped model's held-out accuracy (BASELINE.md round 11) is
 measured on a disjoint seed block of the SAME synthetic generator used
@@ -8,6 +8,12 @@ conversational register, full of content words absent from the seed
 vocabularies) with the pure-python twin of the serving kernel, so it
 runs without a Spark session and measures exactly what the engine
 would predict (the kernel is shared; bucket parity is pytest-pinned).
+
+HONEST LABEL (ADVICE r11): the round-11 vocabulary was iterated
+against these sentences (88.5% -> 96.7%), so this battery is a TUNED
+DEV SET and its accuracy overstates generalization. The frozen
+generalization eval — authored AFTER the final vocabulary, never used
+for tuning — is tools/eval_langid_holdout.py.
 
 Usage: python tools/eval_langid_real.py   -> confusion summary + JSON line
 """
