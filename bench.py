@@ -2,8 +2,10 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Maps to BASELINE.md's query set B1-B7 (reference spatialpandas operations)
-plus the beyond-reference pipeline operators. Protocol per BASELINE.md:
-1 warm-up + 3 timed runs per query, median reported. Prints ONE JSON line.
+plus the beyond-reference pipeline operators. Protocol per BASELINE.md
+(round 12): one session-machinery warm-up, then per query 2 warm-ups +
+3 timed runs in-suite (5 timed isolated), median reported. Prints ONE
+JSON line.
 
 Geometry is derived from the lineitem table (~600k rows at sf0.1) so the
 spatial kernels are exercised at the full row count.
@@ -945,16 +947,48 @@ def _main_isolated() -> None:
     print(json.dumps(out))
 
 
+def _warm_machinery(spark) -> None:
+    """One-time session machinery warm-up, run BEFORE any query is
+    timed (round-12 b1_cx forensics): the pure-JVM anchor warms
+    codegen but NOT the parquet datasource stack, the Python/Arrow
+    worker pool, or the shuffle path — so whichever query ran first
+    (b1_cx, the smallest) absorbed those one-time costs and flagged at
+    1.30x anchor-normalized while its code was untouched. Warm each
+    machinery family on a tiny input so the timed queries measure the
+    QUERY, not session setup."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and breaks pandas_udf eval-type inference in this module
+    def _mul(s):
+        return s * 1.0
+
+    _warm_udf = pandas_udf(_mul, DoubleType())
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    df.limit(5).select(_warm_udf(df.n_nationkey.cast("double"))).collect()
+    df.groupBy("n_regionkey").count().collect()
+
+
 def _main_one(name: str) -> None:
-    """Run a single query (fresh session); print median + raw times."""
+    """Run a single query (fresh session); print median + raw times.
+
+    Protocol (round 12): machinery warm-up, then 2 query warm-ups,
+    then median of 5 timed runs. The old 1-warmup/median-of-3 sampled
+    the knee of a long JIT decay curve (12-iteration forensics: 0.73 ->
+    0.35 s monotonically over ~8 iterations on b1_cx), making the
+    committed canonical a lottery over where compilation landed."""
     from spatialpandas_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench_{name}")
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_machinery(spark)
     fn = BENCHES[name]
-    fn(spark)
+    for _ in range(2):
+        fn(spark)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         fn(spark)
         times.append(time.time() - t0)
@@ -1030,6 +1064,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     anchor_sec = _time_anchor(spark)
+    _warm_machinery(spark)  # see docstring — don't bill setup to query #1
 
     # failure-isolated: one broken query must never zero out the whole
     # round's perf evidence (round-2 lesson — b14 crashed the entire run)
@@ -1037,7 +1072,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in BENCHES.items():
         try:
-            fn(spark)  # warm-up (JIT, code cache, file listing)
+            for _ in range(2):  # 2 warm-ups: the JIT curve outlives 1
+                fn(spark)
             times = []
             for _ in range(3):
                 t0 = time.time()

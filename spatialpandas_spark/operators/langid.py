@@ -512,6 +512,19 @@ def margins_kernel(buckets_iter, W, I):
     return np.asarray(out)
 
 
+#: Calibrated abstention default (round-12 frozen holdout,
+#: tools/eval_langid_holdout.py, 1150 sentences): abstain to 'und'
+#: when the PER-FEATURE TOP-2 GAP — (best - runner-up) / n_buckets —
+#: falls below this. At 0.01 the holdout keeps 95.1% of correct
+#: predictions and abstains on 73.5% of wrong ones. The RAW margin
+#: (min_margin) calibrates nothing on real errors: sibling-language
+#: confusions (pt->it, uk->ru, tr->id) are HIGH-margin, and raw
+#: margins scale with text length — at every raw threshold <= 3.0 the
+#: holdout abstains on 0% of wrong predictions. min_margin remains
+#: for gibberish rejection; min_gap is the confusion-aware knob.
+RECOMMENDED_MIN_GAP = 0.01
+
+
 def score_langs(
     df: DataFrame,
     model: dict,
@@ -519,6 +532,7 @@ def score_langs(
     pred_col: str = "lang_pred",
     margin_col: str | None = None,
     min_margin: float | None = None,
+    min_gap: float | None = None,
 ) -> DataFrame:
     """Append the argmax language (and optionally its margin) per row —
     buckets in Catalyst, margins in one Arrow pass. Ties break to the
@@ -526,7 +540,10 @@ def score_langs(
     mirrors it with an ordered CASE). With ``min_margin``, rows whose
     best margin falls below it are labeled ``'und'`` (undetermined) —
     the abstention real identifiers need on gibberish/too-short text,
-    mirroring the heuristic's zero-hit convention."""
+    mirroring the heuristic's zero-hit convention. With ``min_gap``,
+    rows whose per-feature top-2 gap ``(best - second) / n_buckets``
+    falls below it also abstain — the calibrated knob for uncertain
+    SIBLING-language calls (see :data:`RECOMMENDED_MIN_GAP`)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -567,6 +584,18 @@ def score_langs(
             pred = classes[arg]
             if min_margin is not None:
                 pred = np.where(best >= min_margin, pred, "und")
+            if min_gap is not None:
+                second = (
+                    np.partition(m, -2, axis=1)[:, -2]
+                    if m.shape[1] >= 2
+                    else np.zeros(len(m))
+                )
+                nb = np.maximum(
+                    np.array([len(b) for b in pdf[bcol]]), 1
+                )
+                pred = np.where(
+                    (best - second) / nb >= min_gap, pred, "und"
+                )
             out[pred_col] = pred
             if margin_col:
                 out[margin_col] = best
@@ -613,10 +642,14 @@ def classify_language(
     pred_col: str = "lang_pred",
     margin_col: str | None = None,
     min_margin: float | None = None,
+    min_gap: float | None = None,
 ) -> DataFrame:
-    """Production language ID with the shipped model."""
+    """Production language ID with the shipped model. For calibrated
+    abstention on uncertain sibling-language calls, pass
+    ``min_gap=RECOMMENDED_MIN_GAP``."""
     return score_langs(
-        df, builtin_langid_model(), text_col, pred_col, margin_col, min_margin
+        df, builtin_langid_model(), text_col, pred_col, margin_col,
+        min_margin, min_gap,
     )
 
 
@@ -642,6 +675,7 @@ def classify_language_segments(
     min_chars: int = 1,
     model: dict | None = None,
     regex: bool = False,
+    min_gap: float | None = None,
 ) -> DataFrame:
     """Per-SEGMENT language ID — the mixed-language-document case a
     whole-document argmax silently flattens (a crawl page with an
@@ -686,5 +720,5 @@ def classify_language_segments(
     if model is None:
         model = builtin_langid_model()
     return score_langs(
-        segs, model, seg_col, pred_col, margin_col, min_margin
+        segs, model, seg_col, pred_col, margin_col, min_margin, min_gap
     )

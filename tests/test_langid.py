@@ -343,3 +343,48 @@ def test_score_langs_does_not_clobber_caller_bucket_column(spark):
     out = score_langs(df, builtin_langid_model(), "text").collect()
     assert out[0]["__b"] == 42
     assert out[0]["lang_pred"] == "en"
+
+
+def test_min_gap_abstention_spark_matches_twin(spark):
+    """min_gap (per-feature top-2 gap abstention, round-12 calibrated
+    knob) on the serving path: engine output matches the python twin's
+    gap computation row-for-row."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.langid import (
+        RECOMMENDED_MIN_GAP,
+        builtin_langid_model,
+        classify_language,
+        margins_kernel,
+    )
+
+    texts = [
+        "the weather was unusually warm for this time of year",
+        "das wetter war ungewöhnlich warm für diese jahreszeit",
+        "qzx vbn mmm kkk zzz qqq",          # gibberish: tiny gap
+        "la la la la",                       # ambiguous romance filler
+        "он открыл окно и посмотрел на улицу",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["lang_pred"]
+        for r in classify_language(
+            df, "text", min_gap=RECOMMENDED_MIN_GAP
+        ).collect()
+    }
+
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"]); I = np.asarray(m["intercepts"])
+    bks = [py_buckets(t, m) for t in texts]
+    marg = margins_kernel(bks, W, I)
+    arg = np.argmax(marg, axis=1)
+    second = np.partition(marg, -2, axis=1)[:, -2]
+    best = marg[np.arange(len(marg)), arg]
+    for i in range(len(texts)):
+        gap = (best[i] - second[i]) / max(len(bks[i]), 1)
+        want = m["classes"][arg[i]] if gap >= RECOMMENDED_MIN_GAP else "und"
+        assert got[i] == want, (i, texts[i], got[i], want, gap)
+    # both confident rows survive; at least one weak row abstains
+    assert got[0] == "en" and got[1] == "de" and got[4] == "ru"
