@@ -3877,17 +3877,64 @@ def q_lang_clf(spark, sf_dir):
     return score_langs(d, m, "text", "lang_clf").select("doc_id", "lang_clf")
 
 
+def q_lang_segments(spark, sf_dir):
+    """Per-SEGMENT classification (round 12, VERDICT r11 ask #4): each
+    document becomes a two-segment page — its latin text plus a
+    transliterated copy (doc_id % 4 + 1 picks the script) joined by a
+    \\x1f separator — run through the REAL split+posexplode+score
+    operator, then pivoted back to one row per doc
+    (lang_seg0 = latin segment, lang_seg1 = transliterated segment;
+    NULL where the segment was blank and dropped). Breadcrumbs:
+    operators/langid.py classify_language_segments
+    (tests/test_langid.py)."""
+    from spatialpandas_spark.operators.langid import (
+        builtin_langid_model,
+        classify_language_segments,
+    )
+
+    m = builtin_langid_model()
+    base = F.lower(F.substring(F.col("text"), 1, m["max_chars"]))
+    xlit = base
+    for k, to in _XLIT26.items():
+        xlit = F.when(
+            F.col("doc_id") % 4 + 1 == k, F.translate(base, _ASCII26, to)
+        ).otherwise(xlit)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(base, F.lit("\x1f"), xlit).alias("text"),
+    )
+    segs = classify_language_segments(d, "text", sep="\x1f", model=m)
+    piv = segs.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("seg_id") == 0, F.col("lang_pred"))
+        ).alias("lang_seg0"),
+        F.max(
+            F.when(F.col("seg_id") == 1, F.col("lang_pred"))
+        ).alias("lang_seg1"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(piv, "doc_id", "left")
+        .select("doc_id", "lang_seg0", "lang_seg1")
+    )
+
+
 def q_text_signals(spark, sf_dir):
     """Language-ID (stopword heuristic + shipped classifier over the
-    derived multilingual stream) + quality score per document.
+    derived multilingual stream + per-segment classifier over a
+    two-script page) + quality score per document.
     Breadcrumbs: lang_id -> operators/text.py lang_id;
     lang_clf -> operators/langid.py (tests/test_langid.py);
+    lang_seg0/lang_seg1 -> operators/langid.py
+    classify_language_segments (tests/test_langid.py);
     quality_score -> operators/text.py quality_score
     (tests/test_repetition.py)."""
     return (
         q_lang_id(spark, sf_dir)
         .join(q_quality_score(spark, sf_dir), "doc_id")
         .join(q_lang_clf(spark, sf_dir), "doc_id")
+        .join(q_lang_segments(spark, sf_dir), "doc_id")
     )
 
 
@@ -4439,21 +4486,19 @@ FROM q LEFT JOIN s USING (doc_id)
 """
 
 
-def _lang_clf_oracle_sql() -> str:
-    """SQL replay of the shipped language-ID classifier over the same
-    derived multilingual stream as ``q_lang_clf``: char 1/2/3-grams +
-    word unigrams, md5-prefix buckets, weight lookup by
-    substring-indexing the SAME offset-binary hex rows the model module
-    ships, INTEGER numerator margins (exact — no floats anywhere), and
-    the ordered-CASE first-max tie-break mirroring np.argmax."""
+def _langid_pred_sql(src_sql: str, pred_col: str) -> str:
+    """SQL replay of the shipped language-ID classifier over an
+    arbitrary keyed text source: ``src_sql`` must yield ``(gid, t)``
+    (one row per unit to classify — whole docs for ``lang_clf``,
+    segments with an encoded composite key for ``lang_segments``).
+    Char 1/2/3-grams + word unigrams, md5-prefix buckets, weight
+    lookup by substring-indexing the SAME offset-binary hex rows the
+    model module ships, INTEGER numerator margins (exact — no floats
+    anywhere), and the ordered-CASE first-max tie-break mirroring
+    np.argmax. Returns SQL yielding ``(gid, {pred_col})``."""
     from spatialpandas_spark.operators import _langid_model as M
 
     langs = M.CLASSES
-    base = f"lower(substr(text, 1, {M.MAX_CHARS}))"
-    whens = " ".join(
-        f"WHEN {k} THEN translate({base}, '{_ASCII26}', '{v}')"
-        for k, v in sorted(_XLIT26.items())
-    )
     sums = ",\n         ".join(
         f"SUM(('0x' || substr('{M.WEIGHTS_HEX[c]}', b*4+1, 4))::BIGINT"
         f" - 32768) AS s_{c}"
@@ -4466,40 +4511,96 @@ def _lang_clf_oracle_sql() -> str:
     gm = "GREATEST(" + ", ".join(f"m_{c}" for c in langs) + ")"
     case = " ".join(f"WHEN m_{c} = gm THEN '{c}'" for c in langs)
     return f"""
-WITH lsrc AS (
-  SELECT doc_id, CASE doc_id % 5 {whens} ELSE {base} END AS t
-  FROM documents
-),
+WITH lsrc AS ({src_sql}),
 lg AS (
-  SELECT doc_id, substr(t, u.i, 1) AS gram
+  SELECT gid, substr(t, u.i, 1) AS gram
   FROM lsrc, UNNEST(range(1, len(t) + 1)) u(i)
   UNION ALL
-  SELECT doc_id, substr(t, u.i, 2)
+  SELECT gid, substr(t, u.i, 2)
   FROM lsrc, UNNEST(range(1, len(t))) u(i)
   UNION ALL
-  SELECT doc_id, substr(t, u.i, 3)
+  SELECT gid, substr(t, u.i, 3)
   FROM lsrc, UNNEST(range(1, len(t) - 1)) u(i)
   UNION ALL
-  SELECT doc_id, w.w
+  SELECT gid, w.w
   FROM lsrc,
        UNNEST(list_filter(str_split_regex(t, '\\s+'), x -> x != '')) w(w)
 ),
 ls AS (
-  SELECT doc_id,
+  SELECT gid,
          {sums}
-  FROM (SELECT doc_id,
+  FROM (SELECT gid,
                ('0x' || substr(md5(gram), 1, 15))::BIGINT % {M.N_FEATURES}
                  AS b
         FROM lg)
-  GROUP BY doc_id
+  GROUP BY gid
 ),
 lm AS (
-  SELECT lsrc.doc_id,
+  SELECT lsrc.gid,
          {margins}
-  FROM lsrc LEFT JOIN ls USING (doc_id)
+  FROM lsrc LEFT JOIN ls USING (gid)
 )
-SELECT doc_id, CASE {case} END AS lang_clf
+SELECT gid, CASE {case} END AS {pred_col}
 FROM (SELECT *, {gm} AS gm FROM lm)
+"""
+
+
+def _xlit_case_sql(base: str, mod_expr: str) -> str:
+    """The doc_id-keyed transliteration CASE shared by the lang_clf and
+    lang_segments oracle streams."""
+    whens = " ".join(
+        f"WHEN {k} THEN translate({base}, '{_ASCII26}', '{v}')"
+        for k, v in sorted(_XLIT26.items())
+    )
+    return f"CASE {mod_expr} {whens} ELSE {base} END"
+
+
+def _lang_clf_oracle_sql() -> str:
+    """Whole-document replay over the same derived multilingual stream
+    as ``q_lang_clf`` (see :func:`_langid_pred_sql`)."""
+    from spatialpandas_spark.operators import _langid_model as M
+
+    base = f"lower(substr(text, 1, {M.MAX_CHARS}))"
+    src = (
+        f"SELECT doc_id AS gid, {_xlit_case_sql(base, 'doc_id % 5')} AS t"
+        " FROM documents"
+    )
+    return (
+        "SELECT gid AS doc_id, lang_clf FROM ("
+        + _langid_pred_sql(src, "lang_clf")
+        + ")"
+    )
+
+
+def _lang_segments_oracle_sql() -> str:
+    """Per-segment replay of ``q_lang_segments``: the two derived
+    segments (latin base, transliterated copy) are keyed
+    ``gid = doc_id * 2 + seg_id``, blank segments dropped exactly as
+    ``classify_language_segments(min_chars=1)`` drops them, scored by
+    the same hex-table margin machinery, then pivoted back to one row
+    per document (LEFT JOIN keeps empty-text docs with NULL preds)."""
+    from spatialpandas_spark.operators import _langid_model as M
+
+    base = f"lower(substr(text, 1, {M.MAX_CHARS}))"
+    src = f"""
+  SELECT doc_id * 2 AS gid, {base} AS t FROM documents
+  WHERE length(trim({base})) >= 1
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS gid,
+         {_xlit_case_sql(base, 'doc_id % 4 + 1')} AS t
+  FROM documents
+  WHERE length(trim({base})) >= 1
+"""
+    return f"""
+SELECT d.doc_id, p.lang_seg0, p.lang_seg1
+FROM documents d
+LEFT JOIN (
+  SELECT gid // 2 AS doc_id,
+         MAX(CASE WHEN gid % 2 = 0 THEN pred END) AS lang_seg0,
+         MAX(CASE WHEN gid % 2 = 1 THEN pred END) AS lang_seg1
+  FROM ({_langid_pred_sql(src, "pred")})
+  GROUP BY 1
+) p USING (doc_id)
 """
 
 
@@ -6221,7 +6322,9 @@ def oracle_sql() -> dict[str, str]:
             + join("lang_id", "quality_score", "doc_id")
             + ") jls JOIN ("
             + _lang_clf_oracle_sql()
-            + ") jlc USING (doc_id)"
+            + ") jlc USING (doc_id) JOIN ("
+            + _lang_segments_oracle_sql()
+            + ") jlsg USING (doc_id)"
         ),
         "repetition_signals": join("repetition_signals", "unigram_quality", "doc_id"),
         "minhash_pairs": (

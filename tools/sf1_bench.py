@@ -62,10 +62,38 @@ HEAVY = [
 ]
 
 
+def _canonical_anchor() -> float | None:
+    try:
+        with open(os.path.join(REPO, "BASELINE_isolated.json")) as f:
+            return json.load(f).get("anchor_sec")
+    except Exception:
+        return None
+
+
+def _time_anchor_subprocess() -> float | None:
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--anchor"],
+        capture_output=True, text=True, timeout=600,
+    )
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])["sec"]
+    except Exception:
+        return None
+
+
 def run_queries(names: list[str]) -> dict:
+    """Each heavy row is preceded by its OWN fresh-JVM phase-anchor
+    measurement (round 12, VERDICT r11 ask #5): the r11 battery checked
+    the anchor only at battery start, which let one contaminated row
+    (b8: 14.3 s in a bad phase vs 3.24 s re-measured) through
+    undetected. A row whose anchor departs the committed canonical by
+    >20% is flagged ``anchor_out_of_band`` — re-measure it before
+    trusting the wall time."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1_DIR)
+    canon = _canonical_anchor()
     out: dict[str, dict] = {}
     for name in names:
+        anchor = _time_anchor_subprocess()
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--one", name],
@@ -80,9 +108,20 @@ def run_queries(names: list[str]) -> dict:
             print(f"ERR  {name} [{wall}s]", file=sys.stderr)
             continue
         res = json.loads(p.stdout.strip().splitlines()[-1])
+        res["anchor_sec"] = anchor
+        if anchor and canon:
+            ratio = round(anchor / canon, 3)
+            res["anchor_ratio"] = ratio
+            res["anchor_out_of_band"] = not (0.8 <= ratio <= 1.2)
         out[name] = res
+        flag = (
+            "  ANCHOR OUT OF BAND"
+            if res.get("anchor_out_of_band")
+            else ""
+        )
         print(
-            f"ok   {name}: median {res['sec']}s  (subprocess {wall}s)",
+            f"ok   {name}: median {res['sec']}s  anchor {anchor}s"
+            f"  (subprocess {wall}s){flag}",
             file=sys.stderr,
         )
     return out
@@ -187,6 +226,12 @@ def main() -> None:
             q: r.get("sec", r.get("error")) for q, r in results.items()
         },
         "times": {q: r.get("times") for q, r in results.items() if "times" in r},
+        "anchors": {
+            q: r.get("anchor_sec") for q, r in results.items()
+        },
+        "anchor_flags": [
+            q for q, r in results.items() if r.get("anchor_out_of_band")
+        ],
         "ratio_vs_sf0.1_isolated": ratios(results),
     }
     if "--skip-pipeline" not in sys.argv:
