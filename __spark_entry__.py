@@ -3364,6 +3364,26 @@ def _bmp_gate_hexes() -> list:
 #: full decode would fail. Layout: magic + w/h u16le + flags/bg/aspect.
 _GIF_PROBE_HEX = "474946383961" + "0400" + "0400" + "000000"
 
+_AVI_GATE_HEX_CACHE = None
+
+
+def _avi_gate_hex() -> str:
+    """The fixed MJPEG-in-AVI payload of the probe variant: two 8x8
+    constant-gray JPEG frames (the first 'jpeg' gate payload, value
+    _JPEG_GATE_VALUES[0]) in a 5 fps container, assembled once per
+    process with the production encoder (operators/avi.py). The probe
+    reads only the hdrl list, so the oracle's closed-form row is
+    (w=8, h=8, fps=5, streams=1, frames=2, n_bytes=len)."""
+    global _AVI_GATE_HEX_CACHE
+    if _AVI_GATE_HEX_CACHE is None:
+        from spatialpandas_spark.operators.avi import encode_avi_mjpeg
+
+        frame = bytes.fromhex(_JPEG_GATE_HEX[0])
+        _AVI_GATE_HEX_CACHE = encode_avi_mjpeg(
+            [frame, frame], 8, 8, fps=5
+        ).hex().upper()
+    return _AVI_GATE_HEX_CACHE
+
 _FLAC_GATE_HEX_CACHE = None
 
 
@@ -3564,23 +3584,26 @@ def q_extract_features_probe(spark, sf_dir):
     constructions. Probe agreement with full decode is additionally
     pinned by tests/test_image_probe.py.
 
-    Six formats by p_partkey % 6: PPM / WAV / PNG / JPEG(+SOF2) / BMP /
-    GIF — the GIF payload is a HEADER-ONLY 13-byte stream (no image
-    data at all), pinning that the probe reads headers and never
-    decodes."""
+    Seven formats by p_partkey % 7: PPM / WAV / PNG / JPEG(+SOF2) /
+    BMP / GIF / AVI — the GIF payload is a HEADER-ONLY 13-byte stream
+    (no image data at all) and the AVI probe reads only the ``hdrl``
+    list, pinning that the probe reads headers and never decodes
+    (round 12: MJPEG-in-AVI container, operators/avi.py —
+    tests/test_multimodal_avi.py)."""
     from spatialpandas_spark.operators.multimodal import (
         probe_media_metadata,
     )
 
     part = _t(spark, sf_dir, "part")
-    m6 = F.col("p_partkey") % 6
+    m6 = F.col("p_partkey") % 7
     payload = (
         F.when(m6 == 0, _ppm_payload_expr())
         .when(m6 == 1, _wav_payload_expr())
         .when(m6 == 2, _pick_by_key_expr(_png_gate_hexes(), 8))
         .when(m6 == 3, _pick_by_key_expr(_JPEG_GATE_HEX, 8))
         .when(m6 == 4, _pick_by_key_expr(_bmp_gate_hexes(), 8))
-        .otherwise(F.unhex(F.lit(_GIF_PROBE_HEX)))
+        .when(m6 == 5, F.unhex(F.lit(_GIF_PROBE_HEX)))
+        .otherwise(F.unhex(F.lit(_avi_gate_hex())))
     )
     media = part.select(
         F.col("p_partkey").alias("media_id"), payload.alias("payload")
@@ -5174,17 +5197,19 @@ def _jpeg_probe_oracle_sql() -> str:
               FROM part)
             UNION ALL
             SELECT p_partkey AS media_id,
-                   CASE p_partkey % 6 WHEN 1 THEN 0.0
-                        WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_r,
-                   CASE p_partkey % 6 WHEN 1 THEN 0.0
-                        WHEN 3 THEN 8.0 ELSE 4.0 END AS mean_g,
-                   CASE p_partkey % 6 WHEN 1 THEN 8000.0
-                        ELSE 0.0 END AS mean_b,
-                   CASE p_partkey % 6 WHEN 1 THEN 1.0
-                        ELSE 0.0 END AS min_r,
-                   CASE p_partkey % 6 WHEN 1 THEN 16.0
-                        ELSE 0.0 END AS min_g,
-                   CASE p_partkey % 6
+                   CASE p_partkey % 7 WHEN 1 THEN 0.0
+                        WHEN 3 THEN 8.0 WHEN 6 THEN 8.0
+                        ELSE 4.0 END AS mean_r,
+                   CASE p_partkey % 7 WHEN 1 THEN 0.0
+                        WHEN 3 THEN 8.0 WHEN 6 THEN 8.0
+                        ELSE 4.0 END AS mean_g,
+                   CASE p_partkey % 7 WHEN 1 THEN 8000.0
+                        WHEN 6 THEN 5.0 ELSE 0.0 END AS mean_b,
+                   CASE p_partkey % 7 WHEN 1 THEN 1.0
+                        WHEN 6 THEN 1.0 ELSE 0.0 END AS min_r,
+                   CASE p_partkey % 7 WHEN 1 THEN 16.0
+                        WHEN 6 THEN 2.0 ELSE 0.0 END AS min_g,
+                   CASE p_partkey % 7
                         WHEN 0 THEN 59.0
                         WHEN 1 THEN 60.0
                         WHEN 2 THEN CAST(({png_lens})[p_partkey % 8 + 1]
@@ -5193,11 +5218,13 @@ def _jpeg_probe_oracle_sql() -> str:
                                          AS DOUBLE)
                         WHEN 4 THEN CAST(({bmp_lens})[p_partkey % 8 + 1]
                                          AS DOUBLE)
-                        ELSE 13.0 END AS min_b,
+                        WHEN 5 THEN 13.0
+                        ELSE {len(_avi_gate_hex()) // 2}.0 END AS min_b,
                    0.0 AS max_r, 0.0 AS max_g, 0.0 AS max_b,
                    0.0 AS fgt_r, 0.0 AS fgt_g, 0.0 AS fgt_b,
-                   'ok:' || (['ppm', 'wav', 'png', 'jpeg', 'bmp', 'gif'])
-                            [p_partkey % 6 + 1] AS decode_ok,
+                   'ok:' || (['ppm', 'wav', 'png', 'jpeg', 'bmp', 'gif',
+                              'avi'])
+                            [p_partkey % 7 + 1] AS decode_ok,
                    'probe' AS variant
             FROM part"""
 

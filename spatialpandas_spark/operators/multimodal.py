@@ -532,9 +532,15 @@ def sample_frames(
     (operators/gif.py), frames are COMPOSITED per the disposal/
     transparency rules (what a viewer shows), the true frame count comes
     from the stream, and each sampled frame re-encodes as lossless PNG.
-    ``decoder="fake"`` trusts ``n_frames_col`` and derives deterministic
-    per-frame bytes from (payload digest, index)."""
-    _check_media_decoder(decoder, ("fake", "ppm", "gif"))
+    ``decoder="avi"`` is REAL for an actual VIDEO CONTAINER: the RIFF
+    walker (operators/avi.py) locates the ``'movi'`` list's video
+    chunks and emits each sampled frame's exact payload — for MJPEG, a
+    standalone baseline JPEG decodable by operators/jpeg.py — without
+    any entropy decode in the sampling pass (the ppm byte-slice
+    discipline applied to a real container). ``decoder="fake"`` trusts
+    ``n_frames_col`` and derives deterministic per-frame bytes from
+    (payload digest, index)."""
+    _check_media_decoder(decoder, ("fake", "ppm", "gif", "avi"))
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -557,6 +563,20 @@ def sample_frames(
                     except ValueError:
                         continue
                     data = bytes(p)
+                    for fi in list(range(0, len(offsets), every_n))[:max_frames]:
+                        s, e = offsets[fi]
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(data[s:e])
+                    continue
+                if decoder == "avi":
+                    from spatialpandas_spark.operators.avi import parse_avi
+
+                    try:
+                        data = bytes(p)
+                        offsets = parse_avi(data)["frames"]
+                    except ValueError:
+                        continue  # malformed container: skip, not fatal
                     for fi in list(range(0, len(offsets), every_n))[:max_frames]:
                         s, e = offsets[fi]
                         ids.append(mid)
@@ -983,9 +1003,12 @@ def probe_media_metadata(
     """Mixed-media metadata pass: the image probe plus RIFF/WAVE and
     FLAC audio (format, sample_rate, n_channels, n_samples — duration
     is n_samples / sample_rate; FLAC reads STREAMINFO only, no frame
-    decode). One Arrow scan, no decode math; corrupt payloads become
-    tagged error rows. The superset schema lets one pass profile a
-    whole crawl media column before any decoder runs."""
+    decode) and RIFF/AVI video (width/height; fps in the sample_rate
+    slot, stream count in n_channels, total frames in n_samples —
+    header list only, frame chunks untouched). One Arrow scan, no
+    decode math; corrupt payloads become tagged error rows. The
+    superset schema lets one pass profile a whole crawl media column
+    before any decoder runs."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -1012,7 +1035,22 @@ def probe_media_metadata(
                     data = bytes(p)
                     row["n_bytes"] = len(data)
                     try:
-                        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                            from spatialpandas_spark.operators.avi import (
+                                avi_metadata,
+                            )
+
+                            mv = avi_metadata(data)
+                            row.update(
+                                format="avi",
+                                width=mv["width"],
+                                height=mv["height"],
+                                sample_rate=int(mv["fps"]),
+                                n_channels=mv["n_streams"],
+                                n_samples=mv["total_frames"],
+                                probe_ok="ok",
+                            )
+                        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                             fmt, raw = _parse_wav(data)
                             frame = fmt["n_channels"] * (fmt["bits"] // 8)
                             row.update(

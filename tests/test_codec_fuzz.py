@@ -10,6 +10,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from spatialpandas_spark.operators.avi import parse_avi
 from spatialpandas_spark.operators.bmp import decode_bmp
 from spatialpandas_spark.operators.gif import decode_gif
 from spatialpandas_spark.operators.jpeg import decode_jpeg
@@ -23,6 +24,8 @@ DECODERS = {
     "ppm": (decode_ppm, b"P6\n"),
     "wav": (decode_wav, b"RIFF"),
     "bmp": (decode_bmp, b"BM"),
+    "avi": (parse_avi, b"RIFF"),  # 8th format (r12; flac fuzz lives
+                                  # in test_multimodal_flac.py)
 }
 
 
@@ -36,6 +39,11 @@ def _check(decoder, payload):
         arr, rate = out
         assert isinstance(rate, int) and rate >= 0
         assert arr.ndim == 2
+    elif isinstance(out, dict):  # avi returns container metadata
+        assert {"width", "height", "total_frames", "frames"} <= set(out)
+        assert all(
+            0 <= s <= e <= len(payload) for s, e in out["frames"]
+        )
     else:
         arr = np.asarray(out)
         assert arr.dtype == np.uint8
@@ -63,6 +71,8 @@ def _valid_payloads():
     from spatialpandas_spark.operators.multimodal import encode_ppm, encode_wav
     from spatialpandas_spark.operators.png import encode_png
 
+    from spatialpandas_spark.operators.avi import encode_avi_mjpeg
+
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     return {
@@ -74,6 +84,7 @@ def _valid_payloads():
             rng.integers(-1000, 1000, size=(64, 1)).astype(np.int16), 8000
         ),
         "bmp": encode_bmp(img),
+        "avi": encode_avi_mjpeg([encode_jpeg(img)] * 3, 8, 8, fps=5),
     }
 
 

@@ -1,0 +1,208 @@
+"""MJPEG-in-AVI container: parser vs an INDEPENDENT spec-layout
+assembler (the WARC/zip/tar oracle discipline — the assembler below is
+hand-built from the RIFF/AVI spec, deliberately NOT sharing code or
+construction order with operators/avi.py's encoder: it interleaves a
+JUNK chunk, omits idx1, and pads odd chunks), the production encoder's
+layout checked field-by-field with raw struct reads, and the Spark
+sample_frames path against a python twin."""
+
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from spatialpandas_spark.operators.avi import (
+    avi_metadata,
+    encode_avi_mjpeg,
+    iter_avi_frames,
+    parse_avi,
+)
+
+sys.path.insert(0, "tests")
+from test_multimodal_jpeg import encode_jpeg  # noqa: E402
+
+
+def _chunk(fcc, payload):
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def assemble_avi(frames, w, h, fps, with_movi=True, junk=True):
+    """Independent spec-layout assembler (NOT the production encoder):
+    avih + strl built field-by-field from the MS RIFF docs, a JUNK
+    chunk between hdrl and movi (readers must skip unknown chunks),
+    and no idx1 (the index is optional in AVI 1.0)."""
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strl = _chunk(b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl)
+    body = hdrl
+    if junk:
+        body += _chunk(b"JUNK", b"\x00" * 13)  # odd size: pad exercised
+    if with_movi:
+        movi = b"movi" + b"".join(_chunk(b"00dc", f) for f in frames)
+        body += _chunk(b"LIST", movi)
+    return _chunk(b"RIFF", b"AVI " + body)
+
+
+def _frames(n=5, size=8):
+    rng = np.random.default_rng(42)
+    imgs = [
+        np.full((size, size, 3), 32 * i + 8, dtype=np.uint8) for i in range(n)
+    ]
+    return imgs, [encode_jpeg(im) for im in imgs]
+
+
+def test_parse_independent_assembler():
+    imgs, jpegs = _frames(5)
+    # make one frame odd-length so the even-padding path runs
+    jpegs[2] = jpegs[2] + b"" if len(jpegs[2]) % 2 else jpegs[2] + b"\xff\xd9"
+    data = assemble_avi(jpegs, 8, 8, fps=4)
+    meta = parse_avi(data)
+    assert (meta["width"], meta["height"]) == (8, 8)
+    assert meta["total_frames"] == 5 and meta["n_streams"] == 1
+    assert meta["fps"] == 4.0 and meta["handler"] == "MJPG"
+    got = list(iter_avi_frames(data))
+    assert got == jpegs  # exact payload slices, padding excluded
+
+
+def test_sampled_frames_decode_to_original_pixels():
+    from spatialpandas_spark.operators.jpeg import decode_jpeg
+
+    imgs, jpegs = _frames(3)
+    data = assemble_avi(jpegs, 8, 8, fps=2)
+    for frame, img in zip(iter_avi_frames(data), imgs):
+        # constant-value frames decode bit-exactly (DC-only blocks)
+        assert np.array_equal(decode_jpeg(frame), img)
+
+
+def test_header_only_probe_without_movi():
+    _, jpegs = _frames(2)
+    data = assemble_avi(jpegs, 8, 8, fps=2, with_movi=False)
+    meta = avi_metadata(data)
+    assert meta["total_frames"] == 2 and meta["width"] == 8
+    assert parse_avi(data)["frames"] == []
+
+
+def test_production_encoder_spec_layout_raw_struct_reads():
+    """encode_avi_mjpeg checked with raw struct reads, not parse_avi:
+    RIFF framing, avih fields, strh scale/rate, 00dc chunk ids, and
+    idx1 entry offsets pointing at the actual frame chunks."""
+    _, jpegs = _frames(4)
+    data = encode_avi_mjpeg(jpegs, 8, 8, fps=5)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+    # hdrl LIST comes first
+    assert data[12:16] == b"LIST" and data[20:24] == b"hdrl"
+    avih_pos = data.index(b"avih")
+    a = struct.unpack_from("<14I", data, avih_pos + 8)
+    assert a[0] == 200_000          # usec/frame at 5 fps
+    assert a[4] == 4 and a[6] == 1  # total frames, streams
+    assert a[8] == 8 and a[9] == 8  # width, height
+    strh_pos = data.index(b"strh")
+    assert data[strh_pos + 8 : strh_pos + 16] == b"vidsMJPG"
+    scale, rate = struct.unpack_from("<II", data, strh_pos + 8 + 20)
+    assert (scale, rate) == (1, 5)
+    # idx1 entries resolve to the movi frame chunks
+    movi_pos = data.index(b"movi")
+    idx_pos = data.index(b"idx1")
+    n_idx = struct.unpack_from("<I", data, idx_pos + 4)[0] // 16
+    assert n_idx == 4
+    for i in range(n_idx):
+        e = idx_pos + 8 + 16 * i
+        assert data[e : e + 4] == b"00dc"
+        _, off, ln = struct.unpack_from("<III", data, e + 4)
+        cpos = movi_pos + off
+        assert data[cpos : cpos + 4] == b"00dc"
+        assert struct.unpack_from("<I", data, cpos + 4)[0] == ln
+        assert data[cpos + 8 : cpos + 8 + ln] == jpegs[i]
+
+
+def test_encoder_parser_roundtrip():
+    _, jpegs = _frames(6)
+    data = encode_avi_mjpeg(jpegs, 8, 8, fps=3)
+    assert list(iter_avi_frames(data)) == jpegs
+    m = avi_metadata(data)
+    assert m["total_frames"] == 6 and m["fps"] == 3.0
+
+
+def test_encoder_rejects_bad_input():
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([b"not a jpeg"], 8, 8)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8, fps=0)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 0, 8)
+
+
+def test_malformed_containers_raise_valueerror():
+    _, jpegs = _frames(2)
+    good = assemble_avi(jpegs, 8, 8, fps=2)
+    for bad in (
+        b"",
+        b"RIFF",
+        b"RIFF\x10\x00\x00\x00WAVE",              # wrong form type
+        good[:40],                                  # truncated in hdrl
+        good[:12] + good[20:],                      # hdrl header torn off
+    ):
+        with pytest.raises(ValueError):
+            parse_avi(bad)
+    # declared chunk size overrunning the container must raise, not hang
+    overrun = bytearray(good)
+    overrun[16:20] = struct.pack("<I", 2**30)
+    with pytest.raises(ValueError):
+        parse_avi(bytes(overrun))
+
+
+def test_sample_frames_avi_spark_matches_twin(spark):
+    from spatialpandas_spark.operators.multimodal import sample_frames
+
+    _, jpegs = _frames(7)
+    good1 = assemble_avi(jpegs, 8, 8, fps=4)
+    good2 = encode_avi_mjpeg(jpegs[:3], 8, 8, fps=2)
+    rows = [
+        (1, bytearray(good1), 7),
+        (2, bytearray(good2), 3),
+        (3, bytearray(b"RIFF garbage not avi"), 5),   # skipped
+        (4, None, 2),                                  # null payload
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, n_frames int"
+    )
+    out = sample_frames(
+        df, every_n=2, max_frames=3, decoder="avi"
+    ).collect()
+    got = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out)
+    want = sorted(
+        [(1, 0, jpegs[0]), (1, 2, jpegs[2]), (1, 4, jpegs[4]),
+         (2, 0, jpegs[0]), (2, 2, jpegs[2])]
+    )
+    assert got == want
+
+
+def test_probe_media_metadata_avi_row(spark):
+    from spatialpandas_spark.operators.multimodal import (
+        probe_media_metadata,
+    )
+
+    _, jpegs = _frames(3)
+    header_only = assemble_avi(jpegs, 8, 8, fps=6, with_movi=False)
+    df = spark.createDataFrame(
+        [(1, bytearray(header_only))], "media_id long, payload binary"
+    )
+    r = probe_media_metadata(df).collect()[0]
+    assert r["format"] == "avi" and r["probe_ok"] == "ok"
+    assert (r["width"], r["height"]) == (8, 8)
+    assert r["sample_rate"] == 6          # fps slot
+    assert r["n_channels"] == 1           # stream count slot
+    assert r["n_samples"] == 3            # total frames slot
