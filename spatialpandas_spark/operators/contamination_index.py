@@ -167,13 +167,38 @@ def _write_bloom(spark: SparkSession, words, base: str) -> None:
     ).write.mode("overwrite").parquet(base)
 
 
+class ConcurrentRebuildError(RuntimeError):
+    """A multi-artifact read observed a torn index snapshot — sidecar
+    and bloom from different epochs, which only happens inside a
+    ``rebuild_decon_index`` swap window (or after a half-copied manual
+    restore). The read is RETRYABLE: the swap is near-instant on POSIX
+    and bounded on object stores; see docs/INDEX_CONSISTENCY.md."""
+
+
 def _read_bloom(spark: SparkSession, base: str, m: int):
     import numpy as np
 
     words = np.zeros(m // 64, dtype=np.uint64)
+    covered = 0
     for r in spark.read.parquet(base).collect():
         a = np.frombuffer(r["bm"], dtype=np.uint64)
+        if r["cid"] + len(a) > len(words):
+            raise ConcurrentRebuildError(
+                f"bloom at {base} has {r['cid'] + len(a)}+ words but the "
+                f"sidecar says m={m} ({len(words)} words) — torn "
+                "sidecar/bloom snapshot (rebuild in progress?); retry"
+            )
         words[r["cid"] : r["cid"] + len(a)] |= a
+        covered += len(a)
+    if covered != len(words):
+        # an undersized bloom is the DANGEROUS tear: missing words read
+        # as all-zero bits = 'definitely absent' = silent false
+        # negatives in every downstream screen. Fail fast instead.
+        raise ConcurrentRebuildError(
+            f"bloom at {base} covers {covered} words, sidecar expects "
+            f"{len(words)} — torn sidecar/bloom snapshot (rebuild in "
+            "progress?); retry"
+        )
     return words
 
 

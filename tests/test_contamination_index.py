@@ -378,3 +378,86 @@ def test_rebuild_if_drifted_policy(spark, docs, bench_a, tmp_path):
 
     with _pytest.raises(ValueError):
         rebuild_if_drifted(spark, path, drift_factor=1.0)
+
+
+# --- concurrent-reader contract (r12, docs/INDEX_CONSISTENCY.md) ------
+
+def test_torn_bloom_sidecar_raises(spark, docs, bench_a, tmp_path):
+    """The one silent-wrong-answer race: a reader that loads the NEW
+    sidecar (rebuild re-sized m) with the OLD bitmap would zero-fill
+    missing bloom words = false negatives in every screen. _read_bloom
+    must detect the mismatch and raise the retryable
+    ConcurrentRebuildError — in BOTH tear directions."""
+    import json
+
+    from spatialpandas_spark.operators.contamination_index import (
+        ConcurrentRebuildError,
+        ngram_overlap_against_index,
+    )
+    from spatialpandas_spark.sources import fs as _fs
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+
+    # simulate the swap window: sidecar advanced to a larger m (the
+    # rebuild direction after appends grew the set), bitmap still old
+    p = json.loads(_fs.read_text(f"{path}/_decon_index.json"))
+    old_m = p["bloom"]["m"]
+    p["bloom"]["m"] = old_m + 64 * 8
+    _fs.write_text(f"{path}/_decon_index.json", json.dumps(p))
+    with pytest.raises(ConcurrentRebuildError, match="retry"):
+        ngram_overlap_against_index(docs, path, method="bloom").collect()
+
+    # opposite tear: sidecar says SMALLER m than the bitmap holds
+    p["bloom"]["m"] = 64  # one word; the real bitmap is larger
+    _fs.write_text(f"{path}/_decon_index.json", json.dumps(p))
+    with pytest.raises(ConcurrentRebuildError, match="retry"):
+        ngram_overlap_against_index(docs, path, method="bloom").collect()
+
+    # restore: consistent snapshot reads fine again
+    p["bloom"]["m"] = old_m
+    _fs.write_text(f"{path}/_decon_index.json", json.dumps(p))
+    assert ngram_overlap_against_index(docs, path, method="bloom").count() > 0
+
+
+def test_reader_during_rebuild_consistent_or_fails_fast(
+    spark, docs, bench_a, bench_b, tmp_path
+):
+    """Probe the swap itself: interleave screen_against_index reads
+    with a rebuild at every observable stage. Each read must either
+    return the exact pre/post-rebuild rows (they are row-identical by
+    the rebuild contract) or raise a retryable error — never a third
+    result set. The staged .rebuild.tmp directory must never be read
+    implicitly."""
+    from spatialpandas_spark.operators.contamination_index import (
+        append_to_decon_index,
+        rebuild_decon_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    append_to_decon_index(bench_b, path)
+    want = _rows(screen_against_index(docs, path))
+
+    # stage 1: while a stale .rebuild.tmp exists (crash before swap),
+    # the live index must read normally and identically
+    import shutil
+
+    shutil.copytree(path, path + ".rebuild.tmp")
+    assert _rows(screen_against_index(spark.createDataFrame(
+        DOCS, "doc_id long, text string"), path)) == want
+    shutil.rmtree(path + ".rebuild.tmp")
+
+    # stage 2: across the real rebuild, screens are row-identical
+    rebuild_decon_index(spark, path)
+    assert _rows(screen_against_index(docs, path)) == want
+
+    # stage 3: the between-renames window (live dir briefly absent) is
+    # a fail-fast path error, not a silent empty result
+    import os
+
+    os.rename(path, path + ".old")
+    with pytest.raises(Exception):
+        screen_against_index(docs, path).collect()
+    os.rename(path + ".old", path)
+    assert _rows(screen_against_index(docs, path)) == want
