@@ -1844,28 +1844,38 @@ def q_span_dedup(spark, sf_dir):
     - 'content': content-defined spans of expected length 8 (token-hash
       boundaries — catches repeats at ANY document offset, the r10
       verdict's window-straddling fix; operators/spans.py
-      content_spans, tests/test_spans.py off-by-one battery).
+      content_spans, tests/test_spans.py off-by-one battery);
+    - 'guarded' (r12): content alignment with min_span_tokens=3 — the
+      Lee et al. minimum-match-length guard; spans under 3 tokens are
+      never hashed into the flagged set (tests/test_spans.py guard
+      battery plants a repeated 1-token complete span).
 
     Drop every span occurring twice or more anywhere in the corpus,
     reassemble surviving text; checked span-for-span against a DuckDB
-    twin (window prefix-sum replay for 'content'; md5 of the exact
-    result text)."""
+    twin (window prefix-sum replay for 'content'/'guarded', plus a
+    token-length floor on the counting CTE for 'guarded'; md5 of the
+    exact result text)."""
     from spatialpandas_spark.operators.spans import remove_duplicate_spans
 
     d = _t(spark, sf_dir, "documents")
 
-    def one(align):
+    def one(align, variant=None, min_span_tokens=1):
         out = remove_duplicate_spans(
-            d, window=8, min_count=2, keep="none", align=align
+            d, window=8, min_count=2, keep="none", align=align,
+            min_span_tokens=min_span_tokens,
         )
         return out.select(
-            F.lit(align).alias("variant"),
+            F.lit(variant or align).alias("variant"),
             "doc_id",
             F.col("kept_spans").cast("long").alias("kept_spans"),
             F.md5(F.col("text")).alias("text_md5"),
         )
 
-    return one("fixed").unionAll(one("content"))
+    return (
+        one("fixed")
+        .unionAll(one("content"))
+        .unionAll(one("content", "guarded", min_span_tokens=3))
+    )
 
 
 def q_events_json(spark, sf_dir):
@@ -5303,6 +5313,49 @@ def _pagerank_oracle_sql(
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
+
+def _span_content_oracle_block(min_span_tokens: int = 1) -> str:
+    """DuckDB replay of content-defined span dedup (window prefix-sum
+    boundary derivation). ``min_span_tokens > 1`` adds the r12
+    minimum-match-length guard ON THE COUNTING CTE ONLY — short spans
+    are kept verbatim and never counted, mirroring
+    ``remove_duplicate_spans(min_span_tokens=)`` (identical text ⇒
+    identical length, so the anti-join stays safe)."""
+    guard = (
+        f"WHERE len(str_split(s, ' ')) >= {min_span_tokens} "
+        if min_span_tokens > 1
+        else ""
+    )
+    return f"""
+              WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                         WHERE text IS NOT NULL AND trim(text) != ''),
+              tok AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tkn
+                      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+              -- content-defined boundaries: span_id(pos) = number of
+              -- boundary tokens strictly before pos (window prefix-sum)
+              sp AS (SELECT doc_id, pos, tkn,
+                            COALESCE(SUM(CASE WHEN
+                              ('0x' || substr(md5(tkn), 1, 15))::BIGINT
+                                % 8 = 0 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS sid
+                     FROM tok),
+              w AS (SELECT doc_id, sid,
+                           string_agg(tkn, ' ' ORDER BY pos) AS s
+                    FROM sp GROUP BY doc_id, sid),
+              c AS (SELECT s FROM w {guard}
+                    GROUP BY s HAVING COUNT(*) >= 2),
+              k AS (SELECT doc_id, sid, s FROM w ANTI JOIN c USING (s)),
+              r AS (SELECT doc_id, COUNT(*) AS kept,
+                           string_agg(s, ' ' ORDER BY sid) AS txt
+                    FROM k GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_spans,
+                     md5(COALESCE(r.txt, '')) AS text_md5
+              FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
 # BPE pretokenizer pattern with SQL-escaped quotes (same regex the engine
 # uses; lookahead-free so RE2 and Java agree)
 from spatialpandas_spark.operators.text import BPE_TOKEN_PATTERN as _BPE_PAT
@@ -5724,34 +5777,10 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN r USING (doc_id)
             UNION ALL
             SELECT 'content' AS variant, doc_id, kept_spans, text_md5
-            FROM (
-              WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
-                         WHERE text IS NOT NULL AND trim(text) != ''),
-              tok AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tkn
-                      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
-              -- content-defined boundaries: span_id(pos) = number of
-              -- boundary tokens strictly before pos (window prefix-sum)
-              sp AS (SELECT doc_id, pos, tkn,
-                            COALESCE(SUM(CASE WHEN
-                              ('0x' || substr(md5(tkn), 1, 15))::BIGINT
-                                % 8 = 0 THEN 1 ELSE 0 END)
-                              OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING), 0) AS sid
-                     FROM tok),
-              w AS (SELECT doc_id, sid,
-                           string_agg(tkn, ' ' ORDER BY pos) AS s
-                    FROM sp GROUP BY doc_id, sid),
-              c AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) >= 2),
-              k AS (SELECT doc_id, sid, s FROM w ANTI JOIN c USING (s)),
-              r AS (SELECT doc_id, COUNT(*) AS kept,
-                           string_agg(s, ' ' ORDER BY sid) AS txt
-                    FROM k GROUP BY doc_id)
-              SELECT d.doc_id,
-                     CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_spans,
-                     md5(COALESCE(r.txt, '')) AS text_md5
-              FROM documents d LEFT JOIN r USING (doc_id)
-            )
+            FROM ({_span_content_oracle_block()})
+            UNION ALL
+            SELECT 'guarded' AS variant, doc_id, kept_spans, text_md5
+            FROM ({_span_content_oracle_block(min_span_tokens=3)})
         """,
         "events_json": f"""
             SELECT 'json' AS variant, event_type AS k,

@@ -1063,14 +1063,21 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    anchor_sec = _time_anchor(spark)
+    anchors = [_time_anchor(spark)]
     _warm_machinery(spark)  # see docstring — don't bill setup to query #1
 
     # failure-isolated: one broken query must never zero out the whole
     # round's perf evidence (round-2 lesson — b14 crashed the entire run)
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in BENCHES.items():
+    # a start-only anchor misses load that ARRIVES mid-suite (round-12
+    # session evidence: a concurrent pytest run produced 17 false flags
+    # under a quiet-start anchor); re-time it periodically and at the
+    # end so phase instability is visible in the record
+    recheck_every = max(1, len(BENCHES) // 3)
+    for qi, (name, fn) in enumerate(BENCHES.items()):
+        if qi and qi % recheck_every == 0:
+            anchors.append(_time_anchor(spark))
         try:
             for _ in range(2):  # 2 warm-ups: the JIT curve outlives 1
                 fn(spark)
@@ -1082,7 +1089,9 @@ def main() -> None:
             results[name] = round(statistics.median(times), 3)
         except Exception as exc:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    anchors.append(_time_anchor(spark))
 
+    anchor_sec = round(statistics.median(anchors), 3)
     total = round(sum(results.values()), 3)
     out = {
         "metric": "bench_total_median_sec",
@@ -1091,6 +1100,8 @@ def main() -> None:
         "queries": results,
         "sf": _sf(),
         "anchor_sec": anchor_sec,
+        "anchor_series": anchors,
+        "phase_unstable": max(anchors) / min(anchors) > 1.25,
     }
     if errors:
         out["errors"] = errors
