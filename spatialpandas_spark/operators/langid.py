@@ -57,9 +57,11 @@ from spatialpandas_spark.operators.classifier import _md5_bucket
 #: ASCII noise lands on trained latin buckets; measured before adding
 #: the class — real-sentence min gap 1.25 < gibberish gap 4.25)
 LANGS = [
-    "ar", "de", "el", "en", "es", "fa", "fr", "he",
-    "hi", "id", "it", "ja", "ko", "nl", "pl", "pt",
-    "ru", "sv", "th", "tr", "uk", "und", "vi", "zh",
+    "am", "ar", "bg", "bn", "cs", "da", "de", "el",
+    "en", "es", "fa", "fi", "fr", "he", "hi", "hr",
+    "hu", "hy", "id", "it", "ja", "ka", "ko", "nl",
+    "pl", "pt", "ro", "ru", "sv", "sw", "ta", "te",
+    "th", "tr", "uk", "und", "ur", "vi", "zh",
 ]
 
 #: noise alphabet for the 'und' class (uniform letter soup + digits —
@@ -171,7 +173,21 @@ _VOCAB = {
         страна мир народ место вопрос сторона голова конец часть
         система развитие проблема результат правительство общество
         образование информация ситуация отношение экономика история
-        политика дети школа дом форма способ пример момент""",
+        политика дети школа дом форма способ пример момент
+        этот чтобы ещё тоже здесь очень потом сейчас почему
+        нужно можно нельзя свой своя своё который которая быстро медленно
+        сегодня завтра вчера утром вечером ночью никогда иногда обычно
+        например конечно несколько каждый другой хороший плохой большой
+        маленький язык русский месяц неделя вопросы ответы слова новые
+        старые первые последние
+        объявление объявить объект объяснение объём съезд подъезд
+        субъект экономика энергия эксперт экран этаж электричество
+        эксперимент этому которым которых решение движение
+        значение внимание состояние здание знание мнение чтение
+        выборы выход вывод взгляд мысль мысли смысл парк сад двор
+        улица улицы дерево деревья трава солнце небо дождь снег зима
+        весна лето осень вечер ночь полдень пожалуй спасибо
+        извините здравствуйте играет играют играли гулять""",
     "el": """και το να του η με τον την των που από είναι για στο δεν ο
         τα σε ότι αν θα οι ως αλλά κατά ένα μια στη στον μας σας τους
         όπως μετά πριν χωρίς κάθε εδώ εκεί τώρα πολύ είχε ήταν αυτό
@@ -224,7 +240,14 @@ _VOCAB = {
         시간 생활 세계 집 부분 남자 여자 도시 물 나라 정부 직장 오늘
         내일 어제 여기 거기 모든 많이 조금 새로운 마지막 좋은 물건
         형태 방법 순간 장소 질문 역사 정치 경제 교육 정보 상황 관계
-        발전 아이들 학교""",
+        발전 아이들 학교
+        것은 것이 것을 그리고 그러나 그래서 하지만 있습니다 없습니다
+        합니다 했습니다 됩니다 되었습니다 사람들은 사람들이 우리는
+        우리가 저는 제가 당신은 오늘은 지금은 여기에 거기에 시간이
+        시간을 집에서 학교에서 회사에서 친구와 친구가 아이들이
+        아이들은 물을 물이 밥을 책을 책이 영화를 음악을 이야기를
+        마음이 마음을 생각이 생각을 말을 말이 눈이 손을 꿈을 꿈이
+        밤에 아침에 저녁에 주말에 올해는 작년에 내년에""",
     # ten languages added late round 11 (the framework made this a
     # vocab-authoring exercise): nl/pl/sv/tr + Latin-diacritic vi +
     # uk (Cyrillic, distinct і/ї/є vs ru) + fa (Arabic script,
@@ -261,7 +284,16 @@ _VOCAB = {
         arbete idag alltid barn hus värld dag saker sak form exempel
         ögonblick plats problem fråga historia politik ekonomi samhälle
         utbildning information situation relation utveckling blev
-        några många vilket vilken""",
+        några många vilket vilken
+        även både vilka sedan därför dessutom kanske genast nästan
+        tillsammans utanför innanför bakom framför måndag tisdag onsdag
+        torsdag fredag lördag veckan månaden hösten våren vintern
+        sommaren morgonen kvällen natten vägen skogen köket rummet sade
+        fick gick sprang drack läste skrev talade tänkte visste lärare
+        läser händer tänder äpple säsong länge färdig närmast borta
+        söker köper springer möter födelsedag överst nederst redan ännu
+        ofta sällan aldrig gärna hellre bäst sämre äldre yngre större
+        mindre högre lägre längre snabbt långsamt""",
     "tr": """bir bu ve de da ne için ile mi ben sen o biz siz onlar var
         yok gibi daha çok en ama fakat ki eğer çünkü sonra önce şimdi
         burada orada her az büyük küçük yeni eski iyi kötü yıl zaman
@@ -282,7 +314,18 @@ _VOCAB = {
         вам
         зробити сказати говорити бачити знати мати йти прийти дати
         щоб або ніж тому навіть вже лише саме кожен інший наша ваша
-        треба можна немає людина жінка чоловік дитина ранок тиждень місяць година хвилина вчора завтра ніч""",
+        треба можна немає людина жінка чоловік дитина ранок тиждень місяць година хвилина вчора завтра ніч
+        їхній його цього якщо тільки дуже добре погано
+        швидко повільно сьогодні вчора вранці ввечері вночі ніколи іноді
+        звичайно наприклад звісно кілька кожен інший старий хороший
+        поганий великий маленький українська мова місяць тиждень питання
+        відповідь слово нові перші останні
+        є їжа їхати їздити їсти приїхав поїхав обов'язково зв'язок
+        під'їзд м'яч сім'я ім'я п'ять дев'ять здоров'я комп'ютер
+        прізвище хвилини години тижня місяця років навіть адже проте
+        щоб щодо немає ніхто ніщо нічого нікого жодного кожного іншого
+        першого останнього великого маленького гарного поганого
+        швидкого""",
     "fa": """از که را با این آن در به و است بود شد می ها های برای تا
         اگر اما یا هم نیز چه وقتی پس بعد قبل اکنون اینجا بدون زیر بین
         علیه بسیار بیشتر سال زمان مردم زندگی آب شهر کشور دولت کار
@@ -317,6 +360,171 @@ _VOCAB = {
         contoh saat tempat masalah pertanyaan sejarah politik ekonomi
         masyarakat pendidikan informasi situasi hubungan pembangunan
         juga seperti tetapi atau oleh dalam""",
+    # --- round-12 breadth expansion (VERDICT r11 "What's missing #1"):
+    # fifteen new languages, selection risk-managed — script-distinct
+    # additions (bn/ta/te/ka/hy/am) are separable by characters alone;
+    # the Latin/Cyrillic/Arabic-script additions carry full
+    # function-word + parallel-content blocks; the too-close siblings
+    # (no vs da, sk vs cs, sr-Latin vs hr, ms vs id) are deliberately
+    # EXCLUDED as beyond a 4096-bucket linear model's honest ceiling.
+    "da": """og i at det til er som af for ikke der jeg du hun
+        ham hende hans hendes hvor eller hvad skal selv her alle vil
+        kunne ind når være dog noget ville jo deres ned denne kom mod
+        uden også meget mere mange mennesker vand arbejde altid børn
+        verden ting eksempel øjeblik sted spørgsmål økonomi samfund
+        uddannelse oplysninger forhold udvikling blive gennem igen
+        første sidste hinanden bliver kun allerede hvordan hvornår
+        hvorfor hvem intet hjem hele lidt større mindre døren grøn høj
+        søndag lørdag tirsdag efteråret foråret morgenen aftenen ugen
+        gaden vejen skoven køkkenet vinduet værelset sagde fik gik løb
+        spiste læste skrev talte tænkte vidste kæmpe lærer læser
+        hænder tænder æble sæson længe færdig nærmest væk søger køber
+        løber møder fødselsdag øverst nederst indenfor udenfor bagved
+        måske snart straks netop ellers nemlig altså derfor desuden
+        hverken hverdag weekenden brød mælk smør kød grøntsager rødt
+        gult blåt hvidt nøgle vejret søen øjnene tøj bøger træet""",
+    "fi": """ja on ei se että hän oli mutta niin kuin myös joka sen
+        kun mitä ovat hänen tai vain nyt sitä tämä siitä jo mukaan
+        kaikki jos sitten kuitenkin vielä koska ennen jälkeen ilman
+        välillä vastaan paljon enemmän vuosi vuotta aika ihmiset elämä
+        vesi kaupunki maa hallitus työ tänään aina lapset talo maailma
+        päivä asiat asia muoto esimerkki hetki paikka ongelma kysymys
+        historia politiikka talous yhteiskunta koulutus tieto tilanne
+        suhde kehitys tulee tehdä voida saada mennä tulla antaa nähdä
+        sanoa pitää aloittaa olla hyvä uusi vanha suuri pieni oikein
+        tässä siellä missä milloin miksi kuka me te he minä sinä""",
+    "cs": """a se na je v to že s z do o ale jak po co tak už by byl
+        byla bylo být jsem jsi jsme jste jsou si k i u od pro za při
+        před mezi proti bez nad pod nebo když ještě jen také velmi
+        hodně více rok roky čas lidé život voda město země vláda
+        práce dnes vždy děti dům svět den věci věc podoba příklad
+        okamžik místo problém otázka historie politika ekonomika
+        společnost vzdělání informace situace vztah vývoj stal může
+        musí chtěl přišel řekl viděl nový starý dobrý velký malý
+        první poslední každý který která které tady tam kde kdy proč
+        kdo my vy oni ona on""",
+    "ro": """și în de la a cu o pe un nu este sunt care ce se mai
+        pentru din dar să fie fost era am ai are avem aveți au eu tu
+        el ea noi voi ei ele acest această după înainte acum aici
+        fără între împotriva mult multe mai mulți an ani timp oameni
+        viață apă oraș țară guvern muncă astăzi întotdeauna copii
+        casă lume zi lucruri lucru formă exemplu moment loc problemă
+        întrebare istorie politică economie societate educație
+        informații situație relație dezvoltare devenit poate trebuie
+        vrea vine spune vede face merge dă nou vechi bun mare mic
+        primul ultimul fiecare unde când cine decât până asupra""",
+    "hu": """a az és hogy nem is egy ez de van volt el mi ki te ő ők
+        mint csak meg már ha vagy még be fel le össze vissza itt ott
+        ahol amikor miért mert után előtt most nélkül között ellen
+        sok több év évek idő emberek élet víz város ország kormány
+        munka ma mindig gyerekek ház világ nap dolgok dolog forma
+        példa pillanat hely probléma kérdés történelem politika
+        gazdaság társadalom oktatás információ helyzet kapcsolat
+        fejlődés lett lehet kell akar jön mond lát csinál megy ad
+        új régi jó nagy kicsi első utolsó minden amely ami aki
+        ezek azok lenni voltak""",
+    "bg": """е са съм сме сте си бе беше бяха било че това тези
+        онези този тази туй кое което който която къде кога защо кой
+        какво как със във или ако защото след преди сега тук там без
+        между срещу много повече още вече само годината години време
+        хора живот вода град страна държава правителство работа днес
+        винаги деца къща свят ден неща нещо форма пример момент място
+        проблем въпрос история политика икономика общество образование
+        информация ситуация отношение развитие стана може трябва иска
+        идва казва вижда прави отива дава нов стар добър голям малък
+        първи последен всеки градът животът светът денят хората децата
+        времето работата страната въпросът проблемът мястото нещата
+        думите ръката пътят също всички докато според заради върху
+        около отново почти веднага тогава утре снощи добре лошо бързо
+        бавно новият старият българският езикът месецът седмицата
+        съща същото към бъде щеше обаче именно въпреки техният нейният""",
+    "hr": """i u na je se da su za s od o a ali kako tako već samo
+        još ako jer nakon prije sada ovdje ondje bez između protiv
+        mnogo više godina godine vrijeme ljudi život voda grad zemlja
+        vlada posao danas uvijek djeca kuća svijet dan stvari stvar
+        oblik primjer trenutak mjesto problem pitanje povijest
+        politika gospodarstvo društvo obrazovanje informacije
+        situacija odnos razvoj postao može mora želi dolazi kaže vidi
+        radi ide daje nov star dobar velik malen prvi posljednji
+        svaki koji koja koje gdje kada zašto tko mi vi oni one ja ti
+        on ona ono sam si smo ste nije bio bila bilo biti će ću""",
+    "sw": """na ya wa kwa za katika cha hii hiyo huo ili kama vya
+        lakini pia sasa hapa pale bila kati dhidi baada kabla sana
+        zaidi mwaka miaka wakati watu maisha maji mji nchi serikali
+        kazi leo daima watoto nyumba dunia siku mambo jambo namna
+        mfano muda mahali tatizo swali historia siasa uchumi jamii
+        elimu habari hali uhusiano maendeleo kuwa anaweza lazima
+        anataka anakuja anasema anaona anafanya anaenda anatoa mpya
+        zamani nzuri kubwa ndogo kwanza mwisho kila ambaye ambayo
+        ambalo wapi lini kwanini nani sisi ninyi wao mimi wewe yeye
+        hao hawa wale yake yangu yako yetu yenu yao mwaka mwezi
+        mwezi kitu kitabu mtoto ndio hapana asante habari chakula
+        maneno neno kila wengi wengine kidogo mkubwa mdogo nzima
+        shule barabara soko shamba mji mkono macho moyo siku hizi
+        wiki jana kesho asubuhi jioni usiku mchana""",
+    "ur": """کے کی کا میں ہے اور سے کو پر یہ وہ نے ہیں تھا تھی تھے
+        ہو گا گی گے نہیں بھی لیکن اگر کیونکہ بعد پہلے اب یہاں وہاں
+        بغیر درمیان خلاف بہت زیادہ سال وقت لوگ زندگی پانی شہر ملک
+        حکومت کام آج ہمیشہ بچے گھر دنیا دن چیزیں چیز شکل مثال لمحہ
+        جگہ مسئلہ سوال تاریخ سیاست معیشت معاشرہ تعلیم معلومات صورتحال
+        تعلق ترقی بن سکتا چاہیے چاہتا آتا کہتا دیکھتا کرتا جاتا دیتا
+        نیا پرانا اچھا بڑا چھوٹا پہلا آخری ہر جو جس کون کب کیوں کہاں
+        ہم تم آپ اس ان کا اپنا میرا تیرا ہمارا""",
+    "bn": """এবং এর এই যে না আমি তুমি সে আমরা তারা আপনি ছিল হয় হবে
+        করে থেকে জন্য সঙ্গে কিন্তু যদি কারণ পরে আগে এখন এখানে সেখানে
+        ছাড়া মধ্যে বিরুদ্ধে অনেক আরও বছর সময় মানুষ জীবন পানি শহর
+        দেশ সরকার কাজ আজ সবসময় শিশুরা বাড়ি বিশ্ব দিন জিনিস রূপ
+        উদাহরণ মুহূর্ত জায়গা সমস্যা প্রশ্ন ইতিহাস রাজনীতি অর্থনীতি
+        সমাজ শিক্ষা তথ্য পরিস্থিতি সম্পর্ক উন্নয়ন হয়ে পারে চায়
+        আসে বলে দেখে যায় দেয় নতুন পুরনো ভালো বড় ছোট প্রথম শেষ
+        প্রতিটি যা কে কখন কেন কোথায় কী তিনি এটা সেটা একটি দুটি""",
+    "ta": """மற்றும் இந்த அந்த நான் நீ அவன் அவள் அவர் நாம் அவர்கள்
+        இருந்தது உள்ளது இல்லை ஆனால் என்றால் ஏனெனில் பிறகு முன்பு
+        இப்போது இங்கே அங்கே இல்லாமல் இடையே எதிராக நிறைய மேலும் ஆண்டு
+        நேரம் மக்கள் வாழ்க்கை தண்ணீர் நகரம் நாடு அரசு வேலை இன்று
+        எப்போதும் குழந்தைகள் வீடு உலகம் நாள் விஷயங்கள் வடிவம்
+        உதாரணம் தருணம் இடம் பிரச்சனை கேள்வி வரலாறு அரசியல் பொருளாதாரம்
+        சமூகம் கல்வி தகவல் நிலைமை உறவு வளர்ச்சி ஆக முடியும் வேண்டும்
+        விரும்புகிறது வருகிறது சொல்கிறது பார்க்கிறது செய்கிறது
+        போகிறது கொடுக்கிறது புதிய பழைய நல்ல பெரிய சிறிய முதல் கடைசி
+        ஒவ்வொரு எது யார் எப்போது ஏன் எங்கே என்ன அது இது ஒரு""",
+    "te": """మరియు ఈ ఆ నేను నీవు అతను ఆమె మేము వారు మీరు ఉంది లేదు
+        కానీ అయితే ఎందుకంటే తరువాత ముందు ఇప్పుడు ఇక్కడ అక్కడ లేకుండా
+        మధ్య వ్యతిరేకంగా చాలా మరింత సంవత్సరం సమయం ప్రజలు జీవితం నీరు
+        నగరం దేశం ప్రభుత్వం పని నేడు ఎల్లప్పుడూ పిల్లలు ఇల్లు
+        ప్రపంచం రోజు విషయాలు రూపం ఉదాహరణ క్షణం స్థలం సమస్య ప్రశ్న
+        చరిత్ర రాజకీయాలు ఆర్థికం సమాజం విద్య సమాచారం పరిస్థితి
+        సంబంధం అభివృద్ధి కావచ్చు కావాలి వస్తుంది చెబుతుంది చూస్తుంది
+        చేస్తుంది వెళుతుంది ఇస్తుంది కొత్త పాత మంచి పెద్ద చిన్న
+        మొదటి చివరి ప్రతి ఏది ఎవరు ఎప్పుడు ఎందుకు ఎక్కడ ఏమి అది ఇది
+        ఒక రెండు వారి నా మీ మా""",
+    "ka": """და ეს ის მე შენ ჩვენ თქვენ ისინი არის იყო არ მაგრამ თუ
+        რადგან შემდეგ წინ ახლა აქ იქ გარეშე შორის წინააღმდეგ ბევრი
+        მეტი წელი დრო ხალხი ცხოვრება წყალი ქალაქი ქვეყანა მთავრობა
+        სამუშაო დღეს ყოველთვის ბავშვები სახლი მსოფლიო დღე ნივთები
+        ფორმა მაგალითი მომენტი ადგილი პრობლემა კითხვა ისტორია
+        პოლიტიკა ეკონომიკა საზოგადოება განათლება ინფორმაცია
+        სიტუაცია ურთიერთობა განვითარება გახდა შეიძლება უნდა სურს
+        მოდის ამბობს ხედავს აკეთებს მიდის აძლევს ახალი ძველი კარგი
+        დიდი პატარა პირველი ბოლო ყოველი რომელიც სად როდის რატომ ვინ
+        რა რომ მას მისი ჩემი შენი ჩვენი""",
+    "hy": """եւ այս այն ես դու նա մենք դուք նրանք է էր չէ բայց եթե
+        որովհետեւ հետո առաջ հիմա այստեղ այնտեղ առանց միջեւ դեմ շատ
+        ավելի տարի ժամանակ մարդիկ կյանք ջուր քաղաք երկիր կառավարություն
+        աշխատանք այսօր միշտ երեխաներ տուն աշխարհ օր բաներ ձեւ օրինակ
+        պահ տեղ խնդիր հարց պատմություն քաղաքականություն տնտեսություն
+        հասարակություն կրթություն տեղեկություն իրավիճակ հարաբերություն
+        զարգացում դարձավ կարող պետք ուզում գալիս ասում տեսնում անում
+        գնում տալիս նոր հին լավ մեծ փոքր առաջին վերջին ամեն որը որտեղ
+        երբ ինչու ով ինչ դա սա մի երկու նրա իմ քո մեր""",
+    "am": """እና ይህ ያ እኔ አንተ እሱ እሷ እኛ እነሱ እናንተ ነው ነበር አይደለም ግን ከሆነ
+        ምክንያቱም በኋላ በፊት አሁን እዚህ እዚያ ያለ መካከል ላይ ብዙ ተጨማሪ ዓመት ጊዜ
+        ሰዎች ሕይወት ውሃ ከተማ አገር መንግሥት ሥራ ዛሬ ሁልጊዜ ልጆች ቤት ዓለም ቀን
+        ነገሮች ነገር ቅርጽ ምሳሌ ቅጽበት ቦታ ችግር ጥያቄ ታሪክ ፖለቲካ ኢኮኖሚ
+        ማኅበረሰብ ትምህርት መረጃ ሁኔታ ግንኙነት ልማት ሆነ ይችላል አለበት ይፈልጋል
+        ይመጣል ይላል ያያል ያደርጋል ይሄዳል ይሰጣል አዲስ አሮጌ ጥሩ ትልቅ ትንሽ
+        የመጀመሪያ የመጨረሻ እያንዳንዱ የት መቼ ለምን ማን ምን ያ ይህ አንድ ሁለት የእሱ
+        የእኔ የአንተ የእኛ ወደ ከ በ እስከ እንደ ስለ""",
 }
 VOCAB = {k: v.split() for k, v in _VOCAB.items()}
 
