@@ -1,10 +1,14 @@
 """FROZEN-holdout generalization floors for the shipped langid model.
 
-The corpus in tools/eval_langid_holdout.py was authored in round 12
-AFTER the vocabulary freeze (commit acd581a) and must never be used to
-tune the model — test_corpus_is_frozen pins its exact content so any
-edit (which would silently turn it back into a dev set) fails loudly.
-Measured at authoring time: accuracy 0.9704 on 1150 sentences; the
+The corpus in tools/eval_langid_holdout.py must never be used to tune
+the model — test_corpus_is_frozen pins its exact content so any edit
+(which would silently turn it back into a dev set) fails loudly. See
+the tool's provenance docstring for the honest history: the original
+23-language slice (round-12 freeze: 0.9704 on 1150 with the 24-class
+model) was consulted during the breadth expansion, so the blind
+figures now come from HOLDOUT_FRESH23 (0.9565 at freeze) and the 15
+new languages' sentences (authored post-final-vocab). Round-12 final
+measurement: 0.9653 over all 38 languages / 1900 sentences. The
 floors below leave retrain headroom without accepting a regression.
 Pure-python twin of the serving kernel — no Spark session needed."""
 
@@ -17,18 +21,25 @@ from spatialpandas_spark.operators.langid import (
     builtin_langid_model,
     margins_kernel,
 )
-from tools.eval_langid_holdout import HOLDOUT_SENTENCES, evaluate
+from tools.eval_langid_holdout import (
+    HOLDOUT_FRESH23,
+    HOLDOUT_SENTENCES,
+    evaluate,
+    evaluate_fresh23,
+)
 from tools.eval_langid_real import py_buckets
 
 #: md5 of the canonical serialization of the frozen corpus. If this
 #: test fails you have edited the holdout — either revert, or accept
 #: that it is now a dev set and author a NEW frozen slice (then update
 #: the provenance notes in eval_langid_holdout.py and BASELINE.md).
-_FREEZE_MD5 = "d20529dd272cc390bfcc876be2d02352"
+_FREEZE_MD5 = "27afbd54b207df36a625ddd1cd769593"
+_FRESH23_MD5 = "9123bdb7acd43f99eb07012aa38ef846"
 
 #: languages whose SCRIPT alone separates them from every other class —
 #: a miss here is a kernel/feature failure, not a close-family residual
-_SCRIPT_DISTINCT = ("el", "he", "hi", "ja", "ko", "th", "zh")
+_SCRIPT_DISTINCT = ("am", "bn", "el", "he", "hi", "hy", "ja", "ka",
+                    "ko", "ta", "te", "th", "zh")
 
 
 def _report():
@@ -44,16 +55,23 @@ def test_corpus_is_frozen():
         for lg, ss in sorted(HOLDOUT_SENTENCES.items())
     )
     assert hashlib.md5(blob.encode()).hexdigest() == _FREEZE_MD5
-    assert len(HOLDOUT_SENTENCES) == 23
+    assert len(HOLDOUT_SENTENCES) == 38
     assert all(len(ss) == 50 for ss in HOLDOUT_SENTENCES.values())
+    blob2 = "\x00".join(
+        f"{lg}\x01" + "\x01".join(ss)
+        for lg, ss in sorted(HOLDOUT_FRESH23.items())
+    )
+    assert hashlib.md5(blob2.encode()).hexdigest() == _FRESH23_MD5
+    assert len(HOLDOUT_FRESH23) == 23
+    assert all(len(ss) == 10 for ss in HOLDOUT_FRESH23.values())
 
 
 def test_overall_accuracy_floor():
     rep = _report()
-    assert rep["n"] == 1150
-    # measured 0.9704 at freeze; floor allows ~2 points of retrain
-    # headroom, still far above the pre-classifier heuristic
-    assert rep["accuracy"] >= 0.95, rep["accuracy"]
+    assert rep["n"] == 1900
+    # measured 0.9653 at the round-12 freeze (38 languages); floor
+    # allows retrain headroom, still far above the heuristic
+    assert rep["accuracy"] >= 0.94, rep["accuracy"]
 
 
 def test_script_distinct_languages_near_perfect():
@@ -66,12 +84,24 @@ def test_script_distinct_languages_near_perfect():
 
 def test_every_language_recall_floor():
     """VERDICT r11 ask #3: >=90% per script-distinct language was the
-    stated bar; the frozen holdout measures every language >= 0.84
-    (pt, the worst, loses 6/50 to it). Pin 0.80 everywhere so a
-    retrain that silently collapses one confusable language fails."""
+    stated bar; the round-12 38-language freeze measures every
+    language >= 0.82 (da, the worst, loses 9/50 to sv — the Nordic
+    trap accepted with the breadth expansion). Pin 0.78 everywhere so
+    a retrain that silently collapses one confusable language
+    fails."""
     rep = _report()
     for lg, d in rep["per_lang"].items():
-        assert d["recall"] >= 0.80, (lg, d)
+        assert d["recall"] >= 0.78, (lg, d)
+
+
+def test_blind_fresh23_slice():
+    """The never-consulted blind slice (authored after every holdout
+    consultation; new domains): measured 0.9565 at freeze — the
+    untainted generalization figure for the original languages."""
+    rep = evaluate_fresh23()
+    assert rep["n"] == 230
+    assert rep["accuracy"] >= 0.92, rep
+
 
 
 def test_confusions_stay_in_known_families():
