@@ -3892,7 +3892,7 @@ def _gate_multilingual_text(max_chars: int):
 
 
 def q_lang_clf(spark, sf_dir):
-    """Shipped 23-language classifier over the derived multilingual
+    """Shipped 38-language classifier over the derived multilingual
     stream. Dyadic-quantized weights make every margin exact, so the
     DuckDB replay (same offset-binary hex table, substring-indexed)
     is bit-identical — the quality_margin trick, multiclass.

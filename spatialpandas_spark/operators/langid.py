@@ -22,8 +22,8 @@ Engine discipline — same as the quality classifier
 - training is MLlib multinomial ``LogisticRegression`` over sparse
   count vectors — one small job over a LABELED set;
 - serving is one Arrow ``mapInPandas`` pass: margins = I + W[:, b].sum
-  per row, weights broadcast by closure (24 classes x 4096 buckets x
-  8 B = 768 KiB). No shuffle, no per-row Python in the bucket path.
+  per row, weights broadcast by closure (39 classes x 4096 buckets x
+  8 B = 1.2 MiB). No shuffle, no per-row Python in the bucket path.
 - the SHIPPED model (``builtin_langid_model``) is the trained model
   QUANTIZED to dyadic rationals k/256: every margin is then an exact,
   summation-order-independent float64, so a SQL engine replays
@@ -813,7 +813,7 @@ def score_langs(
 
 
 def builtin_langid_model() -> dict:
-    """The shipped 23-language dyadic-quantized model (train recipe:
+    """The shipped 38-language dyadic-quantized model (train recipe:
     ``tools/train_langid.py`` — deterministic; weights stored
     offset-binary hex in ``_langid_model.py`` so the DuckDB oracle can
     substring-index the SAME table)."""
