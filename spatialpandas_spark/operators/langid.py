@@ -241,11 +241,11 @@ _VOCAB = {
         내일 어제 여기 거기 모든 많이 조금 새로운 마지막 좋은 물건
         형태 방법 순간 장소 질문 역사 정치 경제 교육 정보 상황 관계
         발전 아이들 학교
-        것은 것이 것을 그리고 그러나 그래서 하지만 있습니다 없습니다
+        것은 것이 그리고 그러나 그래서 하지만 있습니다 없습니다
         합니다 했습니다 됩니다 되었습니다 사람들은 사람들이 우리는
         우리가 저는 제가 당신은 오늘은 지금은 여기에 거기에 시간이
         시간을 집에서 학교에서 회사에서 친구와 친구가 아이들이
-        아이들은 물을 물이 밥을 책을 책이 영화를 음악을 이야기를
+        물을 물이 밥을 책이 영화를 음악을 이야기를
         마음이 마음을 생각이 생각을 말을 말이 눈이 손을 꿈을 꿈이
         밤에 아침에 저녁에 주말에 올해는 작년에 내년에""",
     # ten languages added late round 11 (the framework made this a

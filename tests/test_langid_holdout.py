@@ -8,7 +8,7 @@ the tool's provenance docstring for the honest history: the original
 model) was consulted during the breadth expansion, so the blind
 figures now come from HOLDOUT_FRESH23 (0.9565 at freeze) and the 15
 new languages' sentences (authored post-final-vocab). Round-12 final
-measurement: 0.9653 over all 38 languages / 1900 sentences. The
+measurement: 0.9642 over all 38 languages / 1900 sentences. The
 floors below leave retrain headroom without accepting a regression.
 Pure-python twin of the serving kernel — no Spark session needed."""
 
@@ -69,7 +69,7 @@ def test_corpus_is_frozen():
 def test_overall_accuracy_floor():
     rep = _report()
     assert rep["n"] == 1900
-    # measured 0.9653 at the round-12 freeze (38 languages); floor
+    # measured 0.9642 at the round-12 freeze (38 languages); floor
     # allows retrain headroom, still far above the heuristic
     assert rep["accuracy"] >= 0.94, rep["accuracy"]
 
