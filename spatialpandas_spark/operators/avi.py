@@ -5,11 +5,13 @@ real container walks so far (concatenated-PPM streams, animated GIF)
 cover uncompressed and palette video, but a training pipeline's "video
 column" is overwhelmingly REAL containers. MJPEG-in-AVI is the one
 spec-implementable without new entropy coding: the RIFF/AVI container
-(``'hdrl'``/``'movi'`` lists, ``'00dc'`` chunks) is the same
-chunk-walker family as the WAV reader in ``multimodal.py``, and every
-frame chunk is a standalone baseline JPEG the existing ``jpeg.py``
-decoder already handles. h264/aac stay honestly gated
-(NotImplementedError) — their entropy coders are out of scope.
+(``'hdrl'``/``'movi'`` lists, ``'00dc'``/``'00db'`` chunks) is the
+same chunk-walker family as the WAV reader in ``multimodal.py``, and
+every MJPG frame chunk is a standalone baseline JPEG the existing
+``jpeg.py`` decoder already handles; the uncompressed DIB/BI_RGB
+variant (bottom-up padded BGR rows) needs no codec at all. h264/aac
+stay honestly gated (ValueError) — their entropy coders are out of
+scope.
 
 Reference scope note: spatialpandas has no media surface at all; this
 module is builder-brief "multimodal columns" work, not parity.
@@ -44,6 +46,8 @@ import struct
 
 __all__ = [
     "avi_metadata",
+    "decode_avi_frames",
+    "encode_avi_dib",
     "encode_avi_mjpeg",
     "iter_avi_frames",
     "parse_avi",
@@ -72,7 +76,10 @@ def _iter_chunks(data: bytes, pos: int, end: int):
 
 
 def _parse_strl(data: bytes, start: int, end: int) -> dict:
-    st = {"type": None, "handler": None, "scale": 0, "rate": 0, "length": 0}
+    st = {
+        "type": None, "handler": None, "scale": 0, "rate": 0,
+        "length": 0, "bit_count": 0, "compression": None,
+    }
     for fcc, s, e in _iter_chunks(data, start, end):
         if fcc == b"strh":
             if e - s < 36:
@@ -82,6 +89,10 @@ def _parse_strl(data: bytes, start: int, end: int) -> dict:
             st["scale"] = _u32(data, s + 20)
             st["rate"] = _u32(data, s + 24)
             st["length"] = _u32(data, s + 32)
+        elif fcc == b"strf" and e - s >= 20:
+            # BITMAPINFOHEADER: biBitCount @14 (u16), biCompression @16
+            st["bit_count"] = struct.unpack_from("<H", data, s + 14)[0]
+            st["compression"] = data[s + 16 : s + 20]
     if st["type"] is None:
         raise ValueError("avi: strl without strh")
     return st
@@ -143,10 +154,15 @@ def parse_avi(data: bytes) -> dict:
         for fcc, s, e in _iter_chunks(data, movi_span[0], movi_span[1]):
             if fcc in want:
                 frames.append((s, e))
+    comp = vs.get("compression")
     return {
         **header,
         "fps": fps,
         "handler": (vs["handler"] or b"").decode("latin-1").strip("\x00 "),
+        "bit_count": vs.get("bit_count", 0),
+        "compression": (
+            (comp or b"").decode("latin-1").strip("\x00 ") if comp else None
+        ),
         "frames": frames,
     }
 
@@ -168,6 +184,78 @@ def iter_avi_frames(data: bytes):
         yield data[s:e]
 
 
+def decode_avi_frames(data: bytes):
+    """Yield each video frame as an RGB ``uint8`` array — the
+    decode-side companion of :func:`iter_avi_frames` (which yields raw
+    payload slices). Two codecs, both spec-only:
+
+    - ``MJPG``: every chunk is a standalone baseline JPEG →
+      ``jpeg.decode_jpeg``;
+    - ``DIB`` / BI_RGB (uncompressed): bottom-up 24-bit BGR rows, each
+      padded to a 4-byte boundary — the classic Windows bitmap layout,
+      zero entropy decode.
+
+    Other handlers raise ``ValueError`` (the honest-gating rule)."""
+    import numpy as np
+
+    data = bytes(data)
+    meta = parse_avi(data)
+    w, h = meta["width"], meta["height"]
+    comp = (meta["compression"] or "").upper()
+    handler = (meta["handler"] or "").upper()
+    is_mjpg = comp == "MJPG" or (not comp and handler == "MJPG")
+    is_dib = comp == "" and (handler in ("", "DIB") or meta["bit_count"])
+    if is_mjpg:
+        from spatialpandas_spark.operators.jpeg import decode_jpeg
+
+        for s, e in meta["frames"]:
+            yield decode_jpeg(data[s:e])
+        return
+    if not is_dib:
+        raise ValueError(
+            f"avi: unsupported video codec {comp or handler!r} "
+            "(MJPG and uncompressed DIB are implemented; lossy codecs "
+            "are honestly gated)"
+        )
+    if meta["bit_count"] not in (0, 24):
+        raise ValueError(
+            f"avi: DIB bit depth {meta['bit_count']} unsupported (24)"
+        )
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes, per BMP/DIB
+    for s, e in meta["frames"]:
+        if e - s < stride * h:
+            raise ValueError("avi: DIB frame chunk shorter than stride*h")
+        rows = np.frombuffer(data[s : s + stride * h], dtype=np.uint8)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        yield img[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+
+
+def encode_avi_dib(frames, fps: int = 10) -> bytes:
+    """Assemble an UNCOMPRESSED (BI_RGB) AVI from RGB arrays: '00db'
+    chunks of bottom-up, 4-byte-padded BGR rows — the zero-codec
+    sibling of :func:`encode_avi_mjpeg` (same container, raw pixels)."""
+    import numpy as np
+
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("all frames must be (h, w, 3) uint8")
+    stride = (w * 3 + 3) & ~3
+    payloads = []
+    for a in arrs:
+        bgr = a[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        row = np.zeros((h, stride), dtype=np.uint8)
+        row[:, : w * 3] = bgr.reshape(h, w * 3)
+        payloads.append(row.tobytes())
+    return _assemble_avi(payloads, w, h, fps, handler=b"DIB ",
+                         compression=struct.pack("<I", 0),
+                         chunk_id=b"00db")
+
+
 def encode_avi_mjpeg(
     frames: list[bytes],
     width: int,
@@ -187,7 +275,19 @@ def encode_avi_mjpeg(
     for f in frames:
         if f[:2] != b"\xff\xd8":
             raise ValueError("encode_avi_mjpeg: frame is not a JPEG (SOI)")
+    return _assemble_avi(frames, width, height, fps, handler=b"MJPG",
+                         compression=b"MJPG")
 
+
+def _assemble_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    handler: bytes,
+    compression: bytes,
+    chunk_id: bytes = b"00dc",
+) -> bytes:
     def chunk(fcc: bytes, payload: bytes) -> bytes:
         return fcc + struct.pack("<I", len(payload)) + payload + (
             b"\x00" if len(payload) & 1 else b""
@@ -213,7 +313,7 @@ def encode_avi_mjpeg(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         + struct.pack(
             "<IHHIIIIIIII4H",
             0, 0, 0, 0,          # flags, priority, language, initial
@@ -234,7 +334,7 @@ def encode_avi_mjpeg(
         height,
         1,                      # biPlanes
         24,                     # biBitCount
-        b"MJPG",                # biCompression
+        compression,            # biCompression (fourcc or BI_RGB=0)
         width * height * 3,     # biSizeImage
         0, 0, 0, 0,
     )
@@ -243,13 +343,13 @@ def encode_avi_mjpeg(
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi_chunks = b"".join(chunk(chunk_id, f) for f in frames)
     movi = lst(b"movi", movi_chunks)
     # idx1 offsets are relative to the 'movi' fourcc position + 4
     idx_entries, off = [], 4
     for f in frames:
         idx_entries.append(
-            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            chunk_id + struct.pack("<III", 0x10, off, len(f))
         )
         off += 8 + len(f) + (len(f) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))

@@ -206,3 +206,86 @@ def test_probe_media_metadata_avi_row(spark):
     assert r["sample_rate"] == 6          # fps slot
     assert r["n_channels"] == 1           # stream count slot
     assert r["n_samples"] == 3            # total frames slot
+
+
+# --- uncompressed DIB variant (round 12, second session) --------------
+
+def test_dib_roundtrip_bit_exact():
+    """encode_avi_dib -> decode_avi_frames is bit-exact (no codec in
+    the path), including a width whose 3-byte rows need 4-byte pad."""
+    from spatialpandas_spark.operators.avi import (
+        decode_avi_frames,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(7)
+    # w=5: row = 15 bytes -> padded to 16, exercising the stride path
+    frames = [
+        rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    data = encode_avi_dib(frames, fps=6)
+    meta = avi_metadata(data)
+    assert meta["handler"] == "DIB" and meta["compression"] == ""
+    assert meta["bit_count"] == 24 and meta["total_frames"] == 3
+    got = list(decode_avi_frames(data))
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+
+def test_decode_avi_frames_mjpeg_path():
+    imgs, jpegs = _frames(3)
+    from spatialpandas_spark.operators.avi import decode_avi_frames
+
+    data = encode_avi_mjpeg(jpegs, 8, 8, fps=2)
+    got = list(decode_avi_frames(data))
+    for a, b in zip(imgs, got):
+        assert np.array_equal(a, b)
+
+
+def test_decode_avi_frames_rejects_unknown_codec():
+    """The honest-gating rule: an h264 (or any unknown) fourcc raises
+    with a clear message instead of emitting garbage."""
+    from spatialpandas_spark.operators.avi import decode_avi_frames
+
+    _, jpegs = _frames(1)
+    data = bytearray(encode_avi_mjpeg(jpegs, 8, 8, fps=2))
+    # rewrite both the strh handler and strf biCompression to H264
+    pos = data.index(b"vidsMJPG")
+    data[pos + 4 : pos + 8] = b"H264"
+    strf_comp = data.index(b"MJPG", pos + 8)
+    data[strf_comp : strf_comp + 4] = b"H264"
+    with pytest.raises(ValueError, match="honestly gated"):
+        list(decode_avi_frames(bytes(data)))
+
+
+def test_encode_avi_dib_rejects_bad_input():
+    from spatialpandas_spark.operators.avi import encode_avi_dib
+
+    with pytest.raises(ValueError):
+        encode_avi_dib([], fps=5)
+    with pytest.raises(ValueError):
+        encode_avi_dib([np.zeros((4, 4, 3), np.uint8)], fps=0)
+    with pytest.raises(ValueError):
+        encode_avi_dib(
+            [np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)]
+        )
+
+
+def test_dib_truncated_frame_raises():
+    from spatialpandas_spark.operators.avi import (
+        decode_avi_frames,
+        encode_avi_dib,
+    )
+
+    data = bytearray(
+        encode_avi_dib([np.zeros((4, 4, 3), np.uint8)], fps=5)
+    )
+    # shrink the declared size of the 00db chunk below stride*h
+    pos = data.index(b"00db")
+    import struct as _s
+
+    _s.pack_into("<I", data, pos + 4, 8)
+    with pytest.raises(ValueError, match="shorter than stride"):
+        list(decode_avi_frames(bytes(data)))
