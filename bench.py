@@ -1091,7 +1091,16 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     anchors.append(_time_anchor(spark))
 
-    anchor_sec = round(statistics.median(anchors), 3)
+    # REGIME MATCHING (round-12 lesson, measured): the canonical
+    # baseline's anchor is a FRESH-JVM measurement, and the first
+    # in-suite anchor is the only one in that same cold regime — the
+    # JVM's own warm-up halves the anchor by mid-suite (series
+    # 0.398 -> 0.263.. observed), so normalizing with a warm median
+    # inflated every ratio ~1.5x into false flags. Normalize with
+    # anchors[0]; judge PHASE stability from the post-warm series
+    # alone (anchors[1:]), where real co-tenancy shows up.
+    anchor_sec = anchors[0]
+    warm = anchors[1:] or anchors
     total = round(sum(results.values()), 3)
     out = {
         "metric": "bench_total_median_sec",
@@ -1101,7 +1110,7 @@ def main() -> None:
         "sf": _sf(),
         "anchor_sec": anchor_sec,
         "anchor_series": anchors,
-        "phase_unstable": max(anchors) / min(anchors) > 1.25,
+        "phase_unstable": max(warm) / min(warm) > 1.25,
     }
     if errors:
         out["errors"] = errors
