@@ -271,6 +271,158 @@ REAL_SENTENCES = {
         "Kereta berangkat setiap pagi pukul setengah delapan.",
         "Anak kecil suka bermain di taman setelah sekolah.",
     ],
+    # --- round-12 breadth languages (dev slice — tunable, same rules):
+    # authored with the same travel/news/daily register as the rest
+    "da": [
+        "Vejret var usædvanlig varmt for årstiden.",
+        "Hun åbnede vinduet og kiggede ud på den stille gade.",
+        "Forskere har opdaget en ny frøart i regnskoven.",
+        "Husk venligst at tage dit pas med til lufthavnen.",
+        "Firmaet meldte om rekordoverskud i tredje kvartal.",
+        "Han tilbragte hele eftermiddagen med at læse i haven.",
+        "Toget kører hver morgen klokken halv otte.",
+        "Børnene elsker at lege i parken efter skole.",
+    ],
+    "fi": [
+        "Sää oli epätavallisen lämmin tähän aikaan vuodesta.",
+        "Hän avasi ikkunan ja katseli hiljaista katua.",
+        "Tutkijat löysivät uuden sammakkolajin sademetsästä.",
+        "Muistathan ottaa passin mukaan lentokentälle.",
+        "Yhtiö ilmoitti ennätystuloksesta kolmannella neljänneksellä.",
+        "Hän vietti koko iltapäivän lukien puutarhassa.",
+        "Juna lähtee joka aamu puoli kahdeksalta.",
+        "Lapset leikkivät mielellään puistossa koulun jälkeen.",
+    ],
+    "cs": [
+        "Počasí bylo na tuto roční dobu nezvykle teplé.",
+        "Otevřela okno a dívala se na tichou ulici.",
+        "Vědci objevili v deštném pralese nový druh žáby.",
+        "Nezapomeňte si prosím vzít na letiště pas.",
+        "Firma oznámila rekordní zisk za třetí čtvrtletí.",
+        "Celé odpoledne strávil čtením na zahradě.",
+        "Vlak odjíždí každé ráno v půl osmé.",
+        "Děti si po škole rády hrají v parku.",
+    ],
+    "ro": [
+        "Vremea era neobișnuit de caldă pentru această perioadă.",
+        "A deschis fereastra și a privit strada liniștită.",
+        "Cercetătorii au descoperit o nouă specie de broască în junglă.",
+        "Te rog nu uita să iei pașaportul la aeroport.",
+        "Compania a anunțat profituri record în trimestrul al treilea.",
+        "Și-a petrecut toată după-amiaza citind în grădină.",
+        "Trenul pleacă în fiecare dimineață la șapte și jumătate.",
+        "Copiilor le place să se joace în parc după școală.",
+    ],
+    "hu": [
+        "Az időjárás szokatlanul meleg volt az évszakhoz képest.",
+        "Kinyitotta az ablakot és a csendes utcát nézte.",
+        "A kutatók új békafajt fedeztek fel az esőerdőben.",
+        "Kérlek ne felejtsd el elhozni az útleveled a repülőtérre.",
+        "A cég rekordnyereséget jelentett a harmadik negyedévben.",
+        "Az egész délutánt olvasással töltötte a kertben.",
+        "A vonat minden reggel fél nyolckor indul.",
+        "A gyerekek szeretnek iskola után a parkban játszani.",
+    ],
+    "bg": [
+        "Времето беше необичайно топло за този сезон.",
+        "Тя отвори прозореца и погледна тихата улица.",
+        "Учени откриха нов вид жаба в тропическата гора.",
+        "Моля, не забравяйте да вземете паспорта си за летището.",
+        "Компанията обяви рекордна печалба за третото тримесечие.",
+        "Той прекара целия следобед в четене в градината.",
+        "Влакът тръгва всяка сутрин в седем и половина.",
+        "Децата обичат да играят в парка след училище.",
+    ],
+    "hr": [
+        "Vrijeme je bilo neobično toplo za ovo doba godine.",
+        "Otvorila je prozor i gledala tihu ulicu.",
+        "Znanstvenici su otkrili novu vrstu žabe u prašumi.",
+        "Molim te ne zaboravi ponijeti putovnicu u zračnu luku.",
+        "Tvrtka je objavila rekordnu dobit u trećem tromjesečju.",
+        "Cijelo je poslijepodne proveo čitajući u vrtu.",
+        "Vlak polazi svako jutro u pola osam.",
+        "Djeca se vole igrati u parku poslije škole.",
+    ],
+    "sw": [
+        "Hali ya hewa ilikuwa ya joto isivyo kawaida msimu huu.",
+        "Alifungua dirisha na kutazama barabara tulivu.",
+        "Wanasayansi wamegundua aina mpya ya chura msituni.",
+        "Tafadhali kumbuka kuchukua pasipoti yako uwanja wa ndege.",
+        "Kampuni ilitangaza faida kubwa kupita rekodi robo ya tatu.",
+        "Alitumia mchana mzima akisoma bustanini.",
+        "Treni huondoka kila asubuhi saa moja na nusu.",
+        "Watoto hupenda kucheza bustanini baada ya shule.",
+    ],
+    "ur": [
+        "موسم اس زمانے کے لحاظ سے غیر معمولی گرم تھا۔",
+        "اس نے کھڑکی کھولی اور خاموش گلی کی طرف دیکھا۔",
+        "سائنس دانوں نے برساتی جنگل میں مینڈک کی نئی قسم دریافت کی۔",
+        "براہ کرم ہوائی اڈے کے لیے پاسپورٹ لانا یاد رکھیں۔",
+        "کمپنی نے تیسری سہ ماہی میں ریکارڈ منافع کا اعلان کیا۔",
+        "اس نے پوری دوپہر باغ میں مطالعہ کرتے گزاری۔",
+        "ریل گاڑی ہر صبح ساڑھے سات بجے روانہ ہوتی ہے۔",
+        "بچے اسکول کے بعد پارک میں کھیلنا پسند کرتے ہیں۔",
+    ],
+    "bn": [
+        "এই মৌসুমের তুলনায় আবহাওয়া অস্বাভাবিক গরম ছিল।",
+        "সে জানালা খুলে নিস্তব্ধ রাস্তার দিকে তাকাল।",
+        "বিজ্ঞানীরা বৃষ্টিবনে ব্যাঙের নতুন প্রজাতি আবিষ্কার করেছেন।",
+        "বিমানবন্দরে পাসপোর্ট নিতে ভুলবেন না দয়া করে।",
+        "কোম্পানিটি তৃতীয় প্রান্তিকে রেকর্ড মুনাফার ঘোষণা দিল।",
+        "সে পুরো বিকেল বাগানে বসে বই পড়ে কাটাল।",
+        "ট্রেনটি প্রতিদিন সকাল সাড়ে সাতটায় ছাড়ে।",
+        "বাচ্চারা স্কুলের পরে পার্কে খেলতে ভালোবাসে।",
+    ],
+    "ta": [
+        "இந்தப் பருவத்திற்கு வானிலை அசாதாரணமாக வெப்பமாக இருந்தது.",
+        "அவள் சன்னலைத் திறந்து அமைதியான தெருவைப் பார்த்தாள்.",
+        "மழைக்காட்டில் புதிய தவளை இனத்தை விஞ்ஞானிகள் கண்டுபிடித்தனர்.",
+        "விமான நிலையத்திற்கு கடவுச்சீட்டை எடுக்க மறக்காதீர்கள்.",
+        "மூன்றாம் காலாண்டில் நிறுவனம் சாதனை லாபத்தை அறிவித்தது.",
+        "அவன் மாலை முழுவதும் தோட்டத்தில் படித்துக் கழித்தான்.",
+        "ரயில் தினமும் காலை ஏழரை மணிக்குப் புறப்படும்.",
+        "பள்ளிக்குப் பிறகு பூங்காவில் விளையாட குழந்தைகள் விரும்புகின்றன.",
+    ],
+    "te": [
+        "ఈ కాలానికి వాతావరణం అసాధారణంగా వేడిగా ఉంది.",
+        "ఆమె కిటికీ తెరిచి నిశ్శబ్ద వీధిని చూసింది.",
+        "వర్షారణ్యంలో కొత్త కప్ప జాతిని శాస్త్రవేత్తలు కనుగొన్నారు.",
+        "విమానాశ్రయానికి పాస్‌పోర్ట్ తీసుకురావడం మర్చిపోవద్దు.",
+        "మూడో త్రైమాసికంలో కంపెనీ రికార్డు లాభాలు ప్రకటించింది.",
+        "అతను మధ్యాహ్నమంతా తోటలో చదువుతూ గడిపాడు.",
+        "రైలు ప్రతి ఉదయం ఏడున్నరకు బయలుదేరుతుంది.",
+        "బడి తర్వాత పిల్లలు పార్కులో ఆడుకోవడం ఇష్టపడతారు.",
+    ],
+    "ka": [
+        "ამ სეზონისთვის ამინდი უჩვეულოდ თბილი იყო.",
+        "მან ფანჯარა გააღო და მშვიდ ქუჩას გახედა.",
+        "მეცნიერებმა წვიმის ტყეში ბაყაყის ახალი სახეობა აღმოაჩინეს.",
+        "გთხოვთ არ დაგავიწყდეთ პასპორტის წაღება აეროპორტში.",
+        "კომპანიამ მესამე კვარტალში რეკორდული მოგება გამოაცხადა.",
+        "მან მთელი შუადღე ბაღში კითხვაში გაატარა.",
+        "მატარებელი ყოველ დილით რვის ნახევარზე გადის.",
+        "ბავშვებს სკოლის შემდეგ პარკში თამაში უყვართ.",
+    ],
+    "hy": [
+        "Եղանակը այս սեզոնի համար անսովոր տաք էր.",
+        "Նա բացեց պատուհանը և նայեց հանգիստ փողոցին.",
+        "Գիտնականներն անձրևային անտառում գորտի նոր տեսակ հայտնաբերեցին.",
+        "Խնդրում ենք չմոռանալ անձնագիրը վերցնել օդանավակայան.",
+        "Ընկերությունը երրորդ եռամսյակում ռեկորդային շահույթ հայտարարեց.",
+        "Նա ամբողջ կեսօրը գրքեր կարդալով անցկացրեց այգում.",
+        "Գնացքը ամեն առավոտ մեկնում է յոթ անց կեսին.",
+        "Երեխաները սիրում են դպրոցից հետո խաղալ զբոսայգում.",
+    ],
+    "am": [
+        "የአየር ሁኔታው ለዚህ ወቅት ያልተለመደ ሞቃት ነበር።",
+        "መስኮቱን ከፍታ ጸጥ ያለውን መንገድ ተመለከተች።",
+        "ሳይንቲስቶች በዝናብ ደን ውስጥ አዲስ የእንቁራሪት ዝርያ አገኙ።",
+        "እባክዎ ፓስፖርትዎን ወደ አውሮፕላን ማረፊያ መውሰድ አይርሱ።",
+        "ኩባንያው በሦስተኛው ሩብ ዓመት ሪከርድ ትርፍ አስታወቀ።",
+        "ከሰዓት በኋላውን ሙሉ በአትክልቱ ስፍራ በማንበብ አሳለፈ።",
+        "ባቡሩ በየቀኑ ጠዋት ሰባት ተኩል ላይ ይነሳል።",
+        "ልጆች ከትምህርት ቤት በኋላ በመናፈሻ መጫወት ይወዳሉ።",
+    ],
 }
 
 
