@@ -3394,6 +3394,38 @@ def _avi_gate_hex() -> str:
         ).hex().upper()
     return _AVI_GATE_HEX_CACHE
 
+
+_AVI_FEAT_HEX_CACHE = None
+
+
+def _avi_feat_gate_hexes() -> list:
+    """8 distinct two-frame MJPEG-in-AVI payloads for the
+    ``extract_features`` 'avi' variant (round 13, VERDICT r12 ask #5 —
+    the FULL video-column path, where the probe variant reads headers
+    only): payload k packs jpeg-gate frames k and (k+3)%8, so every
+    container mixes a baseline and/or progressive frame pair with two
+    DIFFERENT constant gray values. The engine side walks the
+    container, slices each frame chunk, entropy-decodes the JPEGs, and
+    pools both frames' pixels; the closed-form oracle is mean
+    (v1+v2)/2, min/max least/greatest, fgt the indicator average —
+    all dyadic, bit-exact through float32."""
+    global _AVI_FEAT_HEX_CACHE
+    if _AVI_FEAT_HEX_CACHE is None:
+        from spatialpandas_spark.operators.avi import encode_avi_mjpeg
+
+        _AVI_FEAT_HEX_CACHE = [
+            encode_avi_mjpeg(
+                [
+                    bytes.fromhex(_JPEG_GATE_HEX[k]),
+                    bytes.fromhex(_JPEG_GATE_HEX[(k + 3) % 8]),
+                ],
+                8, 8, fps=5,
+            ).hex().upper()
+            for k in range(8)
+        ]
+    return _AVI_FEAT_HEX_CACHE
+
+
 _FLAC_GATE_HEX_CACHE = None
 
 
@@ -3676,6 +3708,42 @@ def q_extract_features_flac(spark, sf_dir):
     )
 
 
+def q_extract_features_avi(spark, sf_dir):
+    """Multimodal decode through the REAL VIDEO-COLUMN path (round 13,
+    VERDICT r12 ask #5): 8 two-frame MJPEG-in-AVI containers (see
+    :func:`_avi_feat_gate_hexes`) picked by part key, then container
+    walk -> frame chunk slices -> JPEG entropy decode -> pooled
+    per-channel pixel statistics, all inside one Arrow-batched
+    extract_features stage (operators/avi.py + operators/jpeg.py +
+    operators/multimodal.py _avi_features;
+    tests/test_multimodal_avi.py). Constant frames decode bit-exactly,
+    so the closed-form oracle over the two frame values (v1 =
+    vals[k], v2 = vals[(k+3)%8]) is exact: mean (v1+v2)/2, min/max
+    least/greatest, fgt the >64-indicator average."""
+    from spatialpandas_spark.operators.multimodal import extract_features
+
+    part = _t(spark, sf_dir, "part")
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        _pick_by_key_expr(_avi_feat_gate_hexes(), 8).alias("payload"),
+    )
+    out = extract_features(media, decoder="avi")
+    names = [
+        "mean_r", "mean_g", "mean_b",
+        "min_r", "min_g", "min_b",
+        "max_r", "max_g", "max_b",
+        "fgt_r", "fgt_g", "fgt_b",
+    ]
+    return out.select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), j).cast("double").alias(nm)
+            for j, nm in enumerate(names)
+        ],
+        "decode_ok",
+    )
+
+
 def q_extract_features_media(spark, sf_dir):
     """Merged multimodal gate, tagged union through the same
     extract_features / probe surface:
@@ -3688,6 +3756,10 @@ def q_extract_features_media(spark, sf_dir):
       [operators/png.py — tests/test_multimodal_png.py];
     - 'flac': real COMPRESSED audio decode, magic-sniffed (round 10)
       [operators/flac.py — tests/test_multimodal_flac.py];
+    - 'avi': the FULL video-column path — container walk, frame
+      slices, JPEG entropy decode, pooled frame statistics (round 13)
+      [operators/avi.py + multimodal.py _avi_features —
+      tests/test_multimodal_avi.py];
     The 'jpeg' and 'probe' variants were promoted to the ``media_probe``
     gate in round 7 (densest-union split) so entropy-decoder and
     header-probe regressions localize to their own row."""
@@ -3696,6 +3768,7 @@ def q_extract_features_media(spark, sf_dir):
         .unionByName(_variant(q_extract_features_audio(spark, sf_dir), "audio"))
         .unionByName(_variant(q_extract_features_png(spark, sf_dir), "png"))
         .unionByName(_variant(q_extract_features_flac(spark, sf_dir), "flac"))
+        .unionByName(_variant(q_extract_features_avi(spark, sf_dir), "avi"))
     )
 
 
@@ -3910,6 +3983,31 @@ def q_lang_clf(spark, sf_dir):
     return score_langs(d, m, "text", "lang_clf").select("doc_id", "lang_clf")
 
 
+def q_lang_clf_gap(spark, sf_dir):
+    """Calibrated abstention over the same derived multilingual stream
+    (round 13, VERDICT r12 ask #6): ``min_gap=RECOMMENDED_MIN_GAP``
+    relabels low-top-2-gap rows 'und' — the knob the round-12 holdout
+    calibration shipped (keeps 95.1% of correct predictions, abstains
+    on 73.5% of wrong ones at 0.01). The oracle replays the SAME
+    integer-numerator top-2 gap through the sorted margin list (see
+    :func:`_langid_pred_sql` ``min_gap``). Breadcrumbs:
+    operators/langid.py score_langs min_gap / RECOMMENDED_MIN_GAP
+    (tests/test_langid.py, tools/eval_langid_holdout.py)."""
+    from spatialpandas_spark.operators.langid import (
+        RECOMMENDED_MIN_GAP,
+        builtin_langid_model,
+        score_langs,
+    )
+
+    m = builtin_langid_model()
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _gate_multilingual_text(m["max_chars"]).alias("text")
+    )
+    return score_langs(
+        d, m, "text", "lang_gap", min_gap=RECOMMENDED_MIN_GAP
+    ).select("doc_id", "lang_gap")
+
+
 def q_lang_segments(spark, sf_dir):
     """Per-SEGMENT classification (round 12, VERDICT r11 ask #4): each
     document becomes a two-segment page — its latin text plus a
@@ -3959,6 +4057,9 @@ def q_text_signals(spark, sf_dir):
     two-script page) + quality score per document.
     Breadcrumbs: lang_id -> operators/text.py lang_id;
     lang_clf -> operators/langid.py (tests/test_langid.py);
+    lang_gap -> operators/langid.py score_langs
+    min_gap=RECOMMENDED_MIN_GAP (round 13 — calibrated abstention,
+    tests/test_langid.py);
     lang_seg0/lang_seg1 -> operators/langid.py
     classify_language_segments (tests/test_langid.py);
     quality_score -> operators/text.py quality_score
@@ -3967,6 +4068,7 @@ def q_text_signals(spark, sf_dir):
         q_lang_id(spark, sf_dir)
         .join(q_quality_score(spark, sf_dir), "doc_id")
         .join(q_lang_clf(spark, sf_dir), "doc_id")
+        .join(q_lang_clf_gap(spark, sf_dir), "doc_id")
         .join(q_lang_segments(spark, sf_dir), "doc_id")
     )
 
@@ -4519,7 +4621,9 @@ FROM q LEFT JOIN s USING (doc_id)
 """
 
 
-def _langid_pred_sql(src_sql: str, pred_col: str) -> str:
+def _langid_pred_sql(
+    src_sql: str, pred_col: str, min_gap: float | None = None
+) -> str:
     """SQL replay of the shipped language-ID classifier over an
     arbitrary keyed text source: ``src_sql`` must yield ``(gid, t)``
     (one row per unit to classify — whole docs for ``lang_clf``,
@@ -4528,7 +4632,18 @@ def _langid_pred_sql(src_sql: str, pred_col: str) -> str:
     lookup by substring-indexing the SAME offset-binary hex rows the
     model module ships, INTEGER numerator margins (exact — no floats
     anywhere), and the ordered-CASE first-max tie-break mirroring
-    np.argmax. Returns SQL yielding ``(gid, {pred_col})``."""
+    np.argmax. Returns SQL yielding ``(gid, {pred_col})``.
+
+    With ``min_gap`` (round 13, VERDICT r12 ask #6): replays the
+    calibrated abstention of ``score_langs(min_gap=...)`` — the
+    per-feature top-2 gap ``(best - second) / n_grams``. The engine's
+    float64 pipeline is exact-dyadic up to the final division
+    ((n1 - n2)/DENOM is representable; / n_grams is one IEEE-rounded
+    divide), so the SQL mirror — BIGINT numerators, ``/ DENOM``,
+    ``/ nb``, both true-division DOUBLE — is bit-identical; the
+    runner-up is the sorted margin list's second element, which
+    reproduces ``np.partition``'s tie semantics (a tied max ⇒ gap 0 ⇒
+    abstain)."""
     from spatialpandas_spark.operators import _langid_model as M
 
     langs = M.CLASSES
@@ -4543,6 +4658,18 @@ def _langid_pred_sql(src_sql: str, pred_col: str) -> str:
     )
     gm = "GREATEST(" + ", ".join(f"m_{c}" for c in langs) + ")"
     case = " ".join(f"WHEN m_{c} = gm THEN '{c}'" for c in langs)
+    pred_expr = f"CASE {case} END"
+    inner_cols = "*"
+    if min_gap is not None:
+        mlist = "[" + ", ".join(f"m_{c}" for c in langs) + "]"
+        inner_cols = (
+            f"*, list_sort({mlist})[{len(langs) - 1}] AS sec"
+        )
+        pred_expr = (
+            f"CASE WHEN (gm - sec) / {M.DENOM} / nb "
+            f">= CAST({min_gap!r} AS DOUBLE) "
+            f"THEN ({pred_expr}) ELSE 'und' END"
+        )
     return f"""
 WITH lsrc AS ({src_sql}),
 lg AS (
@@ -4561,6 +4688,7 @@ lg AS (
 ),
 ls AS (
   SELECT gid,
+         COUNT(*) AS nb,
          {sums}
   FROM (SELECT gid,
                ('0x' || substr(md5(gram), 1, 15))::BIGINT % {M.N_FEATURES}
@@ -4570,11 +4698,12 @@ ls AS (
 ),
 lm AS (
   SELECT lsrc.gid,
+         GREATEST(COALESCE(nb, 0), 1) AS nb,
          {margins}
   FROM lsrc LEFT JOIN ls USING (gid)
 )
-SELECT gid, CASE {case} END AS {pred_col}
-FROM (SELECT *, {gm} AS gm FROM lm)
+SELECT gid, {pred_expr} AS {pred_col}
+FROM (SELECT {inner_cols}, {gm} AS gm FROM lm)
 """
 
 
@@ -4601,6 +4730,25 @@ def _lang_clf_oracle_sql() -> str:
     return (
         "SELECT gid AS doc_id, lang_clf FROM ("
         + _langid_pred_sql(src, "lang_clf")
+        + ")"
+    )
+
+
+def _lang_clf_gap_oracle_sql() -> str:
+    """The abstention twin of :func:`_lang_clf_oracle_sql`: same
+    stream, same margins, plus the exact top-2-gap replay at
+    ``RECOMMENDED_MIN_GAP`` (round 13, VERDICT r12 ask #6)."""
+    from spatialpandas_spark.operators import _langid_model as M
+    from spatialpandas_spark.operators.langid import RECOMMENDED_MIN_GAP
+
+    base = f"lower(substr(text, 1, {M.MAX_CHARS}))"
+    src = (
+        f"SELECT doc_id AS gid, {_xlit_case_sql(base, 'doc_id % 5')} AS t"
+        " FROM documents"
+    )
+    return (
+        "SELECT gid AS doc_id, lang_gap FROM ("
+        + _langid_pred_sql(src, "lang_gap", min_gap=RECOMMENDED_MIN_GAP)
         + ")"
     )
 
@@ -5175,6 +5323,13 @@ _EVENTS_EDGES_SQL = """SELECT DISTINCT user_id AS src,
                  WHERE json_extract(props, '$.k') IS NOT NULL"""
 
 
+def _jpeg_vals_sql() -> str:
+    """The jpeg-gate constant-gray value table as a DuckDB list
+    literal — shared by the 'jpeg', 'probe', and (keyed through the
+    AVI container) 'avi' oracle blocks."""
+    return "[" + ", ".join(f"{v}.0" for v in _JPEG_GATE_VALUES) + "]"
+
+
 def _jpeg_probe_oracle_sql() -> str:
     """Closed-form oracle blocks for the 'jpeg' and 'probe' variants of
     the media gate. 'jpeg': constant-gray payloads decode to their pixel
@@ -5182,7 +5337,7 @@ def _jpeg_probe_oracle_sql() -> str:
     fields derived from the payload constructions themselves — PPM/PNG
     are 4x4, JPEG 8x8, WAV mono 8-bit 8 kHz 16 samples; byte lengths
     come from the very hex blobs / builders the Spark side embeds."""
-    vals = "[" + ", ".join(f"{v}.0" for v in _JPEG_GATE_VALUES) + "]"
+    vals = _jpeg_vals_sql()
     jpeg_lens = "[" + ", ".join(
         str(len(h) // 2) for h in _JPEG_GATE_HEX
     ) + "]"
@@ -5548,6 +5703,26 @@ def _base_oracle_sql() -> dict[str, str]:
                    0.0 AS fgt_b,
                    'ok' AS decode_ok, 'flac' AS variant
             FROM fl GROUP BY media_id
+            UNION ALL
+            SELECT media_id,
+                   (v1+v2)/2 AS mean_r, (v1+v2)/2 AS mean_g,
+                   (v1+v2)/2 AS mean_b,
+                   LEAST(v1,v2) AS min_r, LEAST(v1,v2) AS min_g,
+                   LEAST(v1,v2) AS min_b,
+                   GREATEST(v1,v2) AS max_r, GREATEST(v1,v2) AS max_g,
+                   GREATEST(v1,v2) AS max_b,
+                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_r,
+                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_g,
+                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_b,
+                   'ok' AS decode_ok, 'avi' AS variant
+            FROM (
+              SELECT p_partkey AS media_id,
+                     ({_jpeg_vals_sql()})[p_partkey % 8 + 1] AS v1,
+                     ({_jpeg_vals_sql()})[(p_partkey + 3) % 8 + 1] AS v2
+              FROM part)
         """,
         "media_probe": _jpeg_probe_oracle_sql(),
         "hilbert_pack": _hilbert_oracle_sql(p=10),
@@ -6379,6 +6554,8 @@ def oracle_sql() -> dict[str, str]:
             + ") jls JOIN ("
             + _lang_clf_oracle_sql()
             + ") jlc USING (doc_id) JOIN ("
+            + _lang_clf_gap_oracle_sql()
+            + ") jlg USING (doc_id) JOIN ("
             + _lang_segments_oracle_sql()
             + ") jlsg USING (doc_id)"
         ),

@@ -79,6 +79,7 @@ def _parse_strl(data: bytes, start: int, end: int) -> dict:
     st = {
         "type": None, "handler": None, "scale": 0, "rate": 0,
         "length": 0, "bit_count": 0, "compression": None,
+        "strf_width": 0, "strf_height": 0,
     }
     for fcc, s, e in _iter_chunks(data, start, end):
         if fcc == b"strh":
@@ -90,7 +91,12 @@ def _parse_strl(data: bytes, start: int, end: int) -> dict:
             st["rate"] = _u32(data, s + 24)
             st["length"] = _u32(data, s + 32)
         elif fcc == b"strf" and e - s >= 20:
-            # BITMAPINFOHEADER: biBitCount @14 (u16), biCompression @16
+            # BITMAPINFOHEADER: biWidth @4 (i32), biHeight @8 (i32;
+            # negative = top-down rows), biBitCount @14 (u16),
+            # biCompression @16 (fourcc / BI_RGB=0)
+            st["strf_width"], st["strf_height"] = struct.unpack_from(
+                "<ii", data, s + 4
+            )
             st["bit_count"] = struct.unpack_from("<H", data, s + 14)[0]
             st["compression"] = data[s + 16 : s + 20]
     if st["type"] is None:
@@ -155,9 +161,30 @@ def parse_avi(data: bytes) -> dict:
             if fcc in want:
                 frames.append((s, e))
     comp = vs.get("compression")
+    # avih dims are advisory in real files; the strf BITMAPINFOHEADER
+    # is authoritative for the video stream. Cross-check: use strf as
+    # the fallback when avih says 0x0, and flag negative biHeight
+    # (top-down row order) so the DIB decoder doesn't flip it.
+    top_down = vs["strf_height"] < 0
+    strf_h = abs(vs["strf_height"])
+    if header["width"] == 0 and vs["strf_width"] > 0:
+        header["width"] = vs["strf_width"]
+    if header["height"] == 0 and strf_h > 0:
+        header["height"] = strf_h
+    if (
+        vs["strf_width"] > 0
+        and strf_h > 0
+        and (header["width"], header["height"])
+        != (vs["strf_width"], strf_h)
+    ):
+        raise ValueError(
+            f"avi: avih dims {header['width']}x{header['height']} "
+            f"disagree with strf {vs['strf_width']}x{strf_h}"
+        )
     return {
         **header,
         "fps": fps,
+        "top_down": top_down,
         "handler": (vs["handler"] or b"").decode("latin-1").strip("\x00 "),
         "bit_count": vs.get("bit_count", 0),
         "compression": (
@@ -227,7 +254,10 @@ def decode_avi_frames(data: bytes):
             raise ValueError("avi: DIB frame chunk shorter than stride*h")
         rows = np.frombuffer(data[s : s + stride * h], dtype=np.uint8)
         img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        yield img[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+        if meta["top_down"]:  # negative strf biHeight: rows already
+            yield img[:, :, ::-1].copy()  # top-down; BGR -> RGB only
+        else:
+            yield img[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down
 
 
 def encode_avi_dib(frames, fps: int = 10) -> bytes:
@@ -271,6 +301,8 @@ def encode_avi_mjpeg(
         raise ValueError("fps must be positive")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
+    if not frames:
+        raise ValueError("need at least one frame")
     frames = [bytes(f) for f in frames]
     for f in frames:
         if f[:2] != b"\xff\xd8":

@@ -179,7 +179,10 @@ def _read_bloom(spark: SparkSession, base: str, m: int):
     import numpy as np
 
     words = np.zeros(m // 64, dtype=np.uint64)
-    covered = 0
+    # per-word coverage mask, not a length sum: a duplicated chunk row
+    # (e.g. old + new epoch both visible mid-swap) must not mask a
+    # missing range elsewhere — overlap and undersize are both tears.
+    seen = np.zeros(len(words), dtype=bool)
     for r in spark.read.parquet(base).collect():
         a = np.frombuffer(r["bm"], dtype=np.uint64)
         if r["cid"] + len(a) > len(words):
@@ -188,14 +191,22 @@ def _read_bloom(spark: SparkSession, base: str, m: int):
                 f"sidecar says m={m} ({len(words)} words) — torn "
                 "sidecar/bloom snapshot (rebuild in progress?); retry"
             )
+        span = seen[r["cid"] : r["cid"] + len(a)]
+        if span.any():
+            raise ConcurrentRebuildError(
+                f"bloom at {base} has overlapping chunk rows at word "
+                f"{r['cid']} — duplicate/mixed-epoch chunks (rebuild in "
+                "progress?); retry"
+            )
+        span[:] = True
         words[r["cid"] : r["cid"] + len(a)] |= a
-        covered += len(a)
-    if covered != len(words):
+    if not seen.all():
         # an undersized bloom is the DANGEROUS tear: missing words read
         # as all-zero bits = 'definitely absent' = silent false
         # negatives in every downstream screen. Fail fast instead.
         raise ConcurrentRebuildError(
-            f"bloom at {base} covers {covered} words, sidecar expects "
+            f"bloom at {base} covers {int(seen.sum())} words, sidecar "
+            f"expects "
             f"{len(words)} — torn sidecar/bloom snapshot (rebuild in "
             "progress?); retry"
         )

@@ -337,6 +337,25 @@ def _bmp_features(payload: bytes | None) -> np.ndarray:
     return _pixel_features_rgb(_decode_bmp_payload(payload))
 
 
+def _avi_features(payload: bytes | None) -> np.ndarray:
+    """Per-channel pixel statistics over ALL video frames of an
+    MJPEG/DIB AVI container — the FULL video-column path (container
+    walk -> frame slices -> JPEG entropy / raw-DIB decode -> the shared
+    RGB statistics kernel), the decode-side complement of the
+    header-only probe (operators/avi.py, tests/test_multimodal_avi.py).
+    Statistics pool every frame's pixels, so a k-frame video weighs
+    each frame equally (all frames share one geometry per the AVI
+    stream header)."""
+    if payload is None:
+        raise ValueError("null payload")
+    from spatialpandas_spark.operators.avi import decode_avi_frames
+
+    frames = [f.reshape(-1, 3) for f in decode_avi_frames(payload)]
+    if not frames:
+        raise ValueError("avi: container has no video frames")
+    return _pixel_features_rgb(np.concatenate(frames))
+
+
 def _media_features(payload: bytes | None) -> np.ndarray:
     """Full media sniffing: images via :func:`_image_features`, RIFF/WAVE
     audio via the WAV kernel, FLAC audio via the spec decoder — one
@@ -346,6 +365,8 @@ def _media_features(payload: bytes | None) -> np.ndarray:
         raise ValueError("null payload")
     head = bytes(payload[:4])
     if head == b"RIFF":
+        if bytes(payload[8:12]) == b"AVI ":
+            return _avi_features(payload)
         return _wav_features(payload)
     if head == b"fLaC":
         return _flac_features(payload)
@@ -820,6 +841,7 @@ def _flac_features(payload: bytes | None) -> np.ndarray:
 
 _DECODERS["wav"] = _wav_features
 _DECODERS["flac"] = _flac_features
+_DECODERS["avi"] = _avi_features
 
 
 def resample_audio(
@@ -1045,7 +1067,9 @@ def probe_media_metadata(
                                 format="avi",
                                 width=mv["width"],
                                 height=mv["height"],
-                                sample_rate=int(mv["fps"]),
+                                # nearest int: a 30000/1001 stream
+                                # reports 30, not a truncated 29
+                                sample_rate=int(round(mv["fps"])),
                                 n_channels=mv["n_streams"],
                                 n_samples=mv["total_frames"],
                                 probe_ok="ok",

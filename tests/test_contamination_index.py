@@ -420,6 +420,40 @@ def test_torn_bloom_sidecar_raises(spark, docs, bench_a, tmp_path):
     assert ngram_overlap_against_index(docs, path, method="bloom").count() > 0
 
 
+def test_duplicated_bloom_chunk_tear_raises(spark, docs, bench_a, tmp_path):
+    """ADVICE r12: overlapping/duplicate chunk rows must not launder a
+    missing range. Rewrite the bloom as two rows that BOTH start at
+    cid=0 and whose lengths sum to exactly len(words) — a raw
+    length-sum coverage check passes this (the exact silent-false-
+    negative tear), the per-word mask must raise."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.contamination_index import (
+        ConcurrentRebuildError,
+        _read_bloom,
+    )
+
+    path = str(tmp_path / "ix")
+    build_decon_index(bench_a, path, n=3, k=16, group_cols=["benchmark"])
+    p = load_decon_params(path)
+    m = p["bloom"]["m"]
+    words = _read_bloom(spark, f"{path}/bloom", m)
+    w = len(words)
+    assert w >= 2, "fixture bloom too small to split"
+    h = w // 2
+    rows = [
+        (0, bytes(words[:h].tobytes())),
+        (0, bytes(words[: w - h].tobytes())),  # overlaps at cid 0; sum == w
+    ]
+    spark.createDataFrame(rows, "cid long, bm binary").repartition(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/bloom")
+    with pytest.raises(ConcurrentRebuildError, match="overlapping"):
+        _read_bloom(spark, f"{path}/bloom", m)
+    with pytest.raises(ConcurrentRebuildError, match="retry"):
+        ngram_overlap_against_index(docs, path, method="bloom").collect()
+
+
 def test_reader_during_rebuild_consistent_or_fails_fast(
     spark, docs, bench_a, bench_b, tmp_path
 ):
