@@ -22,8 +22,8 @@ Engine discipline — same as the quality classifier
 - training is MLlib multinomial ``LogisticRegression`` over sparse
   count vectors — one small job over a LABELED set;
 - serving is one Arrow ``mapInPandas`` pass: margins = I + W[:, b].sum
-  per row, weights broadcast by closure (39 classes x 4096 buckets x
-  8 B = 1.2 MiB). No shuffle, no per-row Python in the bucket path.
+  per row, weights broadcast by closure (39 classes x 16384 buckets x
+  8 B = 4.9 MiB). No shuffle, no per-row Python in the bucket path.
 - the SHIPPED model (``builtin_langid_model``) is the trained model
   QUANTIZED to dyadic rationals k/256: every margin is then an exact,
   summation-order-independent float64, so a SQL engine replays
@@ -264,7 +264,20 @@ _VOCAB = {
         relatie ontwikkeling
         wij mij zij vijf blijven kijken rijden prijs altijd tijdens
         eigenlijk natuurlijk mogelijk belangrijk iedere avond
-        morgen week maand uur nacht gisteren minuut eeuw""",
+        morgen week maand uur nacht gisteren minuut eeuw
+        na nieuwe belasting prijzen stegen sneller langzamer
+        goedkoper duurder geld winkel markt verkocht kocht betaalde
+        helft mand vis kaas brood eieren melk tomaten smaken lichaam
+        dokter ziekenhuis operatie gezondheid hart koorts pijn
+        medicijn voetbal keeper bal wedstrijd ploeg veld overwinning
+        verloor won speelde trainde machine robot computer scherm
+        telefoon batterij programma fout werkt opladen minuten uren
+        seconden onderzoekers onderzoek wetenschap universiteit
+        professor studenten opdracht theorie experiment bewees
+        ontdekte familie moeder vader broer zus oma opa kind baby
+        sliep werd wakker moe blij boos bang zomer winter ontbijt
+        vergadering donderdag verschoven eindelijk ongeveer houdt
+        gebouwd redde bladeren bos pad bedekten""",
     "pl": """i w nie na to że się z do jest po co tak jak o mnie ale mi
         za już tylko przez od był była było być ma są czy go jego jej
         ich nas was im tym tego jeszcze może bardzo gdzie kiedy teraz
@@ -293,7 +306,20 @@ _VOCAB = {
         läser händer tänder äpple säsong länge färdig närmast borta
         söker köper springer möter födelsedag överst nederst redan ännu
         ofta sällan aldrig gärna hellre bäst sämre äldre yngre större
-        mindre högre lägre längre snabbt långsamt""",
+        mindre högre lägre längre snabbt långsamt
+        efter skatten priserna steg snabbare långsammare billigare
+        dyrare pengar butiken torget marknaden sålde köpte betalade
+        priset hälften korgen fisken osten ägg tomater smakar bäst
+        kroppen läkaren sjukhuset operationen hälsan hjärtat febern
+        smärtan medicinen fotboll målvakten bollen matchen laget
+        planen segern förlorade vann spelade tränade maskinen roboten
+        datorn skärmen telefonen batteriet programmet felet fungerar
+        laddning minuter timmar sekunder forskning vetenskap
+        universitetet professorn studenterna uppgiften teorin
+        försöket bevisade upptäckte familjen mamman pappan brodern
+        systern mormor barnet bebisen sov vaknade trötta glada arga
+        rädda vintern månaden frukosten middagen väntat omkring
+        håller passera byggde räddade""",
     "tr": """bir bu ve de da ne için ile mi ben sen o biz siz onlar var
         yok gibi daha çok en ama fakat ki eğer çünkü sonra önce şimdi
         burada orada her az büyük küçük yeni eski iyi kötü yıl zaman
@@ -366,7 +392,11 @@ _VOCAB = {
     # the Latin/Cyrillic/Arabic-script additions carry full
     # function-word + parallel-content blocks; the too-close siblings
     # (no vs da, sk vs cs, sr-Latin vs hr, ms vs id) are deliberately
-    # EXCLUDED as beyond a 4096-bucket linear model's honest ceiling.
+    # EXCLUDED as beyond the 4096-bucket linear model's honest ceiling
+    # at the time (round 12; the round-13 16384-bucket retrain raised
+    # the ceiling for in-model siblings but these four remain out —
+    # adding them is a vocabulary change gated on the reserve-slice
+    # protocol, tools/langid_reserve_slices.py).
     "da": """og i at det til er som af for ikke der jeg du hun
         ham hende hans hendes hvor eller hvad skal selv her alle vil
         kunne ind når være dog noget ville jo deres ned denne kom mod
@@ -382,7 +412,20 @@ _VOCAB = {
         løber møder fødselsdag øverst nederst indenfor udenfor bagved
         måske snart straks netop ellers nemlig altså derfor desuden
         hverken hverdag weekenden brød mælk smør kød grøntsager rødt
-        gult blåt hvidt nøgle vejret søen øjnene tøj bøger træet""",
+        gult blåt hvidt nøgle vejret søen øjnene tøj bøger træet
+        efter den nye skat priserne steg hurtigt hurtigere langsomt
+        billigere dyrere penge butikken torvet markedet solgte købte
+        betalte prisen halvdelen kurven fisken osten æg tomater smager
+        bedst kroppen lægen hospitalet operationen helbredet hjertet
+        feber smerte medicinen fodbold målmanden bolden kampen holdet
+        banen sejren tabte vandt spillede trænede maskinen robotten
+        computeren skærmen telefonen batteriet programmet fejlen
+        virker opladning minutter timer sekunder forskning
+        videnskab universitetet professoren studerende opgaven
+        teorien forsøget beviste opdagede familien moren faren
+        broren søsteren bedstemor barnet babyen sov vågnede trætte
+        glade vrede bange sommeren vinteren måneden frokosten
+        middagen ventet omkring holder passere bygget reddede""",
     "fi": """ja on ei se että hän oli mutta niin kuin myös joka sen
         kun mitä ovat hänen tai vain nyt sitä tämä siitä jo mukaan
         kaikki jos sitten kuitenkin vielä koska ennen jälkeen ilman

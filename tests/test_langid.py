@@ -147,7 +147,11 @@ def test_classify_language_on_documents(spark):
     out = classify_language(docs, "text", "lang_pred").collect()
     assert len(out) == 50
     assert all(r["lang_pred"] in LANGS for r in out)
-    latin = {"de", "en", "es", "fr", "it", "pt"}
+    # any latin-SCRIPT class counts: the salad is not a real language,
+    # the property under test is script-level sanity (r13: the da/sv/nl
+    # vocabulary broadening moved some salad rows en -> sv/da)
+    latin = {"de", "en", "es", "fr", "it", "pt", "nl", "sv", "da",
+             "pl", "cs", "ro", "hu", "hr", "fi", "tr", "id", "vi", "sw"}
     frac = sum(r["lang_pred"] in latin for r in out) / len(out)
     assert frac >= 0.9, frac
 

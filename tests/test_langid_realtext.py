@@ -76,6 +76,13 @@ def test_real_text_no_und_leak():
 #: (n'oubliez, anunciou, estava, mañana/manhã, dell'anno, l'année)
 #: were removed from the vocab instead of allowlisted.
 _ALLOWED_OVERLAP = {
+    # r13 da/sv/nl broadening (tools/langid_bucket_sweep.py error
+    # analysis ran against the 1900-sentence holdout, NOT this dev
+    # set): 'na'/'nieuwe' are top-50 Dutch function/adjective words in
+    # the generic everyday block — same class as de 'neue' below
+    "nl": {"na", "nieuwe"},
+    "sv": {"efter"},  # r13, top-20 function word in the generic block
+    "da": {"den", "efter"},  # r13, top-10 function words ditto
     "de": {"kinder", "neue"},
     "fr": {"enfants", "temps", "votre", "était"},
     "es": {"año", "llevar", "niños", "tiempo"},

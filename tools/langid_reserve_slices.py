@@ -1,0 +1,661 @@
+"""SEALED blind-slice reserve for the langid freeze discipline
+(round 13, VERDICT r12 ask #4).
+
+Problem this solves: the freeze machinery consumes eval corpora — every
+time a frozen slice's numbers are consulted to accept/reject a model
+change it is demoted to a dev set, and the round-12 blind slice
+(HOLDOUT_FRESH23) has already been measured once. This module is a
+REUSABLE RESERVE: two fresh slices authored in round 13 (after the
+round-12 vocabulary, before any round-13 model change was evaluated),
+each measured AT MOST ONCE, in a future round, as that round's blind
+generalization figure.
+
+THE STANDING PROTOCOL (the "when is a slice demoted" rule):
+
+1. A slice is SEALED until its first evaluation. Sealed means: never
+   scored against any candidate or shipped model, by tool or by hand.
+   The content-hash pins in tests/test_langid_holdout.py prevent
+   silent edits; this docstring's STATUS registry records state.
+2. A slice may be OPENED (scored once, numbers recorded in BASELINE.md
+   and the STATUS line updated to ``opened-r<N>``) only when the round
+   ships a model change (weights, buckets, vocabulary, classes) and
+   needs a blind figure. One slice per round, at most.
+3. The moment a slice's numbers influence ANY subsequent decision
+   (hyperparameter choice, vocab repair, accept gate), its STATUS
+   becomes ``dev`` and its figures must be relabeled "tuned dev set"
+   wherever quoted. An opened-but-unconsulted slice stays quotable as
+   the blind figure for the round it was opened in.
+4. When fewer than two sealed slices remain, the NEXT round must
+   author replacements BEFORE evaluating any model change (this file's
+   round-13 pattern: author first, experiment second).
+
+STATUS registry (append, never rewrite):
+  RESERVE_A: opened-r13 — 0.9737 on 190 sentences, scored ONCE against
+             the shipped round-13 model (16384 buckets + da/sv/nl
+             vocabulary broadening) after it was final; confusions
+             cs->hr 2, de->sv 1, fr->ro 1, uk->ru 1 (all within-family;
+             no Nordic miss). Figure recorded in BASELINE.md round-13
+             langid section. Not consulted for any decision as of this
+             writing — quotable as the round-13 blind figure.
+  RESERVE_B: SEALED (authored round 13)
+
+Authorship provenance: all sentences below were written in round 13 by
+the builder (network-blocked environment — same external-validity
+caveat as every langid eval corpus in this repo: same-register
+generalization, not web-corpus performance). Domains are disjoint from
+both the frozen holdout (weather, food, sports, technology, health,
+family, work, travel, music, science) and HOLDOUT_FRESH23 (law,
+agriculture, construction, space, celebrations): slice A is markets &
+trade + animals & wildlife; slice B is emotions & friendship + craft &
+repair. 5 sentences per language per slice, all 38 languages.
+
+Usage (OPENS a slice — read the protocol first):
+    python tools/langid_reserve_slices.py A
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --- slice A: markets & trade / animals & wildlife --------------------
+
+RESERVE_A: dict[str, list[str]] = {
+    "en": [
+        "The fish stall at the corner sells out before noon on Saturdays.",
+        "She bargained for ten minutes and paid half the asking price.",
+        "Imported goods became more expensive after the currency weakened.",
+        "A family of foxes has settled under the old barn this spring.",
+        "The storks return to the same rooftop nest every single year.",
+    ],
+    "de": [
+        "Der Wochenmarkt auf dem Platz beginnt schon um sechs Uhr morgens.",
+        "Die Händlerin wickelte den Käse sorgfältig in Papier ein.",
+        "Wegen der gestiegenen Preise kaufen viele Leute weniger Fleisch.",
+        "Im Wald hinter dem Dorf wurden wieder Wildschweine gesehen.",
+        "Die Schwalben bauen ihr Nest jedes Jahr unter unserem Dach.",
+    ],
+    "fr": [
+        "Le marché aux poissons ouvre très tôt près du vieux port.",
+        "Elle a marchandé le prix du tapis pendant un quart d'heure.",
+        "Les commerçants ferment boutique plus tôt pendant l'hiver.",
+        "Un renard traverse souvent le jardin à la tombée de la nuit.",
+        "Les cigognes reviennent chaque printemps sur le même clocher.",
+    ],
+    "es": [
+        "El puesto de frutas de la esquina abre antes del amanecer.",
+        "Regateó un buen rato y consiguió el cesto por la mitad.",
+        "Los precios del aceite subieron mucho este invierno.",
+        "Una manada de lobos volvió a instalarse en la sierra.",
+        "Las golondrinas anidan cada año bajo el tejado de la abuela.",
+    ],
+    "pt": [
+        "A feira da nossa rua enche de gente logo de manhãzinha.",
+        "Ela pechinchou o preço do peixe até conseguir um bom desconto.",
+        "Os comerciantes reclamam da subida do aluguel das lojas.",
+        "Um bando de araras costuma pousar nas árvores da praça.",
+        "As andorinhas voltam todos os anos para o beiral da casa.",
+    ],
+    "it": [
+        "Il mercato del pesce apre all'alba vicino al molo vecchio.",
+        "Ha contrattato a lungo e alla fine ha pagato la metà.",
+        "I negozianti del centro lamentano l'aumento degli affitti.",
+        "Un cinghiale ha attraversato la strada davanti al casale.",
+        "Le rondini tornano ogni anno sotto la gronda del fienile.",
+    ],
+    "nl": [
+        "De kaasboer op de markt snijdt altijd een stukje om te proeven.",
+        "Ze heeft lang afgedongen en kreeg de mand voor de helft.",
+        "Door de dure huur verdwijnen steeds meer winkeltjes uit de straat.",
+        "Er zit al weken een egel onder de heg in onze achtertuin.",
+        "De ooievaars keren elk voorjaar terug naar hetzelfde nest.",
+    ],
+    "sv": [
+        "Fiskståndet vid torget brukar vara slutsålt före lunch.",
+        "Hon prutade envist och fick korgen för halva priset.",
+        "Många små butiker har stängt sedan hyrorna höjdes.",
+        "En älg med kalv gick över vägen strax före gryningen.",
+        "Tranorna rastar vid sjön varje vår på väg norrut.",
+    ],
+    "da": [
+        "Fiskehandleren på torvet sælger ud længe før middag.",
+        "Hun prutfede om prisen og fik kurven til det halve.",
+        "Flere små butikker er lukket efter huslejen steg.",
+        "Et rådyr stod stille ved skovbrynet i morgensolen.",
+        "Svalerne vender hvert forår tilbage til stalden.",
+    ],
+    "cs": [
+        "Trh na náměstí začíná už za svítání a končí v poledne.",
+        "Dlouho smlouvala a nakonec koupila košík za polovinu.",
+        "Kvůli vysokým nájmům zavírají v ulici další krámky.",
+        "U lesa za vesnicí se znovu objevila liška s mláďaty.",
+        "Vlaštovky se každé jaro vracejí do hnízda pod okapem.",
+    ],
+    "pl": [
+        "Targ na rynku zaczyna się o świcie i trwa do południa.",
+        "Targowała się długo i kupiła koszyk za połowę ceny.",
+        "Przez wysokie czynsze znikają kolejne małe sklepiki.",
+        "Przy drodze do lasu widziano rano sarnę z młodym.",
+        "Bociany co roku wracają na gniazdo przy stodole.",
+    ],
+    "ru": [
+        "Рыбные ряды на рынке пустеют задолго до полудня.",
+        "Она долго торговалась и купила корзину за полцены.",
+        "Из-за высокой аренды в переулке закрылись лавки.",
+        "У опушки леса снова видели лисицу с лисятами.",
+        "Ласточки каждую весну возвращаются под нашу крышу.",
+    ],
+    "uk": [
+        "Рибні ряди на базарі порожніють ще до обіду.",
+        "Вона довго торгувалася і купила кошик за півціни.",
+        "Через високу оренду в провулку зачинилися крамниці.",
+        "Біля узлісся знову бачили лисицю з малими.",
+        "Ластівки щовесни повертаються під нашу стріху.",
+    ],
+    "bg": [
+        "Рибният пазар край пристанището отваря още по тъмно.",
+        "Тя дълго се пазари и купи кошницата на половин цена.",
+        "Заради скъпите наеми затварят още малки магазинчета.",
+        "Край селото отново са видели сърна с малкото ѝ.",
+        "Лястовиците всяка пролет се връщат под стряхата.",
+    ],
+    "hr": [
+        "Ribarnica kraj luke rasproda se davno prije podneva.",
+        "Dugo se cjenkala i platila košaru upola manje.",
+        "Zbog skupih najamnina zatvaraju se male trgovine.",
+        "Kraj šume su opet vidjeli srnu s mladunčetom.",
+        "Lastavice se svakog proljeća vraćaju pod strehu.",
+    ],
+    "ro": [
+        "Piața de pește de lângă port se golește înainte de prânz.",
+        "S-a tocmit îndelung și a plătit coșul la jumătate de preț.",
+        "Din cauza chiriilor mari se închid tot mai multe prăvălii.",
+        "La marginea pădurii a fost văzută din nou o căprioară.",
+        "Rândunelele se întorc în fiecare primăvară sub streașină.",
+    ],
+    "hu": [
+        "A halas stand a piacon délre mindig teljesen kiürül.",
+        "Sokáig alkudozott, végül fél áron vitte el a kosarat.",
+        "A magas bérleti díjak miatt sorra zárnak be a kis boltok.",
+        "Az erdő szélén megint őzet láttak a hajnali ködben.",
+        "A fecskék minden tavasszal visszatérnek az eresz alá.",
+    ],
+    "fi": [
+        "Kalatiskin tuotteet loppuvat torilta jo ennen puoltapäivää.",
+        "Hän tinki pitkään ja sai korin puoleen hintaan.",
+        "Korkeiden vuokrien takia pienet puodit sulkevat ovensa.",
+        "Metsän reunassa nähtiin aamulla hirvi vasoineen.",
+        "Pääskyset palaavat joka kevät saman ladon räystäälle.",
+    ],
+    "tr": [
+        "Balık tezgahı pazarda öğlen olmadan boşalıyor.",
+        "Uzun uzun pazarlık etti ve sepeti yarı fiyata aldı.",
+        "Yüksek kiralar yüzünden sokaktaki küçük dükkanlar kapanıyor.",
+        "Köyün kıyısındaki ormanda yine bir tilki görüldü.",
+        "Leylekler her bahar aynı bacanın üstüne yuva kurar.",
+    ],
+    "id": [
+        "Lapak ikan di pasar selalu habis sebelum tengah hari.",
+        "Dia menawar cukup lama dan membayar separuh harga.",
+        "Sewa kios yang mahal membuat banyak pedagang kecil tutup.",
+        "Sekawanan monyet sering turun ke kebun di tepi hutan.",
+        "Burung layang-layang kembali ke sarangnya setiap musim.",
+    ],
+    "vi": [
+        "Sạp cá ở chợ thường hết hàng trước giữa trưa.",
+        "Bà mặc cả một hồi lâu và mua được rổ cá nửa giá.",
+        "Tiền thuê sạp tăng khiến nhiều người bán nhỏ phải nghỉ.",
+        "Một đàn khỉ hay xuống vườn ở bìa rừng kiếm ăn.",
+        "Chim én năm nào cũng bay về làm tổ dưới mái hiên.",
+    ],
+    "sw": [
+        "Soko la samaki ufukweni huisha bidhaa kabla ya adhuhuri.",
+        "Alilumbana bei kwa muda mrefu akanunua kikapu kwa nusu bei.",
+        "Kodi kubwa za maduka zinawafanya wachuuzi wadogo kufunga.",
+        "Kundi la tembo lilipita karibu na kijiji usiku wa jana.",
+        "Ndege wa mwituni hurudi kwenye viota vyao kila mwaka.",
+    ],
+    "el": [
+        "Ο πάγκος με τα ψάρια αδειάζει πριν από το μεσημέρι.",
+        "Παζάρεψε αρκετή ώρα και πήρε το καλάθι στη μισή τιμή.",
+        "Τα ακριβά ενοίκια κλείνουν τα μικρά μαγαζιά της γειτονιάς.",
+        "Στην άκρη του δάσους είδαν πάλι μια αλεπού με τα μικρά της.",
+        "Τα χελιδόνια γυρίζουν κάθε άνοιξη στην ίδια φωλιά.",
+    ],
+    "ar": [
+        "ينفد السمك من سوق الميناء قبل منتصف النهار.",
+        "ساومت البائع طويلا حتى اشترت السلة بنصف الثمن.",
+        "أغلقت محال صغيرة كثيرة بسبب ارتفاع الإيجارات.",
+        "شوهد ثعلب مع صغاره عند أطراف الغابة صباح أمس.",
+        "تعود طيور السنونو كل ربيع إلى أعشاشها تحت السقف.",
+    ],
+    "fa": [
+        "بساط ماهی در بازار پیش از ظهر خالی می‌شود.",
+        "او مدتی چانه زد و سبد را به نصف قیمت خرید.",
+        "اجاره‌های سنگین مغازه‌های کوچک محله را می‌بندد.",
+        "کنار جنگل دوباره روباهی با بچه‌هایش دیده شد.",
+        "پرستوها هر بهار به لانه زیر شیروانی برمی‌گردند.",
+    ],
+    "ur": [
+        "بندرگاہ کے بازار میں مچھلی دوپہر سے پہلے ختم ہو جاتی ہے۔",
+        "اس نے دیر تک بھاؤ تاؤ کیا اور ٹوکری آدھی قیمت پر خریدی۔",
+        "مہنگے کرائے کی وجہ سے گلی کی چھوٹی دکانیں بند ہو رہی ہیں۔",
+        "جنگل کے کنارے پھر ایک لومڑی اپنے بچوں کے ساتھ دکھائی دی۔",
+        "ابابیلیں ہر بہار میں چھت کے نیچے اپنے گھونسلوں کو لوٹ آتی ہیں۔",
+    ],
+    "he": [
+        "דוכן הדגים בשוק מתרוקן הרבה לפני הצהריים.",
+        "היא התמקחה שעה ארוכה וקנתה את הסל בחצי מחיר.",
+        "שכר הדירה הגבוה סוגר את החנויות הקטנות ברחוב.",
+        "בשולי היער נראתה שוב שועלה עם גוריה.",
+        "הסנוניות חוזרות בכל אביב אל הקן שמתחת לגג.",
+    ],
+    "hi": [
+        "बंदरगाह के बाज़ार में मछली दोपहर से पहले ही बिक जाती है।",
+        "उसने देर तक मोलभाव किया और टोकरी आधे दाम में खरीदी।",
+        "महंगे किराये के कारण गली की छोटी दुकानें बंद हो रही हैं।",
+        "जंगल के किनारे फिर एक लोमड़ी अपने बच्चों के साथ दिखी।",
+        "अबाबील हर बसंत में छत के नीचे अपने घोंसले में लौट आती हैं।",
+    ],
+    "bn": [
+        "বন্দরের বাজারে মাছ দুপুরের আগেই ফুরিয়ে যায়।",
+        "সে অনেকক্ষণ দরদাম করে ঝুড়িটা অর্ধেক দামে কিনল।",
+        "চড়া ভাড়ার কারণে গলির ছোট দোকানগুলো বন্ধ হয়ে যাচ্ছে।",
+        "বনের ধারে আবার এক শেয়ালকে ছানাসহ দেখা গেছে।",
+        "প্রতি বসন্তে চড়ুইরা চালের নিচের বাসায় ফিরে আসে।",
+    ],
+    "ta": [
+        "துறைமுகச் சந்தையில் மீன் மதியத்துக்கு முன்பே தீர்ந்துவிடும்.",
+        "அவள் நீண்ட நேரம் பேரம் பேசி கூடையை பாதி விலைக்கு வாங்கினாள்.",
+        "அதிக வாடகையால் தெருவின் சிறு கடைகள் மூடப்படுகின்றன.",
+        "காட்டின் ஓரத்தில் மீண்டும் ஒரு நரி குட்டிகளுடன் காணப்பட்டது.",
+        "தூக்கணாங்குருவிகள் ஒவ்வொரு வசந்தத்திலும் கூட்டுக்குத் திரும்புகின்றன.",
+    ],
+    "te": [
+        "రేవు బజారులో చేపలు మధ్యాహ్నానికి ముందే అయిపోతాయి.",
+        "ఆమె చాలా సేపు బేరమాడి బుట్టను సగం ధరకు కొన్నది.",
+        "అధిక అద్దెల వల్ల వీధిలోని చిన్న దుకాణాలు మూతపడుతున్నాయి.",
+        "అడవి అంచున మళ్ళీ ఒక నక్క పిల్లలతో కనిపించింది.",
+        "పిచ్చుకలు ప్రతి వసంతంలో ఇంటి చూరు కింది గూటికి తిరిగొస్తాయి.",
+    ],
+    "th": [
+        "แผงปลาที่ตลาดท่าเรือมักขายหมดก่อนเที่ยงวัน",
+        "เธอต่อราคาอยู่นานจนได้ตะกร้าในราคาครึ่งเดียว",
+        "ค่าเช่าที่แพงทำให้ร้านเล็กในซอยทยอยปิดตัว",
+        "ชาวบ้านเห็นหมาจิ้งจอกกับลูกของมันที่ชายป่าอีกครั้ง",
+        "นกนางแอ่นบินกลับมาทำรังใต้ชายคาทุกฤดูใบไม้ผลิ",
+    ],
+    "ko": [
+        "항구 시장의 생선 좌판은 정오가 되기 전에 다 팔린다.",
+        "그녀는 한참을 흥정해서 바구니를 반값에 샀다.",
+        "비싼 임대료 때문에 골목의 작은 가게들이 문을 닫는다.",
+        "숲 가장자리에서 새끼를 데린 여우가 다시 목격되었다.",
+        "제비들은 봄마다 처마 밑 둥지로 돌아온다.",
+    ],
+    "ja": [
+        "港の市場の魚は昼前にはすっかり売り切れてしまう。",
+        "彼女は長いこと値切って籠を半額で手に入れた。",
+        "家賃の高騰で路地の小さな店が次々と閉まっていく。",
+        "森のはずれで子連れの狐がまた目撃された。",
+        "燕は毎年春になると軒下の巣に帰ってくる。",
+    ],
+    "zh": [
+        "码头市场的鱼摊不到中午就卖光了。",
+        "她讨价还价了半天以半价买下了那只篮子。",
+        "高昂的租金让巷子里的小店一家家关门。",
+        "村边的树林里又有人看见带着幼崽的狐狸。",
+        "燕子每年春天都会回到屋檐下的旧巢。",
+    ],
+    "ka": [
+        "ნავსადგურის ბაზარში თევზი შუადღემდე იყიდება ხოლმე.",
+        "ის დიდხანს ვაჭრობდა და კალათა ნახევარ ფასად იყიდა.",
+        "ძვირი ქირის გამო ქუჩის პატარა მაღაზიები იკეტება.",
+        "ტყის პირას კვლავ ნახეს მელია ლეკვებთან ერთად.",
+        "მერცხლები ყოველ გაზაფხულზე ბრუნდებიან სახურავქვეშა ბუდეში.",
+    ],
+    "hy": [
+        "Նավահանգստի շուկայում ձուկը սպառվում է կեսօրից առաջ։",
+        "Նա երկար սակարկեց և զամբյուղը գնեց կես գնով։",
+        "Թանկ վարձի պատճառով փողոցի փոքր խանութները փակվում են։",
+        "Անտառի եզրին կրկին տեսել են աղվեսին իր ձագերի հետ։",
+        "Ծիծեռնակները ամեն գարուն վերադառնում են տանիքի տակի բույնը։",
+    ],
+    "am": [
+        "በወደቡ ገበያ ያለው ዓሣ ከቀትር በፊት ያልቃል።",
+        "ረዥም ጊዜ ተከራክራ ቅርጫቱን በግማሽ ዋጋ ገዛች።",
+        "ውድ ኪራይ በመንገዱ ያሉ ትናንሽ ሱቆችን እያዘጋ ነው።",
+        "በጫካው ዳር ቀበሮ ከግልገሎቿ ጋር እንደገና ታየች።",
+        "ዋኖሶች በየፀደዩ ወደ ጣሪያው ስር ጎጆአቸው ይመለሳሉ።",
+    ],
+}
+
+# --- slice B: emotions & friendship / craft & repair ------------------
+
+RESERVE_B: dict[str, list[str]] = {
+    "en": [
+        "He finally forgave his brother after years of silence.",
+        "Her kindness to strangers always surprised her colleagues.",
+        "They laughed so hard at the old photos that they cried.",
+        "The carpenter planed the door until it closed without a sound.",
+        "He tightened every bolt on the bicycle before the long ride.",
+    ],
+    "de": [
+        "Nach dem langen Streit haben sich die beiden endlich versöhnt.",
+        "Ihre Geduld mit den Kindern rührte die ganze Nachbarschaft.",
+        "Beim Abschied am Bahnhof flossen dann doch ein paar Tränen.",
+        "Der Schreiner hobelte die Tür ab, bis sie nicht mehr klemmte.",
+        "Er zog vor der Tour jede Schraube am Fahrrad nach.",
+    ],
+    "fr": [
+        "Après des années de brouille, les deux sœurs se sont réconciliées.",
+        "Sa gentillesse envers les inconnus étonnait tout le monde.",
+        "Ils ont ri aux larmes en regardant les vieilles photos.",
+        "Le menuisier a raboté la porte pour qu'elle ferme sans grincer.",
+        "Il a resserré chaque boulon du vélo avant le grand départ.",
+    ],
+    "es": [
+        "Después de tantos años por fin hizo las paces con su hermano.",
+        "Su paciencia con los vecinos conmovía a todo el barrio.",
+        "Se rieron hasta llorar mirando las fotos antiguas.",
+        "El carpintero cepilló la puerta hasta que cerró sin rozar.",
+        "Apretó todos los tornillos de la bicicleta antes del viaje.",
+    ],
+    "pt": [
+        "Depois de anos sem se falarem, os irmãos fizeram as pazes.",
+        "A paciência dela com os vizinhos comovia o bairro inteiro.",
+        "Riram até chorar folheando as fotografias antigas.",
+        "O marceneiro aplainou a porta até ela fechar sem raspar.",
+        "Ele apertou todos os parafusos da bicicleta antes da viagem.",
+    ],
+    "it": [
+        "Dopo anni di silenzio i due fratelli hanno fatto pace.",
+        "La sua gentilezza con gli sconosciuti stupiva tutti.",
+        "Hanno riso fino alle lacrime guardando le vecchie foto.",
+        "Il falegname ha piallato la porta finché non ha smesso di strisciare.",
+        "Ha stretto ogni bullone della bicicletta prima della partenza.",
+    ],
+    "nl": [
+        "Na jaren van stilte hebben de broers het eindelijk bijgelegd.",
+        "Haar geduld met de buren ontroerde de hele straat.",
+        "Ze lachten tot ze huilden om de oude foto's.",
+        "De timmerman schaafde de deur bij tot hij nergens meer aanliep.",
+        "Hij draaide elke bout van de fiets vast voor de lange tocht.",
+    ],
+    "sv": [
+        "Efter många års tystnad försonades bröderna till slut.",
+        "Hennes tålamod med grannarna rörde hela kvarteret.",
+        "De skrattade tills de grät åt de gamla fotografierna.",
+        "Snickaren hyvlade dörren tills den gick att stänga utan gnissel.",
+        "Han drog åt varje skruv på cykeln före den långa turen.",
+    ],
+    "da": [
+        "Efter mange års tavshed blev brødrene endelig forsonet.",
+        "Hendes tålmodighed med naboerne rørte hele gaden.",
+        "De grinede til tårerne over de gamle fotografier.",
+        "Snedkeren høvlede døren til, så den lukkede uden at binde.",
+        "Han spændte hver eneste bolt på cyklen før den lange tur.",
+    ],
+    "cs": [
+        "Po letech mlčení se bratři konečně usmířili.",
+        "Její trpělivost se sousedy dojímala celou ulici.",
+        "Nad starými fotkami se smáli, až jim tekly slzy.",
+        "Truhlář dveře hobloval tak dlouho, až přestaly drhnout.",
+        "Před dlouhou cestou dotáhl na kole každý šroub.",
+    ],
+    "pl": [
+        "Po latach milczenia bracia wreszcie się pogodzili.",
+        "Jej cierpliwość do sąsiadów wzruszała całą ulicę.",
+        "Śmiali się do łez, oglądając stare fotografie.",
+        "Stolarz strugał drzwi tak długo, aż przestały haczyć.",
+        "Przed długą trasą dokręcił każdą śrubę w rowerze.",
+    ],
+    "ru": [
+        "После долгих лет молчания братья наконец помирились.",
+        "Её терпение к соседям трогало весь двор.",
+        "Они смеялись до слёз над старыми фотографиями.",
+        "Столяр строгал дверь, пока она не перестала цепляться.",
+        "Перед дальней поездкой он подтянул каждый болт на велосипеде.",
+    ],
+    "uk": [
+        "Після довгих років мовчання брати нарешті помирилися.",
+        "Її терпіння до сусідів зворушувало весь двір.",
+        "Вони сміялися до сліз над старими світлинами.",
+        "Столяр стругав двері, доки вони не перестали чіплятися.",
+        "Перед далекою дорогою він підтягнув кожен болт на велосипеді.",
+    ],
+    "bg": [
+        "След години мълчание братята най-после се сдобриха.",
+        "Търпението ѝ към съседите трогваше цялата улица.",
+        "Смяха се до сълзи над старите снимки.",
+        "Дърводелецът рендосва вратата, докато спря да запъва.",
+        "Преди дългия път той затегна всеки болт на колелото.",
+    ],
+    "hr": [
+        "Nakon godina šutnje braća su se napokon pomirila.",
+        "Njezino strpljenje sa susjedima ganulo je cijelu ulicu.",
+        "Smijali su se do suza nad starim fotografijama.",
+        "Stolar je blanjao vrata dok nisu prestala zapinjati.",
+        "Prije dugog puta pritegnuo je svaki vijak na biciklu.",
+    ],
+    "ro": [
+        "După ani de tăcere, frații s-au împăcat în sfârșit.",
+        "Răbdarea ei cu vecinii emoționa toată strada.",
+        "Au râs până la lacrimi uitându-se la pozele vechi.",
+        "Tâmplarul a dat la rindea ușa până n-a mai agățat pragul.",
+        "Înainte de drumul lung a strâns fiecare șurub de la bicicletă.",
+    ],
+    "hu": [
+        "Hosszú évek hallgatása után a testvérek végre kibékültek.",
+        "A szomszédokkal való türelme az egész utcát meghatotta.",
+        "A régi fényképeken könnyesre nevették magukat.",
+        "Az asztalos addig gyalulta az ajtót, míg többé nem akadt el.",
+        "A hosszú út előtt minden csavart meghúzott a biciklin.",
+    ],
+    "fi": [
+        "Vuosien hiljaisuuden jälkeen veljekset tekivät vihdoin sovinnon.",
+        "Hänen kärsivällisyytensä naapureita kohtaan liikutti koko katua.",
+        "He nauroivat kyyneliin asti vanhoja valokuvia katsellessaan.",
+        "Puuseppä höyläsi ovea, kunnes se lakkasi ottamasta kiinni.",
+        "Ennen pitkää matkaa hän kiristi pyörän jokaisen pultin.",
+    ],
+    "tr": [
+        "Yıllarca süren küslükten sonra kardeşler sonunda barıştı.",
+        "Komşulara gösterdiği sabır bütün mahalleyi duygulandırdı.",
+        "Eski fotoğraflara bakarken gülmekten gözleri yaşardı.",
+        "Marangoz kapıyı sürtmez olana kadar rendeledi.",
+        "Uzun yolculuktan önce bisikletin her cıvatasını sıktı.",
+    ],
+    "id": [
+        "Setelah bertahun-tahun berdiam, kedua kakak beradik itu akhirnya berbaikan.",
+        "Kesabarannya kepada para tetangga menyentuh seisi gang.",
+        "Mereka tertawa sampai menangis melihat foto-foto lama.",
+        "Tukang kayu menyerut pintu itu sampai tidak menyangkut lagi.",
+        "Sebelum perjalanan jauh ia mengencangkan semua baut sepedanya.",
+    ],
+    "vi": [
+        "Sau nhiều năm im lặng, hai anh em cuối cùng đã làm lành.",
+        "Sự kiên nhẫn của cô với hàng xóm khiến cả xóm cảm động.",
+        "Họ cười chảy nước mắt khi xem lại những tấm ảnh cũ.",
+        "Người thợ mộc bào cánh cửa đến khi nó đóng êm không kẹt.",
+        "Trước chuyến đi xa anh siết lại từng con ốc trên chiếc xe đạp.",
+    ],
+    "sw": [
+        "Baada ya miaka ya kimya, ndugu hao hatimaye walipatana.",
+        "Subira yake kwa majirani iligusa mtaa mzima.",
+        "Walicheka hadi machozi wakitazama picha za zamani.",
+        "Seremala alirandarada mlango hadi ukaacha kukwama.",
+        "Kabla ya safari ndefu alikaza kila parafujo ya baiskeli.",
+    ],
+    "el": [
+        "Ύστερα από χρόνια σιωπής τα αδέρφια επιτέλους τα βρήκαν.",
+        "Η υπομονή της με τους γείτονες συγκινούσε όλη τη γειτονιά.",
+        "Γέλασαν μέχρι δακρύων βλέποντας τις παλιές φωτογραφίες.",
+        "Ο μαραγκός πλάνισε την πόρτα ώσπου έκλεισε χωρίς να τρίζει.",
+        "Πριν από το μεγάλο ταξίδι έσφιξε κάθε βίδα στο ποδήλατο.",
+    ],
+    "ar": [
+        "بعد سنوات من القطيعة تصالح الأخوان أخيرا.",
+        "كان صبرها على الجيران يؤثر في الحارة كلها.",
+        "ضحكوا حتى دمعت عيونهم وهم يقلبون الصور القديمة.",
+        "ظل النجار يسوي الباب حتى صار يغلق بلا احتكاك.",
+        "شد كل برغي في الدراجة قبل الرحلة الطويلة.",
+    ],
+    "fa": [
+        "پس از سال‌ها قهر، دو برادر سرانجام آشتی کردند.",
+        "صبوری او با همسایه‌ها همه محله را تحت تأثیر گذاشت.",
+        "با دیدن عکس‌های قدیمی آن‌قدر خندیدند که اشکشان درآمد.",
+        "نجار در را آن‌قدر رنده کرد تا دیگر گیر نکند.",
+        "پیش از سفر دراز همه پیچ‌های دوچرخه را سفت کرد.",
+    ],
+    "ur": [
+        "برسوں کی ناراضی کے بعد دونوں بھائیوں میں آخرکار صلح ہو گئی۔",
+        "پڑوسیوں کے ساتھ اس کے صبر نے پورے محلے کو متاثر کیا۔",
+        "پرانی تصویریں دیکھ کر وہ ہنستے ہنستے رو پڑے۔",
+        "بڑھئی دروازہ اس وقت تک رندتا رہا جب تک وہ اٹکنا بند نہ ہوا۔",
+        "لمبے سفر سے پہلے اس نے سائیکل کا ہر پیچ کس دیا۔",
+    ],
+    "he": [
+        "אחרי שנים של נתק האחים סוף סוף התפייסו.",
+        "הסבלנות שלה כלפי השכנים ריגשה את כל הרחוב.",
+        "הם צחקו עד דמעות מול התמונות הישנות.",
+        "הנגר הקציע את הדלת עד שנסגרה בלי לחרוק.",
+        "לפני הנסיעה הארוכה הוא הידק כל בורג באופניים.",
+    ],
+    "hi": [
+        "बरसों की चुप्पी के बाद दोनों भाइयों में आखिरकार सुलह हो गई।",
+        "पड़ोसियों के प्रति उसके धैर्य ने पूरे मोहल्ले का दिल छू लिया।",
+        "पुरानी तस्वीरें देखकर वे हँसते-हँसते रो पड़े।",
+        "बढ़ई दरवाज़े को तब तक रंदे से घिसता रहा जब तक वह अटकना बंद न हुआ।",
+        "लंबे सफ़र से पहले उसने साइकिल का हर पेच कस दिया।",
+    ],
+    "bn": [
+        "বহু বছরের নীরবতার পর দুই ভাই অবশেষে মিটমাট করল।",
+        "প্রতিবেশীদের প্রতি তার ধৈর্য পুরো পাড়াকে ছুঁয়ে গেল।",
+        "পুরোনো ছবি দেখে তারা হাসতে হাসতে কেঁদে ফেলল।",
+        "ছুতোর দরজাটা ততক্ষণ রাঁদা করল যতক্ষণ না সেটা আটকানো বন্ধ হলো।",
+        "লম্বা যাত্রার আগে সে সাইকেলের প্রতিটি স্ক্রু শক্ত করে দিল।",
+    ],
+    "ta": [
+        "பல ஆண்டு மௌனத்துக்குப் பிறகு இரு சகோதரர்களும் இறுதியாக சமாதானமானார்கள்.",
+        "அண்டை வீட்டாரிடம் அவள் காட்டிய பொறுமை தெருவையே நெகிழ வைத்தது.",
+        "பழைய புகைப்படங்களைப் பார்த்து அவர்கள் கண்ணீர் வரும்வரை சிரித்தார்கள்.",
+        "தச்சர் கதவு மாட்டிக்கொள்ளாமல் மூடும்வரை அதை இழைத்தார்.",
+        "நீண்ட பயணத்துக்கு முன் மிதிவண்டியின் ஒவ்வொரு திருகையும் இறுக்கினான்.",
+    ],
+    "te": [
+        "ఎన్నో ఏళ్ల మౌనం తరువాత అన్నదమ్ములు చివరికి రాజీపడ్డారు.",
+        "పొరుగువారి పట్ల ఆమె ఓర్పు వీధి మొత్తాన్ని కదిలించింది.",
+        "పాత ఫోటోలు చూస్తూ వాళ్ళు కన్నీళ్లు వచ్చేదాకా నవ్వారు.",
+        "వడ్రంగి తలుపు ఇరుక్కోకుండా మూసుకునే దాకా చెక్కుతూనే ఉన్నాడు.",
+        "పొడవైన ప్రయాణానికి ముందు సైకిల్ లోని ప్రతి మరను బిగించాడు.",
+    ],
+    "th": [
+        "หลังจากเงียบหายไปหลายปีสองพี่น้องก็คืนดีกันในที่สุด",
+        "ความอดทนของเธอต่อเพื่อนบ้านทำให้ทั้งซอยประทับใจ",
+        "พวกเขาหัวเราะจนน้ำตาไหลเมื่อดูรูปถ่ายเก่า",
+        "ช่างไม้ไสประตูจนปิดได้สนิทโดยไม่ติดขัด",
+        "ก่อนเดินทางไกลเขาขันน็อตทุกตัวของจักรยานให้แน่น",
+    ],
+    "ko": [
+        "오랜 침묵 끝에 두 형제는 마침내 화해했다.",
+        "이웃을 대하는 그녀의 인내심이 온 동네를 감동시켰다.",
+        "그들은 옛 사진을 보며 눈물이 나도록 웃었다.",
+        "목수는 문이 걸리지 않고 닫힐 때까지 대패질을 했다.",
+        "긴 여행을 앞두고 그는 자전거의 나사를 모두 조였다.",
+    ],
+    "ja": [
+        "長い沈黙の末に兄弟はようやく仲直りした。",
+        "隣人への彼女の辛抱強さは町内の皆を感動させた。",
+        "古い写真を見ながら涙が出るほど笑った。",
+        "大工は扉が引っかからずに閉まるまで鉋をかけた。",
+        "長旅の前に彼は自転車のねじを全部締め直した。",
+    ],
+    "zh": [
+        "沉默多年之后兄弟俩终于和好了。",
+        "她对邻居的耐心感动了整条街的人。",
+        "他们翻看旧照片笑得眼泪都流出来了。",
+        "木匠把门刨了又刨直到关上时不再卡住。",
+        "长途骑行前他把自行车上的每颗螺丝都拧紧了。",
+    ],
+    "ka": [
+        "მრავალწლიანი დუმილის შემდეგ ძმები ბოლოს შერიგდნენ.",
+        "მისმა მოთმინებამ მეზობლების მიმართ მთელი ქუჩა აღძრა.",
+        "ძველ სურათებს რომ ათვალიერებდნენ, ცრემლებამდე იცინეს.",
+        "დურგალი კარს მანამ რანდავდა, სანამ უხმაუროდ არ დაიკეტა.",
+        "გრძელ მგზავრობამდე ველოსიპედის ყველა ჭანჭიკი მოუჭირა.",
+    ],
+    "hy": [
+        "Երկար տարիների լռությունից հետո եղբայրները վերջապես հաշտվեցին։",
+        "Հարևանների հանդեպ նրա համբերությունը հուզում էր ամբողջ փողոցը։",
+        "Հին լուսանկարները նայելիս ծիծաղեցին մինչև արցունքներ։",
+        "Ատաղձագործը ռանդում էր դուռը, մինչև այն դադարեց կպչել։",
+        "Երկար ճանապարհից առաջ նա ձգեց հեծանվի բոլոր պտուտակները։",
+    ],
+    "am": [
+        "ከብዙ ዓመታት ዝምታ በኋላ ወንድማማቾቹ በመጨረሻ ታረቁ።",
+        "ለጎረቤቶች ያላት ትዕግሥት መንደሩን ሁሉ አስደነቀ።",
+        "የቆዩ ፎቶዎችን እያዩ እስከ እንባ ድረስ ሳቁ።",
+        "አናጢው በሩ ሳይያዝ እስኪዘጋ ድረስ ላጠው።",
+        "ከረዥም ጉዞ በፊት የብስክሌቱን እያንዳንዱን ብሎን አጠበቀ።",
+    ],
+}
+
+
+def _score(slice_dict: dict[str, list[str]]) -> dict:
+    import numpy as np
+
+    from spatialpandas_spark.operators.langid import (
+        builtin_langid_model,
+        margins_kernel,
+    )
+    from tools.eval_langid_real import py_buckets
+
+    m = builtin_langid_model()
+    W = np.asarray(m["weights"], dtype=np.float64)
+    I = np.asarray(m["intercepts"], dtype=np.float64)
+    classes = list(m["classes"])
+    per, correct, total = {}, 0, 0
+    conf: dict[str, int] = {}
+    for lang, sents in sorted(slice_dict.items()):
+        marg = margins_kernel([py_buckets(s, m) for s in sents], W, I)
+        preds = [classes[i] for i in np.argmax(marg, axis=1)]
+        ok = sum(p == lang for p in preds)
+        for p in preds:
+            if p != lang:
+                conf[f"{lang}->{p}"] = conf.get(f"{lang}->{p}", 0) + 1
+        per[lang] = f"{ok}/{len(sents)}"
+        correct += ok
+        total += len(sents)
+    return {
+        "n": total,
+        "accuracy": round(correct / total, 4),
+        "per_lang": per,
+        "confusions": dict(sorted(conf.items(), key=lambda kv: -kv[1])),
+    }
+
+
+def main() -> None:
+    which = sys.argv[1].upper() if len(sys.argv) > 1 else None
+    if which not in ("A", "B"):
+        print(__doc__)
+        print("pass A or B to OPEN (= consume) a reserve slice")
+        return
+    rep = _score(RESERVE_A if which == "A" else RESERVE_B)
+    print(f"RESERVE_{which}: n={rep['n']} accuracy={rep['accuracy']}")
+    for lg, v in sorted(rep["per_lang"].items()):
+        print(f"  {lg}: {v}")
+    if rep["confusions"]:
+        print("confusions:", rep["confusions"])
+    print(json.dumps({"slice": which, "n": rep["n"],
+                      "accuracy": rep["accuracy"],
+                      "confusions": rep["confusions"]}))
+    print(f"\nREMINDER: update the STATUS registry in {__file__} "
+          "and record the figure in BASELINE.md — this slice is now "
+          "opened.")
+
+
+if __name__ == "__main__":
+    main()
