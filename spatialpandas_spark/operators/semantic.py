@@ -114,7 +114,22 @@ def semantic_dedup_pairs(
         F.col("__id").alias("id_b"),
         F.col("__cv"),
     )
-    cand = left.join(right, "__b").filter(F.col("id_a") < F.col("id_b"))
+    # hint("merge"): the within-cluster self-join must SHUFFLE on the
+    # cluster key, never broadcast. Catalyst's size estimate happily
+    # broadcasts the whole assigned corpus when it squeaks under the
+    # 10 MB threshold (at sf1: 20k x 64 doubles ~ 10 MB) — a plan that
+    # cannot exist at real scale (the build side is the FULL corpus)
+    # and that measured 5-6x SLOWER and bimodal here, because the
+    # fused probe stage inherits the checkpoint's few partitions and
+    # one task carries most of the pair volume (round-13 b25
+    # forensics: broadcast 72.8-101.9 s vs merge 13.5-15.7 s at sf1,
+    # BASELINE.md). The merge join shuffles both sides by __b and AQE
+    # coalesces/splits per partition volume.
+    cand = (
+        left.hint("merge")
+        .join(right, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     sims = pair_cosine_arrow(cand, keep_cols=("id_a", "id_b"))
     return sims.filter(F.col("sim") >= F.lit(threshold))
 

@@ -594,8 +594,15 @@ def embedding_near_dup_pairs(
         ).alias("__bk"),
     )
     l, r = banded.alias("l"), banded.alias("r")
+    # hint("merge"): the banded SELF-join must shuffle on the band key,
+    # never broadcast — Catalyst happily broadcasts the whole banded
+    # corpus when its estimate fits the 10 MB threshold, a plan that
+    # cannot exist at real scale and that measured 5-6x slower on the
+    # sibling semantic-dedup self-join (round-13 b25 forensics,
+    # operators/semantic.py + BASELINE.md)
     cand = (
-        l.join(
+        l.hint("merge")
+        .join(
             r,
             (F.col("l.__bk") == F.col("r.__bk")) & (F.col("l.__id") < F.col("r.__id")),
             "inner",

@@ -366,3 +366,46 @@ def test_langid_scoring_plan_is_shuffle_free(spark):
     plan = physical_plan(score_langs(df, builtin_langid_model()))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_semantic_self_join_shuffles_never_broadcasts(spark):
+    """Round-13 b25 forensics: the within-cluster self-join must
+    shuffle on the cluster key. Catalyst's estimate auto-broadcast the
+    ENTIRE assigned corpus when it fit the 10 MB threshold — a build
+    side that cannot exist at 100 TB, and 5-6x slower + bimodal at sf1
+    (BASELINE.md round 13). The merge hint pins the scale shape."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.semantic import semantic_dedup_pairs
+    from spatialpandas_spark.plans import physical_plan
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = physical_plan(
+        semantic_dedup_pairs(df, n_clusters=4, kmeans_iters=0)
+    )
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_rp_near_dup_self_join_shuffles_never_broadcasts(spark):
+    """Same contract for the RP-banded near-dup self-join (the sibling
+    shape, operators/similarity.py embedding_near_dup_pairs)."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from spatialpandas_spark.plans import physical_plan
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = physical_plan(embedding_near_dup_pairs(df, dim=8))
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]

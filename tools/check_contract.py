@@ -69,9 +69,15 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # multi-file fact tables (tools/make_scale.py round 13) are a
+        # DIRECTORY of part files; the driver's own sf dirs stay single
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})"
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()

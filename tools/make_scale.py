@@ -27,12 +27,28 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
-    def copy(sql: str, name: str) -> None:
-        con.execute(
-            f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT parquet)"
-        )
+    def copy(sql: str, name: str, multi: bool = False) -> None:
+        # Fact tables are written MULTI-FILE (round 13, b11/b5 sf1
+        # forensics): a single ~115 MB parquet file is below Spark's
+        # 128 MB maxPartitionBytes, so every scan of it is ONE task —
+        # the r12 battery's +58%/+62% sjoin "regressions" were this
+        # serialized scan, not a plan shift. Real 100 TB tables are
+        # thousands of files; the rehearsal layout should be too.
+        # Dims stay single-file (tiny, broadcast anyway).
+        if multi:
+            con.execute(
+                f"COPY ({sql}) TO '{out}/{name}.parquet' "
+                f"(FORMAT parquet, FILE_SIZE_BYTES '12MB', "
+                f"OVERWRITE_OR_IGNORE true)"
+            )
+            src_glob = f"'{out}/{name}.parquet/*.parquet'"
+        else:
+            con.execute(
+                f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT parquet)"
+            )
+            src_glob = f"'{out}/{name}.parquet'"
         n = con.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{out}/{name}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet({src_glob})"
         ).fetchone()[0]
         print(f"{name}: {n} rows")
 
@@ -57,6 +73,7 @@ def main() -> None:
         f"SELECT c_custkey + r * {ck} AS c_custkey, "
         f"COLUMNS(* EXCLUDE c_custkey) FROM {t('customer')}, {rep}",
         "customer",
+        multi=True,
     )
     copy(
         f"SELECT o_orderkey + r * {ok} AS o_orderkey, "
@@ -64,26 +81,31 @@ def main() -> None:
         f"COLUMNS(* EXCLUDE (o_orderkey, o_custkey)) "
         f"FROM {t('orders')}, {rep}",
         "orders",
+        multi=True,
     )
     copy(
         f"SELECT l_orderkey + r * {ok} AS l_orderkey, "
         f"COLUMNS(* EXCLUDE l_orderkey) FROM {t('lineitem')}, {rep}",
         "lineitem",
+        multi=True,
     )
     copy(
         f"SELECT doc_id + r * {dk} AS doc_id, "
         f"COLUMNS(* EXCLUDE doc_id) FROM {t('documents')}, {rep}",
         "documents",
+        multi=True,
     )
     copy(
         f"SELECT vec_id + r * {vk} AS vec_id, "
         f"COLUMNS(* EXCLUDE vec_id) FROM {t('embeddings')}, {rep}",
         "embeddings",
+        multi=True,
     )
     copy(
         f"SELECT event_id + r * {ek} AS event_id, "
         f"COLUMNS(* EXCLUDE event_id) FROM {t('events')}, {rep}",
         "events",
+        multi=True,
     )
     print("done:", out)
 
