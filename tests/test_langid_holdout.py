@@ -40,6 +40,7 @@ _FRESH23_MD5 = "9123bdb7acd43f99eb07012aa38ef846"
 #: stops silent edits in BOTH states
 _RESERVE_A_MD5 = "4d1d183780044a3e3eecf590e2c0c0c3"
 _RESERVE_B_MD5 = "d900444a4ef3e0e09d35adc623ca5bac"
+_RESERVE_C_MD5 = "699207e77b1cc6b3a833da036e8306c5"  # 42-language slice
 
 #: languages whose SCRIPT alone separates them from every other class —
 #: a miss here is a kernel/feature failure, not a close-family residual
@@ -75,11 +76,16 @@ def test_reserve_slices_are_sealed():
     """Round-13 reserve discipline (VERDICT r12 ask #4): both reserve
     slices are hash-pinned; opening one is a documented one-shot
     measurement, never an edit."""
-    from tools.langid_reserve_slices import RESERVE_A, RESERVE_B
+    from tools.langid_reserve_slices import (
+        RESERVE_A,
+        RESERVE_B,
+        RESERVE_C,
+    )
 
     for d, want, n_langs in (
         (RESERVE_A, _RESERVE_A_MD5, 38),
         (RESERVE_B, _RESERVE_B_MD5, 38),
+        (RESERVE_C, _RESERVE_C_MD5, 42),
     ):
         blob = "\x00".join(
             f"{lg}\x01" + "\x01".join(ss) for lg, ss in sorted(d.items())

@@ -38,6 +38,11 @@ STATUS registry (append, never rewrite):
              langid section. Not consulted for any decision as of this
              writing — quotable as the round-13 blind figure.
   RESERVE_B: SEALED (authored round 13)
+  RESERVE_C: SEALED (authored round 13, AFTER A was opened and BEFORE
+             the sibling-language expansion was evaluated — rule 4;
+             covers the prospective 42-language set, so it can serve
+             as the blind figure for whichever round ships the
+             no/sk/ms/sr siblings)
 
 Authorship provenance: all sentences below were written in round 13 by
 the builder (network-blocked environment — same external-validity
@@ -604,6 +609,313 @@ RESERVE_B: dict[str, list[str]] = {
 }
 
 
+# --- slice C: sea & boats / games & childhood (round 13, authored
+# BEFORE the sibling-language expansion was evaluated — rule 4: a
+# replacement slice must exist before any model change is scored.
+# Covers the prospective 42-language class set (the 38 shipped + the
+# four sibling candidates no/sk/ms/sr); the four new languages' rows
+# are sealed dev-free material for whichever round ships them. The
+# sibling vocabularies were written AFTER this slice was sealed, from
+# the author's own knowledge and without consulting it. ---------------
+
+RESERVE_C: dict[str, list[str]] = {
+    "en": [
+        "The ferry was delayed because of strong currents in the strait.",
+        "They pulled the nets in at dawn before the wind picked up.",
+        "The lighthouse keeper logged every ship that passed the cape.",
+        "The children played hide and seek behind the old schoolyard wall.",
+        "She taught her little brother to fly a kite on windy afternoons.",
+    ],
+    "de": [
+        "Die Fähre verspätete sich wegen der starken Strömung im Sund.",
+        "Im Morgengrauen zogen die Fischer ihre Netze ein.",
+        "Der Leuchtturmwärter notierte jedes Schiff, das die Landspitze passierte.",
+        "Die Kinder spielten Verstecken hinter der alten Schulhofmauer.",
+        "Sie brachte ihrem kleinen Bruder das Drachensteigen bei.",
+    ],
+    "fr": [
+        "Le bac a pris du retard à cause des forts courants du détroit.",
+        "Les pêcheurs ont remonté leurs filets à l'aube.",
+        "Le gardien du phare notait chaque navire qui doublait le cap.",
+        "Les enfants jouaient à cache-cache derrière le mur de l'école.",
+        "Elle a appris à son petit frère à faire voler un cerf-volant.",
+    ],
+    "es": [
+        "El ferry se retrasó por las fuertes corrientes del estrecho.",
+        "Los pescadores recogieron las redes al amanecer.",
+        "El farero anotaba cada barco que doblaba el cabo.",
+        "Los niños jugaban al escondite detrás del muro de la escuela.",
+        "Le enseñó a su hermanito a volar una cometa en la playa.",
+    ],
+    "pt": [
+        "A balsa atrasou por causa das correntes fortes do estreito.",
+        "Os pescadores recolheram as redes de madrugada.",
+        "O faroleiro anotava cada navio que dobrava o cabo.",
+        "As crianças brincavam de esconde-esconde atrás do muro da escola.",
+        "Ela ensinou o irmãozinho a empinar pipa na praia.",
+    ],
+    "it": [
+        "Il traghetto è in ritardo per le forti correnti dello stretto.",
+        "I pescatori hanno tirato su le reti all'alba.",
+        "Il guardiano del faro annotava ogni nave che doppiava il capo.",
+        "I bambini giocavano a nascondino dietro il muro della scuola.",
+        "Ha insegnato al fratellino a far volare l'aquilone.",
+    ],
+    "nl": [
+        "De veerboot had vertraging door de sterke stroming in de zeestraat.",
+        "De vissers haalden hun netten bij zonsopgang binnen.",
+        "De vuurtorenwachter noteerde elk schip dat de kaap rondde.",
+        "De kinderen speelden verstoppertje achter de schoolmuur.",
+        "Ze leerde haar broertje vliegeren op het strand.",
+    ],
+    "sv": [
+        "Färjan blev försenad av de starka strömmarna i sundet.",
+        "Fiskarna drog upp näten i gryningen.",
+        "Fyrvaktaren antecknade varje fartyg som rundade udden.",
+        "Barnen lekte kurragömma bakom skolgårdens mur.",
+        "Hon lärde sin lillebror att flyga drake på stranden.",
+    ],
+    "da": [
+        "Færgen blev forsinket af de stærke strømme i sundet.",
+        "Fiskerne trak nettene op ved daggry.",
+        "Fyrmesteren noterede hvert skib, der rundede pynten.",
+        "Børnene legede gemmeleg bag skolegårdens mur.",
+        "Hun lærte sin lillebror at flyve med drage på stranden.",
+    ],
+    "no": [
+        "Fergen ble forsinket av de sterke strømmene i sundet.",
+        "Fiskerne trakk opp garnene ved daggry.",
+        "Fyrvokteren noterte hvert skip som rundet neset.",
+        "Barna lekte gjemsel bak skolegårdens mur.",
+        "Hun lærte lillebroren sin å fly drage på stranden.",
+    ],
+    "cs": [
+        "Trajekt měl zpoždění kvůli silným proudům v úžině.",
+        "Rybáři za úsvitu vytáhli sítě.",
+        "Strážce majáku zapisoval každou loď, která obeplula mys.",
+        "Děti si hrály na schovávanou za zdí školního dvora.",
+        "Naučila mladšího bratra pouštět draka na pláži.",
+    ],
+    "sk": [
+        "Trajekt meškal kvôli silným prúdom v úžine.",
+        "Rybári za úsvitu vytiahli siete.",
+        "Strážca majáka zapisoval každú loď, ktorá oboplávala mys.",
+        "Deti sa hrali na schovávačku za múrom školského dvora.",
+        "Naučila mladšieho brata púšťať šarkana na pláži.",
+    ],
+    "pl": [
+        "Prom się spóźnił z powodu silnych prądów w cieśninie.",
+        "Rybacy wyciągnęli sieci o świcie.",
+        "Latarnik zapisywał każdy statek opływający przylądek.",
+        "Dzieci bawiły się w chowanego za murem szkolnego podwórka.",
+        "Nauczyła młodszego brata puszczać latawca na plaży.",
+    ],
+    "ru": [
+        "Паром задержался из-за сильных течений в проливе.",
+        "Рыбаки вытащили сети на рассвете.",
+        "Смотритель маяка записывал каждое судно, огибавшее мыс.",
+        "Дети играли в прятки за стеной школьного двора.",
+        "Она научила младшего брата запускать воздушного змея.",
+    ],
+    "uk": [
+        "Пором запізнився через сильні течії в протоці.",
+        "Рибалки витягли сіті на світанку.",
+        "Доглядач маяка записував кожне судно, що огинало мис.",
+        "Діти гралися в хованки за муром шкільного двору.",
+        "Вона навчила молодшого брата запускати повітряного змія.",
+    ],
+    "bg": [
+        "Фериботът закъсня заради силните течения в протока.",
+        "Рибарите изтеглиха мрежите на разсъмване.",
+        "Пазачът на фара записваше всеки кораб, който заобикаляше носа.",
+        "Децата играеха на криеница зад стената на училищния двор.",
+        "Тя научи малкия си брат да пуска хвърчило на плажа.",
+    ],
+    "hr": [
+        "Trajekt je kasnio zbog jakih struja u tjesnacu.",
+        "Ribari su u zoru izvukli mreže.",
+        "Svjetioničar je bilježio svaki brod koji je obilazio rt.",
+        "Djeca su se igrala skrivača iza zida školskog dvorišta.",
+        "Naučila je mlađeg brata puštati zmaja na plaži.",
+    ],
+    "sr": [
+        "Trajekt je kasnio zbog jakih struja u moreuzu.",
+        "Ribari su u zoru izvukli mreže iz reke.",
+        "Svetioničar je beležio svaki brod koji je obilazio rt.",
+        "Deca su se igrala žmurke iza zida školskog dvorišta.",
+        "Naučila je mlađeg brata da pušta zmaja na plaži.",
+    ],
+    "ro": [
+        "Feribotul a întârziat din cauza curenților puternici din strâmtoare.",
+        "Pescarii au tras năvoadele în zori.",
+        "Paznicul farului nota fiecare vapor care ocolea capul.",
+        "Copiii se jucau de-a v-ați ascunselea după zidul curții școlii.",
+        "Și-a învățat frățiorul să înalțe un zmeu pe plajă.",
+    ],
+    "hu": [
+        "A komp késett a szorosban örvénylő erős áramlatok miatt.",
+        "A halászok hajnalban húzták be a hálókat.",
+        "A világítótorony őre feljegyzett minden hajót, amely megkerülte a fokot.",
+        "A gyerekek bújócskáztak az iskolaudvar fala mögött.",
+        "Megtanította a kisöccsét sárkányt ereszteni a parton.",
+    ],
+    "fi": [
+        "Lautta myöhästyi salmen voimakkaiden virtausten takia.",
+        "Kalastajat nostivat verkot aamunkoitteessa.",
+        "Majakanvartija kirjasi jokaisen niemen ohittaneen aluksen.",
+        "Lapset leikkivät piilosta koulun pihamuurin takana.",
+        "Hän opetti pikkuveljensä lennättämään leijaa rannalla.",
+    ],
+    "tr": [
+        "Feribot boğazdaki güçlü akıntılar yüzünden gecikti.",
+        "Balıkçılar ağları şafakta çekti.",
+        "Deniz feneri bekçisi burnu dönen her gemiyi kaydediyordu.",
+        "Çocuklar okul bahçesinin duvarının arkasında saklambaç oynadı.",
+        "Küçük kardeşine sahilde uçurtma uçurmayı öğretti.",
+    ],
+    "id": [
+        "Feri tertunda karena arus kuat di selat.",
+        "Para nelayan menarik jala saat fajar.",
+        "Penjaga mercusuar mencatat setiap kapal yang melewati tanjung.",
+        "Anak-anak bermain petak umpet di belakang tembok sekolah.",
+        "Dia mengajari adiknya menerbangkan layang-layang di pantai.",
+    ],
+    "ms": [
+        "Feri itu lewat kerana arus deras di selat.",
+        "Para nelayan menarik pukat pada waktu subuh.",
+        "Penjaga rumah api mencatat setiap kapal yang melepasi tanjung.",
+        "Kanak-kanak bermain sorok-sorok di belakang tembok sekolah.",
+        "Dia mengajar adiknya bermain layang-layang di pantai.",
+    ],
+    "vi": [
+        "Chuyến phà bị trễ vì dòng chảy mạnh ở eo biển.",
+        "Ngư dân kéo lưới lên lúc rạng sáng.",
+        "Người gác hải đăng ghi lại từng con tàu vòng qua mũi đất.",
+        "Bọn trẻ chơi trốn tìm sau bức tường sân trường.",
+        "Cô dạy em trai thả diều trên bãi biển.",
+    ],
+    "sw": [
+        "Kivuko kilichelewa kwa sababu ya mikondo mikali ya mlangobahari.",
+        "Wavuvi walivuta nyavu zao alfajiri.",
+        "Mlinzi wa mnara wa taa aliandika kila meli iliyopita rasi.",
+        "Watoto walicheza kujificha nyuma ya ukuta wa shule.",
+        "Alimfundisha mdogo wake kurusha tiara ufukweni.",
+    ],
+    "el": [
+        "Το πλοίο της γραμμής καθυστέρησε λόγω των ισχυρών ρευμάτων του στενού.",
+        "Οι ψαράδες τράβηξαν τα δίχτυα τα χαράματα.",
+        "Ο φαροφύλακας κατέγραφε κάθε καράβι που περνούσε το ακρωτήρι.",
+        "Τα παιδιά έπαιζαν κρυφτό πίσω από τον μαντρότοιχο του σχολείου.",
+        "Έμαθε στον μικρό της αδερφό να πετάει χαρταετό στην παραλία.",
+    ],
+    "ar": [
+        "تأخرت العبارة بسبب التيارات القوية في المضيق.",
+        "سحب الصيادون شباكهم عند الفجر.",
+        "سجل حارس المنارة كل سفينة مرت بالرأس.",
+        "لعب الأطفال الغميضة خلف سور ساحة المدرسة.",
+        "علمت أخاها الصغير إطلاق طائرة ورقية على الشاطئ.",
+    ],
+    "fa": [
+        "کشتی مسافربری به خاطر جریان‌های تند تنگه دیر رسید.",
+        "ماهیگیران هنگام سپیده‌دم تورها را بالا کشیدند.",
+        "نگهبان فانوس دریایی هر کشتی را که از دماغه می‌گذشت ثبت می‌کرد.",
+        "بچه‌ها پشت دیوار حیاط مدرسه قایم‌باشک بازی می‌کردند.",
+        "او به برادر کوچکش یاد داد در ساحل بادبادک هوا کند.",
+    ],
+    "ur": [
+        "آبنائے کی تیز لہروں کی وجہ سے فیری دیر سے پہنچی۔",
+        "مچھیروں نے پو پھٹتے ہی جال کھینچ لیے۔",
+        "لائٹ ہاؤس کے نگران نے راس سے گزرنے والا ہر جہاز درج کیا۔",
+        "بچے اسکول کے صحن کی دیوار کے پیچھے چھپن چھپائی کھیلتے رہے۔",
+        "اس نے اپنے چھوٹے بھائی کو ساحل پر پتنگ اڑانا سکھایا۔",
+    ],
+    "he": [
+        "המעבורת התעכבה בגלל זרמים חזקים במצר.",
+        "הדייגים משכו את הרשתות עם שחר.",
+        "שומר המגדלור רשם כל ספינה שחלפה על פני הכף.",
+        "הילדים שיחקו מחבואים מאחורי חומת חצר בית הספר.",
+        "היא לימדה את אחיה הקטן להעיף עפיפון בחוף.",
+    ],
+    "hi": [
+        "जलडमरूमध्य की तेज़ धाराओं के कारण नौका देर से पहुँची।",
+        "मछुआरों ने भोर होते ही जाल खींच लिए।",
+        "प्रकाशस्तंभ के रखवाले ने अंतरीप से गुज़रने वाला हर जहाज़ दर्ज किया।",
+        "बच्चे स्कूल के आँगन की दीवार के पीछे छुपन-छुपाई खेलते रहे।",
+        "उसने अपने छोटे भाई को समुद्र तट पर पतंग उड़ाना सिखाया।",
+    ],
+    "bn": [
+        "প্রণালীর প্রবল স্রোতের কারণে ফেরিটি দেরি করল।",
+        "জেলেরা ভোরে জাল টেনে তুলল।",
+        "বাতিঘরের রক্ষক অন্তরীপ পেরোনো প্রতিটি জাহাজ লিখে রাখতেন।",
+        "বাচ্চারা স্কুলের উঠোনের দেয়ালের পেছনে লুকোচুরি খেলছিল।",
+        "সে তার ছোট ভাইকে সৈকতে ঘুড়ি ওড়ানো শেখাল।",
+    ],
+    "ta": [
+        "நீரிணையின் கடுமையான நீரோட்டங்களால் படகு தாமதமானது.",
+        "மீனவர்கள் விடியற்காலையில் வலைகளை இழுத்தனர்.",
+        "கலங்கரை விளக்கக் காவலர் முனையைக் கடந்த ஒவ்வொரு கப்பலையும் பதிவு செய்தார்.",
+        "குழந்தைகள் பள்ளி முற்றத்துச் சுவருக்குப் பின்னால் கண்ணாமூச்சி விளையாடினர்.",
+        "அவள் தன் தம்பிக்குக் கடற்கரையில் பட்டம் விடக் கற்றுக்கொடுத்தாள்.",
+    ],
+    "te": [
+        "జలసంధిలో బలమైన ప్రవాహాల వల్ల పడవ ఆలస్యమైంది.",
+        "జాలర్లు తెల్లవారుజామున వలలు లాగారు.",
+        "దీపస్తంభ కాపలాదారు అగ్రం దాటిన ప్రతి ఓడను నమోదు చేసేవాడు.",
+        "పిల్లలు బడి ఆవరణ గోడ వెనుక దాగుడుమూతలు ఆడారు.",
+        "ఆమె తన తమ్ముడికి సముద్రతీరంలో గాలిపటం ఎగరేయడం నేర్పింది.",
+    ],
+    "th": [
+        "เรือข้ามฟากล่าช้าเพราะกระแสน้ำเชี่ยวในช่องแคบ",
+        "ชาวประมงสาวอวนขึ้นตอนรุ่งสาง",
+        "ผู้ดูแลประภาคารจดบันทึกเรือทุกลำที่ผ่านแหลม",
+        "เด็กๆ เล่นซ่อนหาหลังกำแพงสนามโรงเรียน",
+        "เธอสอนน้องชายเล่นว่าวที่ชายหาด",
+    ],
+    "ko": [
+        "해협의 거센 물살 때문에 연락선이 늦어졌다.",
+        "어부들은 동틀 녘에 그물을 끌어올렸다.",
+        "등대지기는 곶을 지나는 배를 일일이 기록했다.",
+        "아이들은 학교 운동장 담장 뒤에서 숨바꼭질을 했다.",
+        "그녀는 남동생에게 바닷가에서 연 날리는 법을 가르쳤다.",
+    ],
+    "ja": [
+        "海峡の強い潮流のせいで連絡船が遅れた。",
+        "漁師たちは夜明けに網を引き上げた。",
+        "灯台守は岬を回るすべての船を記録していた。",
+        "子どもたちは校庭の塀の裏でかくれんぼをした。",
+        "彼女は弟に浜辺で凧の揚げ方を教えた。",
+    ],
+    "zh": [
+        "渡轮因海峡中强劲的水流而误点了。",
+        "渔民们在黎明时分收起了渔网。",
+        "灯塔看守人记录下绕过海角的每一艘船。",
+        "孩子们在学校院墙后面捉迷藏。",
+        "她教弟弟在海滩上放风筝。",
+    ],
+    "ka": [
+        "ბორანი დაგვიანდა სრუტის ძლიერი დინებების გამო.",
+        "მეთევზეებმა გამთენიისას ამოათრიეს ბადეები.",
+        "შუქურის მცველი იწერდა ყველა გემს, რომელიც კონცხს უვლიდა.",
+        "ბავშვები დამალობანას თამაშობდნენ სკოლის ეზოს კედლის უკან.",
+        "მან უმცროს ძმას სანაპიროზე ფრანის გაშვება ასწავლა.",
+    ],
+    "hy": [
+        "Լաստանավը ուշացավ նեղուցի ուժեղ հոսանքների պատճառով։",
+        "Ձկնորսները լուսադեմին դուրս քաշեցին ցանցերը։",
+        "Փարոսի պահակը գրանցում էր հրվանդանը շրջանցող ամեն նավ։",
+        "Երեխաները պահմտոցի էին խաղում դպրոցի բակի պատի հետևում։",
+        "Նա փոքր եղբորը սովորեցրեց օդապարուկ թռցնել ծովափին։",
+    ],
+    "am": [
+        "ጀልባዋ በባህር ወሽመጡ ኃይለኛ ሞገድ ምክንያት ዘገየች።",
+        "ዓሣ አጥማጆቹ ንጋት ላይ መረቦቻቸውን ጎተቱ።",
+        "የመብራት ማማው ጠባቂ ጫፉን የሚያልፈውን እያንዳንዱን መርከብ ይመዘግብ ነበር።",
+        "ልጆቹ ከትምህርት ቤቱ ግቢ ግድግዳ ጀርባ ድብብቆሽ ተጫወቱ።",
+        "ለታናሽ ወንድሟ በባህር ዳርቻ ካይት ማብረር አስተማረችው።",
+    ],
+}
+
+
 def _score(slice_dict: dict[str, list[str]]) -> dict:
     import numpy as np
 
@@ -639,11 +951,17 @@ def _score(slice_dict: dict[str, list[str]]) -> dict:
 
 def main() -> None:
     which = sys.argv[1].upper() if len(sys.argv) > 1 else None
-    if which not in ("A", "B"):
+    if which not in ("A", "B", "C"):
         print(__doc__)
-        print("pass A or B to OPEN (= consume) a reserve slice")
+        print("pass A, B or C to OPEN (= consume) a reserve slice")
         return
-    rep = _score(RESERVE_A if which == "A" else RESERVE_B)
+    slices = {"A": RESERVE_A, "B": RESERVE_B, "C": RESERVE_C}
+    d = slices[which]
+    # a reserve may cover languages the SHIPPED model does not know
+    # yet (C holds the sibling candidates); score only the known ones
+    from spatialpandas_spark.operators.langid import LANGS
+
+    rep = _score({k: v for k, v in d.items() if k in LANGS})
     print(f"RESERVE_{which}: n={rep['n']} accuracy={rep['accuracy']}")
     for lg, v in sorted(rep["per_lang"].items()):
         print(f"  {lg}: {v}")
