@@ -171,20 +171,43 @@ def parse_avi(data: bytes) -> dict:
         header["width"] = vs["strf_width"]
     if header["height"] == 0 and strf_h > 0:
         header["height"] = strf_h
+    dims_warning = None
     if (
         vs["strf_width"] > 0
         and strf_h > 0
         and (header["width"], header["height"])
         != (vs["strf_width"], strf_h)
     ):
-        raise ValueError(
-            f"avi: avih dims {header['width']}x{header['height']} "
-            f"disagree with strf {vs['strf_width']}x{strf_h}"
+        comp_fcc = (comp or b"").strip(b"\x00 ").upper()
+        mb_aligned = (
+            0 <= vs["strf_width"] - header["width"] < 16
+            and 0 <= strf_h - header["height"] < 16
+            and vs["strf_width"] % 16 == 0
+            and strf_h % 16 == 0
         )
+        if comp_fcc == b"MJPG" and mb_aligned:
+            # ADVICE r13: real-world MJPEG encoders write macroblock-
+            # aligned (rounded-up-to-16) strf dims; avih carries the
+            # display size. The JPEG payloads are self-describing, so
+            # keep avih as the display dims and record the coded dims
+            # as a warning field instead of rejecting the file.
+            dims_warning = (
+                f"strf coded dims {vs['strf_width']}x{strf_h} are "
+                f"macroblock-aligned over avih display dims "
+                f"{header['width']}x{header['height']}"
+            )
+        else:
+            # for DIB the strf dims drive the row stride — a genuine
+            # disagreement means we cannot decode the pixels safely
+            raise ValueError(
+                f"avi: avih dims {header['width']}x{header['height']} "
+                f"disagree with strf {vs['strf_width']}x{strf_h}"
+            )
     return {
         **header,
         "fps": fps,
         "top_down": top_down,
+        "dims_warning": dims_warning,
         "handler": (vs["handler"] or b"").decode("latin-1").strip("\x00 "),
         "bit_count": vs.get("bit_count", 0),
         "compression": (

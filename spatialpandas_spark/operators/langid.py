@@ -615,7 +615,7 @@ _VOCAB = {
         reddet ny nytt god stor liten og i at det til er som for ikke
         en den jeg du hun vi de har var fra kan skal eller så her der
         når mange mennesker verden alle noe andre kom går se få vil
-        must""",
+        mye""",
     "sk": """sa som ako čo bol bola bolo byť sme ste sú pre pri pred medzi
         alebo keď ešte len tiež veľmi veľa viac ľudia mesto krajina
         práca deti dom svet deň veci vec príklad okamih miesto

@@ -366,6 +366,27 @@ def test_strf_avih_dim_disagreement_raises():
         parse_avi(bytes(data))
 
 
+def test_mjpeg_macroblock_aligned_strf_dims_tolerated():
+    """ADVICE r13: real-world MJPEG encoders write macroblock-aligned
+    (rounded-up-to-16) strf dims while avih carries the display size.
+    Such files must parse (avih wins as display dims, warning field
+    set), not raise — but a NON-aligned disagreement still raises."""
+    _, jpegs = _frames(2, size=8)
+    data = bytearray(assemble_avi(jpegs, 10, 10, fps=4))
+    strf_pos = data.index(b"strf")
+    # strf coded dims = 16x16 (10 rounded up to the macroblock)
+    struct.pack_into("<ii", data, strf_pos + 8 + 4, 16, 16)
+    meta = parse_avi(bytes(data))
+    assert (meta["width"], meta["height"]) == (10, 10)  # display dims
+    assert "macroblock-aligned" in meta["dims_warning"]
+    # the probe path stays graceful too
+    assert avi_metadata(bytes(data))["width"] == 10
+    # 32x32 over 10x10 is NOT a rounding — still a hard error
+    struct.pack_into("<ii", data, strf_pos + 8 + 4, 32, 32)
+    with pytest.raises(ValueError, match="disagree"):
+        parse_avi(bytes(data))
+
+
 def test_top_down_dib_decodes_unflipped():
     """ADVICE r12: negative strf biHeight = top-down row order. The
     decoder must NOT vertically flip such frames. Encode bottom-up,

@@ -50,6 +50,15 @@ from spatialpandas_spark.functions.hilbert import _data2coord, hilbert_xy2d
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _duck_src(table: str) -> str:
+    """DuckDB read_parquet source for a table: multi-file fact tables
+    (tools/make_scale.py round 13) are a DIRECTORY of part files; the
+    driver's own sf dirs stay single-file (ADVICE r13: same isdir ->
+    glob fallback as tools/check_contract.py)."""
+    p = f"{SF_DIR}/{table}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+
 def _sf() -> float:
     base = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -240,7 +249,7 @@ def duckdb_queries() -> dict[str, float]:
     import duckdb
 
     con = duckdb.connect()
-    li = f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    li = f"read_parquet({_duck_src('lineitem')})"
     sqls = {
         "b1_cx": (
             f"SELECT count(*) FROM {li} WHERE (l_partkey % 500) BETWEEN 100 AND 150"
