@@ -41,6 +41,9 @@ _FRESH23_MD5 = "9123bdb7acd43f99eb07012aa38ef846"
 _RESERVE_A_MD5 = "4d1d183780044a3e3eecf590e2c0c0c3"
 _RESERVE_B_MD5 = "d900444a4ef3e0e09d35adc623ca5bac"
 _RESERVE_C_MD5 = "699207e77b1cc6b3a833da036e8306c5"  # 42-language slice
+#: round-14 replacement slice, authored BEFORE any r14 model eval
+#: (rule 4 — B and C are both candidates for opening this round)
+_RESERVE_D_MD5 = "70a8c9f6ce45d4bf069d861f5c45787c"  # 42-language slice
 
 #: languages whose SCRIPT alone separates them from every other class —
 #: a miss here is a kernel/feature failure, not a close-family residual
@@ -80,12 +83,14 @@ def test_reserve_slices_are_sealed():
         RESERVE_A,
         RESERVE_B,
         RESERVE_C,
+        RESERVE_D,
     )
 
     for d, want, n_langs in (
         (RESERVE_A, _RESERVE_A_MD5, 38),
         (RESERVE_B, _RESERVE_B_MD5, 38),
         (RESERVE_C, _RESERVE_C_MD5, 42),
+        (RESERVE_D, _RESERVE_D_MD5, 42),
     ):
         blob = "\x00".join(
             f"{lg}\x01" + "\x01".join(ss) for lg, ss in sorted(d.items())

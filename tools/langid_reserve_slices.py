@@ -43,6 +43,11 @@ STATUS registry (append, never rewrite):
              covers the prospective 42-language set, so it can serve
              as the blind figure for whichever round ships the
              no/sk/ms/sr siblings)
+  RESERVE_D: SEALED (authored round 14 BEFORE any round-14 model
+             change was evaluated — rule 4, since the round plans to
+             open B for the uk/ru + Romance retrain and C if the da/no
+             pilot ships; 42 languages incl. the sibling candidates;
+             domains post & letters / sleep & dreams)
 
 Authorship provenance: all sentences below were written in round 13 by
 the builder (network-blocked environment — same external-validity
@@ -915,6 +920,312 @@ RESERVE_C: dict[str, list[str]] = {
     ],
 }
 
+# --- slice D: post & letters / sleep & dreams --------------------------
+# Authored round 14 BEFORE any round-14 model change was evaluated
+# (rule 4: this round plans to open B after the uk/ru + Romance retrain
+# and C if the da/no sibling pilot ships — D is the replacement sealed
+# slice so at least one sealed reserve survives the round). 42
+# languages (the 38 shipped + the four sibling candidates no/sk/ms/sr,
+# sr in Latin script to match its seed vocabulary), 5 sentences each,
+# domains disjoint from every prior eval corpus.
+
+RESERVE_D: dict[str, list[str]] = {
+    "en": [
+        "The postman leaves our letters in the blue box by the gate.",
+        "She bought stamps and mailed the parcel before the office closed.",
+        "His reply arrived two weeks after I had sent my letter.",
+        "I fell asleep before midnight and dreamed about the old house.",
+        "He woke up early, long before the alarm clock rang.",
+    ],
+    "de": [
+        "Der Briefträger bringt die Post jeden Morgen gegen neun Uhr.",
+        "Sie klebte eine Briefmarke auf den Umschlag und warf ihn ein.",
+        "Das Paket aus der Hauptstadt kam erst nach zwei Wochen an.",
+        "Ich bin gestern vor Mitternacht eingeschlafen und habe tief geträumt.",
+        "Er wachte lange vor dem Wecker auf und blieb noch liegen.",
+    ],
+    "fr": [
+        "Le facteur dépose le courrier dans la boîte près du portail.",
+        "Elle a collé un timbre sur l'enveloppe avant de la poster.",
+        "Sa réponse est arrivée deux semaines après ma lettre.",
+        "Je me suis endormi avant minuit et j'ai rêvé de la vieille maison.",
+        "Il s'est réveillé bien avant la sonnerie du réveil.",
+    ],
+    "es": [
+        "El cartero deja las cartas en el buzón junto a la puerta.",
+        "Compró sellos y envió el paquete antes de que cerraran la oficina.",
+        "Su respuesta llegó dos semanas después de mi carta.",
+        "Me dormí antes de medianoche y soñé con la casa vieja.",
+        "Se despertó mucho antes de que sonara el despertador.",
+    ],
+    "it": [
+        "Il postino lascia le lettere nella cassetta accanto al cancello.",
+        "Ha comprato i francobolli e ha spedito il pacco prima della chiusura.",
+        "La sua risposta è arrivata due settimane dopo la mia lettera.",
+        "Mi sono addormentato prima di mezzanotte e ho sognato la vecchia casa.",
+        "Si è svegliato molto prima che suonasse la sveglia.",
+    ],
+    "pt": [
+        "O carteiro deixa as cartas na caixa ao lado do portão.",
+        "Ela comprou selos e enviou a encomenda antes de a agência fechar.",
+        "A resposta dele chegou duas semanas depois da minha carta.",
+        "Adormeci antes da meia-noite e sonhei com a casa antiga.",
+        "Ele acordou muito antes de o despertador tocar.",
+    ],
+    "nl": [
+        "De postbode stopt de brieven in de bus naast het hek.",
+        "Ze plakte een postzegel op de envelop en verstuurde het pakje.",
+        "Zijn antwoord kwam pas twee weken na mijn brief aan.",
+        "Ik viel voor middernacht in slaap en droomde over het oude huis.",
+        "Hij werd lang voor de wekker wakker en bleef nog even liggen.",
+    ],
+    "sv": [
+        "Brevbäraren lämnar posten i den gröna lådan vid grinden.",
+        "Hon köpte frimärken och skickade paketet innan kontoret stängde.",
+        "Hans svar kom först två veckor efter mitt brev.",
+        "Jag somnade före midnatt och drömde om det gamla huset.",
+        "Han vaknade långt innan väckarklockan ringde.",
+    ],
+    "da": [
+        "Postbuddet lægger brevene i den grønne kasse ved lågen.",
+        "Hun købte frimærker og sendte pakken, inden kontoret lukkede.",
+        "Hans svar kom først to uger efter mit brev.",
+        "Jeg faldt i søvn før midnat og drømte om det gamle hus.",
+        "Han vågnede længe før vækkeuret ringede.",
+    ],
+    "no": [
+        "Postbudet legger brevene i den grønne kassen ved porten.",
+        "Hun kjøpte frimerker og sendte pakken før kontoret stengte.",
+        "Svaret hans kom først to uker etter brevet mitt.",
+        "Jeg sovnet før midnatt og drømte om det gamle huset.",
+        "Han våknet lenge før vekkerklokken ringte.",
+    ],
+    "fi": [
+        "Postinkantaja jättää kirjeet vihreään laatikkoon portin viereen.",
+        "Hän osti postimerkkejä ja lähetti paketin ennen konttorin sulkemista.",
+        "Hänen vastauksensa saapui vasta kaksi viikkoa kirjeeni jälkeen.",
+        "Nukahdin ennen keskiyötä ja näin unta vanhasta talosta.",
+        "Hän heräsi kauan ennen herätyskellon soimista.",
+    ],
+    "pl": [
+        "Listonosz zostawia listy w zielonej skrzynce przy furtce.",
+        "Kupiła znaczki i wysłała paczkę, zanim urząd zamknięto.",
+        "Jego odpowiedź przyszła dopiero dwa tygodnie po moim liście.",
+        "Zasnąłem przed północą i śniłem o starym domu.",
+        "Obudził się na długo przed dzwonkiem budzika.",
+    ],
+    "cs": [
+        "Pošťák nechává dopisy v zelené schránce u branky.",
+        "Koupila známky a poslala balík, než pošta zavřela.",
+        "Jeho odpověď přišla až dva týdny po mém dopise.",
+        "Usnul jsem před půlnocí a zdálo se mi o starém domě.",
+        "Probudil se dlouho předtím, než zazvonil budík.",
+    ],
+    "sk": [
+        "Poštár necháva listy v zelenej schránke pri bránke.",
+        "Kúpila známky a poslala balík skôr, ako pošta zavrela.",
+        "Jeho odpoveď prišla až dva týždne po mojom liste.",
+        "Zaspal som pred polnocou a snívalo sa mi o starom dome.",
+        "Zobudil sa dlho predtým, ako zazvonil budík.",
+    ],
+    "hr": [
+        "Poštar ostavlja pisma u zelenom sandučiću kraj vrata.",
+        "Kupila je marke i poslala paket prije nego što je ured zatvoren.",
+        "Njegov je odgovor stigao tek dva tjedna nakon mog pisma.",
+        "Zaspao sam prije ponoći i sanjao o staroj kući.",
+        "Probudio se dugo prije nego što je budilica zazvonila.",
+    ],
+    "sr": [
+        "Poštar ostavlja pisma u zelenom sandučetu pored kapije.",
+        "Kupila je marke i poslala paket pre nego što je pošta zatvorena.",
+        "Njegov odgovor je stigao tek dve nedelje posle mog pisma.",
+        "Zaspao sam pre ponoći i sanjao o staroj kući.",
+        "Probudio se dugo pre nego što je budilnik zazvonio.",
+    ],
+    "ro": [
+        "Poștașul lasă scrisorile în cutia verde de lângă poartă.",
+        "A cumpărat timbre și a trimis coletul înainte ca oficiul să se închidă.",
+        "Răspunsul lui a sosit abia la două săptămâni după scrisoarea mea.",
+        "Am adormit înainte de miezul nopții și am visat casa veche.",
+        "S-a trezit cu mult înainte să sune ceasul deșteptător.",
+    ],
+    "hu": [
+        "A postás a kapu melletti zöld ládába teszi a leveleket.",
+        "Bélyegeket vett, és feladta a csomagot, mielőtt a hivatal bezárt.",
+        "A válasza csak két héttel a levelem után érkezett meg.",
+        "Éjfél előtt elaludtam, és a régi házról álmodtam.",
+        "Jóval azelőtt felébredt, hogy megszólalt volna az ébresztőóra.",
+    ],
+    "tr": [
+        "Postacı mektupları kapının yanındaki yeşil kutuya bırakıyor.",
+        "Pul aldı ve postane kapanmadan paketi gönderdi.",
+        "Cevabı mektubumdan ancak iki hafta sonra geldi.",
+        "Gece yarısından önce uyudum ve eski evi rüyamda gördüm.",
+        "Çalar saat çalmadan çok önce uyandı.",
+    ],
+    "id": [
+        "Tukang pos meninggalkan surat di kotak hijau dekat pagar.",
+        "Dia membeli perangko dan mengirim paket sebelum kantor pos tutup.",
+        "Balasannya baru tiba dua minggu setelah surat saya.",
+        "Saya tertidur sebelum tengah malam dan bermimpi tentang rumah lama.",
+        "Dia bangun jauh sebelum jam weker berbunyi.",
+    ],
+    "ms": [
+        "Posmen meletakkan surat di dalam peti hijau berhampiran pagar.",
+        "Dia membeli setem dan menghantar bungkusan sebelum pejabat pos tutup.",
+        "Balasannya hanya sampai dua minggu selepas surat saya.",
+        "Saya tertidur sebelum tengah malam dan bermimpi tentang rumah lama kami.",
+        "Dia bangun awal sekali sebelum jam loceng berbunyi.",
+    ],
+    "vi": [
+        "Người đưa thư để lá thư vào hộp màu xanh cạnh cổng.",
+        "Cô ấy mua tem và gửi bưu kiện trước khi bưu điện đóng cửa.",
+        "Thư trả lời của anh ấy đến sau lá thư của tôi hai tuần.",
+        "Tôi ngủ thiếp đi trước nửa đêm và mơ về ngôi nhà cũ.",
+        "Anh ấy thức dậy rất lâu trước khi chuông đồng hồ reo.",
+    ],
+    "sw": [
+        "Mtu wa posta huacha barua kwenye sanduku la kijani karibu na lango.",
+        "Alinunua stempu na kutuma kifurushi kabla ofisi ya posta haijafungwa.",
+        "Jibu lake lilifika wiki mbili baada ya barua yangu.",
+        "Nililala kabla ya saa sita usiku na kuota nyumba ya zamani.",
+        "Aliamka mapema sana kabla saa ya kengele haijalia.",
+    ],
+    "ru": [
+        "Почтальон оставляет письма в зелёном ящике у калитки.",
+        "Она купила марки и отправила посылку до закрытия почты.",
+        "Его ответ пришёл только через две недели после моего письма.",
+        "Я заснул до полуночи и видел во сне старый дом.",
+        "Он проснулся задолго до звонка будильника.",
+    ],
+    "uk": [
+        "Листоноша залишає листи в зеленій скриньці біля хвіртки.",
+        "Вона купила марки й відправила посилку до закриття пошти.",
+        "Його відповідь надійшла лише через два тижні після мого листа.",
+        "Я заснув до півночі й бачив уві сні стару хату.",
+        "Він прокинувся задовго до дзвінка будильника.",
+    ],
+    "bg": [
+        "Пощальонът оставя писмата в зелената кутия до портата.",
+        "Тя купи марки и изпрати колета, преди пощата да затвори.",
+        "Отговорът му пристигна едва две седмици след моето писмо.",
+        "Заспах преди полунощ и сънувах старата къща.",
+        "Той се събуди много преди да звънне будилникът.",
+    ],
+    "el": [
+        "Ο ταχυδρόμος αφήνει τα γράμματα στο πράσινο κουτί δίπλα στην πόρτα.",
+        "Αγόρασε γραμματόσημα και έστειλε το δέμα πριν κλείσει το ταχυδρομείο.",
+        "Η απάντησή του έφτασε δύο εβδομάδες μετά το γράμμα μου.",
+        "Αποκοιμήθηκα πριν τα μεσάνυχτα και ονειρεύτηκα το παλιό σπίτι.",
+        "Ξύπνησε πολύ πριν χτυπήσει το ξυπνητήρι.",
+    ],
+    "ar": [
+        "يترك ساعي البريد الرسائل في الصندوق الأخضر قرب البوابة.",
+        "اشترت طوابع وأرسلت الطرد قبل إغلاق مكتب البريد.",
+        "وصل رده بعد أسبوعين من رسالتي.",
+        "نمت قبل منتصف الليل وحلمت بالبيت القديم.",
+        "استيقظ قبل رنين المنبه بوقت طويل.",
+    ],
+    "fa": [
+        "نامه‌رسان نامه‌ها را در صندوق سبز کنار در می‌گذارد.",
+        "او تمبر خرید و بسته را پیش از بسته شدن اداره پست فرستاد.",
+        "پاسخ او دو هفته پس از نامه من رسید.",
+        "پیش از نیمه‌شب خوابم برد و خواب خانه قدیمی را دیدم.",
+        "او خیلی قبل از زنگ ساعت بیدار شد.",
+    ],
+    "he": [
+        "הדוור משאיר את המכתבים בתיבה הירוקה ליד השער.",
+        "היא קנתה בולים ושלחה את החבילה לפני שהדואר נסגר.",
+        "התשובה שלו הגיעה שבועיים אחרי המכתב שלי.",
+        "נרדמתי לפני חצות וחלמתי על הבית הישן.",
+        "הוא התעורר הרבה לפני שהשעון המעורר צלצל.",
+    ],
+    "ur": [
+        "ڈاکیا خط پھاٹک کے پاس سبز ڈبے میں ڈال جاتا ہے۔",
+        "اس نے ٹکٹ خریدے اور ڈاکخانہ بند ہونے سے پہلے پارسل بھیج دیا۔",
+        "اس کا جواب میرے خط کے دو ہفتے بعد پہنچا۔",
+        "میں آدھی رات سے پہلے سو گیا اور پرانے گھر کا خواب دیکھا۔",
+        "وہ الارم بجنے سے بہت پہلے جاگ گیا۔",
+    ],
+    "hi": [
+        "डाकिया चिट्ठियाँ फाटक के पास हरे डिब्बे में डाल जाता है।",
+        "उसने टिकट खरीदे और डाकघर बंद होने से पहले पार्सल भेज दिया।",
+        "उसका जवाब मेरी चिट्ठी के दो हफ्ते बाद पहुँचा।",
+        "मैं आधी रात से पहले सो गया और पुराने घर का सपना देखा।",
+        "वह अलार्म बजने से बहुत पहले जाग गया।",
+    ],
+    "bn": [
+        "ডাকপিয়ন চিঠিগুলো ফটকের পাশে সবুজ বাক্সে রেখে যায়।",
+        "সে ডাকটিকিট কিনে ডাকঘর বন্ধ হওয়ার আগে পার্সেল পাঠিয়ে দিল।",
+        "তার উত্তর আমার চিঠির দুই সপ্তাহ পরে পৌঁছাল।",
+        "আমি মাঝরাতের আগে ঘুমিয়ে পড়লাম এবং পুরনো বাড়ির স্বপ্ন দেখলাম।",
+        "ঘড়ির অ্যালার্ম বাজার অনেক আগেই সে জেগে উঠল।",
+    ],
+    "ta": [
+        "தபால்காரர் கடிதங்களை வாசலருகில் உள்ள பச்சைப் பெட்டியில் போடுகிறார்.",
+        "அவள் தபால்தலைகள் வாங்கி அலுவலகம் மூடும் முன் பார்சலை அனுப்பினாள்.",
+        "என் கடிதத்திற்கு இரண்டு வாரங்கள் கழித்து அவரது பதில் வந்தது.",
+        "நள்ளிரவுக்கு முன் தூங்கிவிட்டேன், பழைய வீட்டைக் கனவு கண்டேன்.",
+        "அலாரம் அடிப்பதற்கு வெகு முன்பே அவன் விழித்துக்கொண்டான்.",
+    ],
+    "te": [
+        "పోస్ట్‌మ్యాన్ ఉత్తరాలను గేటు పక్కన ఉన్న పచ్చ పెట్టెలో వేస్తాడు.",
+        "ఆమె స్టాంపులు కొని పోస్టాఫీసు మూసే ముందు పార్సెల్ పంపింది.",
+        "నా ఉత్తరానికి రెండు వారాల తరువాత అతని జవాబు వచ్చింది.",
+        "అర్ధరాత్రికి ముందే నిద్రపోయి పాత ఇంటి గురించి కల కన్నాను.",
+        "అలారం మోగడానికి చాలా ముందే అతను మేల్కొన్నాడు.",
+    ],
+    "th": [
+        "บุรุษไปรษณีย์ทิ้งจดหมายไว้ในตู้สีเขียวข้างประตูรั้ว",
+        "เธอซื้อแสตมป์และส่งพัสดุก่อนที่ทำการไปรษณีย์จะปิด",
+        "คำตอบของเขามาถึงสองสัปดาห์หลังจดหมายของฉัน",
+        "ฉันหลับไปก่อนเที่ยงคืนและฝันถึงบ้านหลังเก่า",
+        "เขาตื่นก่อนนาฬิกาปลุกจะดังนานมาก",
+    ],
+    "ko": [
+        "우체부는 대문 옆 초록색 우편함에 편지를 넣고 간다.",
+        "그녀는 우표를 사서 우체국이 문을 닫기 전에 소포를 부쳤다.",
+        "그의 답장은 내 편지보다 두 주 늦게 도착했다.",
+        "나는 자정 전에 잠들어 옛집 꿈을 꾸었다.",
+        "그는 자명종이 울리기 한참 전에 깨어났다.",
+    ],
+    "ja": [
+        "郵便屋さんは門のそばの緑のポストに手紙を入れていく。",
+        "彼女は切手を買って、郵便局が閉まる前に小包を送った。",
+        "彼の返事は私の手紙から二週間後に届いた。",
+        "真夜中前に眠ってしまい、古い家の夢を見た。",
+        "彼は目覚まし時計が鳴るずっと前に目を覚ました。",
+    ],
+    "zh": [
+        "邮递员把信放进大门旁边的绿色信箱里。",
+        "她买了邮票，在邮局关门前把包裹寄了出去。",
+        "他的回信在我的信寄出两周后才到。",
+        "我在午夜前睡着了，梦见了那座老房子。",
+        "闹钟响之前他早就醒了。",
+    ],
+    "am": [
+        "ፖስተኛው ደብዳቤዎቹን በበሩ አጠገብ ባለው አረንጓዴ ሳጥን ውስጥ ያስቀምጣል።",
+        "ቴምብር ገዝታ ፖስታ ቤቱ ከመዘጋቱ በፊት ጥቅሉን ላከች።",
+        "መልሱ ከደብዳቤዬ ከሁለት ሳምንት በኋላ ደረሰ።",
+        "ከእኩለ ሌሊት በፊት ተኛሁ እና ስለ አሮጌው ቤት አለምኩ።",
+        "ሰዓቱ ከመጮኹ ከረጅም ጊዜ በፊት ነቃ።",
+    ],
+    "hy": [
+        "Փոստատարը նամակները թողնում է դարպասի մոտ կանաչ արկղի մեջ։",
+        "Նա նամականիշեր գնեց և ծանրոցն ուղարկեց փոստի փակվելուց առաջ։",
+        "Նրա պատասխանը հասավ իմ նամակից երկու շաբաթ անց։",
+        "Ես քնեցի կեսգիշերից առաջ և երազում տեսա հին տունը։",
+        "Նա արթնացավ զարթուցիչի զանգից շատ առաջ։",
+    ],
+    "ka": [
+        "ფოსტალიონი წერილებს ტოვებს ჭიშკართან მდგარ მწვანე ყუთში.",
+        "მან მარკები იყიდა და ამანათი ფოსტის დაკეტვამდე გააგზავნა.",
+        "მისი პასუხი ჩემი წერილიდან ორი კვირის შემდეგ მოვიდა.",
+        "შუაღამემდე დავიძინე და ძველი სახლი დამესიზმრა.",
+        "ის მაღვიძარას დარეკვამდე დიდი ხნით ადრე გაიღვიძა.",
+    ],
+}
+
 
 def _score(slice_dict: dict[str, list[str]]) -> dict:
     import numpy as np
@@ -951,11 +1262,12 @@ def _score(slice_dict: dict[str, list[str]]) -> dict:
 
 def main() -> None:
     which = sys.argv[1].upper() if len(sys.argv) > 1 else None
-    if which not in ("A", "B", "C"):
+    if which not in ("A", "B", "C", "D"):
         print(__doc__)
-        print("pass A, B or C to OPEN (= consume) a reserve slice")
+        print("pass A, B, C or D to OPEN (= consume) a reserve slice")
         return
-    slices = {"A": RESERVE_A, "B": RESERVE_B, "C": RESERVE_C}
+    slices = {"A": RESERVE_A, "B": RESERVE_B, "C": RESERVE_C,
+              "D": RESERVE_D}
     d = slices[which]
     # a reserve may cover languages the SHIPPED model does not know
     # yet (C holds the sibling candidates); score only the known ones
