@@ -3399,30 +3399,63 @@ _AVI_FEAT_HEX_CACHE = None
 
 
 def _avi_feat_gate_hexes() -> list:
-    """8 distinct two-frame MJPEG-in-AVI payloads for the
-    ``extract_features`` 'avi' variant (round 13, VERDICT r12 ask #5 —
-    the FULL video-column path, where the probe variant reads headers
-    only): payload k packs jpeg-gate frames k and (k+3)%8, so every
-    container mixes a baseline and/or progressive frame pair with two
-    DIFFERENT constant gray values. The engine side walks the
-    container, slices each frame chunk, entropy-decodes the JPEGs, and
-    pools both frames' pixels; the closed-form oracle is mean
-    (v1+v2)/2, min/max least/greatest, fgt the indicator average —
-    all dyadic, bit-exact through float32."""
+    """8 distinct two-frame AVI payloads for the ``extract_features``
+    'avi' variant, covering BOTH shipped codecs (round 13 VERDICT ask
+    #5 gave the MJPEG path a gate; round 14 VERDICT ask #5 adds the
+    DIB path — uncompressed bottom-up BGR, the other decode branch of
+    ``decode_avi_frames``):
+
+    - EVEN part key: MJPEG container packing jpeg-gate frames k and
+      (k+3)%8 — two constant GRAY values through real JPEG entropy
+      decode (v1 = vals[k], v2 = vals[(k+3)%8], r=g=b);
+    - ODD part key: DIB (BI_RGB) container of two constant COLOR
+      frames — per-channel constants drawn from the same value table
+      (frame1 rgb = vals[k], vals[(k+1)%8], vals[(k+2)%8]; frame2 rgb
+      = vals[(k+3)%8], vals[(k+4)%8], vals[(k+5)%8]) so the three
+      channels differ (pinning BGR->RGB order and the bottom-up row
+      unpadding, which a gray frame cannot).
+
+    Constant frames are bit-exact through both decoders, so the
+    closed-form oracle is mean (a+b)/2, min/max least/greatest, fgt
+    the >64-indicator average, per channel — all dyadic."""
     global _AVI_FEAT_HEX_CACHE
     if _AVI_FEAT_HEX_CACHE is None:
-        from spatialpandas_spark.operators.avi import encode_avi_mjpeg
+        import numpy as np
 
-        _AVI_FEAT_HEX_CACHE = [
-            encode_avi_mjpeg(
-                [
-                    bytes.fromhex(_JPEG_GATE_HEX[k]),
-                    bytes.fromhex(_JPEG_GATE_HEX[(k + 3) % 8]),
-                ],
-                8, 8, fps=5,
-            ).hex().upper()
-            for k in range(8)
-        ]
+        from spatialpandas_spark.operators.avi import (
+            encode_avi_dib,
+            encode_avi_mjpeg,
+        )
+
+        vals = _JPEG_GATE_VALUES
+        hexes = []
+        for k in range(8):
+            if k % 2 == 0:
+                hexes.append(
+                    encode_avi_mjpeg(
+                        [
+                            bytes.fromhex(_JPEG_GATE_HEX[k]),
+                            bytes.fromhex(_JPEG_GATE_HEX[(k + 3) % 8]),
+                        ],
+                        8, 8, fps=5,
+                    ).hex().upper()
+                )
+            else:
+                frames = [
+                    np.full((8, 8, 3), 0, dtype=np.uint8),
+                    np.full((8, 8, 3), 0, dtype=np.uint8),
+                ]
+                frames[0][..., :] = [
+                    vals[k], vals[(k + 1) % 8], vals[(k + 2) % 8],
+                ]
+                frames[1][..., :] = [
+                    vals[(k + 3) % 8], vals[(k + 4) % 8],
+                    vals[(k + 5) % 8],
+                ]
+                hexes.append(
+                    encode_avi_dib(frames, fps=5).hex().upper()
+                )
+        _AVI_FEAT_HEX_CACHE = hexes
     return _AVI_FEAT_HEX_CACHE
 
 
@@ -5705,23 +5738,37 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM fl GROUP BY media_id
             UNION ALL
             SELECT media_id,
-                   (v1+v2)/2 AS mean_r, (v1+v2)/2 AS mean_g,
-                   (v1+v2)/2 AS mean_b,
-                   LEAST(v1,v2) AS min_r, LEAST(v1,v2) AS min_g,
-                   LEAST(v1,v2) AS min_b,
-                   GREATEST(v1,v2) AS max_r, GREATEST(v1,v2) AS max_g,
-                   GREATEST(v1,v2) AS max_b,
-                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
-                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_r,
-                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
-                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_g,
-                   (CASE WHEN v1 > 64 THEN 0.5 ELSE 0.0 END
-                    + CASE WHEN v2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_b,
+                   (r1+r2)/2 AS mean_r, (g1+g2)/2 AS mean_g,
+                   (b1+b2)/2 AS mean_b,
+                   LEAST(r1,r2) AS min_r, LEAST(g1,g2) AS min_g,
+                   LEAST(b1,b2) AS min_b,
+                   GREATEST(r1,r2) AS max_r, GREATEST(g1,g2) AS max_g,
+                   GREATEST(b1,b2) AS max_b,
+                   (CASE WHEN r1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN r2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_r,
+                   (CASE WHEN g1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN g2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_g,
+                   (CASE WHEN b1 > 64 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN b2 > 64 THEN 0.5 ELSE 0.0 END) AS fgt_b,
                    'ok' AS decode_ok, 'avi' AS variant
             FROM (
+              -- even key: MJPEG gray pair (r=g=b); odd key: DIB color
+              -- pair with per-channel constants (round 14 ask #5)
               SELECT p_partkey AS media_id,
-                     ({_jpeg_vals_sql()})[p_partkey % 8 + 1] AS v1,
-                     ({_jpeg_vals_sql()})[(p_partkey + 3) % 8 + 1] AS v2
+                     ({_jpeg_vals_sql()})[p_partkey % 8 + 1] AS r1,
+                     ({_jpeg_vals_sql()})[(p_partkey + 3) % 8 + 1] AS r2,
+                     ({_jpeg_vals_sql()})[CASE WHEN p_partkey % 2 = 0
+                       THEN p_partkey % 8 ELSE (p_partkey + 1) % 8 END + 1]
+                       AS g1,
+                     ({_jpeg_vals_sql()})[CASE WHEN p_partkey % 2 = 0
+                       THEN (p_partkey + 3) % 8
+                       ELSE (p_partkey + 4) % 8 END + 1] AS g2,
+                     ({_jpeg_vals_sql()})[CASE WHEN p_partkey % 2 = 0
+                       THEN p_partkey % 8 ELSE (p_partkey + 2) % 8 END + 1]
+                       AS b1,
+                     ({_jpeg_vals_sql()})[CASE WHEN p_partkey % 2 = 0
+                       THEN (p_partkey + 3) % 8
+                       ELSE (p_partkey + 5) % 8 END + 1] AS b2
               FROM part)
         """,
         "media_probe": _jpeg_probe_oracle_sql(),

@@ -109,7 +109,18 @@ _VOCAB = {
         government work country city things thing times form
         example moment place problem question history politics economy
         society education information situation relation development
-        under""",
+        under
+        week thursday friday saturday sunday monday tuesday wednesday
+        morning evening hour minute almost never later mistake device
+        computer meeting session today yesterday tomorrow postponed
+        heart illness treatment exercise training running jump record
+        team goalkeeper victory defeat rain snow wind cloud sun
+        forest tree leaves river bridge street traffic train ticket
+        plane child parents grandmother kitchen onion oil salt bread
+        milk vegetables fruit tasty dinner breakfast lunch recipe egg
+        glass flour balanced important growing children library
+        extended during exams diet elevator hallway stairs window
+        keys left slowly quickly outside inside""",
     "de": """der die das und ist nicht ein eine mit für von auf sich dem
         den des im als auch es an werden aus er hat dass sie nach wird
         bei einer um am sind noch wie über einen zum war haben nur oder
@@ -120,7 +131,18 @@ _VOCAB = {
         wieder viele diesem dieser alles andere etwas nichts sehr gut
         neue neuen ersten letzten besten viel wenig groß klein ding
         dinge mal form weise beispiel moment ort problem frage geschichte
-        politik wirtschaft gesellschaft bildung entwicklung kinder""",
+        politik wirtschaft gesellschaft bildung entwicklung kinder
+        frisch schmecken spätsommer frühling tausend läufer marathon
+        verein spieler tor schiedsrichter saison meisterschaft rennen
+        sprung rekord medaille letzte erste ergebnis sieg niederlage
+        verletzung übung training gewann verlor spielte musste wollte
+        konnte sollte langsam schnell draußen drinnen küche zwiebel
+        öl salz brot milch gemüse obst lecker abendessen frühstück
+        mittagessen rezept ei mehl donnerstag freitag samstag sonntag
+        montag dienstag mittwoch sitzung verschoben stattfindet
+        kostenlos wasserhahn handwerker tomaten aufzug flur treppe
+        fenster schlüssel links rechts herbst winter sommer besten
+        versammelten tropfenden""",
     "fr": """le de la et les des en un du une que est pour qui dans par
         plus pas au sur ne se ce il sont avec son être cette aux ont mais
         où nous comme ces dont sans leur elle deux fait été tout même
@@ -150,7 +172,17 @@ _VOCAB = {
         llegaron hablaron hicieron dijeron encontraron empezaron
         llegar llamar llevar lluvia señora pequeño español
         llegó habló quedó tomó dejó estaba estaban noticias negocios
-        precios periodista periódico""",
+        precios periodista periódico
+        portero equipo partido jugador balón campo cancha entrenador
+        árbitro temporada campeonato torneo carrera salto récord
+        medalla último primero resultado marcador empate victoria
+        derrota descanso lesión ejercicio entrenamiento ganó perdió
+        jugó marcó añadió señal señor pequeño mañana niño sueño baño
+        montaña izquierda derecha despacio rápido cerca lejos afuera
+        cocina cebolla aceite sal pan leche verduras frutas sabroso
+        cena desayuno almuerzo receta huevo vaso harina jueves viernes
+        sábado domingo lunes martes miércoles reunión aplazó celebrará
+        corazón estación ascensor pasillo escalera ventana llaves""",
     "it": """di e il la che è per un in una sono mi si lo ma le ci con ha
         non come io questo qui sei del più bene se della mia tutto te
         questa era cosa perché ne noi nel alla gli degli molto anche
@@ -181,7 +213,18 @@ _VOCAB = {
         chegaram falaram fizeram disseram encontraram começaram
         amanhã pequeno português coração filho velho olhos
         mostrou chegou falou ficou encontrou começou deixou
-        estavam notícias negócios preços jornalista jornal""",
+        estavam notícias negócios preços jornalista jornal
+        goleiro equipe jogador bola campo treinador árbitro temporada
+        campeonato torneio corrida salto recorde medalha último
+        primeiro resultado placar empate vitória derrota descanso
+        lesão exercício treino ganhou perdeu jogou marcou amanhã
+        coração estação situação são então mão irmão avião pão
+        manhã montanha filho velho olho joelho banho sonho tamanho
+        cozinha cebola azeite sal pão leite legumes frutas saboroso
+        jantar almoço receita ovo copo farinha quinta sexta sábado
+        domingo segunda terça quarta reunião adiou realizará elevador
+        corredor escada janela chaves esquerda direita devagar
+        depressa perto longe cirurgia recuperou contratou""",
     "ru": """и в не на я быть он с что а по это она этот к но они мы как
         из у который то за свой весь год от так о для ты же все тот мочь
         вы человек такой его сказать только или ещё бы себя один уже до
@@ -204,7 +247,17 @@ _VOCAB = {
         выборы выход вывод взгляд мысль мысли смысл парк сад двор
         улица улицы дерево деревья трава солнце небо дождь снег зима
         весна лето осень вечер ночь полдень пожалуй спасибо
-        извините здравствуйте играет играют играли гулять""",
+        извините здравствуйте играет играют играли гулять
+        совещание заседание перенесли состоится четверг пятница
+        суббота воскресенье понедельник вторник среда занятие
+        упражнения тренировка прыжок рекорд команда вратарь победа
+        поражение болельщики соревнование сердце болезни риск лечение
+        здоровый дождь снег ветер облака солнце лес дерево тропинка
+        река мост улица пробка остановка поезд билет самолёт лук
+        масло соль хлеб молоко овощи фрукты вкусный ужин завтрак обед
+        рецепт яйцо стакан мука обновление приложение устройство
+        экран кнопка сеть свет дверь окно стена пол крыша ключи
+        кошелёк прошлый нынешний весной летом осенью зимой""",
     "el": """και το να του η με τον την των που από είναι για στο δεν ο
         τα σε ότι αν θα οι ως αλλά κατά ένα μια στη στον μας σας τους
         όπως μετά πριν χωρίς κάθε εδώ εκεί τώρα πολύ είχε ήταν αυτό
@@ -294,7 +347,18 @@ _VOCAB = {
         ontdekte familie moeder vader broer zus oma opa kind baby
         sliep werd wakker moe blij boos bang zomer winter ontbijt
         vergadering donderdag verschoven eindelijk ongeveer houdt
-        gebouwd redde bladeren bos pad bedekten""",
+        gebouwd redde bladeren bos pad bedekten
+        verse tomaten smaken lekkerst zomer herfst winter lente
+        duizend lopers wedstrijd vereniging speler scheidsrechter
+        seizoen kampioenschap sprong record medaille laatste eerste
+        uitslag overwinning nederlaag blessure oefening wonnen verloor
+        speelde moest wilde gisteren vandaag langzaam snel dichtbij
+        buiten binnen keuken olie zout brood melk groente lekker
+        avondeten ontbijt middageten recept bloem donderdag vrijdag
+        zaterdag zondag maandag dinsdag woensdag vergadering
+        uitgesteld plaatsvindt straatjes binnenstad sterrenkundigen
+        komeet planeet ruimte lift gang trap raam sleutels
+        verdwaalden smalle scheren ziekenhuis vloer""",
     "pl": """i w nie na to że się z do jest po co tak jak o mnie ale mi
         za już tylko przez od był była było być ma są czy go jego jej
         ich nas was im tym tego jeszcze może bardzo gdzie kiedy teraz
@@ -346,7 +410,18 @@ _VOCAB = {
         değil kadar bütün kendi
         getirmek unutmak istemek gelmek gitmek yapmak etmek olmak
         almak vermek bilmek görmek demek kalmak başlamak üzerinde
-        altında arasında hakkında kadın adam çocuk akşam saat hafta gece dün yarın ay""",
+        altında arasında hakkında kadın adam çocuk akşam saat hafta gece dün yarın ay
+        perşembe cuma cumartesi pazar pazartesi salı çarşamba sabah
+        dakika neredeyse asla şimdi sonra hata aygıt bilgisayar
+        toplantı oturum bugün ertelendi yapılacak kalp hastalık tedavi
+        egzersiz antrenman koşu atlama rekor takım kaleci galibiyet
+        yenilgi yağmur rüzgar bulut güneş orman ağaç yaprak patika
+        nehir köprü cadde trafik durak tren bilet uçak anne baba
+        büyükanne mutfak soğan yağ tuz ekmek süt sebze meyve lezzetli
+        kahvaltı yemeği tatil bebek uyku uyudu uyandı uyanmadan
+        musluk tamirci kendisi asansör koridor merdiven pencere
+        anahtarlar solda sağda yavaş hızlı dışarıda içeride onardı
+        sonunda kadar""",
     "uk": """і в не на я що з до це так як у його за але від був була
         було бути є ми ви вони вона він цей ця ще може дуже де коли
         тепер тут без під над між проти багато більше рік роки час
@@ -368,7 +443,16 @@ _VOCAB = {
         прізвище хвилини години тижня місяця років навіть адже проте
         щоб щодо немає ніхто ніщо нічого нікого жодного кожного іншого
         першого останнього великого маленького гарного поганого
-        швидкого""",
+        швидкого
+        нарада засідання перенесли відбудеться четвер п'ятниця субота
+        неділя понеділок вівторок середа заняття вправи тренування
+        стрибок рекорд команда воротар перемога поразка уболівальники
+        змагання серце хвороби ризик лікування здоровий дощ сніг вітер
+        хмари сонце ліс дерево стежка річка міст вулиця затор зупинка
+        потяг квиток літак цибуля олія сіль хліб молоко овочі фрукти
+        смачний вечеря сніданок обід оновлення застосунок пристрій
+        екран кнопка мережа світло двері вікно стіна підлога дах
+        ключі гаманець торішній цьогоріч навесні влітку восени взимку""",
     "fa": """از که را با این آن در به و است بود شد می ها های برای تا
         اگر اما یا هم نیز چه وقتی پس بعد قبل اکنون اینجا بدون زیر بین
         علیه بسیار بیشتر سال زمان مردم زندگی آب شهر کشور دولت کار
@@ -451,7 +535,20 @@ _VOCAB = {
         historia politiikka talous yhteiskunta koulutus tieto tilanne
         suhde kehitys tulee tehdä voida saada mennä tulla antaa nähdä
         sanoa pitää aloittaa olla hyvä uusi vanha suuri pieni oikein
-        tässä siellä missä milloin miksi kuka me te he minä sinä""",
+        tässä siellä missä milloin miksi kuka me te he minä sinä
+        viikko torstai perjantai lauantai sunnuntai maanantai tiistai
+        keskiviikko aamu ilta tunti minuutti melkein aina koskaan
+        sitten virhe ohjelma laite tietokone kokous istunto tänään
+        eilen huomenna siirrettiin pidetään sydän sairaus hoito
+        harjoitus treeni juoksu hyppy ennätys joukkue maalivahti
+        pallo voitto tappio sade lumi tuuli pilvi aurinko metsä puu
+        lehdet polku joki silta katu liikenne pysäkki juna lippu
+        lentokone lapsi vanhemmat isoäiti mummo keittiö sipuli öljy
+        suola leipä maito vihannekset hedelmät herkullinen illallinen
+        aamiainen lounas resepti muna lasi jauho tomaatit maistuvat
+        parhailta loppukesästä kesä tarina tarinat hissi käytävä
+        portaat ikkuna avaimet vasemmalla oikealla hitaasti nopeasti
+        ulkona sisällä juhla""",
     "cs": """a se na je v to že s z do o ale jak po co tak už by byl
         byla bylo být jsem jsi jsme jste jsou si k i u od pro za při
         před mezi proti bez nad pod nebo když ještě jen také velmi
@@ -461,7 +558,18 @@ _VOCAB = {
         společnost vzdělání informace situace vztah vývoj stal může
         musí chtěl přišel řekl viděl nový starý dobrý velký malý
         první poslední každý který která které tady tam kde kdy proč
-        kdo my vy oni ona on""",
+        kdo my vy oni ona on
+        týden čtvrtek pátek sobota neděle pondělí úterý středa ráno
+        večer hodina minuta téměř vždy nikdy teď potom chyba zařízení
+        počítač schůze porada zasedání dnes včera zítra srdce nemoc
+        léčba cvičení trénink běh skok rekord tým brankář míč gól
+        vítězství porážka déšť sníh vítr mrak slunce strom listí
+        pěšina řeka most ulice provoz zácpa zastávka vlak lístek
+        letadlo dítě rodiče babička dědeček kuchyně cibule olej sůl
+        chléb mléko zelenina ovoce chutný večeře snídaně oběd recept
+        vejce sklenice mouka sucho přehrada úroveň galerie výstava
+        kytara strýc výtah chodba schody okno klíče vlevo vpravo
+        pomalu rychle venku uvnitř nakrájela osmažila másle""",
     "ro": """și în de la a cu o pe un nu este sunt care ce se mai
         pentru din dar să fie fost era am ai are avem aveți au eu tu
         el ea noi voi ei ele acest această după înainte acum aici
@@ -471,7 +579,19 @@ _VOCAB = {
         întrebare istorie politică economie societate educație
         informații situație relație dezvoltare devenit poate trebuie
         vrea vine spune vede face merge dă nou vechi bun mare mic
-        primul ultimul fiecare unde când cine decât până asupra""",
+        primul ultimul fiecare unde când cine decât până asupra
+        săptămână joi vineri sâmbătă duminică luni marți miercuri
+        dimineață seară oră minut aproape întotdeauna niciodată acum
+        apoi greșeală dispozitiv calculator ședință întâlnire astăzi
+        ieri mâine amânată inimă boală tratament exercițiu antrenament
+        alergare săritură record echipă portar minge victorie
+        înfrângere ploaie zăpadă vânt nor soare pădure copac frunze
+        potecă râu pod stradă trafic stație tren bilet avion copil
+        părinți bunica bunicul bucătărie ceapă ulei sare pâine lapte
+        legume fructe gustos cină prânz rețetă ou pahar făină
+        orchestră simfonie repetat galerie expoziție fotografii vechi
+        lift coridor scară fereastră chei stânga dreapta încet repede
+        afară înăuntru deschis târziu""",
     "hu": """a az és hogy nem is egy ez de van volt el mi ki te ő ők
         mint csak meg már ha vagy még be fel le össze vissza itt ott
         ahol amikor miért mert után előtt most nélkül között ellen
@@ -496,7 +616,17 @@ _VOCAB = {
         думите ръката пътят също всички докато според заради върху
         около отново почти веднага тогава утре снощи добре лошо бързо
         бавно новият старият българският езикът месецът седмицата
-        съща същото към бъде щеше обаче именно въпреки техният нейният""",
+        съща същото към бъде щеше обаче именно въпреки техният нейният
+        съвещание заседание отложиха състои четвъртък петък събота
+        неделя понеделник вторник сряда занимание упражнения
+        тренировка скок рекорд отбор вратар победа загуба запалянковци
+        състезание сърце болести риск лечение здрав дъжд сняг вятър
+        облаци слънце гора дърво пътека река мост улица задръстване
+        спирка влак билет самолет лук олио сол хляб мляко зеленчуци
+        плодове вкусен вечеря закуска обяд рецепта яйце чаша брашно
+        домати лятото къщата приложение устройство екран бутон мрежа
+        светлина врата прозорец стена под покрив ключове портфейл
+        миналата сегашният напролет лятос наесен зиме запържи""",
     "hr": """i u na je se da su za s od o a ali kako tako već samo
         još ako jer nakon prije sada ovdje ondje bez između protiv
         mnogo više godina godine vrijeme ljudi život voda grad zemlja
@@ -506,7 +636,19 @@ _VOCAB = {
         situacija odnos razvoj postao može mora želi dolazi kaže vidi
         radi ide daje nov star dobar velik malen prvi posljednji
         svaki koji koja koje gdje kada zašto tko mi vi oni one ja ti
-        on ona ono sam si smo ste nije bio bila bilo biti će ću""",
+        on ona ono sam si smo ste nije bio bila bilo biti će ću
+        tjedan četvrtak petak subota nedjelja ponedjeljak utorak
+        srijeda jutro večer sat minuta gotovo uvijek nikad sada
+        poslije pogreška uređaj računalo sastanak sjednica danas
+        jučer sutra srce bolest liječenje vježba trening trčanje skok
+        rekord momčad vratar lopta pobjeda poraz kiša snijeg vjetar
+        oblak sunce šuma stablo lišće staza rijeka most ulica promet
+        zastoj stanica vlak karta zrakoplov dijete roditelji baka
+        djed kuhinja luk ulje sol kruh mlijeko povrće voće ukusan
+        večera doručak ručak recept jaje čaša brašno hotelska soba
+        pogled planine poduzeća kriza dizalo hodnik stube prozor
+        ključevi lijevo desno polako brzo vani unutra blagdanskom
+        priča priče""",
     "sw": """na ya wa kwa za katika cha hii hiyo huo ili kama vya
         lakini pia sasa hapa pale bila kati dhidi baada kabla sana
         zaidi mwaka miaka wakati watu maisha maji mji nchi serikali
@@ -768,10 +910,27 @@ def train_langid_classifier(
     include_words: bool = False,
     reg_param: float = 1e-4,
     max_iter: int = 100,
+    len_std: int | None = None,
 ) -> dict:
     """Fit the multinomial classifier. Class order = sorted distinct
     labels. Returns the portable model dict consumed by
-    ``score_langs`` (weights C x F, intercepts C)."""
+    ``score_langs`` (weights C x F, intercepts C).
+
+    ``len_std`` (round 14, VERDICT r13 ask #3): length-standardized
+    features — each document's bucket counts are scaled by
+    ``len_std / n_grams`` so every training vector carries the same
+    total feature mass regardless of text length. This is fastText's
+    mean-of-grams pooling (up to the constant), and it is the
+    principled fix for the short-text intercept artifact: with raw
+    counts the learned class intercepts are calibrated for
+    training-length evidence, so a SHORT text's margins are dominated
+    by the intercepts (the documented ko->zh cell — zh trains on
+    no-space gram streams and earns a 6.85 intercept that ~50 grams
+    of Hangul evidence cannot overcome). With standardized features
+    the intercept competes against a fixed evidence mass at every
+    length. Serving stays exact-dyadic when ``len_std`` is a power of
+    two: margins are compared as ``n*I + len_std*S`` (order-equivalent
+    integer form — see :func:`margins_kernel`)."""
     import numpy as np
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.linalg import SparseVector, VectorUDT
@@ -801,9 +960,12 @@ def train_langid_classifier(
         b, c = np.unique(
             np.asarray(row["__b"], dtype=np.int64), return_counts=True
         )
+        v = c.astype(float)
+        if len_std is not None and v.sum() > 0:
+            v = v * (len_std / v.sum())
         return (
             idx[row["__l"]],
-            SparseVector(n_features, b.tolist(), c.astype(float).tolist()),
+            SparseVector(n_features, b.tolist(), v.tolist()),
         )
 
     train_df = labeled.sparkSession.createDataFrame(
@@ -825,6 +987,7 @@ def train_langid_classifier(
         "lowercase": lowercase,
         "max_chars": max_chars,
         "include_words": include_words,
+        "len_std": len_std,
     }
 
 
@@ -847,15 +1010,28 @@ def quantize_langid_model(model: dict, denom: int = 256) -> dict:
     return out
 
 
-def margins_kernel(buckets_iter, W, I):
+def margins_kernel(buckets_iter, W, I, len_std: int | None = None):
     """numpy margin computation shared by serving, training eval, and
-    tests: for each bucket array, I + W[:, b].sum(axis=1)."""
+    tests: for each bucket array, ``I + W[:, b].sum(axis=1)`` — or,
+    for a length-standardized model (``len_std`` set, see
+    :func:`train_langid_classifier`), ``(n/len_std) * I + S``: the
+    trained margin ``I + (len_std/n) * S`` rescaled by ``n/len_std``
+    (order-preserving for n >= 1, and exact in float64 for the
+    quantized model when len_std is a power of two — n/len_std is
+    exact, times a dyadic intercept stays a multiple of
+    ``1/(denom*len_std)``, so margins remain summation-order
+    independent and SQL-replayable as the integer form
+    ``n*ki + len_std*s``)."""
     import numpy as np
 
     out = []
     for b in buckets_iter:
         bk = np.asarray(b, dtype=np.int64)
-        out.append(I + (W[:, bk].sum(axis=1) if len(bk) else 0.0))
+        s = W[:, bk].sum(axis=1) if len(bk) else 0.0
+        if len_std is None:
+            out.append(I + s)
+        else:
+            out.append((max(len(bk), 1) / len_std) * I + s)
     return np.asarray(out)
 
 
@@ -900,6 +1076,7 @@ def score_langs(
     W = np.asarray(model["weights"], dtype=np.float64)
     I = np.asarray(model["intercepts"], dtype=np.float64)
     classes = np.asarray(model["classes"])
+    len_std = model.get("len_std")
 
     bcol = "__b"
     while bcol in df.columns:  # never silently clobber a caller column
@@ -924,7 +1101,7 @@ def score_langs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = margins_kernel(pdf[bcol], W, I)
+            m = margins_kernel(pdf[bcol], W, I, len_std)
             arg = np.argmax(m, axis=1)
             best = m[np.arange(len(m)), arg]
             out = pdf.drop(columns=[bcol])
@@ -980,6 +1157,7 @@ def builtin_langid_model() -> dict:
         "max_chars": M.MAX_CHARS,
         "include_words": M.INCLUDE_WORDS,
         "denom": M.DENOM,
+        "len_std": getattr(M, "LEN_STD", None),
     }
 
 

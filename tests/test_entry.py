@@ -36,6 +36,44 @@ def test_registry_at_cap():
     assert len(entrymod.queries()) == 50
 
 
+def test_avi_feat_gate_covers_both_codecs():
+    """Round-14 VERDICT ask #5: the extract_features 'avi' variant must
+    exercise BOTH decode branches — even part keys carry MJPEG
+    containers, odd keys DIB (BI_RGB) containers, and the DIB frames
+    are per-channel-distinct colors (pinning BGR order + bottom-up
+    rows, which a gray frame cannot)."""
+    import numpy as np
+
+    from spatialpandas_spark.operators.avi import (
+        decode_avi_frames,
+        parse_avi,
+    )
+
+    vals = entrymod._JPEG_GATE_VALUES
+    hexes = entrymod._avi_feat_gate_hexes()
+    assert len(hexes) == 8
+    for k, h in enumerate(hexes):
+        data = bytes.fromhex(h)
+        meta = parse_avi(data)
+        want = "MJPG" if k % 2 == 0 else "DIB"
+        assert meta["handler"] == want, (k, meta["handler"])
+        frames = list(decode_avi_frames(data))
+        assert len(frames) == 2
+        if k % 2 == 1:
+            f1, f2 = frames
+            assert np.array_equal(
+                f1[0, 0], [vals[k], vals[(k + 1) % 8], vals[(k + 2) % 8]]
+            )
+            assert np.array_equal(
+                f2[0, 0],
+                [vals[(k + 3) % 8], vals[(k + 4) % 8], vals[(k + 5) % 8]],
+            )
+            assert (f1 == f1[0, 0]).all() and (f2 == f2[0, 0]).all()
+        else:
+            assert (frames[0] == vals[k]).all()
+            assert (frames[1] == vals[(k + 3) % 8]).all()
+
+
 def test_t05_weights_are_temperature_weights():
     """The training_mix gate's integer-exact closed form IS
     temperature_weights at T=1/2 (docstring promise): w_s =
