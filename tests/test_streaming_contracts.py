@@ -240,3 +240,103 @@ def test_screen_stream_equals_batch_on_real_docs(spark, docs, tmp_path):
     assert (
         sorted(map(tuple, load_screen(spark, ix, st).collect())) == want
     )
+
+
+def test_screen_loop_retries_through_concurrent_rebuild(
+    spark, docs, tmp_path
+):
+    """Round-14 VERDICT ask #7 — the retry contract of
+    docs/INDEX_CONSISTENCY.md driven END TO END: a micro-batch step
+    whose bloom read lands in a torn rebuild window (new-epoch sidecar
+    visible, old bloom still on disk — the dangerous undersize
+    direction) raises ``ConcurrentRebuildError``, writes NOTHING
+    (exactly-once state untouched), and the SAME batch retried with
+    the SAME batch id after the swap completes converges to the
+    sequential twin exactly."""
+    import json as _json
+
+    from spatialpandas_spark.operators.contamination_index import (
+        _SIDECAR,
+        ConcurrentRebuildError,
+        build_decon_index,
+        decontaminate_against_index,
+        load_decon_params,
+        rebuild_decon_index,
+        screen_against_index,
+    )
+    from spatialpandas_spark.sources import fs as _fs
+    from spatialpandas_spark.streaming.screen import screen_batch
+
+    ix, st = str(tmp_path / "ix"), str(tmp_path / "state")
+    sink = str(tmp_path / "clean")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+        "benchmark",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    build_decon_index(bench, ix, n=5, k=64, group_cols=["benchmark"])
+
+    def step(batch, batch_id):
+        # realistic curation body: bloom-decontaminate the batch for
+        # the training sink (the bloom read is the reader that can
+        # observe a torn snapshot — it runs FIRST, before any write),
+        # then screen the raw batch for the contamination summary
+        clean = decontaminate_against_index(
+            batch, ix, threshold=0.5, method="bloom"
+        )
+        (
+            clean.select("doc_id")
+            .withColumn("batch", F.lit(int(batch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+        )
+        return screen_batch(spark, batch, ix, st, batch_id=batch_id)
+
+    batches = _micro_batches(docs)
+    step(batches[0], 0)
+
+    # inject the mid-swap tear: sidecar from the NEW epoch (m doubled)
+    # while the OLD bloom chunks are still what's on disk
+    p = load_decon_params(ix)
+    torn = dict(p)
+    torn["bloom"] = dict(p["bloom"], m=p["bloom"]["m"] * 2)
+    _fs.write_text(f"{ix}/{_SIDECAR}", _json.dumps(torn))
+
+    with pytest.raises(ConcurrentRebuildError, match="retry"):
+        step(batches[1], 1)
+    # the failed attempt wrote nothing: no batch-1 partition in either
+    # the sink or the screen state (the tear raised before any write)
+    assert (
+        spark.read.parquet(sink).select(F.max("batch")).first()[0] == 0
+    )
+    assert (
+        spark.read.parquet(st).select(F.max("batch")).first()[0] == 0
+    )
+
+    # the swap completes (a real rebuild restores a consistent epoch,
+    # re-deriving m from the target fpp); retry the SAME batch id
+    rebuild_decon_index(spark, ix)
+    step(batches[1], 1)
+    out = step(batches[2], 2)
+
+    # sequential twins: the maintained summary equals one
+    # screen_against_index over everything ingested, and the sink
+    # equals one decontamination pass over the full table — the
+    # failed attempt and the retry left no trace in either
+    want = sorted(map(tuple, screen_against_index(docs, ix).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+    assert any(r[2] > 0 for r in want)  # hits flowed through the retry
+    got_ids = sorted(
+        r[0] for r in spark.read.parquet(sink).select("doc_id").collect()
+    )
+    want_ids = sorted(
+        r[0]
+        for r in decontaminate_against_index(
+            docs, ix, threshold=0.5, method="bloom"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got_ids == want_ids and 0 < len(got_ids) < docs.count()
