@@ -4680,13 +4680,26 @@ def _langid_pred_sql(
     from spatialpandas_spark.operators import _langid_model as M
 
     langs = M.CLASSES
+    # round 14: length-standardized model — margins are compared in
+    # the order-equivalent integer form nb*ki + LEN_STD*s (pure BIGINT;
+    # = DENOM*LEN_STD times the engine's exact-dyadic float margin
+    # (nb/LEN_STD)*I + S — see operators/langid.margins_kernel)
+    len_std = getattr(M, "LEN_STD", None)
     sums = ",\n         ".join(
         f"SUM(('0x' || substr('{M.WEIGHTS_HEX[c]}', b*4+1, 4))::BIGINT"
         f" - 32768) AS s_{c}"
         for c in langs
     )
+    # the clamped gram count must be inlined (not the `nb` alias: in
+    # the lm CTE that name would resolve to ls.nb, NULL on empty text)
+    nb1 = "GREATEST(COALESCE(nb, 0), 1)"
     margins = ",\n         ".join(
-        f"{M.INTERCEPT_NUMS[i]} + COALESCE(s_{c}, 0) AS m_{c}"
+        (
+            f"{nb1} * {M.INTERCEPT_NUMS[i]}"
+            f" + {len_std} * COALESCE(s_{c}, 0) AS m_{c}"
+            if len_std is not None
+            else f"{M.INTERCEPT_NUMS[i]} + COALESCE(s_{c}, 0) AS m_{c}"
+        )
         for i, c in enumerate(langs)
     )
     gm = "GREATEST(" + ", ".join(f"m_{c}" for c in langs) + ")"
@@ -4698,8 +4711,11 @@ def _langid_pred_sql(
         inner_cols = (
             f"*, list_sort({mlist})[{len(langs) - 1}] AS sec"
         )
+        denom = (
+            M.DENOM if len_std is None else M.DENOM * len_std
+        )
         pred_expr = (
-            f"CASE WHEN (gm - sec) / {M.DENOM} / nb "
+            f"CASE WHEN (gm - sec) / {denom} / nb "
             f">= CAST({min_gap!r} AS DOUBLE) "
             f"THEN ({pred_expr}) ELSE 'und' END"
         )

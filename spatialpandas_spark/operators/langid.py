@@ -257,7 +257,19 @@ _VOCAB = {
         масло соль хлеб молоко овощи фрукты вкусный ужин завтрак обед
         рецепт яйцо стакан мука обновление приложение устройство
         экран кнопка сеть свет дверь окно стена пол крыша ключи
-        кошелёк прошлый нынешний весной летом осенью зимой""",
+        кошелёк прошлый нынешний весной летом осенью зимой
+        хотя затем здесь почему потому несколько хозяева поля
+        проиграли выиграли держит около медленно суп щепотка
+        рыба рынок сыр сын язык музыка быстрый новый старый
+        красивый белый чёрный жёлтый зелёный тёплый холодный мёд
+        ещё её трёх четырёх пятьдесят шестьдесят девяти десяти
+        этот эти этой поэтому экран этаж экзамен эксперимент
+        электричество вышел вырос выход посмотрел озеро горы
+        затопила засуха водохранилище былые опыт
+        любит любил хочет может гуляли читать писать спать идти
+        ехать домой утром днём вечером ночью парк сад двор улице
+        городе доме шёл пошёл нашёл счёт учёный весёлый тёмный
+        светлый""",
     "el": """και το να του η με τον την των που από είναι για στο δεν ο
         τα σε ότι αν θα οι ως αλλά κατά ένα μια στη στον μας σας τους
         όπως μετά πριν χωρίς κάθε εδώ εκεί τώρα πολύ είχε ήταν αυτό
@@ -1035,13 +1047,16 @@ def margins_kernel(buckets_iter, W, I, len_std: int | None = None):
     return np.asarray(out)
 
 
-#: Calibrated abstention default (round-12 frozen holdout,
-#: tools/eval_langid_holdout.py, 1150 sentences): abstain to 'und'
-#: when the PER-FEATURE TOP-2 GAP — (best - runner-up) / n_buckets —
-#: falls below this. At 0.01 the holdout keeps 95.1% of correct
-#: predictions and abstains on 73.5% of wrong ones. The RAW margin
-#: (min_margin) calibrates nothing on real errors: sibling-language
-#: confusions (pt->it, uk->ru, tr->id) are HIGH-margin, and raw
+#: Calibrated abstention default (tools/eval_langid_holdout.py):
+#: abstain to 'und' when the PER-FEATURE TOP-2 GAP —
+#: (best - runner-up) / n_buckets — falls below this. Calibrated at
+#: 0.01 on the round-12 frozen holdout (kept 95.1% of correct
+#: predictions, abstained on 73.5% of wrong ones) and RE-VERIFIED on
+#: the round-14 length-standardized model (kept 96.7%, abstained
+#: 77.8% — the gap semantics carry over because the len-std margin
+#: difference is (I1-I2)/len_std + (S1-S2)/n, the same per-feature
+#: scale). The RAW margin (min_margin) calibrates nothing on real
+#: errors: sibling-language confusions are HIGH-margin, and raw
 #: margins scale with text length — at every raw threshold <= 3.0 the
 #: holdout abstains on 0% of wrong predictions. min_margin remains
 #: for gibberish rejection; min_gap is the confusion-aware knob.

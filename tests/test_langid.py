@@ -92,7 +92,9 @@ def test_builtin_model_held_out_accuracy():
     W = np.asarray(m["weights"])
     I = np.asarray(m["intercepts"])
     held = langid_corpus(40, "pytest-heldout")
-    marg = margins_kernel((py_buckets(t, m) for _, t in held), W, I)
+    marg = margins_kernel(
+        (py_buckets(t, m) for _, t in held), W, I, m.get("len_std")
+    )
     pred = [m["classes"][a] for a in np.argmax(marg, axis=1)]
     ok = sum(g == w for (w, _), g in zip(held, pred))
     assert ok / len(held) >= 0.99, ok / len(held)
@@ -104,14 +106,18 @@ def test_builtin_model_held_out_accuracy():
 
 def test_builtin_margins_are_exact_dyadic():
     """Every margin of the shipped model is an integer multiple of
-    1/DENOM — the property that makes the SQL replay bit-exact under
-    any summation order."""
+    1/(DENOM*LEN_STD) — the property that makes the SQL replay
+    bit-exact under any summation order (round 14: the
+    length-standardized kernel adds the exact n/LEN_STD intercept
+    scale, LEN_STD a power of two)."""
     m = builtin_langid_model()
     W = np.asarray(m["weights"])
     I = np.asarray(m["intercepts"])
     texts = [t for _, t in langid_corpus(3, "dyadic")]
-    marg = margins_kernel((py_buckets(t, m) for t in texts), W, I)
-    scaled = marg * m["denom"]
+    marg = margins_kernel(
+        (py_buckets(t, m) for t in texts), W, I, m.get("len_std")
+    )
+    scaled = marg * m["denom"] * (m.get("len_std") or 1)
     assert np.array_equal(scaled, np.rint(scaled))
 
 
@@ -130,7 +136,9 @@ def test_spark_serve_matches_python_replay(spark):
     W = np.asarray(m["weights"])
     I = np.asarray(m["intercepts"])
     for i, t in rows:
-        marg = margins_kernel([py_buckets(t, m)], W, I)[0]
+        marg = margins_kernel(
+            [py_buckets(t, m)], W, I, m.get("len_std")
+        )[0]
         a = int(np.argmax(marg))
         assert got[i] == (m["classes"][a], marg[a]), (i, t[:30])
     # empty text -> intercept argmax, same for every empty row
@@ -241,7 +249,9 @@ def test_segment_classification_mixed_document(spark):
     m = builtin_langid_model()
     W = np.asarray(m["weights"]); I = np.asarray(m["intercepts"])
     segs = [s for s in doc.split("\n") if s.strip()]
-    marg = margins_kernel([py_buckets(s, m) for s in segs], W, I)
+    marg = margins_kernel(
+        [py_buckets(s, m) for s in segs], W, I, m.get("len_std")
+    )
     want = [m["classes"][i] for i in np.argmax(marg, axis=1)]
     assert [g[1] for g in got] == want
 
@@ -382,7 +392,7 @@ def test_min_gap_abstention_spark_matches_twin(spark):
     m = builtin_langid_model()
     W = np.asarray(m["weights"]); I = np.asarray(m["intercepts"])
     bks = [py_buckets(t, m) for t in texts]
-    marg = margins_kernel(bks, W, I)
+    marg = margins_kernel(bks, W, I, m.get("len_std"))
     arg = np.argmax(marg, axis=1)
     second = np.partition(marg, -2, axis=1)[:, -2]
     best = marg[np.arange(len(marg)), arg]

@@ -452,7 +452,9 @@ def main() -> None:
     confusions: list[tuple[str, str, str]] = []
     per_lang: dict[str, str] = {}
     for lang, sents in sorted(REAL_SENTENCES.items()):
-        margins = margins_kernel([py_buckets(s, m) for s in sents], W, I)
+        margins = margins_kernel(
+            [py_buckets(s, m) for s in sents], W, I, m.get("len_std")
+        )
         preds = [order[i] for i in np.argmax(margins, axis=1)]
         ok = sum(p == lang for p in preds)
         total += len(sents)

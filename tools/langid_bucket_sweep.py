@@ -57,7 +57,9 @@ def holdout_report(qm: dict) -> dict:
     classes = list(qm["classes"])
     rows = []
     for lang, sents in sorted(HOLDOUT_SENTENCES.items()):
-        marg = margins_kernel([py_buckets(s, qm) for s in sents], W, I)
+        marg = margins_kernel(
+            [py_buckets(s, qm) for s in sents], W, I, qm.get("len_std")
+        )
         for a in np.argmax(marg, axis=1):
             rows.append((lang, classes[a]))
     total = len(rows)

@@ -59,7 +59,7 @@ def two_stage_report(sub: dict | None) -> dict:
     rows = []
     for lang, sents in sorted(HOLDOUT_SENTENCES.items()):
         bc = [py_buckets(s, coarse) for s in sents]
-        marg = margins_kernel(bc, Wc, Ic)
+        marg = margins_kernel(bc, Wc, Ic, coarse.get("len_std"))
         preds = [cls_c[i] for i in np.argmax(marg, axis=1)]
         for s, p in zip(sents, preds):
             if sub is not None and p in FAMILY:

@@ -37,7 +37,13 @@ STATUS registry (append, never rewrite):
              no Nordic miss). Figure recorded in BASELINE.md round-13
              langid section. Not consulted for any decision as of this
              writing — quotable as the round-13 blind figure.
-  RESERVE_B: SEALED (authored round 13)
+  RESERVE_B: opened-r14 — 190/190 = 1.0000, scored ONCE against the
+             shipped round-14 model (length-standardized training +
+             uk/ru/bg + Romance/Germanic/Slavic contrastive vocabulary
+             blocks) after it was final; zero confusions. Figure
+             recorded in BASELINE.md round-14 langid section. Not
+             consulted for any decision as of this writing — quotable
+             as the round-14 blind figure.
   RESERVE_C: SEALED (authored round 13, AFTER A was opened and BEFORE
              the sibling-language expansion was evaluated — rule 4;
              covers the prospective 42-language set, so it can serve
@@ -1243,7 +1249,9 @@ def _score(slice_dict: dict[str, list[str]]) -> dict:
     per, correct, total = {}, 0, 0
     conf: dict[str, int] = {}
     for lang, sents in sorted(slice_dict.items()):
-        marg = margins_kernel([py_buckets(s, m) for s in sents], W, I)
+        marg = margins_kernel(
+            [py_buckets(s, m) for s in sents], W, I, m.get("len_std")
+        )
         preds = [classes[i] for i in np.argmax(marg, axis=1)]
         ok = sum(p == lang for p in preds)
         for p in preds:

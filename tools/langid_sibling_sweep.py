@@ -139,7 +139,10 @@ def main() -> None:
     cls_c = list(coarse["classes"])
 
     def coarse_pred(sents):
-        marg = margins_kernel([py_buckets(s, coarse) for s in sents], Wc, Ic)
+        marg = margins_kernel(
+            [py_buckets(s, coarse) for s in sents], Wc, Ic,
+            coarse.get("len_std"),
+        )
         return [cls_c[i] for i in np.argmax(marg, axis=1)]
 
     out = {}
