@@ -79,6 +79,17 @@ LANGS = [
 #: their seed vocabularies below, this pair table, and the sealed
 #: 42-language reserve slice C are the ready-made starting kit for a
 #: future round with real contrastive training prose.
+#:
+#: ROUND-14 UPDATE: that lever was pulled for da/no — 170 authored
+#: PARALLEL contrastive prose pairs (tools/langid_dano_prose.py),
+#: upweight sweep, and a top-2 routing fix
+#: (tools/langid_dano_pilot.py). Real prose moved the pair from the
+#: r13 synthetic ceiling (dev 0.5) to 0.83 fresh-battery recall at
+#: <= 2 damage flips — confirming the r13 root cause from the other
+#: side — but the ship bar (>= 0.90) stays out of reach: the residual
+#: misses are sentences whose da/no surface forms genuinely coincide.
+#: Still honestly excluded; the next lever is a higher-capacity
+#: refiner over the same prose, not more prose (BASELINE.md round 14).
 SIBLING_PAIRS = {"da": "no", "cs": "sk", "id": "ms", "hr": "sr"}
 
 #: noise alphabet for the 'und' class (uniform letter soup + digits —
