@@ -86,7 +86,7 @@ def semantic_dedup_pairs(
         _centroids,
         bucket_assign_arrow,
         kmeans_refine,
-        pair_cosine_arrow,
+        within_bucket_pairs_arrow,
     )
 
     if n_clusters is None:
@@ -98,40 +98,18 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).filter(F.col("__cv").isNotNull())
-    # both join sides project from the assignment — checkpoint so the
-    # full-corpus centroid-assignment Arrow scan runs ONCE, not per side
-    # (the differing projections defeat exchange reuse)
-    assigned = bucket_assign_arrow(v, cents, vec_col="__cv").localCheckpoint(
-        eager=True
-    )
-    left = assigned.select(
-        F.col("__bucket").alias("__b"),
-        F.col("__id").alias("id_a"),
-        F.col("__cv").alias("__qv"),
-    )
-    right = assigned.select(
-        F.col("__bucket").alias("__b"),
-        F.col("__id").alias("id_b"),
-        F.col("__cv"),
-    )
-    # hint("merge"): the within-cluster self-join must SHUFFLE on the
-    # cluster key, never broadcast. Catalyst's size estimate happily
-    # broadcasts the whole assigned corpus when it squeaks under the
-    # 10 MB threshold (at sf1: 20k x 64 doubles ~ 10 MB) — a plan that
-    # cannot exist at real scale (the build side is the FULL corpus)
-    # and that measured 5-6x SLOWER and bimodal here, because the
-    # fused probe stage inherits the checkpoint's few partitions and
-    # one task carries most of the pair volume (round-13 b25
-    # forensics: broadcast 72.8-101.9 s vs merge 13.5-15.7 s at sf1,
-    # BASELINE.md). The merge join shuffles both sides by __b and AQE
-    # coalesces/splits per partition volume.
-    cand = (
-        left.hint("merge")
-        .join(right, "__b")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    sims = pair_cosine_arrow(cand, keep_cols=("id_a", "id_b"))
-    return sims.filter(F.col("sim") >= F.lit(threshold))
+    # ONE grouped Arrow pass: assign buckets in the scan stage, shuffle
+    # each vector ONCE on the cluster key, and emit within-cluster pairs
+    # from a blocked gram prefilter + exact sequential re-evaluation
+    # (bit-identical sims — see within_bucket_pairs_arrow). This replaces
+    # the round-13 bucket-keyed SELF-join, which shipped every vector
+    # twice, materialized |cluster|^2 two-vector candidate rows into the
+    # cosine kernel, and whose tiny-bytes exchange AQE coalesced to a
+    # single task (round-14 profile: one 16 s task carried the whole
+    # pair volume at sf0.1). The broadcast-shaped plan the round-13
+    # merge hint banned cannot reappear: there is no join left.
+    assigned = bucket_assign_arrow(v, cents, vec_col="__cv")
+    return within_bucket_pairs_arrow(assigned, threshold)
 
 
 def semantic_dedup_clusters(

@@ -258,6 +258,110 @@ def bucket_assign_arrow(
     return df.mapInPandas(run, out_schema)
 
 
+def within_bucket_pairs_arrow(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "__id",
+    vec_col: str = "__cv",
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """All within-bucket pairs ``(id_a, id_b, sim)`` with ``id_a < id_b``
+    and exact cosine ``sim >= threshold`` — the SemDeDup candidate stage
+    as ONE grouped Arrow pass instead of a bucket-keyed self-join.
+
+    Why not the self-join (the round-13 shape): the join ships every
+    vector twice through the bucket shuffle and then materializes
+    |bucket|^2 candidate ROWS each carrying TWO full vectors (~1 KB/row)
+    into the pair-cosine kernel — at sf0.1 that is ~125 MB of Arrow
+    traffic to compare 2 MB of vectors, and AQE coalesces the tiny-bytes
+    exchange to ONE task, serializing the round's heaviest compute
+    (round-14 profile: a single 16 s task). Here each bucket's vectors
+    cross the boundary ONCE; candidates are found with a blocked
+    normalized gram matrix (BLAS — rows/bytes never materialized), and
+    only the surviving pairs are re-evaluated with the canonical
+    sequential fold, so every emitted ``sim`` is bit-identical to
+    ``pair_cosine_arrow`` and the SQL oracle.
+
+    The gram prefilter keeps ``threshold - 1e-9`` — vastly wider than
+    the worst-case BLAS-vs-sequential summation gap for unit vectors
+    (~dim * ulp ≈ 1e-14 at dim 64), so no exact-qualifying pair can be
+    missed; the exact filter then decides membership. Memory per task is
+    the group's vectors plus one ``block x |bucket|`` gram slab (block
+    sized so the slab stays ~64 M entries); the |bucket|^2 candidate
+    *volume* is inherent to SemDeDup and bounded by the caller keeping
+    mean cluster size ~constant (``semantic.auto_n_clusters``)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = assigned.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", idt),
+            StructField("id_b", idt),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    pre = thr - 1e-9
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col]
+        if n >= 2:
+            # id_a < id_b must emerge from the upper triangle: order rows
+            # by id (pandas string sort == Spark's UTF8 binary order)
+            pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+            ids = pdf[id_col]
+            X = _stack(pdf[vec_col])
+            norms = np.sqrt(_seq_pair_dot(X, X))
+            ok = norms > 0
+            Xn = np.where(
+                ok[:, None], X / np.where(ok, norms, 1.0)[:, None], 0.0
+            )
+            blk = max(1, (1 << 26) // n)
+            ia_parts, ib_parts = [], []
+            for s in range(0, n, blk):
+                g = Xn[s : s + blk] @ Xn.T
+                ii, jj = np.nonzero(g >= pre)
+                ii = ii + s
+                keep = jj > ii
+                if keep.any():
+                    ia_parts.append(ii[keep])
+                    ib_parts.append(jj[keep])
+            if ia_parts:
+                ia = np.concatenate(ia_parts)
+                ib = np.concatenate(ib_parts)
+                # exact re-evaluation: the same sequential kernel (and the
+                # same per-row norm arithmetic) pair_cosine_arrow runs
+                na, nb = norms[ia], norms[ib]
+                okp = (na > 0) & (nb > 0)
+                sim = np.where(
+                    okp, _seq_pair_dot(X[ia], X[ib]) / (na * nb), 0.0
+                )
+                keep = sim >= thr
+                if keep.any():
+                    return pd.DataFrame(
+                        {
+                            "id_a": ids.to_numpy()[ia[keep]],
+                            "id_b": ids.to_numpy()[ib[keep]],
+                            "sim": sim[keep],
+                        }
+                    )
+        return pd.DataFrame(
+            {
+                "id_a": ids.iloc[:0],
+                "id_b": ids.iloc[:0],
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+
+    return (
+        assigned.select(id_col, vec_col, bucket_col)
+        .groupBy(bucket_col)
+        .applyInPandas(run, out_schema)
+    )
+
+
 def pair_cosine_arrow(
     df: DataFrame,
     a_col: str = "__qv",

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # off by default (driver/test runs need no UI); profiling tools
+        # (tools/profile_query.py) flip it on to read per-job REST metrics
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI", "false"),
+        )
     )
     return builder.getOrCreate()

@@ -368,12 +368,13 @@ def test_langid_scoring_plan_is_shuffle_free(spark):
     assert "MapInPandas" in plan
 
 
-def test_semantic_self_join_shuffles_never_broadcasts(spark):
-    """Round-13 b25 forensics: the within-cluster self-join must
-    shuffle on the cluster key. Catalyst's estimate auto-broadcast the
-    ENTIRE assigned corpus when it fit the 10 MB threshold — a build
-    side that cannot exist at 100 TB, and 5-6x slower + bimodal at sf1
-    (BASELINE.md round 13). The merge hint pins the scale shape."""
+def test_semantic_pairs_single_grouped_pass_no_join(spark):
+    """Round-14 b25 restructure: within-cluster pairs are ONE grouped
+    Arrow pass — each vector crosses the bucket shuffle exactly once
+    into ``within_bucket_pairs_arrow`` (gram prefilter + exact
+    re-evaluation). The round-13 hazards stay structurally banned: no
+    join means no broadcast build side and no |cluster|^2 two-vector
+    candidate rows; exactly one Exchange (the bucket key) may appear."""
     import numpy as np
 
     from spatialpandas_spark.operators.semantic import semantic_dedup_pairs
@@ -387,8 +388,10 @@ def test_semantic_self_join_shuffles_never_broadcasts(spark):
     plan = physical_plan(
         semantic_dedup_pairs(df, n_clusters=4, kmeans_iters=0)
     )
-    assert "SortMergeJoin" in plan, plan[:2000]
-    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Broadcast" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
 
 
 def test_rp_near_dup_self_join_shuffles_never_broadcasts(spark):
