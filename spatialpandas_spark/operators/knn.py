@@ -79,12 +79,16 @@ def estimate_knn_cell_size(
     if n < 2:
         raise ValueError("need at least 2 right rows to estimate cell_size")
     f = min(1.0, sample_rows / n)
-    # slight oversample then limit: df.sample is approximate
-    samp = xy.sample(fraction=min(1.0, f * 1.2), seed=7).limit(sample_rows)
-    pts = np.asarray(samp.collect(), dtype=np.float64)
+    # slight oversample, truncate driver-side: a .limit() here costs an
+    # incremental multi-stage job (profiled: 5 jobs on b16), while a
+    # plain sampled scan is ONE job and toPandas rides the Arrow fast
+    # path instead of row-pickled collect (round-14: the Row->numpy
+    # conversion was the single largest driver gap in the b16 profile)
+    samp = xy.sample(fraction=min(1.0, f * 1.2), seed=7)
+    pts = samp.toPandas().to_numpy(dtype=np.float64)[:sample_rows]
     m = len(pts)
     if m < 2:
-        pts = np.asarray(xy.limit(sample_rows).collect(), dtype=np.float64)
+        pts = xy.limit(sample_rows).toPandas().to_numpy(dtype=np.float64)
         m = len(pts)
     f_eff = m / n
     kp = max(1, int(round(k * f_eff)))
@@ -239,15 +243,39 @@ def sjoin_knn(
         F.col(right_geom)["y"].alias("__ry"),
     )
 
-    # one agg scan of the corpus yields count + bounds together (the
-    # count feeds the cell-size estimator and the residual-budget check,
-    # the bounds feed the extent)
-    rstat = r0.agg(
-        F.count("*").alias("n"),
-        F.max("__rx").alias("x1"), F.min("__rx").alias("x0"),
-        F.max("__ry").alias("y1"), F.min("__ry").alias("y0"),
+    # ONE agg job yields the corpus count (feeds the cell-size estimator
+    # and the residual-budget check) AND, when the level loop will need
+    # an extent, the min/max bounds of the UNION of both point sets —
+    # the separate left-side bounds job this replaces was a full extra
+    # job chain per call (round-14 b16 profile). The union bounds are
+    # exactly min/max over both sides, and an empty left side degrades
+    # to right-only bounds automatically. The left scan is skipped
+    # whenever the extent provably won't be used: caller passed one, or
+    # the radius-covering level is 0 (cell_size defaulting to
+    # max_radius, or an explicit cell_size >= max_radius).
+    need_lb = extent is None and (
+        max_radius is None
+        or (cell_size is not None and cell_size < max_radius)
+    )
+    sides = r0.select(
+        F.lit(1).alias("__isr"),
+        F.col("__rx").alias("__x"),
+        F.col("__ry").alias("__y"),
+    )
+    if need_lb:
+        sides = sides.unionByName(
+            l0.select(
+                F.lit(0).alias("__isr"),
+                F.col("__lx").alias("__x"),
+                F.col("__ly").alias("__y"),
+            )
+        )
+    ustat = sides.agg(
+        F.sum("__isr").alias("n"),
+        F.max("__x").alias("x1"), F.min("__x").alias("x0"),
+        F.max("__y").alias("y1"), F.min("__y").alias("y0"),
     ).first()
-    n_right = rstat["n"]
+    n_right = ustat["n"] or 0
     if n_right == 0:
         return l0.sparkSession.createDataFrame(
             [], f"{left_id} long, {right_id} long, dist2 double, rank int"
@@ -287,23 +315,15 @@ def sjoin_knn(
 
     if extent is None and cutoff_lvl == 0:
         # the radius-covering level is 0: the loop can never expand, so
-        # the union-bounds aggregations (one scan per side) would only
-        # feed a max_lvl that is already pinned at 0 — skip them
+        # a max_lvl fed by real bounds would already be pinned at 0
         extent = cell_size
     elif extent is None:
         # the last level's 3x3 must cover the farthest possible (left,
-        # right) pair, so the extent spans the UNION of both point sets
-        lb = l0.agg(
-            F.max("__lx").alias("x1"), F.min("__lx").alias("x0"),
-            F.max("__ly").alias("y1"), F.min("__ly").alias("y0"),
-        ).first()
-        if lb["x1"] is None:
-            x0, x1 = rstat["x0"], rstat["x1"]
-            y0, y1 = rstat["y0"], rstat["y1"]
-        else:
-            x0, x1 = min(lb["x0"], rstat["x0"]), max(lb["x1"], rstat["x1"])
-            y0, y1 = min(lb["y0"], rstat["y0"]), max(lb["y1"], rstat["y1"])
-        extent = max(x1 - x0, y1 - y0, cell_size)
+        # right) pair: the up-front union aggregation already spans
+        # both point sets (right-only when the left side is empty)
+        extent = max(
+            ustat["x1"] - ustat["x0"], ustat["y1"] - ustat["y0"], cell_size
+        )
 
     max_lvl = max(0, math.ceil(math.log2(extent / cell_size)) + 1)
     if cutoff_lvl is not None:
@@ -328,14 +348,9 @@ def sjoin_knn(
     unresolved = l0.withColumn("__lvl", F.lit(0))
     results = []
     rounds = 0
+    active = [0]
     while True:
         rounds += 1
-        if rounds == 1:
-            active = [0]
-        else:
-            active = sorted(
-                r["__lvl"] for r in unresolved.select("__lvl").distinct().collect()
-            )
         # right side bucketed once per ACTIVE level (few), level in the key
         rj = r0.select(
             "__rid", "__rx", "__ry",
@@ -412,13 +427,26 @@ def sjoin_knn(
             "__lid", "__n", "__maxd2", "__ok"
         )
         nxt = (
-            unresolved.drop("__lvl")
-            .join(info, "__lid", "left")
+            unresolved.join(info, "__lid", "left")
             .filter(~F.coalesce(F.col("__ok"), F.lit(False)))
             .drop("__ok")
+        )
+        if cutoff_lvl is not None:
+            # a row whose 3x3 neighborhood at cell width >= max_radius
+            # was EMPTY (no ranked candidates: __n null) provably has no
+            # neighbor within the radius — drop it NOW instead of
+            # carrying it into another round or a residual corpus sweep
+            # whose matches the radius filter must discard anyway
+            # (round-14: on b27 this removes the entire residual
+            # brute-force job chain — collect, cell semi-join, Arrow
+            # sweep, ranking window)
+            nxt = nxt.filter(
+                ~(F.col("__n").isNull() & (F.col("__lvl") >= F.lit(cutoff_lvl)))
+            )
+        nxt = (
             # jump: bounded rows go straight to their resolving level,
             # unbounded (isolated) rows quad-step; clamp to max_lvl
-            .withColumn(
+            nxt.withColumn(
                 "__lvl",
                 F.least(
                     F.lit(max_lvl),
@@ -434,10 +462,12 @@ def sjoin_knn(
             .drop("__n", "__maxd2")
         )
         unresolved = nxt.localCheckpoint(eager=True)
-        stats = unresolved.agg(
-            F.count("*").alias("n"), F.min("__lvl").alias("minl")
-        ).first()
-        cnt = stats["n"]
+        # ONE job yields the unresolved count, the minimum level, and the
+        # next round's active level list (previously: an agg job here
+        # plus a distinct-collect job at the next loop top)
+        lvl_rows = unresolved.groupBy("__lvl").count().collect()
+        cnt = sum(r["count"] for r in lvl_rows)
+        active = sorted(r["__lvl"] for r in lvl_rows)
         if _dbg:
             print(
                 f"[knn] round {rounds} lvls={active} unresolved={cnt} "
@@ -452,7 +482,7 @@ def sjoin_knn(
         # degeneracy (every row's next cell is a big fraction of the extent
         # — the window path would see near-all-corpus candidates anyway).
         if cnt <= residual_bf_rows:
-            degenerate = cell_size * (2 ** stats["minl"]) >= extent / 4
+            degenerate = cell_size * (2 ** min(active)) >= extent / 4
             if cnt * n_right <= residual_bf_budget or degenerate:
                 if _dbg:
                     print(
