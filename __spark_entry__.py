@@ -2745,8 +2745,13 @@ def q_training_mix(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    n_en = d.filter(F.col("lang") == "en").count()
-    n_rest = d.filter(F.col("lang") != "en").count()
+    # one agg job for both source counts (was two filtered .count() jobs;
+    # the conditional sums replicate the filters' null semantics exactly)
+    cr = d.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("en"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("rest"),
+    ).first()
+    n_en, n_rest = cr["en"] or 0, cr["rest"] or 0
     wm = _t05_weights_millis(n_en, n_rest)
 
     en = d.filter(F.col("lang") == "en").select("doc_id")

@@ -388,9 +388,13 @@ def pq_topk(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
     )
+    # broadcast the CANDIDATE side of the vector join (bounded by
+    # |collected queries| x n_cand by construction): the float corpus
+    # streams through a broadcast hash join instead of being shuffled —
+    # round-14 b20 profile: the old plan shuffle-wrote the entire cached
+    # vector corpus (~54 MB at sf0.1) to equi-join a few hundred rows
     pairs = (
-        cand.select("qid", "vec_id")
-        .join(F.broadcast(qv), "qid")
+        F.broadcast(cand.select("qid", "vec_id").join(F.broadcast(qv), "qid"))
         .join(cv, "vec_id")
         .select("qid", "vec_id", "__qv", "__cv")
     )

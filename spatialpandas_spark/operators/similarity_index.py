@@ -356,9 +356,13 @@ def query_ivfpq_index(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
         )
+    # broadcast the CANDIDATE side (bounded: |queries| x n_cand) so the
+    # stored/pruned vector partitions stream through a broadcast hash
+    # join instead of being shuffled (round-14 b20/b21/b31 profile fix)
     pairs = (
-        cand.select("qid", "vec_id")
-        .join(F.broadcast(q_sel), "qid")
+        F.broadcast(
+            cand.select("qid", "vec_id").join(F.broadcast(q_sel), "qid")
+        )
         .join(cv, "vec_id")
         .select("qid", "vec_id", "__qv", "__cv")
     )
@@ -786,9 +790,13 @@ def query_ivfsq8_index(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
         )
+    # broadcast the CANDIDATE side (bounded: |queries| x n_cand) so the
+    # stored/pruned vector partitions stream through a broadcast hash
+    # join instead of being shuffled (round-14 b20/b21/b31 profile fix)
     pairs = (
-        cand.select("qid", "vec_id")
-        .join(F.broadcast(q_sel), "qid")
+        F.broadcast(
+            cand.select("qid", "vec_id").join(F.broadcast(q_sel), "qid")
+        )
         .join(cv, "vec_id")
         .select("qid", "vec_id", "__qv", "__cv")
     )

@@ -171,7 +171,53 @@ def df_b28_dwithin(spark, sf_dir):
     return sjoin_dwithin(qs, corpus, 2.0, left_id="qid", right_id="id")
 
 
+def df_b20_pq_scan(spark, sf_dir):
+    # same construction as bench b20, state built inline (uncached is
+    # fine for plan shape)
+    from spatialpandas_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tiled = (
+        emb.crossJoin(spark.range(4).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") * 4 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep") % 7).cast("float") * F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    books = train_pq(tiled, m_sub=8, n_codes=64, sample_n=512, iters=2)
+    codes = pq_encode(tiled, books)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(qs, codes, books, k=10, rerank=tiled, rerank_factor=4)
+
+
+def df_b21_ivfpq_probe(spark, sf_dir):
+    import os
+    import tempfile
+
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix="plan_ivfpq_"), "index")
+    build_ivfpq_index(
+        emb, path, n_centroids=16, m_sub=8, n_codes=64, store_vectors=True
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return query_ivfpq_index(spark, path, qs, k=10, n_probe=4, rerank="stored")
+
+
 BUILDERS = {
+    "b20_pq_scan": df_b20_pq_scan,
+    "b21_ivfpq_probe": df_b21_ivfpq_probe,
     "b25_semantic_dedup": df_b25_semantic_dedup,
     "b16_knn": df_b16_knn,
     "b27_sjoin_nearest": df_b27_sjoin_nearest,
