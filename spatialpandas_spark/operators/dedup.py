@@ -428,16 +428,38 @@ def near_dup_clusters(
         df, id_col, text_col, shingle_n, num_hashes, bands, threshold
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    out = (
+    return _attach_cluster_sizes(df, comp, id_col)
+
+
+def _attach_cluster_sizes(
+    df: DataFrame, comp: DataFrame, id_col: str
+) -> DataFrame:
+    """(cluster_id, *df columns, cluster_size) from a corpus and its
+    near-dup component table. Sizes come from the COMPONENT table alone
+    — every non-singleton cluster member appears in ``comp`` (its nodes
+    are corpus ids, unique by contract) and singletons have size 1 — so
+    the corpus is scanned ONCE and never shuffled: both the label join
+    and the size join build from pair-graph-bounded tables (round-14:
+    the previous shape recomputed the corpus scan inside a
+    groupBy(cluster_id) and then shuffle-joined the full corpus,
+    including document text, against its own aggregate)."""
+    sizes = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("__csize")
+    )
+    return (
         df.join(comp, df[id_col] == comp["node"], "left")
         .withColumn(
             "cluster_id",
             F.coalesce(F.col("component"), F.col(id_col).cast("long")),
         )
         .drop("node", "component")
+        .join(sizes, "cluster_id", "left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("__csize"), F.lit(1).cast("long")),
+        )
+        .drop("__csize")
     )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return out.join(sizes, "cluster_id")
 
 
 def dedup_near(

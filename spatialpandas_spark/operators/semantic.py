@@ -124,22 +124,16 @@ def semantic_dedup_clusters(
     smallest id in its transitive near-dup group; singletons keep their
     own id) and the group size — the ``near_dup_clusters`` shape on the
     embedding surface."""
+    from spatialpandas_spark.operators.dedup import _attach_cluster_sizes
     from spatialpandas_spark.operators.graph import connected_components
 
     pairs = semantic_dedup_pairs(
         vectors, n_clusters, threshold, kmeans_iters, id_col, vec_col
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    out = (
-        vectors.join(comp, vectors[id_col] == comp["node"], "left")
-        .withColumn(
-            "cluster_id",
-            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
-        )
-        .drop("node", "component")
-    )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return out.join(sizes, "cluster_id")
+    # sizes from the component table alone (corpus scanned once, never
+    # shuffled) — see _attach_cluster_sizes
+    return _attach_cluster_sizes(vectors, comp, id_col)
 
 
 def semantic_dedup(
