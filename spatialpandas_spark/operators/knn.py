@@ -51,8 +51,8 @@ def estimate_knn_cell_size(
     right: DataFrame,
     k: int,
     right_geom: str = "geom",
-    sample_rows: int = 20_000,
-    n_queries: int = 256,
+    sample_rows: int = 8192,
+    n_queries: int = 128,
     n: int | None = None,
 ) -> float:
     """Estimate the k-th-NN distance of ``right`` by sampling, for use as
@@ -96,10 +96,18 @@ def estimate_knn_cell_size(
     rng = np.random.default_rng(7)
     qidx = rng.choice(m, size=min(n_queries, m), replace=False)
     q = pts[qidx]  # (q, 2)
-    # (q, m) squared distances in one block — bounded by n_queries*sample_rows
-    d2 = (q[:, None, 0] - pts[None, :, 0]) ** 2 + (q[:, None, 1] - pts[None, :, 1]) ** 2
-    # k'-th *neighbor* excludes self (distance 0 at position 0 after sort)
-    kth = np.sqrt(np.partition(d2, kp, axis=1)[:, kp])
+    # chunked (q, m) squared-distance blocks: peak driver allocation is
+    # bounded by chunk*m doubles (~2 MB) instead of n_queries*m (the
+    # round-14 profile caught the one-shot 120 MB block dominating the
+    # call during a memory-bandwidth-degraded machine phase)
+    kth = np.empty(len(q))
+    for s in range(0, len(q), 32):
+        qc = q[s : s + 32]
+        d2 = (qc[:, None, 0] - pts[None, :, 0]) ** 2 + (
+            qc[:, None, 1] - pts[None, :, 1]
+        ) ** 2
+        # k'-th *neighbor* excludes self (distance 0 at position 0)
+        kth[s : s + 32] = np.sqrt(np.partition(d2, kp, axis=1)[:, kp])
     r_sample = float(np.median(kth))
     r_full = r_sample * math.sqrt(k * f_eff / kp)
     return max(r_full, 1e-12)

@@ -39,6 +39,18 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
+        # AQE coalescing targets BYTES, but Arrow kernel stages cost
+        # per-row compute orders of magnitude above their byte size; at
+        # the bench's MB-scale inputs the 1m default packs a whole
+        # heavy stage into 1-2 tasks (round-14 b25 profile: one 16 s
+        # task). Production keeps Spark's default (partitions there are
+        # GB-scale, the floor never binds); the local bench overrides
+        # DOWN via SPARK_GRAFT_MIN_PARTITION_SIZE, mirroring the
+        # SPARK_GRAFT_MAX_PARTITION_BYTES pattern above.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Events-pipeline session contract (see sources/events.py): the
