@@ -474,13 +474,26 @@ def dedup_near(
     """Near-duplicate dedup: keep one document per near-dup cluster (the
     smallest id — deterministic, matching ``dedup_exact``'s min_by rule).
     Columns are the input's; dropped rows are the non-canonical cluster
-    members."""
-    clustered = near_dup_clusters(
+    members.
+
+    Survivor selection needs only the component table (a row survives
+    iff it is absent from the pair graph or is its own component
+    representative), so the cluster-size aggregation+join of
+    ``near_dup_clusters`` is skipped (round-14)."""
+    from spatialpandas_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands, threshold
     )
-    return clustered.filter(
-        F.col(id_col).cast("long") == F.col("cluster_id")
-    ).select(*df.columns)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col(id_col).cast("long"))
+        )
+        .select(*df.columns)
+    )
 
 
 def lsh_band_plan(

@@ -146,10 +146,22 @@ def semantic_dedup(
 ) -> DataFrame:
     """Keep one row per semantic-duplicate group (smallest id — the
     deterministic survivor rule shared across the dedup family).
-    Columns pass through untouched."""
-    clustered = semantic_dedup_clusters(
+    Columns pass through untouched.
+
+    Survivor selection needs only the component table (absent from the
+    pair graph, or its own representative) — the cluster-size
+    aggregation+join of the clusters variant is skipped (round-14)."""
+    from spatialpandas_spark.operators.graph import connected_components
+
+    pairs = semantic_dedup_pairs(
         vectors, n_clusters, threshold, kmeans_iters, id_col, vec_col
     )
-    return clustered.filter(
-        F.col(id_col).cast("long") == F.col("cluster_id")
-    ).select(*vectors.columns)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        vectors.join(comp, vectors[id_col] == comp["node"], "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col(id_col).cast("long"))
+        )
+        .select(*vectors.columns)
+    )
