@@ -199,15 +199,29 @@ def minhash_lsh_pairs(
     Jaccard >= threshold. rows = num_hashes // bands per band."""
     rows = num_hashes // bands
     df = _ensure_parallelism(df)
+    # ONE signature computation, materialized: every DataFrame branch of a
+    # self-join re-resolves its subtree with fresh expression ids and the
+    # AQE stage cache never recognizes the MapInPandas subtrees as equal
+    # (measured round-14: the old repartition-as-materialization shape ran
+    # the full shingle+signature pass once per branch — 2x, and 4x under
+    # the payload-light banding below). A lazy localCheckpoint pins the
+    # signatures to ONE shared RDD lineage node, so the corpus is scanned
+    # and signatures computed exactly once however many branches read them.
     sigd = minhash_signatures_arrow(
         df, id_col, text_col, shingle_n, num_hashes
-    ).repartition(F.col("__id"))
-    # the repartition materializes signatures at an exchange so the banding
-    # explode below references stored values instead of recomputing per band
+    ).localCheckpoint(eager=False)
 
+    # payload-light banding (round-14, guide §8): the band self-join and
+    # the pair dedup only DECIDE which id pairs are candidates, so they
+    # carry (id, band-hash) — 16 bytes/row — instead of the 512-byte
+    # signature on both sides of an exploded (x bands) exchange. The
+    # signatures move exactly once: the banding scan and both attach
+    # joins all read the one checkpointed signature RDD, and the attach
+    # joins are planned by size like any equi-join (broadcast at bench
+    # scale, shuffle at corpus scale — the estimate tracks the input
+    # scan, so the decision flips correctly with data size).
     banded = sigd.select(
         "__id",
-        "__sig",
         F.explode(
             F.transform(
                 _seq0(F.lit(bands)),
@@ -228,7 +242,7 @@ def minhash_lsh_pairs(
     )
     l = banded.alias("l")
     r = banded.alias("r")
-    pairs = (
+    cand = (
         l.join(
             r,
             (F.col("l.__bk") == F.col("r.__bk"))
@@ -238,10 +252,15 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
-            F.col("l.__sig").alias("__siga"),
-            F.col("r.__sig").alias("__sigb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigd.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga")),
+        "id_a",
+    ).join(
+        sigd.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb")),
+        "id_b",
     )
     matches = F.filter(
         F.zip_with(F.col("__siga"), F.col("__sigb"), lambda a, b: a == b),
