@@ -374,13 +374,17 @@ def simhash_pairs(
     # every other, an O(n²) blowup at corpus scale. Same contract as the
     # MinHash path, which drops shingle-less docs.
     df = df.filter(F.size(word_shingles(F.col(text_col), 2)) > 0)
+    # ONE fingerprint computation, materialized; banding and pair dedup
+    # carry (id, band key) only and the bit arrays are attached to the
+    # surviving candidate pairs — same round-14 shape as minhash_lsh_pairs
+    # (the old repartition-as-materialization recomputed the fingerprint
+    # fold once per self-join branch).
     sd = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         simhash_bits(F.col(text_col), bits).alias("__sh"),
-    ).repartition(F.col("__id"))  # materialize fingerprints pre-banding (see minhash)
+    ).localCheckpoint(eager=False)
     banded = sd.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -403,8 +407,7 @@ def simhash_pairs(
         ).alias("__bk"),
     )
     l, r = banded.alias("l"), banded.alias("r")
-    ham = hamming(F.col("l.__sh"), F.col("r.__sh"))
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.__bk") == F.col("r.__bk")) & (F.col("l.__id") < F.col("r.__id")),
@@ -413,11 +416,20 @@ def simhash_pairs(
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
-            ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sd.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sd.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    ham = hamming(F.col("__sha"), F.col("__shb"))
+    return pairs.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def near_dup_clusters(

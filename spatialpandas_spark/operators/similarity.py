@@ -673,16 +673,22 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, bits, seed)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    # ONE signature pass, materialized (round-14, same fix as the MinHash
+    # sibling): self-join branches re-resolve their subtree and the AQE
+    # stage cache never matches the Arrow nodes, so without the checkpoint
+    # the vector scan + hyperplane pass ran once per branch.
     sd = rp_signatures_arrow(
         df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         ).filter(F.col("__v").isNotNull()),
         planes,
-    )
+    ).localCheckpoint(eager=False)
+    # payload-light banding (guide §8): the band self-join and pair dedup
+    # decide WHICH id pairs are candidates, so they carry (id, band key)
+    # only; the dim-wide vectors move once, in the attach joins below.
     banded = sd.select(
         "__id",
-        "__v",
         F.explode(
             F.array(
                 *[
@@ -714,12 +720,21 @@ def embedding_near_dup_pairs(
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
-            F.col("l.__v").alias("__va"),
-            F.col("r.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # the attach joins carry the same merge pin: their build side would be
+    # the corpus-sized vector table whose post-Arrow size estimate is the
+    # one round-13 proved unreliable — a broadcast here cannot exist at
+    # real scale
+    pairs = cand.hint("merge").join(
+        sd.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")),
+        "id_a",
+    ).hint("merge").join(
+        sd.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")),
+        "id_b",
+    )
     sims = pair_cosine_arrow(
-        cand, a_col="__va", b_col="__vb", keep_cols=("id_a", "id_b")
+        pairs, a_col="__va", b_col="__vb", keep_cols=("id_a", "id_b")
     )
     return sims.filter(F.col("sim") >= threshold)
