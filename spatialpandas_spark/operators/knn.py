@@ -261,54 +261,66 @@ def sjoin_knn(
     # whenever the extent provably won't be used: caller passed one, or
     # the radius-covering level is 0 (cell_size defaulting to
     # max_radius, or an explicit cell_size >= max_radius).
-    need_lb = extent is None and (
-        max_radius is None
-        or (cell_size is not None and cell_size < max_radius)
+    # radius-covering calls need NO statistics job at all: with cell
+    # width >= max_radius the 3x3 neighborhood covers the cutoff disc, so
+    # the loop below terminates after round 0 for every input — rows with
+    # candidates resolve (lvl >= max_lvl = 0), rows with an empty
+    # neighborhood are provably isolated and cutoff-dropped — and the
+    # residual sweep (the only n_right consumer) is unreachable. An empty
+    # corpus degrades to the same empty result through the same round.
+    # Round-14: the up-front count+bounds aggregation was ~25% of
+    # b27_sjoin_nearest's wall for a value the call never used.
+    radius_covers = max_radius is not None and (
+        cell_size is None or cell_size >= max_radius
     )
-    sides = r0.select(
-        F.lit(1).alias("__isr"),
-        F.col("__rx").alias("__x"),
-        F.col("__ry").alias("__y"),
-    )
-    if need_lb:
-        sides = sides.unionByName(
-            l0.select(
-                F.lit(0).alias("__isr"),
-                F.col("__lx").alias("__x"),
-                F.col("__ly").alias("__y"),
+    if radius_covers:
+        n_right = None
+        if cell_size is None:
+            # radius-bounded default: at cell = max_radius the 3x3 covers
+            # the whole cutoff disc, so EVERY row resolves in round 0 —
+            # one join, no sampling-estimator job, no residual sweep.
+            # Candidate volume is 9 * density * r^2 per query — the
+            # inherent cost of a radius query; pass an explicit cell_size
+            # if the radius is large relative to the point density
+            # (measured on b27: 19k queries x 600k corpus, 8.9 s ->
+            # 3.1 s, identical output).
+            cell_size = float(max_radius)
+    else:
+        need_lb = extent is None
+        sides = r0.select(
+            F.lit(1).alias("__isr"),
+            F.col("__rx").alias("__x"),
+            F.col("__ry").alias("__y"),
+        )
+        if need_lb:
+            sides = sides.unionByName(
+                l0.select(
+                    F.lit(0).alias("__isr"),
+                    F.col("__lx").alias("__x"),
+                    F.col("__ly").alias("__y"),
+                )
             )
-        )
-    ustat = sides.agg(
-        F.sum("__isr").alias("n"),
-        F.max("__x").alias("x1"), F.min("__x").alias("x0"),
-        F.max("__y").alias("y1"), F.min("__y").alias("y0"),
-    ).first()
-    n_right = ustat["n"] or 0
-    if n_right == 0:
-        return l0.sparkSession.createDataFrame(
-            [], f"{left_id} long, {right_id} long, dist2 double, rank int"
-        )
-
-    if cell_size is None and max_radius is not None:
-        # radius-bounded default: at cell = max_radius the 3x3 covers
-        # the whole cutoff disc, so EVERY row resolves in round 0 — one
-        # join, no sampling-estimator job, no residual sweep. Candidate
-        # volume is 9 * density * r^2 per query — the inherent cost of
-        # a radius query; pass an explicit cell_size if the radius is
-        # large relative to the point density (measured on b27:
-        # 19k queries x 600k corpus, 8.9 s -> 3.1 s, identical output).
-        cell_size = float(max_radius)
-    elif cell_size is None:
-        # the estimator returns the MEDIAN k-th-NN distance, but a row
-        # only resolves in round 0 when its k-th candidate is within ONE
-        # cell width — at cell = median, ~half the rows miss that bound
-        # and force a second full join round. 2.5x makes round-0
-        # resolution the common case at ~O(100) candidates/row for small
-        # k (measured on b16: 19k x 600k, 6.8 s -> 2.1-2.9 s, identical
-        # output); explicit cell_size callers keep full control.
-        cell_size = 2.5 * estimate_knn_cell_size(
-            right, k, right_geom=right_geom, n=n_right
-        )
+        ustat = sides.agg(
+            F.sum("__isr").alias("n"),
+            F.max("__x").alias("x1"), F.min("__x").alias("x0"),
+            F.max("__y").alias("y1"), F.min("__y").alias("y0"),
+        ).first()
+        n_right = ustat["n"] or 0
+        if n_right == 0:
+            return l0.sparkSession.createDataFrame(
+                [], f"{left_id} long, {right_id} long, dist2 double, rank int"
+            )
+        if cell_size is None:
+            # the estimator returns the MEDIAN k-th-NN distance, but a row
+            # only resolves in round 0 when its k-th candidate is within ONE
+            # cell width — at cell = median, ~half the rows miss that bound
+            # and force a second full join round. 2.5x makes round-0
+            # resolution the common case at ~O(100) candidates/row for small
+            # k (measured on b16: 19k x 600k, 6.8 s -> 2.1-2.9 s, identical
+            # output); explicit cell_size callers keep full control.
+            cell_size = 2.5 * estimate_knn_cell_size(
+                right, k, right_geom=right_geom, n=n_right
+            )
     if cell_size <= 0:
         raise ValueError("cell_size must be positive")
 
@@ -490,6 +502,11 @@ def sjoin_knn(
         # degeneracy (every row's next cell is a big fraction of the extent
         # — the window path would see near-all-corpus candidates anyway).
         if cnt <= residual_bf_rows:
+            if n_right is None:
+                # unreachable for radius-covering calls (the loop exits
+                # after round 0); counted lazily here for any other path
+                # that skipped the up-front statistics job
+                n_right = r0.count()
             degenerate = cell_size * (2 ** min(active)) >= extent / 4
             if cnt * n_right <= residual_bf_budget or degenerate:
                 if _dbg:
