@@ -273,6 +273,16 @@ def sjoin_knn(
     radius_covers = max_radius is not None and (
         cell_size is None or cell_size >= max_radius
     )
+    if not radius_covers:
+        # the narrow (id, x, y) projections are read several times per
+        # call — the statistics aggregation, the estimator's sample,
+        # every round's bucketing, the residual sweep (round-14 profile:
+        # b16 executed the corpus scan+project subtree 4x) — so pin each
+        # to one lazily materialized RDD. The radius-covering path reads
+        # each side exactly once (round 0 only), where a persist would
+        # be pure overhead.
+        l0 = l0.localCheckpoint(eager=False)
+        r0 = r0.localCheckpoint(eager=False)
     if radius_covers:
         n_right = None
         if cell_size is None:
@@ -317,9 +327,19 @@ def sjoin_knn(
             # and force a second full join round. 2.5x makes round-0
             # resolution the common case at ~O(100) candidates/row for small
             # k (measured on b16: 19k x 600k, 6.8 s -> 2.1-2.9 s, identical
-            # output); explicit cell_size callers keep full control.
+            # output); explicit cell_size callers keep full control. The
+            # sample reads the checkpointed projection (struct rebuilt so
+            # the estimator's x/y field access resolves), not the caller's
+            # subtree a third time.
             cell_size = 2.5 * estimate_knn_cell_size(
-                right, k, right_geom=right_geom, n=n_right
+                r0.select(
+                    F.struct(
+                        F.col("__rx").alias("x"), F.col("__ry").alias("y")
+                    ).alias(right_geom)
+                ),
+                k,
+                right_geom=right_geom,
+                n=n_right,
             )
     if cell_size <= 0:
         raise ValueError("cell_size must be positive")
