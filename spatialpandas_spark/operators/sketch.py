@@ -523,9 +523,24 @@ def corpus_overlap(
     is scanned once into a k-row sketch; the comparison itself touches
     no corpus data. Use this to decide whether the exact per-document
     ``ngram_overlap`` pass (which needs a broadcast-sized benchmark) is
-    worth running, or to dedupe whole crawl dumps against each other."""
+    worth running, or to dedupe whole crawl dumps against each other.
+
+    Shape (round-14): ONE tagged-union grouped sketch pass instead of
+    two independent sketch chains — both sides' scans run in the same
+    job and the sketch machinery (Arrow partial bottom-k, distinct,
+    rank window) is planned once. Per-side rows are identical to two
+    separate :func:`shingle_sketch` calls because the sketch is a pure
+    function of each side's key set; the tiny (≤ 2k-row) grouped sketch
+    is checkpointed so the union scan never re-executes for the second
+    consumer."""
+    ga = docs_a.select(F.lit(0).alias("__side"), F.col(text_col))
+    gb = docs_b.select(F.lit(1).alias("__side"), F.col(text_col))
+    sk = shingle_sketch(
+        ga.unionByName(gb), text_col, n=n, k=k, seed=seed,
+        group_cols=["__side"],
+    ).localCheckpoint(eager=False)
     return kmv_overlap(
-        shingle_sketch(docs_a, text_col, n, k, seed),
-        shingle_sketch(docs_b, text_col, n, k, seed),
+        sk.filter(F.col("__side") == 0).drop("__side"),
+        sk.filter(F.col("__side") == 1).drop("__side"),
         k,
     )

@@ -67,15 +67,23 @@ def df_b27_sjoin_nearest(spark, sf_dir):
 
 
 def df_b30_kmv_overlap(spark, sf_dir):
-    # the per-side sketch stage: kmv_overlap checkpoints its sketch
-    # inputs, so the end-to-end plan starts downstream of the part whose
-    # shape the optimization changed
+    # the sketch stage: kmv_overlap checkpoints its sketch inputs, so
+    # the end-to-end plan starts downstream of the part whose shape the
+    # optimization changed. Round-14 continuation: corpus_overlap now
+    # runs ONE tagged-union grouped sketch pass over both sides, so
+    # mirror that shape (was: one per-side shingle_sketch per plan).
     import bench
     from spatialpandas_spark.operators.sketch import shingle_sketch
 
     docs = bench._spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     a = docs.filter(F.col("doc_id") % 2 == 0)
-    return shingle_sketch(a, "text", 5, 1024, 42)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ga = a.select(F.lit(0).alias("__side"), F.col("text"))
+    gb = b.select(F.lit(1).alias("__side"), F.col("text"))
+    return shingle_sketch(
+        ga.unionByName(gb), "text", n=5, k=1024, seed=42,
+        group_cols=["__side"],
+    )
 
 
 def df_b29_training_mix(spark, sf_dir):
