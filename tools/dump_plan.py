@@ -223,9 +223,28 @@ def df_b21_ivfpq_probe(spark, sf_dir):
     return query_ivfpq_index(spark, path, qs, k=10, n_probe=4, rerank="stored")
 
 
+def df_b31_ivfsq8_probe(spark, sf_dir):
+    import os
+    import tempfile
+
+    from spatialpandas_spark.operators.similarity_index import (
+        build_ivfsq8_index,
+        query_ivfsq8_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix="plan_ivfsq8_"), "index")
+    build_ivfsq8_index(emb, path, n_centroids=16, store_vectors=True)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return query_ivfsq8_index(spark, path, qs, k=10, n_probe=4, rerank="stored")
+
+
 BUILDERS = {
     "b20_pq_scan": df_b20_pq_scan,
     "b21_ivfpq_probe": df_b21_ivfpq_probe,
+    "b31_ivfsq8_probe": df_b31_ivfsq8_probe,
     "b25_semantic_dedup": df_b25_semantic_dedup,
     "b16_knn": df_b16_knn,
     "b27_sjoin_nearest": df_b27_sjoin_nearest,
