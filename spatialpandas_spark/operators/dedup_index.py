@@ -226,9 +226,13 @@ def dedup_against_index(
     excluded, so index-then-probe workflows behave)."""
     p = load_minhash_params(path)
     base = path.rstrip("/")
-    # eager checkpoint: the signature kernel output feeds the band rows,
-    # the key collect, and the est refinement — compute it exactly once
-    sigs = _signatures(new_docs, p).localCheckpoint(eager=True)
+    # lazy checkpoint: the signature kernel output feeds the band rows,
+    # the key collect, and the est refinement — the key collect below is
+    # the first action and materializes it, so the kernel runs exactly
+    # once WITHOUT a separate up-front checkpoint job (the kernel is a
+    # pure function of the batch text, so there is no stamped-id
+    # determinism hazard here, unlike the sjoin rowid fork)
+    sigs = _signatures(new_docs, p).localCheckpoint(eager=False)
     probe = _band_rows(
         sigs, p["bands"], p["num_hashes"], p["n_buckets"], with_sig=True
     )
