@@ -1154,11 +1154,24 @@ def score_langs(
     return buck.mapInPandas(score, schema)
 
 
+_BUILTIN_MODEL_CACHE: dict | None = None
+
+
 def builtin_langid_model() -> dict:
     """The shipped 38-language dyadic-quantized model (train recipe:
     ``tools/train_langid.py`` — deterministic; weights stored
     offset-binary hex in ``_langid_model.py`` so the DuckDB oracle can
-    substring-index the SAME table)."""
+    substring-index the SAME table).
+
+    The hex→float parse costs ~0.3 s of pure driver time, and serving
+    calls this per query — so the parsed model is memoized at module
+    level (it is a pure function of the committed weights table, not of
+    any input data). Each call returns a fresh top-level dict; the
+    nested weight lists are shared and must be treated as read-only
+    (every in-repo consumer copies via ``np.asarray``)."""
+    global _BUILTIN_MODEL_CACHE
+    if _BUILTIN_MODEL_CACHE is not None:
+        return dict(_BUILTIN_MODEL_CACHE)
     import numpy as np
 
     from spatialpandas_spark.operators import _langid_model as M
@@ -1173,7 +1186,7 @@ def builtin_langid_model() -> dict:
         ],
         dtype=np.int64,
     )
-    return {
+    _BUILTIN_MODEL_CACHE = {
         "classes": list(M.CLASSES),
         "weights": (W / M.DENOM).tolist(),
         "intercepts": [k / M.DENOM for k in M.INTERCEPT_NUMS],
@@ -1185,6 +1198,7 @@ def builtin_langid_model() -> dict:
         "denom": M.DENOM,
         "len_std": getattr(M, "LEN_STD", None),
     }
+    return dict(_BUILTIN_MODEL_CACHE)
 
 
 def classify_language(
