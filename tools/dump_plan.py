@@ -241,8 +241,16 @@ def df_b31_ivfsq8_probe(spark, sf_dir):
     return query_ivfsq8_index(spark, path, qs, k=10, n_probe=4, rerank="stored")
 
 
+def df_b34_langid(spark, sf_dir):
+    from spatialpandas_spark.operators.langid import classify_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classify_language(docs, "text").groupBy("lang_pred").count()
+
+
 BUILDERS = {
     "b20_pq_scan": df_b20_pq_scan,
+    "b34_langid": df_b34_langid,
     "b21_ivfpq_probe": df_b21_ivfpq_probe,
     "b31_ivfsq8_probe": df_b31_ivfsq8_probe,
     "b25_semantic_dedup": df_b25_semantic_dedup,
