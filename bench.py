@@ -867,6 +867,14 @@ BASELINE_ISOLATED = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_isolated.json"
 )
 
+#: full per-run diagnostics (anchor series, isolated-baseline ratios,
+#: untruncated errors) — everything too long for the driver-contract
+#: stdout line lands here instead (round-14 verdict ask #1b)
+DIAG_SIDECAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "plans", "bench_diag_latest.json",
+)
+
 
 def _main_isolated() -> None:
     """``bench.py --isolated``: run EVERY query in its own subprocess
@@ -999,15 +1007,59 @@ def _main_one(name: str) -> None:
     spark.stop()
 
 
+def _per_query_drift(
+    query_pos: dict[str, int],
+    anchors: list[float],
+    anchor_pos: list[int],
+) -> dict[str, float]:
+    """Per-query WARM-anchor drift factor (round-14 verdict ask #1).
+
+    The in-suite run re-times the anchor every ~11 queries, but the old
+    normalization divided EVERY query by anchors[0] — so when a
+    co-tenancy storm arrived mid-suite (r14: anchor series 0.62→1.40),
+    the tail's ratios were systematically under-corrected and the flag
+    list was junk. This interpolates the WARM anchor series (anchors[1:]
+    — anchors[0] is the only fresh-JVM-regime point and must not be
+    mixed with warm ones, see the regime-matching note in main()) at
+    each query's suite position, relative to the FIRST warm anchor.
+    Stable suite → every factor ≈ 1.0 and behavior matches the old
+    scheme; mid-suite storm → tail queries get the larger divisor the
+    storm actually imposed on them."""
+    warm = anchors[1:]
+    wpos = anchor_pos[1:]
+    if len(warm) < 2:
+        return {q: 1.0 for q in query_pos}
+    ref = warm[0]
+    out = {}
+    for q, qi in query_pos.items():
+        if qi <= wpos[0]:
+            val = warm[0]
+        elif qi >= wpos[-1]:
+            val = warm[-1]
+        else:
+            for j in range(1, len(wpos)):
+                if qi < wpos[j]:
+                    lo, hi = wpos[j - 1], wpos[j]
+                    frac = (qi - lo) / (hi - lo)
+                    val = warm[j - 1] + frac * (warm[j] - warm[j - 1])
+                    break
+        out[q] = round(val / ref, 3) if ref > 0 else 1.0
+    return out
+
+
 def _isolated_deltas(
-    results: dict[str, float], anchor_sec: float | None = None
+    results: dict[str, float],
+    anchor_sec: float | None = None,
+    drift: dict[str, float] | None = None,
 ) -> dict | None:
     """In-suite medians vs the committed canonical isolated values:
     per-query ratio (in-suite / canonical median) so a >20% mover is
     classified against a RECORDED number, not a remembered one. When
     BOTH runs carry a phase-anchor time, the flag list is computed on
-    ANCHOR-NORMALIZED ratios (ratio / (anchor_now / anchor_canonical))
-    so environment lockstep drift self-cancels; raw ratios are kept
+    ANCHOR-NORMALIZED ratios (ratio / (anchor_now / anchor_canonical)),
+    additionally scaled by each query's bracketing-warm-anchor drift
+    factor when available, so environment lockstep drift — including
+    drift that ARRIVES mid-suite — self-cancels; raw ratios are kept
     alongside. The definitive drift-vs-regression call remains
     tools/bench_ab.py's interleaved A/B; this flags which queries
     need it."""
@@ -1029,8 +1081,13 @@ def _isolated_deltas(
     base_anchor = base.get("anchor_sec")
     if anchor_sec and base_anchor:
         phase = anchor_sec / base_anchor
-        norm = {q: round(r / phase, 2) for q, r in ratios.items()}
+        norm = {
+            q: round(r / (phase * (drift or {}).get(q, 1.0)), 2)
+            for q, r in ratios.items()
+        }
         out["anchor_phase_ratio"] = round(phase, 3)
+        if drift:
+            out["per_query_drift"] = drift
         out["ratio_vs_isolated_normalized"] = norm
         out["flagged_over_1p2x"] = sorted(
             q for q, r in norm.items() if r > 1.2
@@ -1064,6 +1121,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     anchors = [_time_anchor(spark)]
+    anchor_pos = [0]
+    query_pos: dict[str, int] = {}
     _warm_machinery(spark)  # see docstring — don't bill setup to query #1
 
     # failure-isolated: one broken query must never zero out the whole
@@ -1078,6 +1137,8 @@ def main() -> None:
     for qi, (name, fn) in enumerate(BENCHES.items()):
         if qi and qi % recheck_every == 0:
             anchors.append(_time_anchor(spark))
+            anchor_pos.append(qi)
+        query_pos[name] = qi
         try:
             for _ in range(2):  # 2 warm-ups: the JIT curve outlives 1
                 fn(spark)
@@ -1090,6 +1151,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     anchors.append(_time_anchor(spark))
+    anchor_pos.append(len(BENCHES))
 
     # REGIME MATCHING (round-12 lesson, measured): the canonical
     # baseline's anchor is a FRESH-JVM measurement, and the first
@@ -1097,11 +1159,18 @@ def main() -> None:
     # JVM's own warm-up halves the anchor by mid-suite (series
     # 0.398 -> 0.263.. observed), so normalizing with a warm median
     # inflated every ratio ~1.5x into false flags. Normalize with
-    # anchors[0]; judge PHASE stability from the post-warm series
-    # alone (anchors[1:]), where real co-tenancy shows up.
+    # anchors[0] for the cold-vs-canonical regime factor; mid-suite
+    # drift is corrected per query from the WARM series (anchors[1:])
+    # by _per_query_drift. Judge PHASE stability from the post-warm
+    # series alone, where real co-tenancy shows up.
     anchor_sec = anchors[0]
     warm = anchors[1:] or anchors
     total = round(sum(results.values()), 3)
+    # the DRIVER CONTRACT line: kept SHORT on purpose (round-14 verdict
+    # ask #1b — the driver captures only the stdout tail, and the old
+    # line with three embedded 35-entry diagnostic dicts was truncated
+    # past parseability, zeroing the round-over-round record). Full
+    # diagnostics go to the sidecar file below.
     out = {
         "metric": "bench_total_median_sec",
         "value": total,
@@ -1109,14 +1178,28 @@ def main() -> None:
         "queries": results,
         "sf": _sf(),
         "anchor_sec": anchor_sec,
-        "anchor_series": anchors,
         "phase_unstable": max(warm) / min(warm) > 1.25,
+        "diag": DIAG_SIDECAR,
     }
     if errors:
-        out["errors"] = errors
-    deltas = _isolated_deltas(results, anchor_sec)
+        out["errors"] = {k: v[:120] for k, v in errors.items()}
+    drift = _per_query_drift(query_pos, anchors, anchor_pos)
+    deltas = _isolated_deltas(results, anchor_sec, drift=drift)
+    diag = {
+        "anchor_series": anchors,
+        "anchor_positions": anchor_pos,
+        "errors": errors,
+    }
     if deltas is not None:
-        out["isolated_baseline"] = deltas
+        out["flagged_over_1p2x"] = deltas["flagged_over_1p2x"]
+        diag["isolated_baseline"] = deltas
+    try:
+        os.makedirs(os.path.dirname(DIAG_SIDECAR), exist_ok=True)
+        with open(DIAG_SIDECAR, "w") as f:
+            json.dump({**out, **diag}, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill the contract line
+        out["diag"] = f"unwritable: {type(exc).__name__}"
     print(json.dumps(out))
     spark.stop()
 

@@ -67,3 +67,49 @@ def test_missing_anchor_now_falls_back_to_raw(baseline):
     out = bench._isolated_deltas({"b1_cx": 1.5}, anchor_sec=None)
     assert "anchor_phase_ratio" not in out
     assert out["flagged_over_1p2x"] == ["b1_cx"]
+
+
+def test_per_query_drift_stable_suite_is_unity():
+    """Flat warm anchors: every factor 1.0 — matches the old scheme."""
+    drift = bench._per_query_drift(
+        {"a": 0, "b": 12, "c": 34},
+        anchors=[0.4, 0.3, 0.3, 0.3, 0.3],
+        anchor_pos=[0, 11, 22, 33, 35],
+    )
+    assert drift == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_per_query_drift_midsuite_storm_corrects_tail():
+    """r14 failure mode: a storm arrives mid-suite (warm anchors
+    0.3 → 0.3 → 0.9 → 1.2); tail queries get the larger divisor."""
+    drift = bench._per_query_drift(
+        {"early": 2, "mid": 22, "late": 34},
+        anchors=[0.4, 0.3, 0.3, 0.9, 1.2],
+        anchor_pos=[0, 11, 22, 33, 35],
+    )
+    assert drift["early"] == 1.0       # before first warm anchor
+    assert drift["mid"] == 1.0         # exactly at the 0.3 anchor
+    assert drift["late"] == 3.5        # interp(34 in [33,35]) = 1.05/0.3
+
+
+def test_isolated_deltas_applies_drift(baseline):
+    """A tail query 3x raw in a 1x cold phase but with a 3x local storm
+    drift is NOT flagged; the same raw ratio with unity drift IS."""
+    baseline(0.4)
+    out = bench._isolated_deltas(
+        {"b1_cx": 3.0, "b2_area_sum": 6.0},
+        anchor_sec=0.4,
+        drift={"b1_cx": 3.0, "b2_area_sum": 1.0},
+    )
+    assert out["ratio_vs_isolated_normalized"] == {
+        "b1_cx": 1.0, "b2_area_sum": 3.0,
+    }
+    assert out["flagged_over_1p2x"] == ["b2_area_sum"]
+    assert out["per_query_drift"]["b1_cx"] == 3.0
+
+
+def test_per_query_drift_single_warm_anchor_degenerates_to_unity():
+    drift = bench._per_query_drift(
+        {"a": 0}, anchors=[0.4, 0.3], anchor_pos=[0, 35]
+    )
+    assert drift == {"a": 1.0}

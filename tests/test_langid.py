@@ -121,6 +121,39 @@ def test_builtin_margins_are_exact_dyadic():
     assert np.array_equal(scaled, np.rint(scaled))
 
 
+def test_margins_kernel_transposed_gather_bitwise_identical():
+    """The round-15 locality fix (contiguous-row gather over W.T) must
+    be BITWISE identical to the strided column gather — for arbitrary
+    NON-dyadic float64 weights, both with and without len_std, with a
+    precomputed WT and with the in-kernel volume-triggered transpose,
+    including empty bucket rows."""
+    rng = np.random.default_rng(7)
+    n_classes, n_feat = 5, 64
+    W = rng.standard_normal((n_classes, n_feat))
+    I = rng.standard_normal(n_classes)
+    rows = [
+        rng.integers(0, n_feat, size=n).tolist()
+        for n in (0, 1, 3, 40, 200, 999)
+    ]
+    WT = np.ascontiguousarray(W.T)
+    for ls in (None, 256):
+        # reference: the pre-round-15 column-gather formula, verbatim
+        ref = []
+        for b in rows:
+            bk = np.asarray(b, dtype=np.int64)
+            s = W[:, bk].sum(axis=1) if len(bk) else 0.0
+            ref.append(
+                I + s if ls is None else (max(len(bk), 1) / ls) * I + s
+            )
+        ref = np.asarray(ref)
+        got_wt = margins_kernel(rows, W, I, ls, WT=WT)
+        got_auto = margins_kernel(rows, W, I, ls)  # volume >= n_feat
+        got_small = margins_kernel(rows[:3], W, I, ls)  # column path
+        assert np.array_equal(got_wt, ref)
+        assert np.array_equal(got_auto, ref)
+        assert np.array_equal(got_small, ref[:3])
+
+
 def test_spark_serve_matches_python_replay(spark):
     """score_langs (Arrow path) == the numpy replay, prediction AND
     margin, on mixed-script rows including empty text (intercept-only
