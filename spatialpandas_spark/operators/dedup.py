@@ -218,8 +218,15 @@ def minhash_lsh_pairs(
     # signatures move exactly once: the banding scan and both attach
     # joins all read the one checkpointed signature RDD, and the attach
     # joins are planned by size like any equi-join (broadcast at bench
-    # scale, shuffle at corpus scale — the estimate tracks the input
-    # scan, so the decision flips correctly with data size).
+    # scale, shuffle at corpus scale). Unlike the RP-signature table in
+    # embedding_near_dup_pairs — whose post-Arrow estimate round 13
+    # proved non-scale-tracking, hence its merge pins — the lazy
+    # localCheckpoint here inherits the PRE-checkpoint plan's stats,
+    # which track the parquet scan: measured 27,878 B at sf0.01 vs
+    # 254,814 B at sf0.1 (exactly 10x, round 15), crossing the 10 MB
+    # auto-broadcast threshold around sf~4 — so the strategy flips to
+    # sort-merge correctly with data size and a corpus-sized broadcast
+    # cannot be planned at real scale.
     banded = sigd.select(
         "__id",
         F.explode(

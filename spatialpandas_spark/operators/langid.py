@@ -1181,6 +1181,17 @@ def score_langs(
 _BUILTIN_MODEL_CACHE: dict | None = None
 
 
+def _copy_model(model: dict) -> dict:
+    """Fresh top-level dict + fresh nested containers (one level deep —
+    the values are flat lists of scalars), so callers can mutate what
+    they received without corrupting the module-level cache."""
+    out = dict(model)
+    out["weights"] = [row[:] for row in model["weights"]]
+    for k in ("intercepts", "classes", "orders"):
+        out[k] = list(model[k])
+    return out
+
+
 def builtin_langid_model() -> dict:
     """The shipped 38-language dyadic-quantized model (train recipe:
     ``tools/train_langid.py`` — deterministic; weights stored
@@ -1190,12 +1201,16 @@ def builtin_langid_model() -> dict:
     The hex→float parse costs ~0.3 s of pure driver time, and serving
     calls this per query — so the parsed model is memoized at module
     level (it is a pure function of the committed weights table, not of
-    any input data). Each call returns a fresh top-level dict; the
-    nested weight lists are shared and must be treated as read-only
-    (every in-repo consumer copies via ``np.asarray``)."""
+    any input data). Each call returns a fresh top-level dict AND fresh
+    copies of the nested lists (~4 ms: 39 shallow row copies) so no
+    caller can corrupt the cache by mutating what it received —
+    round-14 returned shared nested lists with a documented-but-
+    unenforced read-only contract (round-15 advice fix). Kept as lists,
+    not tuples: the oracle-SQL builder splices ``repr(row)`` into SQL
+    as a list literal."""
     global _BUILTIN_MODEL_CACHE
     if _BUILTIN_MODEL_CACHE is not None:
-        return dict(_BUILTIN_MODEL_CACHE)
+        return _copy_model(_BUILTIN_MODEL_CACHE)
     import numpy as np
 
     from spatialpandas_spark.operators import _langid_model as M
@@ -1222,7 +1237,7 @@ def builtin_langid_model() -> dict:
         "denom": M.DENOM,
         "len_std": getattr(M, "LEN_STD", None),
     }
-    return dict(_BUILTIN_MODEL_CACHE)
+    return _copy_model(_BUILTIN_MODEL_CACHE)
 
 
 def classify_language(

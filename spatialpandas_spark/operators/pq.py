@@ -195,6 +195,80 @@ def _group_topk(q, v, s, n: int):
     return q[keep], v[keep], s[keep]
 
 
+def _global_topn(cand: DataFrame, n: int) -> DataFrame:
+    """Exact global per-query top-``n`` by (sim desc, vec_id asc) — the
+    same order :func:`_group_topk` applies per partition, applied ACROSS
+    partitions, so the surviving set is bounded |queries| x ``n``
+    independent of the scan's partition count. ADC sims are
+    bit-identical for a given (query, code) pair regardless of which
+    partition scored it (the LUT matmul is per-batch identical), so the
+    global order — and with it the surviving candidate set — is
+    deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n)
+        .drop("__cr")
+    )
+
+
+#: forced candidate-broadcast budget for the exact-rerank joins (guide
+#: §3.1: a few hundred MB broadcast is fine, multiple GB is a driver
+#: hazard, 8 GB is the hard cap)
+_CAND_BROADCAST_CAP = 256 << 20
+
+
+def _rerank_pairs(
+    cand: DataFrame,
+    qv: DataFrame,
+    cv: DataFrame,
+    n_cand: int,
+    n_parts: int,
+    n_queries: int,
+    dim: int,
+) -> DataFrame:
+    """Attach query and corpus vectors to the ADC candidate set for the
+    exact rerank, with a partition-safe join strategy (round-15 advice
+    fix). The candidate set out of the Arrow scan is top-``n_cand`` per
+    query PER PARTITION, so its true bound is ``n_parts x n_queries x
+    n_cand`` — the explicit ``F.broadcast`` hint the round-14 fix added
+    bypasses the planner's size checks, which at corpus scale (many scan
+    partitions) would blow the 8 GB broadcast cap / driver memory. All
+    three factors are KNOWN at query-construction time, so:
+
+    - bound fits the budget (every bench/fixture scale): broadcast the
+      per-partition candidate pool directly — plan and results identical
+      to round 14 (the richer pool feeds the rerank, which is the
+      documented approximate-candidate semantics the recall tests pin);
+    - bound too big: reduce to the global per-query top-``n_cand`` first
+      (:func:`_global_topn`, an exact partition-independent refinement of
+      the same order) and broadcast that — now provably ``n_queries x
+      n_cand`` rows;
+    - even that exceeds the budget (huge collected query sets x wide
+      vectors): leave the join strategy to the planner, which sees a
+      small exchange it can size at runtime (AQE).
+    """
+    per_row = dim * 8 + 48  # query vector + ids/struct overhead
+    if n_parts * n_queries * n_cand * per_row > _CAND_BROADCAST_CAP:
+        cand = _global_topn(cand, n_cand)
+        if n_queries * n_cand * per_row > _CAND_BROADCAST_CAP:
+            return (
+                cand.select("qid", "vec_id")
+                .join(qv, "qid")
+                .join(cv, "vec_id")
+                .select("qid", "vec_id", "__qv", "__cv")
+            )
+    return (
+        F.broadcast(cand.select("qid", "vec_id").join(F.broadcast(qv), "qid"))
+        .join(cv, "vec_id")
+        .select("qid", "vec_id", "__qv", "__cv")
+    )
+
+
 def _adc_pair_scan(
     pairs: DataFrame, B: np.ndarray, n_cand: int, out_schema: StructType
 ) -> DataFrame:
@@ -388,15 +462,16 @@ def pq_topk(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
     )
-    # broadcast the CANDIDATE side of the vector join (bounded by
-    # |collected queries| x n_cand by construction): the float corpus
-    # streams through a broadcast hash join instead of being shuffled —
-    # round-14 b20 profile: the old plan shuffle-wrote the entire cached
-    # vector corpus (~54 MB at sf0.1) to equi-join a few hundred rows
-    pairs = (
-        F.broadcast(cand.select("qid", "vec_id").join(F.broadcast(qv), "qid"))
-        .join(cv, "vec_id")
-        .select("qid", "vec_id", "__qv", "__cv")
+    # broadcast the candidate side of the vector join so the float
+    # corpus streams through a broadcast hash join instead of being
+    # shuffled (round-14 b20 profile: the old plan shuffle-wrote the
+    # entire cached vector corpus, ~54 MB at sf0.1, to equi-join a few
+    # hundred rows) — strategy chosen by the construction-time bound so
+    # the forced hint can never exceed the broadcast cap (round-15)
+    pairs = _rerank_pairs(
+        cand, qv, cv, n_cand,
+        n_parts=cds.rdd.getNumPartitions(),
+        n_queries=len(qrows), dim=Q.shape[1],
     )
     return _topk_rerank(pair_cosine_arrow(pairs), k)
 

@@ -285,11 +285,17 @@ def within_bucket_pairs_arrow(
     The gram prefilter keeps ``threshold - 1e-9`` — vastly wider than
     the worst-case BLAS-vs-sequential summation gap for unit vectors
     (~dim * ulp ≈ 1e-14 at dim 64), so no exact-qualifying pair can be
-    missed; the exact filter then decides membership. Memory per task is
-    the group's vectors plus one ``block x |bucket|`` gram slab (block
-    sized so the slab stays ~64 M entries); the |bucket|^2 candidate
-    *volume* is inherent to SemDeDup and bounded by the caller keeping
-    mean cluster size ~constant (``semantic.auto_n_clusters``)."""
+    missed; the exact filter then decides membership (which also makes
+    the result independent of the block size — BLAS blocking may move a
+    gram entry by an ulp, never past the slack). Memory per task is
+    bounded: the group's vectors (|bucket| x dim x 8 B — ~0.5 MB at the
+    ~1024 mean cluster size ``semantic.auto_n_clusters`` pins, ~50 MB
+    for a 10^5-row hot cluster) plus one ``block x |bucket|`` gram slab
+    and its boolean mask, with the block sized to keep the slab at
+    ~8 M entries (64 MB float64 + 8 MB bool — round-15 advice fix; the
+    old 2^26 budget allowed a 512 MB slab per task). At the mean
+    cluster size the block still covers the whole bucket in one pass.
+    The |bucket|^2 candidate *volume* is inherent to SemDeDup."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -318,7 +324,7 @@ def within_bucket_pairs_arrow(
             Xn = np.where(
                 ok[:, None], X / np.where(ok, norms, 1.0)[:, None], 0.0
             )
-            blk = max(1, (1 << 26) // n)
+            blk = max(1, (1 << 23) // n)
             ia_parts, ib_parts = [], []
             for s in range(0, n, blk):
                 g = Xn[s : s + blk] @ Xn.T

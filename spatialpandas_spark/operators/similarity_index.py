@@ -305,7 +305,7 @@ def query_ivfpq_index(
         ]
     )
 
-    from spatialpandas_spark.operators.pq import _group_topk
+    from spatialpandas_spark.operators.pq import _group_topk, _rerank_pairs
 
     def _reduce(q, v, s):
         return _group_topk(q, v, s, n_cand)
@@ -356,15 +356,16 @@ def query_ivfpq_index(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
         )
-    # broadcast the CANDIDATE side (bounded: |queries| x n_cand) so the
-    # stored/pruned vector partitions stream through a broadcast hash
-    # join instead of being shuffled (round-14 b20/b21/b31 profile fix)
-    pairs = (
-        F.broadcast(
-            cand.select("qid", "vec_id").join(F.broadcast(q_sel), "qid")
-        )
-        .join(cv, "vec_id")
-        .select("qid", "vec_id", "__qv", "__cv")
+    # broadcast the candidate side so the stored/pruned vector
+    # partitions stream through a broadcast hash join instead of being
+    # shuffled (round-14 b20/b21/b31 profile fix) — strategy chosen by
+    # the construction-time bound so the forced hint can never exceed
+    # the broadcast cap when the index scan has many partitions
+    # (round-15 advice fix, see pq._rerank_pairs)
+    pairs = _rerank_pairs(
+        cand, q_sel, cv, n_cand,
+        n_parts=cds.rdd.getNumPartitions(),
+        n_queries=len(qids), dim=Q.shape[1],
     )
     return _topk_rerank(pair_cosine_arrow(pairs), k)
 
@@ -678,7 +679,7 @@ def query_ivfsq8_index(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from spatialpandas_spark.operators.pq import _group_topk
+    from spatialpandas_spark.operators.pq import _group_topk, _rerank_pairs
     from spatialpandas_spark.operators.sq import _scales, _seq_normalize
 
     meta = load_ivfsq8_meta(path)
@@ -790,15 +791,16 @@ def query_ivfsq8_index(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).cast("array<double>").alias("__cv"),
         )
-    # broadcast the CANDIDATE side (bounded: |queries| x n_cand) so the
-    # stored/pruned vector partitions stream through a broadcast hash
-    # join instead of being shuffled (round-14 b20/b21/b31 profile fix)
-    pairs = (
-        F.broadcast(
-            cand.select("qid", "vec_id").join(F.broadcast(q_sel), "qid")
-        )
-        .join(cv, "vec_id")
-        .select("qid", "vec_id", "__qv", "__cv")
+    # broadcast the candidate side so the stored/pruned vector
+    # partitions stream through a broadcast hash join instead of being
+    # shuffled (round-14 b20/b21/b31 profile fix) — strategy chosen by
+    # the construction-time bound so the forced hint can never exceed
+    # the broadcast cap when the index scan has many partitions
+    # (round-15 advice fix, see pq._rerank_pairs)
+    pairs = _rerank_pairs(
+        cand, q_sel, cv, n_cand,
+        n_parts=cds.rdd.getNumPartitions(),
+        n_queries=len(qids), dim=Q.shape[1],
     )
     return _topk_rerank(pair_cosine_arrow(pairs), k)
 

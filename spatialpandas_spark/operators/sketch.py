@@ -120,6 +120,16 @@ def kmv_sketch(
 
     def partial(batches):
         if groups:
+            # acc value = [one-row group-key frame (ORIGINAL dtypes),
+            # merged bottom-k hashes]. The group columns are re-emitted
+            # by repeating that sliced row rather than rebuilding an
+            # object Series from Python scalars: a null float/temporal
+            # key round-tripped through an object column can come back
+            # as NaN/NaT instead of a SQL NULL, which would break the
+            # documented prefilter==oracle-twin equality on null-keyed
+            # groups (round-15 advice fix). Distinct NaN dict keys may
+            # produce several partial rows for one null group — harmless:
+            # the global distinct+rank below merges them exactly.
             acc: dict = {}
             for pdf in batches:
                 if len(pdf) == 0:
@@ -129,18 +139,19 @@ def kmv_sketch(
                 ):
                     key_t = gv if isinstance(gv, tuple) else (gv,)
                     h = sub["h"].to_numpy()
-                    prev = acc.get(key_t)
-                    u = np.unique(
-                        h if prev is None else np.concatenate([prev, h])
-                    )
-                    acc[key_t] = u[:kk]
-            for key_t, u in acc.items():
-                out = pd.DataFrame(
-                    {
-                        g: pd.Series([v] * len(u), dtype="object")
-                        for g, v in zip(groups, key_t)
-                    }
-                )
+                    ent = acc.get(key_t)
+                    if ent is None:
+                        acc[key_t] = [
+                            sub.iloc[:1][groups], np.unique(h)[:kk]
+                        ]
+                    else:
+                        ent[1] = np.unique(
+                            np.concatenate([ent[1], h])
+                        )[:kk]
+            for grow, u in acc.values():
+                out = grow.iloc[
+                    np.zeros(len(u), dtype=np.int64)
+                ].reset_index(drop=True)
                 out["h"] = u
                 yield out
         else:

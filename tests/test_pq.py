@@ -78,6 +78,36 @@ def test_pq_exact_reconstruction_limit(spark):
     assert got == want
 
 
+def test_pq_rerank_capacity_fork_safe_at_scale(spark, monkeypatch):
+    """Round-15 advice fix: the rerank candidate broadcast is forced only
+    when the construction-time bound (n_parts x n_queries x n_cand x
+    row bytes) fits the budget. Shrinking the budget to zero must (a)
+    drop every F.broadcast hint from the plan, routing through the
+    global per-query top-n_cand window instead, and (b) leave the
+    LOSSLESS-config result exactly equal to brute force — proving the
+    fallback path computes the same query."""
+    import spatialpandas_spark.operators.pq as pqmod
+
+    emb = _emb(spark, n=12, dim=8, labels=12, noise=0.0, seed=5)
+    books = train_pq(emb, m_sub=2, n_codes=12, iters=4)
+    codes = pq_encode(emb, books)
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    monkeypatch.setattr(pqmod, "_CAND_BROADCAST_CAP", 0)
+    out = pq_topk(qs, codes, books, k=3, rerank=emb, rerank_factor=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" in plan  # the global top-n_cand reduce is in
+    got = {(r["qid"], r["rank"]): r["vec_id"] for r in out.collect()}
+    want = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(qs, emb, k=3).collect()
+    }
+    assert got == want
+
+
 def test_pq_rerank_recall_clustered(spark):
     emb = _emb(spark, n=300, dim=16, labels=6, noise=0.2, seed=3)
     books = train_pq(emb, m_sub=4, n_codes=32, iters=5)

@@ -76,6 +76,34 @@ def test_grouped_matches_python_twin_both_paths(spark):
         assert got == expect, f"prefilter={pre}"
 
 
+def test_grouped_null_and_typed_group_keys_both_paths(spark):
+    """Round-15 advice fix: the map-side partial must preserve the group
+    columns' ORIGINAL dtypes (slice-and-repeat, not an object-Series
+    rebuild), so null double/long group keys survive the Arrow
+    round-trip as SQL NULLs and the prefilter=True path stays equal to
+    the prefilter=False oracle twin on null-keyed groups."""
+    rows = []
+    for i in range(3000):
+        g = [None, 1.5, 2.5][i % 3]
+        rows.append((g, f"v-{i}"))
+    df = spark.createDataFrame(rows, "grp double, s string")
+
+    def _nrows(out):  # None-safe sort of (grp, rank, h) tuples
+        return sorted(
+            ((r["grp"], r["rank"], r["h"]) for r in out.collect()),
+            key=lambda t: (t[0] is not None, t[0] or 0.0, t[1], t[2]),
+        )
+
+    a = _nrows(kmv_sketch(df, "s", k=16, group_cols=["grp"], prefilter=False))
+    b = _nrows(kmv_sketch(df, "s", k=16, group_cols=["grp"], prefilter=True))
+    assert a == b
+    assert any(g is None for g, _, _ in b)  # the null group is present
+    # and the dtype really is double, not object-coerced
+    assert dict(kmv_sketch(
+        df, "s", k=16, group_cols=["grp"], prefilter=True
+    ).dtypes)["grp"] == "double"
+
+
 def test_prefilter_invariant_to_partitioning_and_duplicates(spark):
     keys = [f"k{i % 700}" for i in range(4000)]  # heavy duplication
     df = spark.createDataFrame([(x,) for x in keys], "s string")
