@@ -51,6 +51,17 @@ def doc_spans(
     may be shorter. Returns ``(id_col, span_id, span)``; empty documents
     yield no rows.
     """
+    return _doc_span_rows(df, id_col, text_col, window).select(
+        id_col, "span_id", "span"
+    )
+
+
+def _doc_span_rows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """:func:`doc_spans` plus the span's token range ``(__s, __e)`` —
+    half-open, 0-based — which :func:`remove_duplicate_spans` carries as
+    removal metadata so reassembly never re-derives span boundaries."""
     if window <= 0:
         raise ValueError("window must be positive")
     toks = tokens(F.col(text_col))
@@ -64,10 +75,43 @@ def doc_spans(
         toks.alias("__toks"),
         F.explode(_seq0(n_spans)).alias("span_id"),
     )
+    s = F.col("span_id") * F.lit(window)
+    e = F.least(s + F.lit(window), F.size(F.col("__toks")))
     piece = F.slice(
         F.col("__toks"), F.col("span_id") * F.lit(window) + F.lit(1), window
     )
-    return ex.select(id_col, "span_id", F.concat_ws(" ", piece).alias("span"))
+    return ex.select(
+        id_col,
+        "span_id",
+        s.alias("__s"),
+        e.alias("__e"),
+        F.concat_ws(" ", piece).alias("span"),
+    )
+
+
+def _content_pairs(tv, p: int):
+    """``(s, e)`` boundary pairs of the content-defined spans of a token
+    array. The boundary-position array (one md5 per token) is LET-BOUND
+    (``functions.measures.let_``): it feeds both the ``starts`` and the
+    ``ends`` halves of the zip, and Catalyst performs no common
+    subexpression elimination across the two — unbound, every token's
+    boundary md5 evaluated TWICE per row (measured as the dominant cost
+    of the span-dedup bench row)."""
+    from spatialpandas_spark.functions.measures import let_
+
+    n = F.size(tv)
+    bpos = F.filter(
+        _seq0(n),
+        lambda i: _md5_bucket(F.element_at(tv, i + 1), p) == 0,
+    )
+    return let_(
+        bpos,
+        lambda bp: F.zip_with(
+            F.concat(F.array(F.lit(0)), F.transform(bp, lambda b: b + 1)),
+            F.concat(F.transform(bp, lambda b: b + 1), F.array(n)),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+    )
 
 
 def content_spans(
@@ -102,20 +146,21 @@ def content_spans(
     shuffle. Returns ``(id_col, span_id, span)``; empty documents
     yield no rows.
     """
+    return _content_span_rows(df, id_col, text_col, p).select(
+        id_col, "span_id", "span"
+    )
+
+
+def _content_span_rows(
+    df: DataFrame, id_col: str, text_col: str, p: int
+) -> DataFrame:
+    """:func:`content_spans` plus the span's token range ``(__s, __e)``
+    (half-open, 0-based) — see :func:`_doc_span_rows`."""
     if p <= 0:
         raise ValueError("p must be positive")
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     tv = F.col("__toks")
-    n = F.size(tv)
-    bpos = F.filter(
-        _seq0(n),
-        lambda i: _md5_bucket(F.element_at(tv, i + 1), p) == 0,
-    )
-    starts = F.concat(F.array(F.lit(0)), F.transform(bpos, lambda b: b + 1))
-    ends = F.concat(F.transform(bpos, lambda b: b + 1), F.array(n))
-    pairs = F.zip_with(
-        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
-    )
+    pairs = _content_pairs(tv, p)
     ex = base.select(
         id_col, "__toks", F.posexplode(pairs).alias("span_id", "__se")
     ).filter(F.col("__se.s") < F.col("__se.e"))
@@ -124,7 +169,13 @@ def content_spans(
         F.col("__se.s") + 1,
         F.col("__se.e") - F.col("__se.s"),
     )
-    return ex.select(id_col, "span_id", F.concat_ws(" ", piece).alias("span"))
+    return ex.select(
+        id_col,
+        "span_id",
+        F.col("__se.s").alias("__s"),
+        F.col("__se.e").alias("__e"),
+        F.concat_ws(" ", piece).alias("span"),
+    )
 
 
 def remove_duplicate_spans(
@@ -169,59 +220,138 @@ def remove_duplicate_spans(
         raise ValueError("align must be 'fixed' or 'content'")
     if min_span_tokens < 1:
         raise ValueError("min_span_tokens must be >= 1")
-    make = doc_spans if align == "fixed" else content_spans
-    spans = make(df, id_col, text_col, window).withColumn(
-        "__h", F.md5(F.col("span"))
+    from spatialpandas_spark.materialize import materialize_branches
+
+    # Decide removals on METADATA rows — (id, span_id, token range,
+    # 16-byte hash[, countable flag]) — then rebuild each document's text
+    # from its own token array and the removed RANGES (guide §8: decide
+    # with small rows, never shuffle the heavy span text). Three measured
+    # facts shape this (profiles in OPTIMIZATION_r15.md):
+    #
+    # - the explode's per-token boundary md5 is the dominant per-pass
+    #   cost (0.36 s/pass at sf0.1 vs 0.03 s for span-text building), so
+    #   the explode runs ONCE: the materialized metadata serves both the
+    #   occurrence count and the removal decision;
+    # - reassembly needs no boundary recompute at all: kept spans are
+    #   disjoint contiguous token ranges concatenated in order with
+    #   single spaces, so the rebuilt text equals the doc's tokens OUTSIDE
+    #   the removed ranges joined by " " — gap slices between the sorted
+    #   removed ranges, a pure array expression over the token array;
+    # - kept_spans is arithmetic (total spans minus removed), so a
+    #   count-only consumer (bench b35) prunes the whole rebuild down to
+    #   a metadata join — no tokenize, no md5, no text.
+    #
+    # The pre-r15 shape shuffled full span text through the flagged join
+    # and again through the reassembly groupBy and re-ran the explode in
+    # both; now no exchange carries span text, and document text moves at
+    # most once (the final id join, only when the per-doc decision table
+    # is too big to broadcast).
+    rows = (_doc_span_rows if align == "fixed" else _content_span_rows)(
+        df, id_col, text_col, window
     )
-    countable = spans
+    meta_cols = [
+        F.col(id_col),
+        F.col("span_id"),
+        F.col("__s"),
+        F.col("__e"),
+        F.md5(F.col("span")).alias("__h"),
+    ]
     if min_span_tokens > 1:
         # spans are space-joined whitespace tokens, so the token count
         # is size(split(' ')) — no retokenization ambiguity
-        countable = spans.filter(
-            F.size(F.split(F.col("span"), " ")) >= F.lit(min_span_tokens)
+        meta_cols.append(
+            (
+                F.size(F.split(F.col("span"), " ")) >= F.lit(min_span_tokens)
+            ).alias("__ok")
         )
+    meta = materialize_branches(rows.select(*meta_cols))
+    countable = meta.filter("__ok") if min_span_tokens > 1 else meta
     if keep == "none":
         flagged = (
             countable.groupBy("__h")
             .agg(F.count("*").alias("__c"))
             .filter(F.col("__c") >= F.lit(min_count))
-            .select("__h")
+            .select("__h", F.lit(True).alias("__f"))
         )
-        kept = spans.join(flagged, "__h", "left_anti")
+        # a guarded-out short span is never in flagged (identical text
+        # => identical length), so the mark join cannot remove it
+        marked = meta.join(flagged, "__h", "left")
+        rmflag = F.coalesce(F.col("__f"), F.lit(False))
     else:
         agg = countable.groupBy("__h").agg(
             F.count("*").alias("__c"),
             F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__first"),
         )
         # left join: a guarded-out short span has no agg row (identical
-        # text would be identical length) and must survive
-        kept = (
-            spans.join(agg, "__h", "left")
-            .filter(
-                F.col("__c").isNull()
-                | (F.col("__c") < F.lit(min_count))
-                | (
-                    (F.col(id_col) == F.col(f"__first.{id_col}"))
-                    & (F.col("span_id") == F.col("__first.span_id"))
+        # text would be identical length) and so is never marked removed
+        marked = meta.join(agg, "__h", "left")
+        rmflag = F.coalesce(
+            (F.col("__c") >= F.lit(min_count))
+            & ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("span_id") == F.col("__first.span_id"))
+            ),
+            F.lit(False),
+        )
+    # one pass over the metadata: total span count + the sorted removed
+    # ranges per document (collect_list skips the NULLs of kept spans;
+    # array_sort makes the nondeterministic collect order canonical —
+    # ranges are disjoint, so sorting by __s is a total order)
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("__total"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    rmflag,
+                    F.struct(F.col("__s").alias("s"), F.col("__e").alias("e")),
                 )
             )
-            .select(id_col, "span_id", "span")
+        ).alias("__rm"),
+    )
+
+    from spatialpandas_spark.functions.measures import let_
+
+    rm = F.coalesce(
+        F.col("__rm"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+
+    def rebuild_text(tv):
+        # gap slices between the removed ranges: tokens [0, rm[0].s),
+        # [rm[0].e, rm[1].s), ..., [rm[-1].e, n) joined by " " — exactly
+        # the kept spans concatenated in span order, since spans tile the
+        # token array and kept text was always space-joined tokens
+        starts = F.concat(
+            F.array(F.lit(0)), F.transform(rm, lambda r: r["e"])
         )
-    re = kept.groupBy(id_col).agg(
-        F.count("*").alias("kept_spans"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("span_id"), F.col("span")))
-                ),
-                lambda x: x["span"],
+        ends = F.concat(F.transform(rm, lambda r: r["s"]), F.array(F.size(tv)))
+        return F.array_join(
+            F.flatten(
+                F.zip_with(
+                    starts, ends, lambda s, e: F.slice(tv, s + 1, e - s)
+                )
             ),
             " ",
-        ).alias(text_col),
+        )
+
+    rebuilt = (
+        df.select(id_col, text_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.col("__total") - F.size(rm)).alias("__k"),
+            let_(tokens(F.col(text_col)), rebuild_text).alias("__t"),
+        )
     )
-    base = df.select(id_col)
-    return base.join(re, id_col, "left").select(
+    # null ids: the pre-r15 shape re-attached results by an id equi-join,
+    # and a null key never matches itself — those rows always came back
+    # as (0, ""). Pin that exactly.
+    idnn = F.col(id_col).isNotNull()
+    return rebuilt.select(
         id_col,
-        F.coalesce(F.col("kept_spans"), F.lit(0)).alias("kept_spans"),
-        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.when(idnn, F.coalesce(F.col("__k"), F.lit(0).cast("long")))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("kept_spans"),
+        F.when(idnn, F.coalesce(F.col("__t"), F.lit("")))
+        .otherwise(F.lit(""))
+        .alias(text_col),
     )

@@ -248,8 +248,18 @@ def df_b34_langid(spark, sf_dir):
     return classify_language(docs, "text").groupBy("lang_pred").count()
 
 
+def df_b35_span_dedup(spark, sf_dir):
+    from spatialpandas_spark.operators.spans import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(
+        docs, window=8, min_count=2, keep="none", align="content"
+    ).agg(F.sum("kept_spans"))
+
+
 BUILDERS = {
     "b20_pq_scan": df_b20_pq_scan,
+    "b35_span_dedup": df_b35_span_dedup,
     "b34_langid": df_b34_langid,
     "b21_ivfpq_probe": df_b21_ivfpq_probe,
     "b31_ivfsq8_probe": df_b31_ivfsq8_probe,
