@@ -226,7 +226,20 @@ def materialize_token_sequences(
     Catalyst's choice), per-row ``slice`` (no explode of individual
     tokens — slices move as arrays), then ONE ``groupBy(seq)`` whose
     per-group payload is ~``seq_len`` ids in ≤ a handful of slices.
-    Token data crosses the shuffle once."""
+    Token data crosses the shuffle once.
+
+    The input subtree is consumed by BOTH branches (layout metadata and
+    array attach), and re-resolved branches defeat the AQE stage cache —
+    without an explicit materialization the whole upstream (for the
+    training gates: the corpus BPE encode and the epoch-mix union; r15
+    plan dump showed the MapInPandas encode once per branch) runs twice.
+    ``materialize_branches`` pins it to one computation; only the three
+    consumed columns are materialized (§2.3 project early)."""
+    from spatialpandas_spark.materialize import materialize_branches
+
+    tokens = materialize_branches(
+        tokens.select(id_col, weight_col, tokens_col)
+    )
     layout = pack_token_sequences(
         tokens.select(id_col, weight_col),
         weight_col,
