@@ -29,6 +29,17 @@ round-14 VERDICT "What's wrong" #4):
 the default, matching the bench contract — ``persist`` for cluster
 deployments). Both pin the subtree to ONE materialization serving all
 branches; plan-shape tests assert that property, not the mechanism.
+
+Why the default must stay ``checkpoint`` for benchmarking: the
+CacheManager matches cached relations by LOGICAL PLAN equality, so with
+``persist`` a second invocation that rebuilds the same query in the same
+session silently reads the first invocation's cached data instead of
+recomputing. In production that cross-query reuse is a feature; in a
+timed benchmark it is result caching across runs (the r15 env-A/B read
+0.47x on b8 under persist for exactly this reason — runs 2..n skipped
+the signature compute entirely — so that number is disqualified, not a
+win). ``localCheckpoint`` creates a fresh RDD per call and can never
+alias a previous invocation's results.
 """
 
 from __future__ import annotations

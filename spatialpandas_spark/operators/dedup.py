@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from spatialpandas_spark.functions.measures import _seq0
 
+from spatialpandas_spark.materialize import materialize_branches
+
 
 def content_hash(*cols: Column) -> Column:
     """128-bit content hash for exact dedup. Each column is hashed
@@ -209,7 +211,7 @@ def minhash_lsh_pairs(
     # and signatures computed exactly once however many branches read them.
     sigd = minhash_signatures_arrow(
         df, id_col, text_col, shingle_n, num_hashes
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_branches)
 
     # payload-light banding (round-14, guide §8): the band self-join and
     # the pair dedup only DECIDE which id pairs are candidates, so they
@@ -389,7 +391,7 @@ def simhash_pairs(
     sd = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         simhash_bits(F.col(text_col), bits).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_branches)
     banded = sd.select(
         "__id",
         F.explode(

@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spatialpandas_spark.materialize import materialize_branches
+
 
 def estimate_knn_cell_size(
     right: DataFrame,
@@ -281,8 +283,8 @@ def sjoin_knn(
         # to one lazily materialized RDD. The radius-covering path reads
         # each side exactly once (round 0 only), where a persist would
         # be pure overhead.
-        l0 = l0.localCheckpoint(eager=False)
-        r0 = r0.localCheckpoint(eager=False)
+        l0 = l0.transform(materialize_branches)
+        r0 = r0.transform(materialize_branches)
     if radius_covers:
         n_right = None
         if cell_size is None:

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spatialpandas_spark.materialize import materialize_branches
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -689,7 +691,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).cast("array<double>").alias("__v"),
         ).filter(F.col("__v").isNotNull()),
         planes,
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_branches)
     # payload-light banding (guide §8): the band self-join and pair dedup
     # decide WHICH id pairs are candidates, so they carry (id, band key)
     # only; the dim-wide vectors move once, in the attach joins below.

@@ -46,6 +46,8 @@ from pyspark.sql.window import Window
 from spatialpandas_spark.operators.dedup import word_shingles
 from spatialpandas_spark.operators.sampling import sample_hash
 
+from spatialpandas_spark.materialize import materialize_branches
+
 #: size of the sample_hash space: 15 hex chars = 60 bits.
 HSPACE = 1 << 60
 
@@ -248,8 +250,8 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     times. (Purely a recompute saver: the sketch is a deterministic
     function of the key set, so this is not in the fork-determinism
     class rank.py pins.)"""
-    a = a.localCheckpoint(eager=False)
-    b = b.localCheckpoint(eager=False)
+    a = a.transform(materialize_branches)
+    b = b.transform(materialize_branches)
     u = kmv_union(a, b, k)
     flagged = (
         u.join(
@@ -473,7 +475,7 @@ def containment_probe(
         k=k,
         seed=seed,
         group_cols=groups,
-    ).localCheckpoint(eager=False)  # consumed twice (probe set + join)
+    ).transform(materialize_branches)  # consumed twice (probe set + join)
 
     grams = corpus_docs.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("s")
@@ -549,7 +551,7 @@ def corpus_overlap(
     sk = shingle_sketch(
         ga.unionByName(gb), text_col, n=n, k=k, seed=seed,
         group_cols=["__side"],
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_branches)
     return kmv_overlap(
         sk.filter(F.col("__side") == 0).drop("__side"),
         sk.filter(F.col("__side") == 1).drop("__side"),
