@@ -267,3 +267,36 @@ def test_auto_grid_estimates_cell_size_for_points(spark, fixtures):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_grid_cell_refinement_gated_and_invariant(spark, fixtures, monkeypatch):
+    """r15: an oversized caller cell is refined from the bounds sample —
+    but only past the size gate (constant sampling cost must not tax
+    MB-scale known-size inputs; unknown estimates engage, the safe
+    direction) — and the result set is cell-size-invariant."""
+    import importlib
+
+    sjmod = importlib.import_module("spatialpandas_spark.operators.sjoin")
+
+    left, right, pts, polys, expect = fixtures
+
+    def run():
+        j = sjoin(left, right, left_geom="geom", right_geom="geom",
+                  left_type="point", right_type="polygon",
+                  strategy="grid", cell_size=1000.0)
+        return {(r["pid"], r["gid"]) for r in j.collect()}
+
+    seen = []
+    orig = sjmod._sampled_geom_side
+    monkeypatch.setattr(
+        sjmod, "_sampled_geom_side",
+        lambda df, b, sample_n=2048: seen.append(1) or orig(df, b, sample_n),
+    )
+    # below the gate (known-small estimate): caller's cell stands, no jobs
+    monkeypatch.setattr(sjmod, "_plan_size_bytes", lambda df: 1 << 20)
+    assert run() == expect
+    assert not seen, "sampler must not run below the size gate"
+    # past the gate: the sampler runs, the cell shrinks, results identical
+    monkeypatch.setattr(sjmod, "_plan_size_bytes", lambda df: 1 << 40)
+    assert run() == expect
+    assert seen, "sampler must engage past the gate"
